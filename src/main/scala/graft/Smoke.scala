@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke runner mirroring the driver's entry check: runs
+  * SparkEntry.entry on sf0.001 and asserts rows > 0. Optional arg:
+  * a query name to run + explain instead.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.headOption match {
+      case Some(name) =>
+        val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.explain("formatted")
+        df.show(20, truncate = false)
+      case None =>
+        val df = SparkEntry.entry(spark)
+        val n = df.count()
+        println(s"[smoke] entry rows=$n")
+        assert(n > 0, "entry returned 0 rows")
+        df.show(5, truncate = false)
+    }
+    spark.stop()
+  }
+}

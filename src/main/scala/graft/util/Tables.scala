@@ -1,0 +1,39 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver-generated test corpus (TESTDATA.md).
+  *
+  * All declared queries receive a scale-factor directory and read the
+  * parquet tables lazily — Catalyst prunes columns and pushes filters
+  * into the scan, so a query that touches 2 of lineitem's 11 columns
+  * only decodes 2 column chunks. At cluster scale the same code reads
+  * a partitioned table root instead of a single file; nothing here
+  * assumes single-file layout.
+  */
+object Tables {
+  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
+
+/** One declared query: a Spark implementation plus (when the semantics
+  * are ANSI-SQL-expressible) an equivalent DuckDB oracle query over the
+  * same tables. Queries with `oracle = None` get a weaker rows-only
+  * check from the driver (SURVEY.md §5).
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+)(val run: (SparkSession, String) => DataFrame)
+
+object QueryDef {
+  /** Merge query modules into the SparkEntry contract maps. */
+  def toMaps(
+      defs: Seq[QueryDef]
+  ): (Map[String, (SparkSession, String) => DataFrame], Map[String, String]) = {
+    val qs = defs.map(d => d.name -> d.run).toMap
+    require(qs.size == defs.size, "duplicate query names")
+    val os = defs.collect { case QueryDef(n, Some(sql)) => n -> sql }.toMap
+    (qs, os)
+  }
+}
