@@ -12,7 +12,9 @@ import graft.util.QueryDef
 object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
-    _root_.graft.queries.Parity.defs
+    _root_.graft.queries.Parity.defs ++
+      _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.Events.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{QueryDef, Tables}
+
+/** Event-time analytics over the `events` table — the batch expressions
+  * of the streaming surface (SURVEY.md §2.11: the reference is purely
+  * batch; these are the north-star extensions). The same windowing
+  * semantics run incrementally in graft.streaming via Structured
+  * Streaming; here they are declared as batch plans so the DuckDB
+  * oracle can check them.
+  *
+  * Timestamps are compared as epoch-microsecond longs — exact integer
+  * arithmetic on both engines, no format/timezone seams (§7.4 H7).
+  */
+object Events {
+
+  import Tables.tbl
+
+  private val HourUs = 3600L * 1000000L
+  private val HalfHourUs = 1800L * 1000000L
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Tumbling window: 1-hour buckets per event type. Spark's window()
+    // is epoch-aligned; the oracle mirrors with integer bucket math.
+    QueryDef(
+      "q50_tumbling_window",
+      Some(s"""
+        SELECT epoch_us(ts) - epoch_us(ts) % $HourUs AS window_start_us,
+               event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY window_start_us, event_type
+        ORDER BY window_start_us, event_type
+      """),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour").as("w"),
+          col("event_type"),
+        )
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"),
+          col("n"),
+          col("sum_value"),
+        )
+        .orderBy("window_start_us", "event_type")
+    },
+
+    // ------------------------------------------------------------------
+    // Sliding window: 1-hour length, 30-minute slide — every event lands
+    // in exactly two windows. Spark's window() emits both; the oracle
+    // unnests the two epoch-aligned candidate starts.
+    QueryDef(
+      "q51_sliding_window",
+      Some(s"""
+        WITH e AS (
+          SELECT epoch_us(ts) - epoch_us(ts) % $HalfHourUs AS b, value
+          FROM events),
+        w AS (
+          SELECT unnest([b, b - $HalfHourUs]) AS window_start_us, value
+          FROM e)
+        SELECT window_start_us, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM w
+        GROUP BY window_start_us
+        ORDER BY window_start_us
+      """),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          unix_micros(col("w.start")).as("window_start_us"),
+          col("n"),
+          col("sum_value"),
+        )
+        .orderBy("window_start_us")
+    },
+
+    // ------------------------------------------------------------------
+    // Session window (30-min gap): Spark's native session_window —
+    // the same operator Structured Streaming uses for stateful
+    // sessionization. Oracle: classic lag/cumsum gap-and-island SQL.
+    // Both define a new session at gap >= 30 min (session_window's
+    // interval is [start, last+gap)).
+    QueryDef(
+      "q52_session_window",
+      Some(s"""
+        WITH flagged AS (
+          SELECT user_id, epoch_us(ts) AS t, value,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                      >= $HalfHourUs THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sessions AS (
+          SELECT user_id, t, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, min(t) AS session_start_us,
+               max(t) + $HalfHourUs AS session_end_us,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM sessions
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us
+      """),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"),
+          col("sum_value"),
+        )
+        .orderBy("user_id", "session_start_us")
+    },
+
+    // ------------------------------------------------------------------
+    // Sessionization via window functions (gaps-and-islands): the
+    // hand-rolled equivalent of q52 aggregated to per-user stats —
+    // demonstrates lag + conditional cumsum as reusable primitives.
+    QueryDef(
+      "q53_sessionization_stats",
+      Some(s"""
+        WITH flagged AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                      >= $HalfHourUs THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sessions AS (
+          SELECT user_id, t,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, sid, count(*) AS n_events,
+                 (max(t) - min(t)) / 1000000 AS duration_s
+          FROM sessions GROUP BY user_id, sid)
+        SELECT user_id, count(*) AS n_sessions,
+               sum(n_events) AS total_events,
+               round(avg(n_events), 4) AS avg_events_per_session,
+               max(duration_s) AS max_duration_s
+        FROM per_session
+        GROUP BY user_id
+        ORDER BY user_id
+      """),
+    ) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val cum = Window.partitionBy("user_id").orderBy(asc("t"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = unix_micros(col("ts"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), t.as("t"))
+        .withColumn(
+          "is_new",
+          when(col("t") - lag(col("t"), 1).over(byUser) >= HalfHourUs, 1).otherwise(0),
+        )
+        .withColumn("sid", sum("is_new").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(
+          count(lit(1)).as("n_events"),
+          ((max("t") - min("t")) / 1000000).as("duration_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum("n_events").as("total_events"),
+          round(avg("n_events"), 4).as("avg_events_per_session"),
+          max("duration_s").as("max_duration_s"),
+        )
+        .orderBy("user_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Semi-structured extraction: JSON path into the props column —
+    // get_json_object stays inside codegen; no UDF.
+    QueryDef(
+      "q54_json_extract",
+      Some("""
+        SELECT event_type,
+               count(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+               round(avg(try_cast(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """),
+    ) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").try_cast("bigint")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n_k"),
+          round(avg("k"), 4).as("avg_k"),
+          max("k").as("max_k"),
+        )
+        .orderBy("event_type")
+    },
+
+    // ------------------------------------------------------------------
+    // Exact deduplication on a projected key set (distinct = the
+    // deterministic form of dropDuplicates; one shuffle on the key).
+    QueryDef(
+      "q55_event_distinct",
+      Some("""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+      """),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    },
+  )
+}

@@ -1,0 +1,402 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.util.{QueryDef, Tables}
+
+/** Relational extensions beyond the reference's surface (SURVEY.md §2.5,
+  * §2.8 note zero joins / set ops in the reference): broadcast + shuffle
+  * joins, semi/anti, outer, window functions, rollup, distinct
+  * aggregates, set operations, and the statistics the reference's five
+  * business questions need (Q2 budget↔revenue correlation, Q3 per-year
+  * counts, Q5 runtime↔rating relationship — README.md:16-20).
+  *
+  * Scale notes are inline: every join states its strategy choice and why
+  * it survives 100 TB.
+  */
+object Relational {
+
+  import Tables.tbl
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Broadcast join: part (2k rows/SF, dimension) broadcast to every
+    // executor; lineitem (fact) never shuffles. At 100 TB the fact side
+    // stays shuffle-free as long as the dim fits the broadcast threshold.
+    QueryDef(
+      "q20_join_broadcast",
+      Some("""
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy("p_brand")
+    },
+
+    // ------------------------------------------------------------------
+    // Multi-way join (TPC-H Q5 shape): two small dims broadcast; the
+    // customer⨝orders⨝lineitem chain shuffles on its keys. Catalyst +
+    // AQE pick broadcast for nation/region automatically; we hint the
+    // intent explicitly for plan stability.
+    QueryDef(
+      "q21_join_multi",
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // Semi + anti join: EXISTS / NOT EXISTS without materializing the
+    // right side — both sides shuffle only their join key columns.
+    QueryDef(
+      "q22_join_semi_anti",
+      Some("""
+        SELECT c_mktsegment, 'with_orders' AS kind, count(*) AS n
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT c_mktsegment, 'no_orders' AS kind, count(*) AS n
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment, kind
+      """),
+    ) { (s, dir) =>
+      val cust = tbl(s, dir, "customer")
+      val ords = tbl(s, dir, "orders")
+      val semi = cust
+        .join(ords, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("with_orders"))
+      val anti = cust
+        .join(ords, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("no_orders"))
+      semi.unionByName(anti)
+        .select("c_mktsegment", "kind", "n")
+        .orderBy("c_mktsegment", "kind")
+    },
+
+    // ------------------------------------------------------------------
+    // Outer join with null-aware aggregation: nations with zero
+    // customers keep a row (count of a null column = 0, H5 semantics).
+    QueryDef(
+      "q23_outer_join",
+      Some("""
+        SELECT n_name, count(c_custkey) AS n_customers,
+               round(coalesce(sum(c_acctbal), 0), 2) AS total_acctbal
+        FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "nation")
+        .join(tbl(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(
+          count(col("c_custkey")).as("n_customers"),
+          round(coalesce(sum("c_acctbal"), lit(0)), 2).as("total_acctbal"),
+        )
+        .orderBy("n_name")
+    },
+
+    // ------------------------------------------------------------------
+    // Window: top-k per group via row_number — the scalable "top N per
+    // key" pattern (one shuffle on the partition key; no global sort).
+    QueryDef(
+      "q30_window_topk",
+      Some("""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+      """),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ------------------------------------------------------------------
+    // Window: running (cumulative) sum per key, ordered by time.
+    QueryDef(
+      "q31_window_running",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+      """),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Window: lag — days between consecutive orders of a customer.
+    QueryDef(
+      "q32_window_lag",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               datediff('day',
+                 lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 CAST(o_orderdate AS DATE)) AS days_since_prev
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+      """),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      val d = col("o_orderdate").cast("date")
+      tbl(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          datediff(d, lag(d, 1).over(w)).as("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Rollup (grouping sets): subtotal rows per status, grand total.
+    QueryDef(
+      "q34_rollup",
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"),
+          col("total"),
+        )
+        .orderBy("status", "priority")
+    },
+
+    // ------------------------------------------------------------------
+    // Distinct aggregates: Catalyst plans these as a two-phase expand +
+    // aggregate; at scale prefer approx_count_distinct when exactness
+    // isn't required (kept exact here to stay oracle-comparable).
+    QueryDef(
+      "q35_distinct_agg",
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
+    // Set operations: INTERSECT / EXCEPT (both distinct-semantics).
+    QueryDef(
+      "q36_setops",
+      Some("""
+        SELECT 'both' AS kind, count(*) AS n FROM (
+          SELECT c_custkey FROM customer
+          INTERSECT SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'customer_only' AS kind, count(*) AS n FROM (
+          SELECT c_custkey FROM customer
+          EXCEPT SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'orders_only' AS kind, count(*) AS n FROM (
+          SELECT o_custkey FROM orders
+          EXCEPT SELECT c_custkey FROM customer)
+        ORDER BY kind
+      """),
+    ) { (s, dir) =>
+      val ck = tbl(s, dir, "customer").select(col("c_custkey").as("k"))
+      val ok = tbl(s, dir, "orders").select(col("o_custkey").as("k"))
+      val both = ck.intersect(ok).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("both"))
+      val custOnly = ck.except(ok).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("customer_only"))
+      val ordOnly = ok.except(ck).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("orders_only"))
+      both.unionByName(custOnly).unionByName(ordOnly)
+        .select("kind", "n")
+        .orderBy("kind")
+    },
+
+    // ------------------------------------------------------------------
+    // Statistics (business Q2: budget↔revenue correlation analog):
+    // corr / stddev / variance / covariance per group, single pass.
+    QueryDef(
+      "q37_stats",
+      Some("""
+        SELECT l_returnflag,
+               round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+               round(var_samp(l_quantity), 4) AS qty_var,
+               round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_extendedprice", "l_quantity"), 4).as("price_qty_corr"),
+          round(stddev_samp("l_extendedprice"), 4).as("price_stddev"),
+          round(var_samp("l_quantity"), 4).as("qty_var"),
+          round(covar_samp("l_extendedprice", "l_quantity"), 4).as("price_qty_covar"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
+    // Exact percentiles (linear interpolation in both engines).
+    QueryDef(
+      "q38_percentiles",
+      Some("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.50)), 4).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+        )
+        .orderBy("o_orderstatus")
+    },
+
+    // ------------------------------------------------------------------
+    // Business Q3 analog: entities produced per year (movies per year →
+    // orders per year). Derivation + group-by on the derived key.
+    QueryDef(
+      "q39_per_year",
+      Some("""
+        SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY order_year
+        ORDER BY order_year
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy(year(col("o_orderdate").cast("date")).as("order_year"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"),
+        )
+        .orderBy("order_year")
+    },
+
+    // ------------------------------------------------------------------
+    // Business Q5 analog: relationship via bucketing (runtime↔rating →
+    // quantity-bucket↔price): integer bucket + per-bucket aggregate.
+    QueryDef(
+      "q40_bucket_relation",
+      Some("""
+        SELECT CAST(floor(l_quantity / 10) * 10 AS BIGINT) AS qty_bucket,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY qty_bucket
+        ORDER BY qty_bucket
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(
+          (floor(col("l_quantity") / 10) * 10).try_cast("bigint").as("qty_bucket")
+        )
+        .agg(
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy("qty_bucket")
+    },
+  )
+}

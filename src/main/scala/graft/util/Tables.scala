@@ -14,6 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
+    * rebuild a microsecond TimestampType column — integer `div 1000`
+    * truncates exactly like DuckDB's ns→µs read, so both engines see
+    * identical instants.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 }
 
 /** One declared query: a Spark implementation plus (when the semantics
