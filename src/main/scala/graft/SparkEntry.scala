@@ -14,7 +14,9 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     _root_.graft.queries.Parity.defs ++
       _root_.graft.queries.Relational.defs ++
-      _root_.graft.queries.Events.defs
+      _root_.graft.queries.Events.defs ++
+      _root_.graft.queries.TextOps.defs ++
+      _root_.graft.queries.Similarity.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / document primitives for large-scale training-data pipelines:
+  * tokenization, shingling, deterministic hashing, MinHash, SimHash.
+  *
+  * Everything is Catalyst built-ins (codegen-friendly, no UDFs), and
+  * every primitive has an exact ANSI-SQL twin so results are
+  * oracle-checkable: the hash is md5-based rather than xxhash64 because
+  * md5 is the one digest Spark and DuckDB compute identically.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space separated corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic 60-bit string hash: first 15 hex chars of md5 →
+    * bigint. 15 hex digits < 2^60, so no sign/overflow issues.
+    * DuckDB twin: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT).
+    */
+  def stringHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).try_cast("bigint")
+
+  /** k-token shingles: one string per consecutive k-token window.
+    * Docs shorter than k tokens yield a single whole-text shingle so
+    * every doc participates in dedup. 1-based element_at, bounded by
+    * sequence(), so safe under ANSI.
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val win = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*),
+    )
+    when(size(toks) >= k, win).otherwise(array(array_join(toks, " ")))
+  }
+
+  /** MinHash family: h_i(x) = (a_i * (x mod P) + b_i) mod P over the
+    * 60-bit shingle hash. P = 2^31 - 1 (Mersenne); a_i/b_i are fixed
+    * odd constants so signatures are reproducible across engines.
+    */
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = 1000003L * i + 12345L
+  def minhashB(i: Int): Long = 777767777L * i + 3141593L
+
+  def minhashExpr(shingleHash: Column, i: Int): Column =
+    (lit(minhashA(i)) * (shingleHash % MinhashP) + minhashB(i)) % MinhashP
+
+  /** SimHash bit-balance term: +1 if bit j of the token hash is set,
+    * else -1; summed per document, bit j of the signature is 1 when the
+    * balance is positive.
+    */
+  def simhashBitTerm(tokenHash: Column, j: Int): Column =
+    when(shiftright(tokenHash, j).bitwiseAND(1) === 1, lit(1)).otherwise(lit(-1))
+
+  def simhashFromBalances(balances: Seq[Column]): Column =
+    balances.zipWithIndex.map { case (b, j) =>
+      when(b > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over ArrayType(FloatType) columns —
+  * pure Catalyst expressions (zip_with / aggregate / transform), no
+  * UDFs, so similarity search stays inside whole-stage codegen and
+  * scales as a map-side scan.
+  *
+  * Floats are promoted to double BEFORE multiplication and accumulated
+  * left-to-right — the same order DuckDB's list_dot_product uses on a
+  * double list, which keeps results bit-comparable with the oracle.
+  */
+object VectorFunctions {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two equal-length numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+
+  /** L2 norm. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; null when either norm is zero. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    when(normA === 0 || normB === 0, lit(null))
+      .otherwise(dot(a, b) / (normA * normB))
+}

@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.TextFunctions._
+import graft.util.{QueryDef, Tables}
+
+/** Training-data text operators over the `documents` table: exact and
+  * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language
+  * heuristics, quality scoring, token statistics, fingerprinting.
+  *
+  * Scale design: every pipeline is explode → hash → groupBy/join on
+  * hashed keys. Nothing is quadratic in the corpus — candidate
+  * generation goes through LSH bands or rare k-gram joins, the same
+  * shapes that work at 10^9 documents (cf. MinHash banding in Broder
+  * '97 / MMDS ch.3).
+  */
+object TextOps {
+
+  import Tables.tbl
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val Rows = 4 // NumHashes / Bands
+
+  /** DuckDB twin of TextFunctions.stringHash60. */
+  private def duckHash(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of TextFunctions.shingles (k-token windows). */
+  private def duckShingles(t: String, k: Int): String = {
+    val parts = (0 until k).map(o => s"$t[i + $o]").mkString(", ")
+    s"""CASE WHEN len($t) >= $k
+        THEN list_transform(range(1, len($t) - ${k - 2}), i -> concat_ws(' ', $parts))
+        ELSE [array_to_string($t, ' ')] END"""
+  }
+
+  /** Shared Spark prefix: (doc_id, distinct k-shingle) rows + hash. */
+  private def shingleHashes(df: DataFrame, k: Int): DataFrame =
+    df.select(
+      col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), k))).as("sh"),
+    ).withColumn("h", stringHash60(col("sh")))
+
+  /** Shared DuckDB prefix for k-shingle pipelines. */
+  private def duckShinglePrefix(k: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        shd AS (SELECT doc_id, unnest(list_distinct(${duckShingles("t", k)})) AS sh FROM toks),
+        shh AS (SELECT doc_id, sh, ${duckHash("sh")} AS h FROM shd)"""
+
+  /** Exact-Jaccard verification of candidate pairs — shared by the LSH
+    * and n-gram queries: |∩| via shingle equi-join, sizes via groupBy.
+    */
+  private def jaccardOfCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.sh") === col("s2.sh"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(
+        col("d1"), col("d2"),
+        (col("inter") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"),
+      )
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def stopwordSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Exact deduplication accounting: unique-text counts per language
+    // (hash-groupBy on the full text — one shuffle on text; at scale,
+    // group on md5(text) instead so the shuffle carries 16 bytes/row).
+    QueryDef(
+      "q60_exact_dedup",
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique,
+               count(*) - count(DISTINCT md5(text)) AS n_dupes
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"),
+        )
+        .orderBy("lang")
+    },
+
+    // ------------------------------------------------------------------
+    // Token statistics per language (token counting: whitespace split).
+    QueryDef(
+      "q61_token_stats",
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS total_tokens,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               min(len(string_split(text, ' '))) AS min_tokens,
+               max(len(string_split(text, ' '))) AS max_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+      """),
+    ) { (s, dir) =>
+      val nTok = size(tokens(col("text")))
+      tbl(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok).as("total_tokens"),
+          round(avg(nTok), 4).as("avg_tokens"),
+          min(nTok).as("min_tokens"),
+          max(nTok).as("max_tokens"),
+        )
+        .orderBy("lang")
+    },
+
+    // ------------------------------------------------------------------
+    // Language-ID heuristic: stopword-ratio thresholding (the n-gram /
+    // stopword family of cheap lang-ID), confusion counts vs the label.
+    QueryDef(
+      "q62_lang_id",
+      Some(s"""
+        WITH scored AS (
+          SELECT lang,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ($stopwordSqlList))) /
+                 greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+          FROM documents)
+        SELECT lang,
+               CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END AS is_en_guess,
+               count(*) AS n,
+               round(avg(stop_ratio), 4) AS avg_stop_ratio
+        FROM scored
+        GROUP BY lang, is_en_guess
+        ORDER BY lang, is_en_guess
+      """),
+    ) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val stopRatio =
+        (size(filter(toks, t => t.isInCollection(stopwords))) /
+          greatest(size(toks), lit(1))).as("stop_ratio")
+      tbl(s, dir, "documents")
+        .select(col("lang"), stopRatio)
+        .groupBy(
+          col("lang"),
+          when(col("stop_ratio") > 0.05, 1).otherwise(0).as("is_en_guess"),
+        )
+        .agg(count(lit(1)).as("n"), round(avg("stop_ratio"), 4).as("avg_stop_ratio"))
+        .orderBy("lang", "is_en_guess")
+    },
+
+    // ------------------------------------------------------------------
+    // Quality scoring: length / lexical-diversity features + a weighted
+    // score, per document (the doc-level filter stage of a data
+    // pipeline; embarrassingly parallel, no shuffle).
+    QueryDef(
+      "q63_quality_score",
+      Some("""
+        WITH f AS (
+          SELECT doc_id, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               round(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
+               round(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 4) AS diversity,
+               round(least(n_tokens / 100.0, 1.0) * 0.5 +
+                     CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) * 0.5, 4) AS quality
+        FROM f
+        ORDER BY doc_id
+      """),
+    ) { (s, dir) =>
+      val toks = tokens(col("text"))
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+        )
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          round(col("n_chars").cast("double") / greatest(col("n_tokens"), lit(1)), 4)
+            .as("avg_token_len"),
+          round(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)), 4)
+            .as("diversity"),
+          round(
+            least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+              col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)) * 0.5,
+            4,
+          ).as("quality"),
+        )
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Document fingerprinting: content digest + minimum 3-shingle hash
+    // (winnowing-style representative) — join either column to find
+    // exact or shingle-level matches without comparing texts.
+    QueryDef(
+      "q64_fingerprint",
+      Some(s"""
+        WITH ${duckShinglePrefix(3)}
+        SELECT doc_id,
+               min(substr(md5(sh), 1, 16)) AS any_shingle_digest,
+               min(h) AS min_shingle_hash
+        FROM shh
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """),
+    ) { (s, dir) =>
+      shingleHashes(tbl(s, dir, "documents"), 3)
+        .groupBy("doc_id")
+        .agg(
+          min(substring(md5(col("sh")), 1, 16)).as("any_shingle_digest"),
+          min(col("h")).as("min_shingle_hash"),
+        )
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH near-duplicate detection, end to end: 3-shingles →
+    // 16 minhashes → 4 bands × 4 rows → band-bucket self-join →
+    // exact-Jaccard verification ≥ 0.6. The banded join is the scale
+    // path: candidates ∝ colliding buckets, never all-pairs.
+    QueryDef("q65_minhash_lsh", Some(minhashLshOracle)) { (s, dir) =>
+      val sh = shingleHashes(tbl(s, dir, "documents"), 3)
+      val minAggs = (0 until NumHashes)
+        .map(i => min(minhashExpr(col("h"), i)).as(s"m$i"))
+      val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      val bands = (0 until Bands).map { b =>
+        val keyCols = (0 until Rows).map(r => col(s"m${Rows * b + r}"))
+        sigs.select(
+          col("doc_id"),
+          lit(b).as("band"),
+          md5(concat_ws(",", keyCols: _*)).as("key"),
+        )
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x")
+        .join(bands.as("y"), Seq("band", "key"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      jaccardOfCandidates(cand, sh)
+        .filter(col("jaccard") >= 0.6)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+
+    // ------------------------------------------------------------------
+    // SimHash signatures: 32-bit, token-frequency weighted. Near-dup
+    // docs end up at small Hamming distance; the signature is the
+    // locality-sensitive key for Hamming-space dedup at scale.
+    QueryDef("q66_simhash", Some(simhashOracle)) { (s, dir) =>
+      val tok = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("h", stringHash60(col("tok")))
+      val balanceAggs = (0 until 32)
+        .map(j => sum(simhashBitTerm(col("h"), j)).as(s"b$j"))
+      tok.groupBy("doc_id")
+        .agg(balanceAggs.head, balanceAggs.tail: _*)
+        .select(
+          col("doc_id"),
+          simhashFromBalances((0 until 32).map(j => col(s"b$j"))).as("simhash"),
+        )
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
+    // n-gram Jaccard near-dup via rare-shingle join: 4-token shingles
+    // are near-unique outside true near-duplicates, so the equi-join on
+    // the shingle IS the candidate pruning (no LSH needed, no all-pairs).
+    QueryDef(
+      "q67_ngram_jaccard",
+      Some(s"""
+        WITH ${duckShinglePrefix(4)},
+        cand AS (
+          SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2
+          FROM shh s1 JOIN shh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT d1, d2, count(*) AS inter
+          FROM cand
+            JOIN shh s1 ON d1 = s1.doc_id
+            JOIN shh s2 ON d2 = s2.doc_id AND s1.sh = s2.sh
+          GROUP BY d1, d2)
+        SELECT d1, d2,
+               round(inter / (n1.n + n2.n - inter), 4) AS jaccard
+        FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id
+        WHERE inter / (n1.n + n2.n - inter) >= 0.3
+        ORDER BY d1, d2
+      """),
+    ) { (s, dir) =>
+      val sh = shingleHashes(tbl(s, dir, "documents"), 4)
+      val cand = sh.as("s1")
+        .join(sh.as("s2"), col("s1.sh") === col("s2.sh") && col("s1.doc_id") < col("s2.doc_id"))
+        .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
+        .distinct()
+      jaccardOfCandidates(cand, sh)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+  )
+
+  /** Oracle for q65 — generated from the same constants as the Spark
+    * side (NumHashes/Bands/minhashA/minhashB), so they cannot drift.
+    */
+  private lazy val minhashLshOracle: String = {
+    val minExprs = (0 until NumHashes)
+      .map(i => s"min((${minhashA(i)} * (h % $MinhashP) + ${minhashB(i)}) % $MinhashP) AS m$i")
+      .mkString(",\n                 ")
+    val bandSelects = (0 until Bands).map { b =>
+      val keyCols = (0 until Rows).map(r => s"m${Rows * b + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $keyCols)) AS key FROM sigs"
+    }.mkString("\n          UNION ALL ")
+    s"""
+      WITH ${duckShinglePrefix(3)},
+      sigs AS (
+        SELECT doc_id,
+                 $minExprs
+        FROM shh GROUP BY doc_id),
+      bands AS (
+          $bandSelects),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+      inter AS (
+        SELECT d1, d2, count(*) AS inter
+        FROM cand
+          JOIN shh s1 ON d1 = s1.doc_id
+          JOIN shh s2 ON d2 = s2.doc_id AND s1.sh = s2.sh
+        GROUP BY d1, d2)
+      SELECT d1, d2, round(inter / (n1.n + n2.n - inter), 4) AS jaccard
+      FROM inter
+        JOIN sizes n1 ON d1 = n1.doc_id
+        JOIN sizes n2 ON d2 = n2.doc_id
+      WHERE inter / (n1.n + n2.n - inter) >= 0.6
+      ORDER BY d1, d2
+    """
+  }
+
+  /** Oracle for q66 — 32 bit-balance sums + signature reassembly. */
+  private lazy val simhashOracle: String = {
+    val balances = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n               ")
+    val assemble = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      hashed AS (SELECT doc_id, ${duckHash("tok")} AS h FROM toks),
+      bal AS (
+        SELECT doc_id,
+               $balances
+        FROM hashed GROUP BY doc_id)
+      SELECT doc_id, $assemble AS simhash
+      FROM bal
+      ORDER BY doc_id
+    """
+  }
+}
