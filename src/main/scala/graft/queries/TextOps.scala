@@ -35,12 +35,24 @@ object TextOps {
         ELSE [array_to_string($t, ' ')] END"""
   }
 
-  /** Shared Spark prefix: (doc_id, distinct k-shingle) rows + hash. */
+  /** Shared Spark prefix: (doc_id, distinct k-shingle) rows + hash.
+    * md5 is computed once and both the digest and the 60-bit hash are
+    * derived from it. The frame is cached: the LSH/Jaccard pipelines
+    * reference it from 3-4 plan branches (signatures, candidate join
+    * sides, size counts) and Catalyst does not share subplans across
+    * self-join branches — without the cache the explode+md5 runs 4×.
+    * (At cluster scale the same role is played by persisting the
+    * shingle table to parquet once per corpus snapshot.)
+    */
   private def shingleHashes(df: DataFrame, k: Int): DataFrame =
-    df.select(
-      col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), k))).as("sh"),
-    ).withColumn("h", stringHash60(col("sh")))
+    df.repartition(col("doc_id")) // corpus arrives as one file → fan out before the CPU-heavy explode+hash
+      .select(
+        col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), k))).as("sh"),
+      )
+      .withColumn("m", md5(col("sh")))
+      .withColumn("h", conv(substring(col("m"), 1, 15), 16, 10).try_cast("bigint"))
+      .cache()
 
   /** Shared DuckDB prefix for k-shingle pipelines. */
   private def duckShinglePrefix(k: Int): String =
@@ -52,14 +64,34 @@ object TextOps {
     * and n-gram queries: |∩| via shingle equi-join, sizes via groupBy.
     */
   private def jaccardOfCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+    // cand is small by construction (LSH-collided pairs) → broadcast it
+    // and the per-doc sizes; only the shingle table streams.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cand
+    broadcast(cand)
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.sh") === col("s2.sh"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
-      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+      .join(broadcast(sizes).as("n1"), col("d1") === col("n1.doc_id"))
+      .join(broadcast(sizes).as("n2"), col("d2") === col("n2.doc_id"))
+      .select(
+        col("d1"), col("d2"),
+        (col("inter") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"),
+      )
+  }
+
+  /** Jaccard where the shingle equi-join IS the candidate generator:
+    * intersection counts fall out of the self-join directly — no
+    * separate candidate materialization and re-join.
+    */
+  private def jaccardFromSelfJoin(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("s1")
+      .join(sh.as("s2"), col("s1.sh") === col("s2.sh") && col("s1.doc_id") < col("s2.doc_id"))
+      .groupBy(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes).as("n1"), col("d1") === col("n1.doc_id"))
+      .join(broadcast(sizes).as("n2"), col("d2") === col("n2.doc_id"))
       .select(
         col("d1"), col("d2"),
         (col("inter") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"),
@@ -222,7 +254,7 @@ object TextOps {
       shingleHashes(tbl(s, dir, "documents"), 3)
         .groupBy("doc_id")
         .agg(
-          min(substring(md5(col("sh")), 1, 16)).as("any_shingle_digest"),
+          min(substring(col("m"), 1, 16)).as("any_shingle_digest"),
           min(col("h")).as("min_shingle_hash"),
         )
         .orderBy("doc_id")
@@ -237,7 +269,8 @@ object TextOps {
       val sh = shingleHashes(tbl(s, dir, "documents"), 3)
       val minAggs = (0 until NumHashes)
         .map(i => min(minhashExpr(col("h"), i)).as(s"m$i"))
-      val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      // cached: the 4 band projections below each read the signatures
+      val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*).cache()
       val bands = (0 until Bands).map { b =>
         val keyCols = (0 until Rows).map(r => col(s"m${Rows * b + r}"))
         sigs.select(
@@ -303,12 +336,7 @@ object TextOps {
         ORDER BY d1, d2
       """),
     ) { (s, dir) =>
-      val sh = shingleHashes(tbl(s, dir, "documents"), 4)
-      val cand = sh.as("s1")
-        .join(sh.as("s2"), col("s1.sh") === col("s2.sh") && col("s1.doc_id") < col("s2.doc_id"))
-        .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
-        .distinct()
-      jaccardOfCandidates(cand, sh)
+      jaccardFromSelfJoin(shingleHashes(tbl(s, dir, "documents"), 4))
         .filter(col("jaccard") >= 0.3)
         .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("d1", "d2")
