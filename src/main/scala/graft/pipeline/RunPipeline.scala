@@ -11,13 +11,13 @@ object RunPipeline {
   def main(args: Array[String]): Unit = {
     val Array(csvPath, warehouseDir, sinkDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-movie-pipeline")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.util.Tables.withSessionConf(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft-movie-pipeline")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       MoviePipeline.run(spark, csvPath, warehouseDir, new CsvFileSink(sinkDir))

@@ -91,14 +91,14 @@ object Events {
       "q52_session_window",
       Some(s"""
         WITH flagged AS (
-          SELECT user_id, epoch_us(ts) AS t, value,
+          SELECT user_id, epoch_us(ts) AS t, event_id, value,
                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id)
                       >= $HalfHourUs THEN 1 ELSE 0 END AS is_new
           FROM events),
         sessions AS (
           SELECT user_id, t, value,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM flagged)
         SELECT user_id, min(t) AS session_start_us,
@@ -144,8 +144,10 @@ object Events {
           SELECT user_id, sid, count(*) AS n_events,
                  (max(t) - min(t)) / 1000000 AS duration_s
           FROM sessions GROUP BY user_id, sid)
+        -- CAST: DuckDB sum(BIGINT) returns HUGEINT (int128), Spark sum
+        -- returns BIGINT — equal values, different hash serialization.
         SELECT user_id, count(*) AS n_sessions,
-               sum(n_events) AS total_events,
+               CAST(sum(n_events) AS BIGINT) AS total_events,
                round(avg(n_events), 4) AS avg_events_per_session,
                max(duration_s) AS max_duration_s
         FROM per_session

@@ -269,6 +269,23 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Approximate-distinct twin of q35: HyperLogLog++ sketches replace
+    // the exact Expand×2 + double shuffle — one partial+final aggregate
+    // pass, constant state per group, the shape that survives 100 TB.
+    // No DuckDB oracle (approx values are engine-specific) → the driver
+    // records a rows-only check; row count equals q35's group count.
+    QueryDef("q35b_approx_distinct", None) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_suppkey"), 0.02).as("n_supp_approx"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("n_part_approx"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
     // Set operations: INTERSECT / EXCEPT (both distinct-semantics).
     QueryDef(
       "q36_setops",

@@ -15,18 +15,30 @@ object Tables {
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * rebuild a microsecond TimestampType column — integer `div 1000`
-    * truncates exactly like DuckDB's ns→µs read, so both engines see
-    * identical instants.
+  /** Session config every graft entry point needs:
+    * `nanosAsLong` because the events table stores TIMESTAMP(NANOS)
+    * parquet, which Spark 4 rejects outright ([PARQUET_TYPE_ILLEGAL]).
+    * Applied once at session build (Verify/Bench/RunPipeline/tests) —
+    * NOT inside query functions, so no hidden global side effects.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+  )
+
+  /** Fold [[sessionConf]] into a session builder. */
+  def withSessionConf(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Read nanos as long and rebuild a microsecond TimestampType column —
+    * integer `div 1000` truncates exactly like DuckDB's ns→µs read, so
+    * both engines see identical instants. Requires [[sessionConf]] to
+    * have been applied at session build.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     tbl(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
 }
 
 /** One declared query: a Spark implementation plus (when the semantics
