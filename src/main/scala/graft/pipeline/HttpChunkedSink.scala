@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** REST implementation of the chunked-sink contract (publish.py:41-97):
+  * the reference clears the sheet, writes a header row, then appends
+  * rows in 50k-row REST calls (`worksheet.append_rows`, publish.py:85-90).
+  * This sink speaks the same shape to any HTTP endpoint:
+  *
+  *   - clear        → DELETE {base}/tables/{table}/rows
+  *   - header/chunk → POST   {base}/tables/{table}/rows
+  *                    body {"rows": [[...], ...]} (header is the first
+  *                    single-row append, exactly like the reference)
+  *
+  * Rows are JSON-encoded: null → null, numbers stay numbers, everything
+  * else is a JSON string — mirroring the reference's USER_ENTERED value
+  * semantics where the receiving end interprets typed cells.
+  *
+  * Driver-side by design: Publish streams the row-capped result through
+  * toLocalIterator (bounded by the reference's own 50k cap), so the
+  * sink never sees more than one chunk in memory.
+  */
+class HttpChunkedSink(
+    baseUrl: String,
+    client: HttpClient = HttpClient.newHttpClient(),
+) extends ChunkedSink {
+
+  private def rowsUri(table: String): URI =
+    URI.create(s"$baseUrl/tables/$table/rows")
+
+  override def clear(table: String): Unit =
+    send(HttpRequest.newBuilder(rowsUri(table)).DELETE().build())
+
+  override def appendHeader(table: String, columns: Seq[String]): Unit =
+    appendChunk(table, Seq(columns))
+
+  override def appendChunk(table: String, rows: Seq[Seq[Any]]): Unit =
+    send(
+      HttpRequest.newBuilder(rowsUri(table))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(encode(rows), StandardCharsets.UTF_8))
+        .build()
+    )
+
+  private def send(req: HttpRequest): Unit = {
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"sink ${req.method()} ${req.uri()} -> HTTP ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** Minimal JSON writer for {"rows": [[...], ...]} — no dependencies. */
+  private def encode(rows: Seq[Seq[Any]]): String = {
+    val sb = new StringBuilder("{\"rows\":[")
+    var firstRow = true
+    rows.foreach { row =>
+      if (!firstRow) sb.append(',')
+      firstRow = false
+      sb.append('[')
+      var firstCell = true
+      row.foreach { cell =>
+        if (!firstCell) sb.append(',')
+        firstCell = false
+        sb.append(encodeCell(cell))
+      }
+      sb.append(']')
+    }
+    sb.append("]}").toString()
+  }
+
+  private def encodeCell(v: Any): String = v match {
+    case null => "null"
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Double =>
+      if (n.isNaN || n.isInfinite) "null" else n.toString // X7/X8 belt-and-braces
+    case n: Float => encodeCell(n.toDouble)
+    case n: Short => n.toString
+    case n: Byte => n.toString
+    case b: Boolean => b.toString
+    case n: java.math.BigDecimal => n.toPlainString
+    case other => quote(other.toString)
+  }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString()
+  }
+}

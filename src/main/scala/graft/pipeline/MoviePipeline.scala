@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Ops
+import graft.sources.{ParquetWarehouse, Warehouse}
 
 /** The reference pipeline (run_pipeline.py:22-55: ingest → transform →
   * publish, sequential, fail-fast) re-expressed as lazy DataFrame
@@ -47,6 +48,19 @@ object MoviePipeline {
       .csv(csvPath)
     df.write.mode("overwrite").parquet(rawTablePath)
     spark.read.parquet(rawTablePath).count()
+  }
+
+  /** Warehouse-backed ingest: same S1 scan, sink chosen by the caller —
+    * parquet natively, JDBC for Postgres parity (ingest.py:80-86), or
+    * a catalog table (D1/D2).
+    */
+  def ingest(spark: SparkSession, csvPath: String, wh: Warehouse, table: String): Long = {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(csvPath)
+    wh.write(df, table)
+    wh.read(spark, table).count()
   }
 
   /** The cleaning/derivation stage (transform.py:96-105): list-parse the
@@ -127,18 +141,21 @@ object MoviePipeline {
     * replace (D2 semantics). Returns (facts, genreFact, genreAvg) row
     * counts for the reference's row-accounting logs (A2).
     */
-  def transform(spark: SparkSession, rawTablePath: String, outDir: String): (Long, Long, Long) = {
-    val cleaned = clean(spark.read.parquet(rawTablePath))
-    val facts = movieFacts(cleaned)
-    val genreFact = movieGenreFact(cleaned)
-    val genreAvg = genreAverageRevenue(cleaned)
-    facts.write.mode("overwrite").parquet(s"$outDir/movie_facts")
-    genreFact.write.mode("overwrite").parquet(s"$outDir/movie_genre_fact")
-    genreAvg.write.mode("overwrite").parquet(s"$outDir/genre_average_revenue")
+  def transform(spark: SparkSession, rawTablePath: String, outDir: String): (Long, Long, Long) =
+    transform(spark, clean(spark.read.parquet(rawTablePath)), new ParquetWarehouse(outDir))
+
+  /** Warehouse-backed transform: the three production tables land in
+    * whichever backend the caller chose (parquet / JDBC / catalog) —
+    * the reference's `production` schema boundary (transform.py:61-71).
+    */
+  def transform(spark: SparkSession, cleaned: DataFrame, wh: Warehouse): (Long, Long, Long) = {
+    wh.write(movieFacts(cleaned), "movie_facts")
+    wh.write(movieGenreFact(cleaned), "movie_genre_fact")
+    wh.write(genreAverageRevenue(cleaned), "genre_average_revenue")
     (
-      spark.read.parquet(s"$outDir/movie_facts").count(),
-      spark.read.parquet(s"$outDir/movie_genre_fact").count(),
-      spark.read.parquet(s"$outDir/genre_average_revenue").count(),
+      wh.read(spark, "movie_facts").count(),
+      wh.read(spark, "movie_genre_fact").count(),
+      wh.read(spark, "genre_average_revenue").count(),
     )
   }
 

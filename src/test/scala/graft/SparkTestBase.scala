@@ -21,6 +21,9 @@ object SparkTestBase {
         .appName("graft-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
+        // Catalog-table tests (saveAsTable) must not litter the repo cwd.
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
