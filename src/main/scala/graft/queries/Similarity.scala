@@ -12,11 +12,14 @@ import graft.util.{QueryDef, Tables}
   *   set is broadcast; the corpus is scanned once, map-side, inside
   *   whole-stage codegen (zip_with/aggregate, no UDF). At 100 TB this
   *   is the per-partition scan every ANN index still needs underneath.
-  * - q69: IVF-style pruned top-k — candidates restricted to the query's
-  *   cluster (the `label` column stands in for a trained IVF coarse
-  *   quantizer / LSH bucket). Same scan, 1/nlist of the corpus touched;
-  *   partition the table by cluster id at rest and partition pruning
-  *   makes the restriction free.
+  * - q69: IVF-pruned top-k with a DERIVED coarse quantizer: nlist seed
+  *   vectors are chosen deterministically (smallest vec_ids — the
+  *   sample-and-seed step of IVF training; at 100 TB the centroids are
+  *   likewise trained on a small sample and shipped as a broadcast
+  *   artifact), every vector is assigned in-plan to its most-cosine-
+  *   similar seed, and search touches only the query's cell. Partition
+  *   the table by cluster id at rest and partition pruning makes the
+  *   restriction free.
   *
   * Norms are computed once per side; cosine = dot / (norm·norm) with
   * double accumulation in array order, matching DuckDB's
@@ -25,6 +28,11 @@ import graft.util.{QueryDef, Tables}
 object Similarity {
 
   import Tables.tbl
+
+  /** IVF cell count (nlist). Seeds are the nlist smallest vec_ids —
+    * deterministic, so Spark and the oracle derive identical clusters.
+    */
+  private val NList = 8
 
   private val duckNorm =
     "sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE))," +
@@ -79,34 +87,66 @@ object Similarity {
     QueryDef(
       "q69_knn_ivf",
       Some(s"""
-        WITH v AS (SELECT vec_id, label, embedding, $duckNorm AS nrm FROM embeddings),
-        q AS (SELECT * FROM v WHERE vec_id < 10),
+        WITH v AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS seed_id, embedding, nrm FROM v WHERE vec_id < $NList),
+        sim AS (
+          SELECT v.vec_id, s.seed_id,
+                 row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY ${duckCos("v", "s")} DESC, s.seed_id) AS rk
+          FROM v CROSS JOIN seeds s),
+        av AS (
+          SELECT v.vec_id, v.embedding, v.nrm, sim.seed_id AS cluster
+          FROM v JOIN sim ON v.vec_id = sim.vec_id AND sim.rk = 1),
+        q AS (SELECT * FROM av WHERE vec_id < 10),
         scored AS (
-          SELECT q.vec_id AS query_id, q.label AS cluster, v.vec_id AS neighbor_id,
+          SELECT q.vec_id AS query_id, q.cluster, v.vec_id AS neighbor_id,
                  ${duckCos("q", "v")} AS cos,
                  row_number() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY ${duckCos("q", "v")} DESC, v.vec_id) AS rank
-          FROM q JOIN v ON q.label = v.label AND q.vec_id != v.vec_id)
+          FROM q JOIN av v ON q.cluster = v.cluster AND q.vec_id != v.vec_id)
         SELECT query_id, cluster, neighbor_id, round(cos, 4) AS cosine, rank
         FROM scored WHERE rank <= 3
         ORDER BY query_id, rank
       """),
     ) { (s, dir) =>
       val v = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"))
+        .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", l2Norm(col("embedding")))
-      val q = v.filter(col("vec_id") < 10)
+      // Coarse quantizer: nlist deterministic seeds, broadcast (the
+      // trained-centroid artifact is always tiny relative to the
+      // corpus); assignment is one map-side scored pass + a window
+      // ranked on (similarity, seed_id) for total tie determinism.
+      val seeds = v.filter(col("vec_id") < NList)
+        .select(
+          col("vec_id").as("seed_id"),
+          col("embedding").as("s_emb"),
+          col("nrm").as("s_nrm"),
+        )
+      val aw = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("seed_id"))
+      val assigned = v.crossJoin(broadcast(seeds))
+        .select(
+          col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
+          cosine(col("embedding"), col("s_emb"), col("nrm"), col("s_nrm")).as("sim"),
+        )
+        .withColumn("rk", row_number().over(aw))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
+      // vec_id < 10 is the window's partition key → Catalyst pushes it
+      // below the window, so the query branch only assigns 10 vectors.
+      val q = assigned.filter(col("vec_id") < 10)
         .select(
           col("vec_id").as("query_id"),
-          col("label").as("cluster"),
+          col("cluster").as("q_cluster"),
           col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"),
         )
       val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-      v.join(
+      assigned.join(
         broadcast(q),
-        col("cluster") === col("label") && col("query_id") =!= col("vec_id"),
+        col("q_cluster") === col("cluster") && col("query_id") =!= col("vec_id"),
       )
         .select(
           col("query_id"),
