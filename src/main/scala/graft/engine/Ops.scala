@@ -31,6 +31,23 @@ object Ops {
     filter(transform(parts, t => trim(t)), t => t =!= "")
   }
 
+  /** X2 — the reference's `astype(str)` quirk, reproducible on demand
+    * (transform.py:98): pandas `astype(str)` renders a missing value as
+    * the literal string `'nan'` (CSV-read NaN) or `'None'` (Python
+    * None), which then passes `parse_and_extract_names`' guards and
+    * yields a bogus one-token list instead of `[]`. The engine default
+    * stays the clean X1 semantics (null → `[]`, SURVEY.md §7.4 H2 —
+    * the quirk silently pollutes `movie_genre_fact` because F2's
+    * `!= ''` filter never removes the token); this variant exists so a
+    * user can reproduce the reference's output verbatim.
+    *
+    * @param missingToken `"nan"` for the CSV/NaN path (the reference's
+    *                     actual dataflow), `"None"` for object-None.
+    */
+  def parseNameListParity(c: Column, sep: String = ",",
+                          missingToken: String = "nan"): Column =
+    when(c.isNull, array(lit(missingToken))).otherwise(parseNameList(c, sep))
+
   /** X6 — array → bracketed-string serialization (transform.py:129-130):
     * `'[' + ','.join(x) + ']'`, no spaces, no quotes, `[]` for empty/null.
     */

@@ -326,5 +326,43 @@ object Parity {
         )
         .orderBy("l_returnflag")
     },
+
+    // ------------------------------------------------------------------
+    // X2 — the astype(str) quirk in PARITY mode (transform.py:98):
+    // nulls become a literal 'nan' token that survives parsing and the
+    // != '' filter, exactly like the reference's movie_genre_fact rows.
+    // The 'nan' token count below equals the injected-null row count —
+    // the quirk made observable and oracle-checked.
+    QueryDef(
+      "q13_parity_astype_quirk",
+      Some("""
+        WITH t AS (
+          SELECT p_partkey,
+                 CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_type END AS s
+          FROM part),
+        p AS (
+          SELECT p_partkey,
+                 unnest(CASE WHEN s IS NULL THEN ['nan']
+                        ELSE list_filter(list_transform(string_split(s, ' '),
+                               x -> trim(x)), x -> x != '') END) AS tok
+          FROM t)
+        SELECT tok, count(*) AS n
+        FROM p
+        WHERE tok != ''
+        GROUP BY tok
+        ORDER BY tok
+      """),
+    ) { (s, dir) =>
+      val raw = when(col("p_size") % 7 === 0, lit(null)).otherwise(col("p_type"))
+      tbl(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          explode(Ops.parseNameListParity(raw, " ")).as("tok"),
+        )
+        .filter(col("tok") =!= "") // F2's filter — which does NOT drop 'nan'
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tok")
+    },
   )
 }

@@ -42,6 +42,50 @@ object Similarity {
     s"list_dot_product(list_transform($a.embedding, x -> CAST(x AS DOUBLE))," +
       s" list_transform($b.embedding, x -> CAST(x AS DOUBLE))) / ($a.nrm * $b.nrm)"
 
+  /** Shared oracle CTEs: normed vectors `v` + coarse-quantizer
+    * assignment `av` (vec_id, embedding, nrm, cluster) — the DuckDB
+    * twin of [[assignedVectors]], generated from the same NList.
+    */
+  private val duckAssignedCte: String =
+    s"""v AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS seed_id, embedding, nrm FROM v WHERE vec_id < $NList),
+        sim AS (
+          SELECT v.vec_id, s.seed_id,
+                 row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY ${duckCos("v", "s")} DESC, s.seed_id) AS rk
+          FROM v CROSS JOIN seeds s),
+        av AS (
+          SELECT v.vec_id, v.embedding, v.nrm, sim.seed_id AS cluster
+          FROM v JOIN sim ON v.vec_id = sim.vec_id AND sim.rk = 1)"""
+
+  /** Corpus vectors with norm + derived IVF cluster: nlist deterministic
+    * seed vectors broadcast (a trained-centroid artifact is always tiny
+    * relative to the corpus), one map-side scored pass, window ranked on
+    * (similarity, seed_id) for total tie determinism.
+    */
+  private def assignedVectors(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val v = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val seeds = v.filter(col("vec_id") < NList)
+      .select(
+        col("vec_id").as("seed_id"),
+        col("embedding").as("s_emb"),
+        col("nrm").as("s_nrm"),
+      )
+    val aw = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("seed_id"))
+    v.crossJoin(broadcast(seeds))
+      .select(
+        col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
+        cosine(col("embedding"), col("s_emb"), col("nrm"), col("s_nrm")).as("sim"),
+      )
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     QueryDef(
@@ -87,18 +131,7 @@ object Similarity {
     QueryDef(
       "q69_knn_ivf",
       Some(s"""
-        WITH v AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-        seeds AS (
-          SELECT vec_id AS seed_id, embedding, nrm FROM v WHERE vec_id < $NList),
-        sim AS (
-          SELECT v.vec_id, s.seed_id,
-                 row_number() OVER (
-                   PARTITION BY v.vec_id
-                   ORDER BY ${duckCos("v", "s")} DESC, s.seed_id) AS rk
-          FROM v CROSS JOIN seeds s),
-        av AS (
-          SELECT v.vec_id, v.embedding, v.nrm, sim.seed_id AS cluster
-          FROM v JOIN sim ON v.vec_id = sim.vec_id AND sim.rk = 1),
+        WITH $duckAssignedCte,
         q AS (SELECT * FROM av WHERE vec_id < 10),
         scored AS (
           SELECT q.vec_id AS query_id, q.cluster, v.vec_id AS neighbor_id,
@@ -112,28 +145,7 @@ object Similarity {
         ORDER BY query_id, rank
       """),
     ) { (s, dir) =>
-      val v = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", l2Norm(col("embedding")))
-      // Coarse quantizer: nlist deterministic seeds, broadcast (the
-      // trained-centroid artifact is always tiny relative to the
-      // corpus); assignment is one map-side scored pass + a window
-      // ranked on (similarity, seed_id) for total tie determinism.
-      val seeds = v.filter(col("vec_id") < NList)
-        .select(
-          col("vec_id").as("seed_id"),
-          col("embedding").as("s_emb"),
-          col("nrm").as("s_nrm"),
-        )
-      val aw = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("seed_id"))
-      val assigned = v.crossJoin(broadcast(seeds))
-        .select(
-          col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
-          cosine(col("embedding"), col("s_emb"), col("nrm"), col("s_nrm")).as("sim"),
-        )
-        .withColumn("rk", row_number().over(aw))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
+      val assigned = assignedVectors(s, dir)
       // vec_id < 10 is the window's partition key → Catalyst pushes it
       // below the window, so the query branch only assigns 10 vectors.
       val q = assigned.filter(col("vec_id") < 10)
@@ -161,6 +173,51 @@ object Similarity {
           round(col("cos"), 4).as("cosine"), col("rank"),
         )
         .orderBy("query_id", "rank")
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup, SemDeDup-shaped (Abbas et al. '23:
+    // cluster the embedding space, then compare only within cells):
+    // pairwise cosine is computed ONLY inside each derived IVF cell and
+    // the top pairs per cell are reported. At 100 TB nlist grows with
+    // the corpus so cells stay bounded — the all-pairs comparison is
+    // never materialized; a production run would filter cos ≥ τ, the
+    // query keeps a deterministic top-3 per cell so the result is
+    // non-empty on any corpus.
+    QueryDef(
+      "q71_embedding_neardup",
+      Some(s"""
+        WITH $duckAssignedCte,
+        pairs AS (
+          SELECT a.cluster, a.vec_id AS d1, b.vec_id AS d2,
+                 ${duckCos("a", "b")} AS cos,
+                 row_number() OVER (
+                   PARTITION BY a.cluster
+                   ORDER BY ${duckCos("a", "b")} DESC, a.vec_id, b.vec_id) AS rank
+          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        SELECT cluster, d1, d2, round(cos, 4) AS cosine, rank
+        FROM pairs WHERE rank <= 3
+        ORDER BY cluster, rank
+      """),
+    ) { (s, dir) =>
+      val a = assignedVectors(s, dir)
+        .select(col("cluster"), col("vec_id").as("d1"),
+          col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = assignedVectors(s, dir)
+        .select(col("cluster"), col("vec_id").as("d2"),
+          col("embedding").as("e2"), col("nrm").as("n2"))
+      val w = Window.partitionBy("cluster").orderBy(desc("cos"), asc("d1"), asc("d2"))
+      a.join(b, Seq("cluster"))
+        .filter(col("d1") < col("d2"))
+        .select(
+          col("cluster"), col("d1"), col("d2"),
+          cosine(col("e1"), col("e2"), col("n1"), col("n2")).as("cos"),
+        )
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("cluster"), col("d1"), col("d2"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("cluster", "rank")
     },
 
     // ------------------------------------------------------------------

@@ -36,6 +36,11 @@ object TextOps {
     */
   private val RareShingleCap = 20
 
+  /** BPE-style pre-tokenizer split: letter runs | digit runs | single
+    * non-space symbol. ASCII-only classes so Java regex and RE2 agree.
+    */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   /** DuckDB twin of TextFunctions.stringHash60. */
   private def duckHash(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
@@ -172,6 +177,38 @@ object TextOps {
           round(avg(nTok), 4).as("avg_tokens"),
           min(nTok).cast("long").as("min_tokens"),
           max(nTok).cast("long").as("max_tokens"),
+        )
+        .orderBy("lang")
+    },
+
+    // ------------------------------------------------------------------
+    // BPE-ish tokenization via regex (the pre-tokenizer split every BPE
+    // pipeline starts from: letter runs | digit runs | single
+    // punctuation): piece counts per language. regexp_extract_all is
+    // codegen'd — no UDF; the pattern uses only ASCII classes, which
+    // Java regex (Spark) and RE2 (DuckDB) interpret identically.
+    QueryDef(
+      "q72_regex_tokens",
+      Some(s"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '$BpePattern'))) AS BIGINT)
+                 AS total_pieces,
+               round(avg(len(regexp_extract_all(text, '$BpePattern'))), 4)
+                 AS avg_pieces,
+               max(len(regexp_extract_all(text, '$BpePattern'))) AS max_pieces
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+      """),
+    ) { (s, dir) =>
+      val nPieces = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      tbl(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nPieces).as("total_pieces"),
+          round(avg(nPieces), 4).as("avg_pieces"),
+          max(nPieces).cast("long").as("max_pieces"),
         )
         .orderBy("lang")
     },

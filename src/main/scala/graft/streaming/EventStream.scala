@@ -1,8 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Typed event row for the custom-state operators. */
+final case class StreamEvent(
+    ts: java.sql.Timestamp, user_id: Long, event_type: String,
+    value: Double, event_id: Long)
+
+/** Open-session accumulator held in the state store (one per user). */
+final case class SessionAcc(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+/** Emitted closed session — same fields/semantics as q52's
+  * session_window output ([start, last+gap), epoch microseconds).
+  */
+final case class SessionRow(
+    user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long, sum_value: Double)
 
 /** Structured Streaming surface — the incremental twins of the batch
   * event queries in graft.queries.Events (SURVEY.md §2.11: the
@@ -52,6 +67,64 @@ object EventStream {
     */
   def dedupe(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * escape hatch for session semantics session_window can't express
+    * (here it reproduces q52's gap semantics exactly, so the built-in
+    * operator validates it). State per key is ONE open-session
+    * accumulator, closed sessions are emitted as soon as a gap-exceeding
+    * event arrives, and the trailing open session is flushed by an
+    * event-time timeout at lastEvent + gap — so state size is
+    * O(active users within the watermark horizon), never history.
+    */
+  def sessionizeWithState(
+      events: Dataset[StreamEvent], gapMinutes: Int = 30): Dataset[SessionRow] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val accEnc: Encoder[SessionAcc] = Encoders.product[SessionAcc]
+    implicit val rowEnc: Encoder[SessionRow] = Encoders.product[SessionRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def close(user: Long, a: SessionAcc): SessionRow =
+      SessionRow(user, a.startUs, a.lastUs + gapUs, a.n, a.sum)
+
+    def update(
+        user: Long, rows: Iterator[StreamEvent],
+        state: GroupState[SessionAcc]): Iterator[SessionRow] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _)).iterator
+        state.remove()
+        return out
+      }
+      // Per-key per-batch sort: bounded by one trigger's data for one
+      // user, not by history (history lives in the one-row state).
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[SessionRow]
+      var acc = state.getOption
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        acc match {
+          case Some(a) if us - a.lastUs < gapUs =>
+            acc = Some(SessionAcc(a.startUs, math.max(a.lastUs, us), a.n + 1, a.sum + e.value))
+          case Some(a) =>
+            closed += close(user, a)
+            acc = Some(SessionAcc(us, us, 1, e.value))
+          case None =>
+            acc = Some(SessionAcc(us, us, 1, e.value))
+        }
+      }
+      acc.foreach { a =>
+        state.update(a)
+        // Flush the open session once event time passes last + gap.
+        state.setTimeoutTimestamp(a.lastUs / 1000L + gapMinutes * 60L * 1000L)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** File-source incremental pipeline: watch a directory of parquet
     * drops, maintain tumbling aggregates, append to parquet. The

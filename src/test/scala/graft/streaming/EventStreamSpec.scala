@@ -53,6 +53,41 @@ class EventStreamSpec extends SparkTestBase {
     assert(spark.table("deduped").count() == 3)
   }
 
+  test("flatMapGroupsWithState sessionization matches session_window semantics") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.sessionizeWithState(stream.toDS())
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1: two sessions for user 7 — the 70-minute gap closes the
+      // first one immediately; the second stays open in state.
+      stream.addData(
+        StreamEvent(t("2024-01-01 00:00:00"), 7, "click", 1.0, 10),
+        StreamEvent(t("2024-01-01 00:20:00"), 7, "click", 2.0, 11),
+        StreamEvent(t("2024-01-01 01:30:00"), 7, "click", 4.0, 12),
+      )
+      q.processAllAvailable()
+      // Batches 2-3: advance the watermark past the open session's
+      // timeout (timeouts fire against the PREVIOUS batch's watermark).
+      stream.addData(StreamEvent(t("2024-01-01 05:00:00"), 8, "view", 0.0, 13))
+      q.processAllAvailable()
+      stream.addData(StreamEvent(t("2024-01-01 06:00:00"), 8, "view", 0.0, 14))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val u7 = spark.table("custom_sessions").filter($"user_id" === 7)
+      .orderBy("session_start_us").collect()
+    assert(u7.length == 2)
+    // [start, last+gap) bounds and aggregates, q52 semantics exactly.
+    val s1 = u7(0)
+    assert(s1.getAs[Long]("n_events") == 2 && s1.getAs[Double]("sum_value") == 3.0)
+    assert(s1.getAs[Long]("session_end_us") - s1.getAs[Long]("session_start_us")
+      == (20 + 30) * 60L * 1000000L)
+    val s2 = u7(1)
+    assert(s2.getAs[Long]("n_events") == 1 && s2.getAs[Double]("sum_value") == 4.0)
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
