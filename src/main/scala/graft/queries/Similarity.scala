@@ -63,28 +63,32 @@ object Similarity {
   /** Corpus vectors with norm + derived IVF cluster: nlist deterministic
     * seed vectors broadcast (a trained-centroid artifact is always tiny
     * relative to the corpus), one map-side scored pass, window ranked on
-    * (similarity, seed_id) for total tie determinism.
+    * (similarity, seed_id) for total tie determinism. Parquet-
+    * snapshotted per corpus — the assignment is THE index artifact an
+    * IVF system persists; q69 (cell-pruned search) and q71 (in-cell
+    * near-dup) both read it, and q69's own self-join reads it twice.
     */
-  private def assignedVectors(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val v = tbl(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", l2Norm(col("embedding")))
-    val seeds = v.filter(col("vec_id") < NList)
-      .select(
-        col("vec_id").as("seed_id"),
-        col("embedding").as("s_emb"),
-        col("nrm").as("s_nrm"),
-      )
-    val aw = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("seed_id"))
-    v.crossJoin(broadcast(seeds))
-      .select(
-        col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
-        cosine(col("embedding"), col("s_emb"), col("nrm"), col("s_nrm")).as("sim"),
-      )
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
-  }
+  private def assignedVectors(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.util.Snapshots(s, dir, "ivf-assigned") {
+      val v = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", l2Norm(col("embedding")))
+      val seeds = v.filter(col("vec_id") < NList)
+        .select(
+          col("vec_id").as("seed_id"),
+          col("embedding").as("s_emb"),
+          col("nrm").as("s_nrm"),
+        )
+      val aw = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("seed_id"))
+      v.crossJoin(broadcast(seeds))
+        .select(
+          col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
+          cosine(col("embedding"), col("s_emb"), col("nrm"), col("s_nrm")).as("sim"),
+        )
+        .withColumn("rk", row_number().over(aw))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
+    }
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------

@@ -19,7 +19,6 @@ object TextOps {
 
   import Tables.tbl
   import org.apache.spark.sql.SparkSession
-  import scala.collection.concurrent.TrieMap
 
   private val NumHashes = 16
   private val Bands = 4
@@ -53,31 +52,16 @@ object TextOps {
         ELSE [array_to_string($t, ' ')] END"""
   }
 
-  /** Derived-artifact materialization: build once per (corpus, name),
-    * write to a parquet snapshot, read it back for every subsequent
-    * use in the session. This replaces `.cache()` (r1 leaked cached
-    * frames across the 43-query session): no executor storage
-    * residency, no recompute across self-join branches (Catalyst does
-    * not share subplans between branches), and it is exactly what a
-    * cluster pipeline does with shingle/signature tables — persist per
-    * corpus snapshot, scan columnar thereafter.
-    */
-  private val snapshots = TrieMap.empty[(String, String), String]
-  private def snapshot(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame = {
-    val path = snapshots.getOrElseUpdate(
-      (dir, name), {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-snap-${math.abs(dir.hashCode)}-$name"
-        build.write.mode("overwrite").parquet(out)
-        out
-      },
-    )
-    s.read.parquet(path)
-  }
+  private def snapshot(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
+    graft.util.Snapshots(s, dir, name)(build)
 
-  /** Shared Spark prefix: (doc_id, distinct k-shingle) rows + hash.
-    * md5 is computed once and both the digest and the 60-bit hash are
-    * derived from it; the result is parquet-snapshotted (see above) —
-    * the LSH/Jaccard pipelines reference it from 3-4 plan branches.
+  /** Shared Spark prefix: one row per (doc_id, distinct k-shingle),
+    * carrying only the md5 digest `m` and the 60-bit hash `h` derived
+    * from it — the shingle TEXT is dropped before the snapshot is
+    * written (every downstream join/agg keys on the hash; at 10⁹ docs
+    * the text column would dominate the artifact's footprint for
+    * nothing). Parquet-snapshotted: the LSH/Jaccard pipelines reference
+    * it from 3-4 plan branches.
     */
   private def shingleHashes(s: SparkSession, dir: String, k: Int): DataFrame =
     snapshot(s, dir, s"shingles-k$k") {
@@ -87,7 +71,7 @@ object TextOps {
           col("doc_id"),
           explode(array_distinct(shingles(tokens(col("text")), k))).as("sh"),
         )
-        .withColumn("m", md5(col("sh")))
+        .select(col("doc_id"), md5(col("sh")).as("m")) // text projected away pre-write
         .withColumn("h", conv(substring(col("m"), 1, 15), 16, 10).try_cast("bigint"))
     }
 

@@ -41,6 +41,33 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
 }
 
+/** Derived-artifact materialization: build once per (corpus, name),
+  * write to a parquet snapshot, read it back for every subsequent use
+  * in the session. This replaces `.cache()` for artifacts referenced
+  * from multiple plan branches or queries (Catalyst does not share
+  * subplans between self-join branches, and caches squat on executor
+  * storage for the session's lifetime): no storage residency, columnar
+  * scans thereafter — exactly what a cluster pipeline does with
+  * shingle/signature/cluster tables, persisted once per corpus
+  * snapshot.
+  */
+object Snapshots {
+  private val paths = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  def apply(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val path = paths.getOrElseUpdate(
+      (dir, name), {
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft-snap-${math.abs(dir.hashCode)}-$name"
+        build.write.mode("overwrite").parquet(out)
+        out
+      },
+    )
+    spark.read.parquet(path)
+  }
+}
+
 /** One declared query: a Spark implementation plus (when the semantics
   * are ANSI-SQL-expressible) an equivalent DuckDB oracle query over the
   * same tables. Queries with `oracle = None` get a weaker rows-only
