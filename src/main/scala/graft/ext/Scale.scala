@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques the 100 TB design point requires (SURVEY.md §4
+  * "Scale posture"): bucketed co-located joins, salted joins for skewed
+  * keys, partitioned-at-rest layouts. Each is a small composable helper
+  * whose effect is asserted at the PLAN level in ScaleSpec — a shuffle
+  * that silently reappears is a regression, not a style issue.
+  */
+object Scale {
+
+  /** Write a frame as a catalog table bucketed (and sorted) by the join
+    * key. Two tables bucketed the same way join with NO shuffle
+    * exchange on either side — the pre-shuffle is paid once at write
+    * time and amortized over every subsequent join, the standard
+    * layout for a fact table that is repeatedly joined on one key.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Write a frame partitioned at rest by a column (e.g. release_year,
+    * event date, IVF cluster id): queries filtering on it scan only the
+    * matching directories (partition pruning — `PartitionFilters` in
+    * the scan node), the difference between reading 100 TB and reading
+    * one day of it.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Salted equi-join for skewed keys: the fact side gets a uniform
+    * salt in [0, salts), the dim side is replicated once per salt
+    * value, and the join key becomes (key, salt) — a single hot key's
+    * rows now land on `salts` reducers instead of one. Result is
+    * row-identical to the plain join (the salt is a join-local
+    * artifact, dropped on output). AQE's skew-join handles moderate
+    * skew adaptively; explicit salting is for the pathological head
+    * key that exceeds what split-and-replicate can absorb.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedFact = fact.withColumn("__salt", (rand(42) * salts).cast("int"))
+    val repDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact
+      .join(repDim, fact(key) === repDim(key) && saltedFact("__salt") === repDim("__salt"))
+      .drop("__salt")
+      .drop(repDim(key))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two float arrays with
+  * double accumulation, fused into a single loop with `doGenCode`.
+  *
+  * This is the one hot-path primitive where the built-in composition
+  * (`zip_with` to build a products array, then `aggregate` to fold it)
+  * pays a real tax: an intermediate ArrayData allocation plus two
+  * higher-order-function lambda frames PER ROW, on the innermost loop
+  * of every ANN scan (corpus × queries × 64 multiplies). The fused
+  * loop allocates nothing and stays inside whole-stage codegen.
+  *
+  * Semantics match the built-in version exactly — floats promoted to
+  * double before multiplication, accumulated left-to-right — which is
+  * also DuckDB list_dot_product's order, so oracle hash-matches are
+  * unaffected. Mismatched lengths use the common prefix; null array →
+  * null (standard BinaryExpression null propagation). Null ELEMENTS
+  * are not supported — the engine's embedding contract is dense
+  * Array[Float] (TESTDATA embeddings, dim 64).
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float> inputs, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx, ev,
+      (a, b) => s"""
+        |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double ${ev.value}_s = 0.0;
+        |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+        |  ${ev.value}_s += (double) $a.getFloat(${ev.value}_i) * (double) $b.getFloat(${ev.value}_i);
+        |}
+        |${ev.value} = ${ev.value}_s;
+      """.stripMargin,
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}

@@ -24,6 +24,9 @@ object Tables {
   val sessionConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
+    // Engine extensions: registers native expressions (graft_dot_f)
+    // with the SQL function registry via SparkSessionExtensions.
+    "spark.sql.extensions" -> "graft.plans.GraftSparkExtensions",
   )
 
   /** Fold [[sessionConf]] into a session builder. */
