@@ -225,6 +225,77 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // IVF index-quality evaluation: recall@3 of the cell-pruned search
+    // (q69's construction) against brute-force ground truth (q68's),
+    // per query. The operational metric every ANN deployment monitors —
+    // pruning that silently loses neighbors shows up here, not in a
+    // crash. Both rankings use identical cosines and tiebreaks, so the
+    // overlap (and hence the oracle hash) is fully deterministic.
+    QueryDef(
+      "q73_ivf_recall",
+      Some(s"""
+        WITH $duckAssignedCte,
+        q AS (SELECT * FROM av WHERE vec_id < 10),
+        brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ${duckCos("q", "v")} DESC, v.vec_id) AS rank
+            FROM q JOIN av v ON q.vec_id != v.vec_id)
+          WHERE rank <= 3),
+        ivf AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ${duckCos("q", "v")} DESC, v.vec_id) AS rank
+            FROM q JOIN av v ON q.cluster = v.cluster AND q.vec_id != v.vec_id)
+          WHERE rank <= 3),
+        hits AS (
+          SELECT b.query_id, count(*) AS n_hits
+          FROM brute b JOIN ivf i
+            ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          GROUP BY b.query_id)
+        SELECT q.vec_id AS query_id,
+               round(coalesce(n_hits, 0) / 3.0, 4) AS recall_at_3
+        FROM q LEFT JOIN hits ON q.vec_id = hits.query_id
+        ORDER BY query_id
+      """),
+    ) { (s, dir) =>
+      val assigned = assignedVectors(s, dir)
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(
+          col("vec_id").as("query_id"),
+          col("cluster").as("q_cluster"),
+          col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+        )
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+      def topk(joinCond: org.apache.spark.sql.Column) =
+        assigned.join(broadcast(q), joinCond)
+          .select(
+            col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"),
+          )
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id")
+      val brute = topk(col("query_id") =!= col("vec_id"))
+      val ivf = topk(col("q_cluster") === col("cluster") && col("query_id") =!= col("vec_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"))
+      q.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(
+          col("query_id"),
+          round(coalesce(col("n_hits"), lit(0)) / 3.0, 4).as("recall_at_3"),
+        )
+        .orderBy("query_id")
+    },
+
+    // ------------------------------------------------------------------
     // Multimodal plumbing, SQL-visible part: opaque binary payload +
     // typed metadata (byte length, content digest, a deterministic
     // stub "feature"). The batch decode path lives in
