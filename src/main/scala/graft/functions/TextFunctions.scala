@@ -27,14 +27,24 @@ object TextFunctions {
     * Docs shorter than k tokens yield a single whole-text shingle so
     * every doc participates in dedup. 1-based element_at, bounded by
     * sequence(), so safe under ANSI.
+    *
+    * The input is bound ONCE as a lambda variable (the
+    * `transform(array(x), t => ...)` let-encoding): higher-order
+    * functions evaluate interpreted (no codegen, no common-subexpr
+    * elimination), so referencing `toks` directly inside the window
+    * lambda would re-evaluate its whole subtree — typically a split()
+    * — once per element_at per window, turning an O(n·k) shingle pass
+    * into O(n·k) *re-tokenizations* per document (~30× slower,
+    * measured at sf0.1).
     */
-  def shingles(toks: Column, k: Int): Column = {
-    val win = transform(
-      sequence(lit(1), size(toks) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*),
-    )
-    when(size(toks) >= k, win).otherwise(array(array_join(toks, " ")))
-  }
+  def shingles(toks: Column, k: Int): Column =
+    flatten(transform(array(toks), t => {
+      val win = transform(
+        sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*),
+      )
+      when(size(t) >= k, win).otherwise(array(array_join(t, " ")))
+    }))
 
   /** MinHash family: h_i(x) = (a_i * (x mod P) + b_i) mod P over the
     * 60-bit shingle hash. P = 2^31 - 1 (Mersenne); a_i/b_i are fixed
