@@ -11,7 +11,13 @@ object Bench {
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed session warmup: JVM classloading, the codegen compiler,
+    // and parquet reader init otherwise land on whichever query runs
+    // first (~4-5s measured at sf0.1 misattributed to one query).
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    // Deterministic name order so per-query numbers compare across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write forces FULL evaluation of every column —
       // a bare count() would let Catalyst prune projection-only work
@@ -22,7 +28,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -258,13 +258,23 @@ object Relational {
         ORDER BY l_returnflag
       """),
     ) { (s, dir) =>
-      tbl(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(col("l_partkey")).as("n_part"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
+      // Exact multi-distinct WITHOUT Expand: Catalyst plans two
+      // count(DISTINCT x) in one agg as Expand×3 (every input row
+      // triplicated before the shuffle). Three independent aggregates
+      // joined on the 3-row group key shuffle strictly less: each
+      // distinct pass map-side-dedups to its distinct pairs, and the
+      // final join is over a handful of rows. Same exact results.
+      val li = tbl(s, dir, "lineitem")
+      def nDistinct(c: String, as: String) =
+        li.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      nDistinct("l_suppkey", "n_supp")
+        .join(nDistinct("l_partkey", "n_part"), "l_returnflag")
+        .join(
+          li.groupBy("l_returnflag").agg(round(avg("l_quantity"), 4).as("avg_qty")),
+          "l_returnflag",
         )
+        .select("l_returnflag", "n_supp", "n_part", "avg_qty")
         .orderBy("l_returnflag")
     },
 
