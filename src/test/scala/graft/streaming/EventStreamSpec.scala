@@ -88,6 +88,30 @@ class EventStreamSpec extends SparkTestBase {
     assert(s2.getAs[Long]("n_events") == 1 && s2.getAs[Double]("sum_value") == 4.0)
   }
 
+  test("file-source incremental pipeline: parquet drops → windowed aggregates → parquet out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (src, out, ckpt) = (s"$dir/src", s"$dir/out", s"$dir/ckpt")
+    val schema = batch1.toDF().schema
+
+    // Drop 1 lands before the stream starts; drop 2 arrives mid-stream.
+    batch1.toDF().write.mode("append").parquet(src)
+    val q = EventStream.runFileStream(spark, src, out, ckpt, schema)
+    try {
+      q.processAllAvailable()
+      Seq(Ev(t("2024-01-01 06:00:00"), 9, "late", 1.0, 99)) // advances watermark
+        .toDF().write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Append mode emits windows the watermark has passed: batch1's
+    // 00:00 and 01:00 windows close once the 06:00 event arrives.
+    val emitted = spark.read.parquet(out)
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(emitted.map(_._2).toSet == Set("click", "view"))
+    assert(emitted.map(_._3).sum == 4) // all batch1 events accounted once
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
