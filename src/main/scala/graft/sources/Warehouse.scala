@@ -32,13 +32,28 @@ trait Warehouse {
     read(spark, table).limit(n)
 }
 
-/** Parquet-directory warehouse — one subdirectory per table. */
-final class ParquetWarehouse(root: String) extends Warehouse {
+/** Parquet-directory warehouse — one subdirectory per table.
+  *
+  * @param partitionCols optional at-rest partition column per table
+  *                      (e.g. `movie_facts → release_year`, SURVEY §4
+  *                      scale posture): queries filtering on it prune
+  *                      whole directories at the scan — at 100 TB the
+  *                      difference between reading the corpus and
+  *                      reading one year of it. Null partition values
+  *                      land in the default partition and read back as
+  *                      null, so row accounting is unchanged.
+  */
+final class ParquetWarehouse(
+    root: String,
+    partitionCols: Map[String, String] = Map.empty,
+) extends Warehouse {
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$root/$table")
 
-  override def write(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$table")
+  override def write(df: DataFrame, table: String): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    partitionCols.get(table).fold(w)(w.partitionBy(_)).parquet(s"$root/$table")
+  }
 }
 
 /** JDBC warehouse (Postgres parity; Derby in tests).

@@ -37,6 +37,14 @@ class PipelineSpec extends SparkTestBase {
       MoviePipeline.transform(spark, s"$wh/raw/tmdb_movies_raw", s"$wh/production")
     // Movie C has no imdb_rating → filtered (F1). 4 facts remain.
     assert(facts == 4)
+
+    // Facts are partitioned by release_year at rest; a year filter
+    // prunes at the scan and null years land in the default partition.
+    val factsDf = spark.read.parquet(s"$wh/production/movie_facts")
+    val y2009 = factsDf.filter(factsDf("release_year") === 2009)
+    assert(y2009.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(y2009.count() == 1)
+    assert(factsDf.filter(factsDf("release_year").isNull).count() == 1) // Movie B's bad date
     // genre rows: A=3 (Action,Adventure,Sci-Fi), B=0 (empty), D=1 (Drama),
     // E=2 (Drama,Action) → 6; filter ≤ input invariant of transform.py:116-121.
     assert(genreFact == 6)
