@@ -403,7 +403,45 @@ object TextOps {
         .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("d1", "d2")
     },
-  )
+  ) :+ contaminationDef
+
+  /** q74 — appended to `defs` below; lazy because it is defined after
+    * `defs` in initialization order.
+    */
+  private lazy val contaminationDef: QueryDef = QueryDef(
+    "q74_contamination",
+    Some(s"""
+      WITH ${duckShinglePrefix(3)},
+      sd AS (
+        SELECT DISTINCT d.source, s.h
+        FROM shh s JOIN documents d ON s.doc_id = d.doc_id),
+      pairs AS (
+        SELECT a.source AS s1, b.source AS s2, count(*) AS shared_shingles
+        FROM sd a JOIN sd b ON a.h = b.h AND a.source < b.source
+        GROUP BY s1, s2)
+      SELECT s1, s2, shared_shingles
+      FROM pairs
+      ORDER BY shared_shingles DESC, s1, s2
+      LIMIT 20
+    """),
+  ) { (s, dir) =>
+    // Cross-source n-gram contamination (the train/benchmark overlap
+    // check every training-data pipeline runs): distinct (source,
+    // shingle-hash) pairs, self-joined on the hash. Scale-safe by
+    // construction — cardinality per hash is bounded by the number of
+    // SOURCES (a small fixed set), not by document frequency, so no
+    // rare-shingle cap is needed.
+    val sd = shingleHashes(s, dir, 3)
+      .join(tbl(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      .select("source", "h")
+      .distinct()
+    sd.as("a")
+      .join(sd.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy(desc("shared_shingles"), asc("s1"), asc("s2"))
+      .limit(20)
+  }
 
   /** Oracle for q65 — generated from the same constants as the Spark
     * side (NumHashes/Bands/minhashA/minhashB), so they cannot drift.
