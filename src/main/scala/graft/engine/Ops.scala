@@ -27,8 +27,15 @@ object Ops {
     * is literal), hence the Pattern.quote.
     */
   def parseNameList(c: Column, sep: String = ","): Column = {
-    val parts = split(coalesce(c, lit("")), java.util.regex.Pattern.quote(sep))
-    filter(transform(parts, t => trim(t)), t => t =!= "")
+    // trim + regex-split + array_remove instead of the literal-split +
+    // transform(trim) + filter composition: identical X1 semantics
+    // (whole-string trim handles the edges, \s* around the separator
+    // trims each token, whitespace-only tokens collapse to "" and are
+    // removed), but every expression here is codegen'd — higher-order
+    // functions (transform/filter) evaluate interpreted and fall out
+    // of whole-stage codegen, measurably slowing wide scans.
+    val sepRe = "\\s*" + java.util.regex.Pattern.quote(sep) + "\\s*"
+    array_remove(split(trim(coalesce(c, lit(""))), sepRe), "")
   }
 
   /** X2 — the reference's `astype(str)` quirk, reproducible on demand
