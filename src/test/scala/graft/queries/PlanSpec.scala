@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Plan-shape regression tests over the declared queries: the scale
+  * properties (§4 posture) that silently regress — filter/column
+  * pushdown into the parquet scan, broadcast joins for dims, top-k
+  * instead of full sort — asserted against the optimizer's output on
+  * the sf0.001 corpus. A green oracle run with a wrong plan is exactly
+  * the failure mode these catch.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q05: the conjunctive filter is pushed into the parquet scan") {
+    val p = plan("q05_filter_conjunctive")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_discount)") || p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("q06: the scan reads only the projected columns") {
+    val p = plan("q06_project_rename")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice")
+      && readSchema.contains("o_orderstatus"), readSchema)
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      s"column pruning regressed: $readSchema")
+  }
+
+  test("q20: the part dimension is broadcast; lineitem does not shuffle for the join") {
+    val p = plan("q20_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q10: sort+limit collapses to top-k (TakeOrderedAndProject)") {
+    val p = plan("q10_sort_desc_tiebreak")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q22: semi/anti joins plan as semi/anti, not materialized joins") {
+    val p = plan("q22_join_semi_anti")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q35: exact multi-distinct plans without Expand row multiplication") {
+    val p = plan("q35_distinct_agg")
+    assert(!p.contains("Expand"), s"Expand reappeared in q35:\n$p")
+  }
+
+  test("q68: ANN scan broadcasts the query set, not the corpus") {
+    val p = plan("q68_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("no declared query plans a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}
