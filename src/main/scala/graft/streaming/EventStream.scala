@@ -68,6 +68,37 @@ object EventStream {
   def dedupe(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
+  /** Stream-stream join with watermarks: attribute each view to the
+    * clicks that preceded it within `windowMinutes` for the same user
+    * (the ad-attribution shape). The event-time bound plus both
+    * watermarks let the state store evict rows once the watermark
+    * passes click_ts + window — state is O(events in the horizon), not
+    * history, which is what makes a stream-stream join runnable
+    * indefinitely at 100 TB/day.
+    */
+  def attribution(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(
+        col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"),
+      )
+      .withWatermark("click_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("view_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"),
+      )
+      .withWatermark("view_ts", "1 hour")
+    clicks.join(
+      views,
+      expr(
+        s"""user_id = view_user AND
+            view_ts >= click_ts AND
+            view_ts <= click_ts + INTERVAL $windowMinutes MINUTES"""),
+    )
+      .select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * escape hatch for session semantics session_window can't express
     * (here it reproduces q52's gap semantics exactly, so the built-in

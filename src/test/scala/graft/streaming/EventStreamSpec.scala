@@ -53,6 +53,37 @@ class EventStreamSpec extends SparkTestBase {
     assert(spark.table("deduped").count() == 3)
   }
 
+  test("stream-stream attribution joins views to preceding clicks within the window") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 0.0, 1),
+      Ev(t("2024-01-01 10:10:00"), 1, "view", 0.0, 2),  // attributed (10m after click)
+      Ev(t("2024-01-01 10:50:00"), 1, "view", 0.0, 3),  // NOT attributed (50m > 30m)
+      Ev(t("2024-01-01 09:55:00"), 2, "view", 0.0, 4),  // view before any click
+      Ev(t("2024-01-01 11:00:00"), 2, "click", 0.0, 5), // click with no view after
+    )
+    val q = EventStream.attribution(stream.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("attr")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"), r.getAs[Long]("view_id")))
+    assert(rows.toSeq == Seq((1L, 1L, 2L)))
+
+    // The same plan runs in batch — streaming/batch parity.
+    val batchRows = EventStream.attribution(
+      spark.table("attr").sparkSession.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(t("2024-01-01 10:00:00"), 1L, "click", 0.0, 1L),
+          org.apache.spark.sql.Row(t("2024-01-01 10:10:00"), 1L, "view", 0.0, 2L),
+        )),
+        Seq(Ev(t("2024-01-01 00:00:00"), 0, "", 0.0, 0)).toDF().schema))
+      .count()
+    assert(batchRows == 1)
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window semantics") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[StreamEvent]
