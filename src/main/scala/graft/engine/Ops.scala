@@ -29,12 +29,14 @@ object Ops {
   def parseNameList(c: Column, sep: String = ","): Column = {
     // trim + regex-split + array_remove instead of the literal-split +
     // transform(trim) + filter composition: identical X1 semantics
-    // (whole-string trim handles the edges, \s* around the separator
-    // trims each token, whitespace-only tokens collapse to "" and are
+    // (whole-string trim handles the edges, ' *' around the separator
+    // trims each token, space-only tokens collapse to "" and are
     // removed), but every expression here is codegen'd — higher-order
     // functions (transform/filter) evaluate interpreted and fall out
-    // of whole-stage codegen, measurably slowing wide scans.
-    val sepRe = "\\s*" + java.util.regex.Pattern.quote(sep) + "\\s*"
+    // of whole-stage codegen, measurably slowing wide scans. ' *' not
+    // '\s*': trim() strips SPACES only (in Spark, DuckDB, and the old
+    // per-token formulation alike), so the regex must too.
+    val sepRe = " *" + java.util.regex.Pattern.quote(sep) + " *"
     array_remove(split(trim(coalesce(c, lit(""))), sepRe), "")
   }
 

@@ -16,6 +16,27 @@ class OpsPropertySpec extends SparkTestBase {
   private def token: String =
     (1 + rng.nextInt(8)).toString.flatMap(_ => rng.alphanumeric.take(1 + rng.nextInt(6))).mkString
 
+  test("parseNameList matches the per-token reference semantics on fuzzed input") {
+    // Reference X1: literal split, trim each token (spaces only, like
+    // Spark/DuckDB trim), drop empties — the formulation the codegen-
+    // friendly regex rewrite must reproduce exactly.
+    def reference(s: String, sep: String): Seq[String] =
+      Option(s).getOrElse("")
+        .split(java.util.regex.Pattern.quote(sep), -1)
+        .map(_.replaceAll("^ +| +$", ""))
+        .filter(_.nonEmpty).toSeq
+    val pieces = Seq("a", "bb", " ", "", "x y", "\tz", "q ", " w", "-")
+    (1 to 60).foreach { _ =>
+      val sep = if (rng.nextBoolean()) "," else ";"
+      val s = if (rng.nextInt(10) == 0) null
+      else Seq.fill(rng.nextInt(6))(pieces(rng.nextInt(pieces.length))).mkString(sep)
+      val got = Seq(Tuple1(s)).toDF("s")
+        .select(Ops.parseNameList($"s", sep).as("g"))
+        .collect().head.getSeq[String](0)
+      assert(got == reference(s, sep), s"input: ${Option(s).map("'" + _ + "'")} sep='$sep'")
+    }
+  }
+
   test("X1 ∘ X6 round-trip: parse(padded CSV of tokens) rebuilds the tokens") {
     (1 to 20).foreach { _ =>
       val toks = Seq.fill(rng.nextInt(6))(token)
