@@ -26,6 +26,10 @@ object VectorFunctions {
     ColumnBridge.column(
       DotProductFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Winnowing-style rolling-hash fingerprint over a text column. */
+  def rollingMinHash(text: Column, k: Int): Column =
+    ColumnBridge.column(RollingMinHash(ColumnBridge.expression(text), k))
+
   /** Built-in composition with identical semantics (any numeric array). */
   def dotBuiltin(a: Column, b: Column): Column =
     aggregate(

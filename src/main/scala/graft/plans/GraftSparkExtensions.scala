@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProductFloat
+import graft.functions.{DotProductFloat, RollingMinHash}
 
 /** Session-extension entry point (SparkSessionExtensions): registers
   * the engine's native expressions with the SQL function registry, so
@@ -14,7 +14,7 @@ import graft.functions.DotProductFloat
   * for shipping engine extensions without forking the session builder.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier("graft_dot_f"),
@@ -28,4 +28,21 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => DotProductFloat(children.head, children(1)),
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_rolling_min_hash"),
+        new ExpressionInfo(
+          classOf[RollingMinHash].getCanonicalName,
+          null,
+          "graft_rolling_min_hash",
+          "graft_rolling_min_hash(text, k) - min Karp-Rabin hash over k-byte windows",
+          "",
+        ),
+        (children: Seq[Expression]) =>
+          RollingMinHash(
+            children.head,
+            children(1).eval().asInstanceOf[Number].intValue()),
+      )
+    )
+  }
 }

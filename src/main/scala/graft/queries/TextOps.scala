@@ -403,6 +403,25 @@ object TextOps {
         .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("d1", "d2")
     },
+
+    // ------------------------------------------------------------------
+    // Rolling-hash fingerprint (winnowing family): min Karp-Rabin hash
+    // over 16-byte windows via the native RollingMinHash expression —
+    // one O(bytes) pass per document, no shingle table materialized.
+    // Equal fingerprints are near-dup candidates (shared minimizing
+    // window). Not ANSI-SQL-expressible (the O(1) rolling update needs
+    // a loop) → no oracle; the driver records a rows-only check, and
+    // RollingMinHashSpec fuzz-verifies the expression against a
+    // brute-force reference.
+    QueryDef("q75_rolling_fingerprint", None) { (s, dir) =>
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.functions.VectorFunctions.rollingMinHash(col("text"), 16)
+            .as("fingerprint"),
+        )
+        .orderBy("doc_id")
+    },
   ) :+ contaminationDef
 
   /** q74 — appended to `defs` below; lazy because it is defined after
