@@ -41,11 +41,20 @@ object MoviePipeline {
     * StructType (the reference's hand-rolled get_schema/DROP/CREATE/COPY
     * sequence is subsumed by write.mode(overwrite)).
     */
-  def ingest(spark: SparkSession, csvPath: String, rawTablePath: String): Long = {
-    val df = spark.read
+  /** CSV read options matching pandas' dialect (ingest.py:64): RFC-4180
+    * doubled-quote escaping ("" inside a quoted field), not Spark's
+    * default backslash escape — movie titles/overviews contain quotes
+    * and commas, and the two dialects silently part ways on them.
+    */
+  private def csvReader(spark: SparkSession) =
+    spark.read
       .option("header", "true")
       .option("inferSchema", "true")
-      .csv(csvPath)
+      .option("quote", "\"")
+      .option("escape", "\"")
+
+  def ingest(spark: SparkSession, csvPath: String, rawTablePath: String): Long = {
+    val df = csvReader(spark).csv(csvPath)
     df.write.mode("overwrite").parquet(rawTablePath)
     spark.read.parquet(rawTablePath).count()
   }
@@ -55,10 +64,7 @@ object MoviePipeline {
     * a catalog table (D1/D2).
     */
   def ingest(spark: SparkSession, csvPath: String, wh: Warehouse, table: String): Long = {
-    val df = spark.read
-      .option("header", "true")
-      .option("inferSchema", "true")
-      .csv(csvPath)
+    val df = csvReader(spark).csv(csvPath)
     wh.write(df, table)
     wh.read(spark, table).count()
   }

@@ -72,6 +72,23 @@ class PipelineSpec extends SparkTestBase {
     assert(lines.head.startsWith("movie_fact_id,"))
   }
 
+  test("CSV ingest parses RFC-4180 doubled quotes like pandas (quoted commas and quotes)") {
+    val dir = Files.createTempDirectory("graft_csv_quotes").toString
+    val csv =
+      """id,title,genres
+        |1,"Movie, with comma","Action, Drama"
+        |2,"He said ""hi"" twice",Comedy
+        |""".stripMargin
+    val f = new java.io.File(dir, "quoted.csv")
+    Files.writeString(f.toPath, csv)
+    val n = MoviePipeline.ingest(spark, f.getAbsolutePath, s"$dir/raw")
+    assert(n == 2)
+    val rows = spark.read.parquet(s"$dir/raw").orderBy("id")
+      .collect().map(r => (r.getAs[Any]("id").toString, r.getAs[String]("title")))
+    assert(rows(0)._2 == "Movie, with comma")
+    assert(rows(1)._2 == """He said "hi" twice""")
+  }
+
   test("publish empty-frame guard skips the sink entirely (F5)") {
     val dir = Files.createTempDirectory("graft_publish_empty").toString
     import sqlImplicits._
