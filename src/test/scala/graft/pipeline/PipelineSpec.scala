@@ -72,6 +72,22 @@ class PipelineSpec extends SparkTestBase {
     assert(lines.head.startsWith("movie_fact_id,"))
   }
 
+  test("full orchestrator run: ingest → transform → publish all three tables (R1)") {
+    val dir = Files.createTempDirectory("graft_full_run").toString
+    val csvPath = writeFixtureCsv(dir)
+    MoviePipeline.run(spark, csvPath, s"$dir/wh", new CsvFileSink(s"$dir/sheets"))
+    // All three sinks published; the capped tables carry the row cap
+    // semantics, genre_average_revenue publishes uncapped.
+    Seq("movie_facts", "movie_genre_fact", "genre_average_revenue").foreach { t =>
+      val f = new java.io.File(s"$dir/sheets/$t.csv")
+      assert(f.exists, s"$t not published")
+      assert(scala.io.Source.fromFile(f).getLines().size > 1, s"$t has no data rows")
+    }
+    val avgLines = scala.io.Source.fromFile(s"$dir/sheets/genre_average_revenue.csv")
+      .getLines().toSeq
+    assert(avgLines.length == 5) // header + 4 genres (fixture)
+  }
+
   test("CSV ingest parses RFC-4180 doubled quotes like pandas (quoted commas and quotes)") {
     val dir = Files.createTempDirectory("graft_csv_quotes").toString
     val csv =

@@ -66,6 +66,13 @@ class WarehouseSpec extends SparkTestBase {
     assert(par.rdd.getNumPartitions == 4)
     assert(par.count() == 100)
     assert(par.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 5050L)
+
+    // Predicates push into the remote query (the DB filters, not Spark).
+    import org.apache.spark.sql.functions.col
+    val filtered = wh.read(spark, "big").filter(col("id") < 10)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(id,10)"), plan)
+    assert(filtered.count() == 9)
   }
 
   test("movie pipeline transform lands in a JDBC warehouse (Postgres parity)") {
