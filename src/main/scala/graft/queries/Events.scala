@@ -209,6 +209,99 @@ object Events {
     },
 
     // ------------------------------------------------------------------
+    // Range join via BANDING — the scale-safe construction for interval
+    // predicates: bucket both sides by a 60s band, join each event to
+    // its own and the adjacent band (every |Δt| ≤ 60s pair must share
+    // or straddle a boundary), then apply the exact range filter. The
+    // naive |t1−t2| ≤ 60s join is an unbounded cross product at scale;
+    // banding bounds candidates to O(events per 2 bands) per event.
+    // Oracle: the naive inequality join — same result, feasible at
+    // oracle scale only.
+    QueryDef(
+      "q56_range_join_banded",
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events)
+        SELECT a.event_type AS type1, b.event_type AS type2, count(*) AS n_pairs
+        FROM e a JOIN e b
+          ON a.user_id < b.user_id
+          AND abs(a.t - b.t) <= 60000000
+        GROUP BY type1, type2
+        ORDER BY type1, type2
+      """),
+    ) { (s, dir) =>
+      val bandUs = 60000000L
+      val e = Tables.events(s, dir)
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"),
+        )
+        .withColumn("band", (col("t") / bandUs).cast("long"))
+      // The pair's roles are fixed by user_id ordering (not symmetric),
+      // so the left side must probe the previous, own, and next band:
+      // |Δt| ≤ band width ⇒ |Δband| ≤ 1, and each qualifying pair
+      // matches exactly one (probe = b.band) value — no dedup needed.
+      val left = e.withColumn(
+        "probe",
+        explode(array(col("band") - 1, col("band"), col("band") + 1)),
+      )
+      left.as("a")
+        .join(
+          e.as("b"),
+          col("a.probe") === col("b.band")
+            && col("a.user_id") < col("b.user_id")
+            && abs(col("a.t") - col("b.t")) <= bandUs,
+        )
+        .groupBy(col("a.event_type").as("type1"), col("b.event_type").as("type2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("type1", "type2")
+    },
+
+    // ------------------------------------------------------------------
+    // As-of association via window (the single-table as-of join): for
+    // every event, the timestamp of the user's most recent 'click' at
+    // or before it — one partition-ordered pass, no join, the shape
+    // that replaces a sort-merge as-of join when both sides share the
+    // partition key. Aggregated per event type for a stable result.
+    QueryDef(
+      "q57_asof_last_click",
+      Some("""
+        WITH w AS (
+          SELECT event_type, epoch_us(ts) AS t,
+                 max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+          FROM events)
+        SELECT event_type,
+               count(last_click_us) AS n_with_click,
+               count(*) - count(last_click_us) AS n_without,
+               -- integer µs, no division: DuckDB's double→bigint cast
+               -- ROUNDS while Spark's truncates (dialect seam), so
+               -- summed gaps stay in exact integer microseconds.
+               CAST(sum(t - last_click_us) AS BIGINT) AS total_gap_us
+        FROM w
+        GROUP BY event_type
+        ORDER BY event_type
+      """),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = unix_micros(col("ts"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"), col("ts"), t.as("t"))
+        .withColumn(
+          "last_click_us",
+          max(when(col("event_type") === "click", col("t"))).over(w),
+        )
+        .groupBy("event_type")
+        .agg(
+          count(col("last_click_us")).as("n_with_click"),
+          (count(lit(1)) - count(col("last_click_us"))).as("n_without"),
+          sum(col("t") - col("last_click_us")).as("total_gap_us"),
+        )
+        .orderBy("event_type")
+    },
+
+    // ------------------------------------------------------------------
     // Exact deduplication on a projected key set (distinct = the
     // deterministic form of dropDuplicates; one shuffle on the key).
     QueryDef(
