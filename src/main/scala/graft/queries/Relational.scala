@@ -218,6 +218,44 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Ranking-function family: rank / dense_rank / ntile / percent_rank
+    // / cume_dist share ONE window (single sort per partition, all five
+    // computed in the same pass). Total order inside the window (price,
+    // key) makes every rank deterministic.
+    QueryDef(
+      "q33_ranking_functions",
+      Some("""
+        SELECT o_orderstatus, o_orderkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderstatus, rnk
+      """),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(
+          col("o_orderstatus"),
+          col("o_orderkey"),
+          // .cast(long): Spark ranking functions return INT, DuckDB's
+          // return BIGINT — equal values, different hash serialization
+          // (the q61 width seam from round 1).
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+        )
+        .orderBy("o_orderstatus", "rnk")
+    },
+
+    // ------------------------------------------------------------------
     // Rollup (grouping sets): subtotal rows per status, grand total.
     QueryDef(
       "q34_rollup",
@@ -374,6 +412,22 @@ object Relational {
           round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
           round(percentile(col("o_totalprice"), lit(0.50)), 4).as("p50"),
           round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+        )
+        .orderBy("o_orderstatus")
+    },
+
+    // ------------------------------------------------------------------
+    // Approximate-percentile twin of q38: one-pass mergeable quantile
+    // sketches instead of exact percentile's per-group sort — the
+    // at-scale path (same pattern as q35b). Rows-only check: sketch
+    // values are engine-specific.
+    QueryDef("q38b_approx_percentiles", None) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.25), lit(1000)).as("p25_approx"),
+          percentile_approx(col("o_totalprice"), lit(0.50), lit(1000)).as("p50_approx"),
+          percentile_approx(col("o_totalprice"), lit(0.75), lit(1000)).as("p75_approx"),
         )
         .orderBy("o_orderstatus")
     },
