@@ -317,6 +317,47 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Pivot: one column per order status, counts + revenue sums per
+    // priority row. The value list is EXPLICIT — at scale an implicit
+    // pivot first runs a distinct scan to discover values, and the
+    // result schema becomes data-dependent; pinning the values keeps
+    // the plan one aggregate pass and the schema stable. Oracle uses
+    // portable FILTER aggregation (DuckDB PIVOT would reorder columns).
+    QueryDef(
+      "q42_pivot",
+      Some("""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+               round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS f_total,
+               round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS o_total,
+               round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS p_total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), round(coalesce(sum("o_totalprice"), lit(0)), 2).as("total"))
+        .select(
+          col("o_orderpriority"),
+          // Spark pivot cells for absent (priority, status) combos are
+          // null; the oracle's FILTER counts yield 0 — coalesce so the
+          // two agree on corpora where a combination is missing.
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"),
+          coalesce(col("F_total"), lit(0.0)).as("f_total"),
+          coalesce(col("O_total"), lit(0.0)).as("o_total"),
+          coalesce(col("P_total"), lit(0.0)).as("p_total"),
+        )
+        .orderBy("o_orderpriority")
+    },
+
+    // ------------------------------------------------------------------
     // Approximate-distinct twin of q35: HyperLogLog++ sketches replace
     // the exact Expand×2 + double shuffle — one partial+final aggregate
     // pass, constant state per group, the shape that survives 100 TB.
