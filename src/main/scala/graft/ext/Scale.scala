@@ -34,6 +34,25 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Incremental refresh of a partitioned table: overwrite ONLY the
+    * partitions present in `df`, leaving every other partition
+    * untouched (dynamic partition overwrite). This is how a 100 TB
+    * partitioned table is maintained — recompute one day/year and swap
+    * it in; static overwrite mode (the default) would truncate the
+    * whole table first. The mode is set per-write here, not globally.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Salted equi-join for skewed keys: the fact side gets a uniform
     * salt in [0, salts), the dim side is replicated once per salt
     * value, and the join key becomes (key, salt) — a single hot key's

@@ -54,6 +54,26 @@ class ScaleSpec extends SparkTestBase {
     assert(pruned.select("year").distinct().collect().map(_.getInt(0)).toSeq == Seq(2001))
   }
 
+  test("dynamic partition overwrite refreshes one partition, leaves the rest intact") {
+    import sqlImplicits._
+    val dir = Files.createTempDirectory("graft_dpo").toString
+    val full = (1 to 300).map(i => (i.toLong, 2000 + i % 3, s"v$i")).toDF("id", "year", "v")
+    Scale.writePartitioned(full, s"$dir/t", "year")
+    assert(spark.read.parquet(s"$dir/t").count() == 300)
+
+    // Recompute ONLY year=2001 with different content.
+    val patch = (1 to 10).map(i => (1000L + i, 2001, "patched")).toDF("id", "year", "v")
+    Scale.overwritePartitions(patch, s"$dir/t", "year")
+
+    val after = spark.read.parquet(s"$dir/t")
+    assert(after.filter($"year" === 2001).count() == 10) // replaced
+    assert(after.filter($"year" === 2000).count() == 100) // untouched
+    assert(after.filter($"year" === 2002).count() == 100) // untouched
+    assert(after.filter($"year" === 2001 && $"v" === "patched").count() == 10)
+    // The write didn't leave the session in dynamic mode.
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").contains("dynamic"))
+  }
+
   test("salted join equals the plain join on pathologically skewed data") {
     import sqlImplicits._
     // 10k rows of one hot key + a uniform tail.
