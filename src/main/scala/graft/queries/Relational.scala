@@ -358,6 +358,42 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Correlated scalar subquery, submitted as SQL TEXT (spark.sql over
+    // a temp view — the reference's users write SQL, so the engine's
+    // SQL entry path is part of parity): orders priced above their
+    // customer's average. Catalyst decorrelates the subquery into an
+    // aggregate + join (RewriteCorrelatedScalarSubquery) — no
+    // per-row re-execution, which is what makes the shape survive
+    // scale; the oracle runs the identical text.
+    QueryDef(
+      "q43_correlated_subquery",
+      Some("""
+        SELECT o_custkey, count(*) AS n_above_avg,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+        LIMIT 500
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n_above_avg,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+        LIMIT 500
+      """)
+    },
+
+    // ------------------------------------------------------------------
     // Approximate-distinct twin of q35: HyperLogLog++ sketches replace
     // the exact Expand×2 + double shuffle — one partial+final aggregate
     // pass, constant state per group, the shape that survives 100 TB.
