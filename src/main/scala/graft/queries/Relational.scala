@@ -281,6 +281,40 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Arbitrary grouping sets with grouping_id: the general form rollup
+    // and cube specialize — here (status, priority), (status), (), i.e.
+    // a rollup minus nothing plus an explicit shape, tagged by
+    // grouping_id so downstream can tell subtotal levels apart without
+    // sentinel values. One Expand + one aggregate pass.
+    QueryDef(
+      "q44_grouping_sets",
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, status, priority
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, status, priority
+      """)
+    },
+
+    // ------------------------------------------------------------------
     // Distinct aggregates: Catalyst plans these as a two-phase expand +
     // aggregate; at scale prefer approx_count_distinct when exactness
     // isn't required (kept exact here to stay oracle-comparable).
