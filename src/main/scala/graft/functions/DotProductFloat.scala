@@ -16,13 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * of every ANN scan (corpus × queries × 64 multiplies). The fused
   * loop allocates nothing and stays inside whole-stage codegen.
   *
-  * Semantics match the built-in version exactly — floats promoted to
-  * double before multiplication, accumulated left-to-right — which is
-  * also DuckDB list_dot_product's order, so oracle hash-matches are
-  * unaffected. Mismatched lengths use the common prefix; null array →
-  * null (standard BinaryExpression null propagation). Null ELEMENTS
-  * are not supported — the engine's embedding contract is dense
-  * Array[Float] (TESTDATA embeddings, dim 64).
+  * Semantics match the built-in composition on equal-length inputs —
+  * floats promoted to double before multiplication, accumulated
+  * left-to-right — which is also DuckDB list_dot_product's order, so
+  * oracle hash-matches are unaffected. On MISMATCHED lengths the two
+  * differ: this expression uses the common prefix, while the zip_with
+  * composition pads with nulls and returns NULL. The engine's
+  * embedding contract is fixed-dimension dense Array[Float] (TESTDATA
+  * dim 64), where the cases coincide; null ELEMENTS are not supported
+  * either way. Null array → null (standard BinaryExpression
+  * propagation).
   */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -179,9 +179,18 @@ object MoviePipeline {
     ingest(spark, csvPath, s"$warehouseDir/raw/tmdb_movies_raw")
     transform(spark, s"$warehouseDir/raw/tmdb_movies_raw", s"$warehouseDir/production")
     Seq("movie_facts", "movie_genre_fact", "genre_average_revenue").foreach { t =>
+      val read = spark.read.parquet(s"$warehouseDir/production/$t")
+      // A partitioned table appends its partition column LAST on read
+      // (movie_facts is partitioned by release_year); restore the
+      // reference's published column order (transform.py:107-113) so
+      // sheet consumers see the same layout.
+      val ordered =
+        if (t == "movie_facts") {
+          val present = read.columns.toSet
+          read.select(movieFactsCols.filter(present).map(col): _*)
+        } else read
       Publish.publish(
-        spark.read.parquet(s"$warehouseDir/production/$t"),
-        sink, t,
+        ordered, sink, t,
         limit = if (t == "genre_average_revenue") None else Some(rowLimit),
       )
     }

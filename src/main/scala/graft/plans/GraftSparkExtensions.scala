@@ -38,10 +38,22 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           "graft_rolling_min_hash(text, k) - min Karp-Rabin hash over k-byte windows",
           "",
         ),
-        (children: Seq[Expression]) =>
-          RollingMinHash(
-            children.head,
-            children(1).eval().asInstanceOf[Number].intValue()),
+        (children: Seq[Expression]) => {
+          // Guarded: an unguarded eval() on a non-foldable/NULL/non-
+          // numeric second argument surfaces raw internal exceptions
+          // to SQL users at plan time.
+          if (children.length != 2)
+            throw new IllegalArgumentException(
+              "graft_rolling_min_hash(text, k) takes exactly 2 arguments")
+          if (!children(1).foldable)
+            throw new IllegalArgumentException(
+              "graft_rolling_min_hash: k must be a constant")
+          children(1).eval() match {
+            case n: Number => RollingMinHash(children.head, n.intValue())
+            case other => throw new IllegalArgumentException(
+              s"graft_rolling_min_hash: k must be a non-null integer, got $other")
+          }
+        },
       )
     )
   }

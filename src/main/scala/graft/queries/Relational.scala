@@ -337,8 +337,11 @@ object Relational {
       // distinct pass map-side-dedups to its distinct pairs, and the
       // final join is over a handful of rows. Same exact results.
       val li = tbl(s, dir, "lineitem")
+      // isNotNull filter: count(DISTINCT c) ignores NULLs, but a
+      // distinct() of the pair keeps a (flag, NULL) row that count(1)
+      // would then count — latent off-by-one on null-bearing corpora.
       def nDistinct(c: String, as: String) =
-        li.select(col("l_returnflag"), col(c)).distinct()
+        li.select(col("l_returnflag"), col(c)).filter(col(c).isNotNull).distinct()
           .groupBy("l_returnflag").agg(count(lit(1)).as(as))
       nDistinct("l_suppkey", "n_supp")
         .join(nDistinct("l_partkey", "n_part"), "l_returnflag")

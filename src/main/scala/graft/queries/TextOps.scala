@@ -27,18 +27,28 @@ object TextOps {
   /** Max documents a shingle may appear in and still drive candidate
     * generation in q67. A hot 4-gram (boilerplate, templated text)
     * otherwise creates O(df²) candidate pairs in the shingle self-join;
-    * capping df bounds the join at O(cap·df) per shingle while leaving
-    * true near-duplicates intact — they share many shingles, and only
-    * the rare ones need to nominate the pair (standard rare-n-gram
-    * candidate construction). Verification still uses ALL shingles, so
-    * the Jaccard value itself is exact.
+    * capping df bounds the join at O(cap·df) per shingle (standard
+    * rare-n-gram candidate construction). Verification still uses ALL
+    * shingles, so the reported Jaccard is exact.
+    *
+    * Known recall trade-off, by design: a duplicate CLUSTER larger
+    * than the cap (more than `cap` near-identical docs) pushes every
+    * shared shingle's df over the cap, so the rare-shingle method
+    * nominates none of its pairs — high-df n-grams are treated as
+    * non-discriminative. That corpus shape is exactly what the LSH
+    * path (q65) is for: banding has no df cliff, and exact-dup
+    * clusters collapse under q60 before near-dup runs. The methods are
+    * complementary, not interchangeable.
     */
   private val RareShingleCap = 20
 
   /** BPE-style pre-tokenizer split: letter runs | digit runs | single
-    * non-space symbol. ASCII-only classes so Java regex and RE2 agree.
+    * non-whitespace symbol. The whitespace set is spelled as EXPLICIT
+    * characters, not \s — Java's \s includes vertical tab (U+000B)
+    * while RE2's does not, so the shorthand is NOT dialect-identical;
+    * every construct here is interpreted the same by both engines.
     */
-  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
   /** DuckDB twin of TextFunctions.stringHash60. */
   private def duckHash(e: String): String =

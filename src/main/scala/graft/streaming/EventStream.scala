@@ -115,8 +115,15 @@ object EventStream {
     implicit val rowEnc: Encoder[SessionRow] = Encoders.product[SessionRow]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
 
+    // Full microsecond precision: Timestamp.getTime is MILLIseconds;
+    // the sub-ms part lives in getNanos. Truncating to ms would merge
+    // sessions q52 splits at the exact 30-minute boundary.
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
     def close(user: Long, a: SessionAcc): SessionRow =
-      SessionRow(user, a.startUs, a.lastUs + gapUs, a.n, a.sum)
+      SessionRow(user, a.startUs, a.lastUs + gapUs, a.n,
+        math.round(a.sum * 100.0) / 100.0) // 2dp, matching q52's round(sum,2)
 
     def update(
         user: Long, rows: Iterator[StreamEvent],
@@ -128,11 +135,11 @@ object EventStream {
       }
       // Per-key per-batch sort: bounded by one trigger's data for one
       // user, not by history (history lives in the one-row state).
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       val closed = Seq.newBuilder[SessionRow]
       var acc = state.getOption
       sorted.foreach { e =>
-        val us = e.ts.getTime * 1000L
+        val us = micros(e.ts)
         acc match {
           case Some(a) if us - a.lastUs < gapUs =>
             acc = Some(SessionAcc(a.startUs, math.max(a.lastUs, us), a.n + 1, a.sum + e.value))

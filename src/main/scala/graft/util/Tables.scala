@@ -61,8 +61,12 @@ object Snapshots {
       build: => DataFrame): DataFrame = {
     val path = paths.getOrElseUpdate(
       (dir, name), {
-        val out =
-          s"${System.getProperty("java.io.tmpdir")}/graft-snap-${math.abs(dir.hashCode)}-$name"
+        // md5 of the corpus dir, not hashCode: hashCode collisions
+        // between two corpus dirs would silently serve wrong-corpus
+        // artifacts (and abs(Int.MinValue) is negative).
+        val dirKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$name"
         build.write.mode("overwrite").parquet(out)
         out
       },

@@ -86,6 +86,16 @@ class PipelineSpec extends SparkTestBase {
     val avgLines = scala.io.Source.fromFile(s"$dir/sheets/genre_average_revenue.csv")
       .getLines().toSeq
     assert(avgLines.length == 5) // header + 4 genres (fixture)
+
+    // The published movie_facts layout must match the reference's
+    // column order (transform.py:107-113) even though the table is
+    // partitioned by release_year at rest (partition columns come
+    // LAST on a parquet read — run() must restore the order).
+    val factsHeader = scala.io.Source.fromFile(s"$dir/sheets/movie_facts.csv")
+      .getLines().next().split(",").toSeq
+    assert(factsHeader == MoviePipeline.movieFactsCols.filter(factsHeader.contains),
+      s"published column order diverged: $factsHeader")
+    assert(factsHeader.indexOf("release_year") == 4, factsHeader.toString)
   }
 
   test("CSV ingest parses RFC-4180 doubled quotes like pandas (quoted commas and quotes)") {
