@@ -1,0 +1,109 @@
+package graft.queries
+
+import java.nio.file.Files
+import scala.util.Random
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Quality-level validation of the dedup stack on PLANTED duplicates —
+  * the oracle gate proves Spark and DuckDB agree, this proves the
+  * methods actually catch what they claim to catch (and documents the
+  * one designed-in blind spot):
+  *
+  *   - exact dedup (q60) collapses an identical cluster,
+  *   - MinHash+LSH (q65) finds near-identical pairs INCLUDING large
+  *     clusters (no document-frequency cliff),
+  *   - rare-shingle Jaccard (q67) finds small near-dup clusters and
+  *     rejects boilerplate-only overlap, but by design nominates
+  *     nothing inside a cluster larger than RareShingleCap,
+  *   - the rolling fingerprint (q75) is identical across exact copies.
+  */
+class DedupQualitySpec extends SparkTestBase {
+  import sqlImplicits._
+
+  private val rng = new Random(123)
+  private val vocab = Array(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+  )
+  private def sentence(n: Int): String =
+    Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+
+  /** One corpus dir with the documents schema the queries expect. */
+  private lazy val corpusDir: String = {
+    val dir = Files.createTempDirectory("graft_dedup_quality").toString
+
+    val identicalText = sentence(40) // cluster A: 25 exact copies
+    val clusterA = (0L until 25L).map(i => (i, identicalText))
+
+    // Cluster B: 6 docs, ONE token edited each at distinct positions.
+    // One edit touches ≤3 of ~38 3-shingles, so pairwise Jaccard stays
+    // ≈0.85 — above q65's 0.6 verification floor. (Two edits per doc
+    // drag pairs to ≈0.5 and the 0.6 threshold CORRECTLY rejects them;
+    // this spec plants dups the declared thresholds define as dups.)
+    val base = sentence(40).split(" ")
+    val clusterB = (30L until 36L).map { i =>
+      val t = base.clone()
+      t((i * 5 % base.length).toInt) = vocab(rng.nextInt(vocab.length))
+      (i, t.mkString(" "))
+    }
+
+    val header = sentence(8) // boilerplate: shared 8-token prefix only
+    val boiler = (40L until 58L).map(i => (i, header + " " + sentence(45)))
+
+    val background = (70L until 90L).map(i => (i, sentence(50)))
+
+    val docs = (clusterA ++ clusterB ++ boiler ++ background)
+      .map { case (id, text) => (id, text, "en", s"src${id % 3}", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, corpusDir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def within(ids: Range): Set[(Long, Long)] =
+    (for { a <- ids; b <- ids if a < b } yield (a.toLong, b.toLong)).toSet
+
+  test("exact dedup collapses the identical cluster") {
+    val row = SparkEntry.queries("q60_exact_dedup")(spark, corpusDir)
+      .filter($"lang" === "en").head()
+    assert(row.getAs[Long]("n_dupes") == 24) // 25 copies → 24 redundant
+  }
+
+  test("MinHash+LSH finds both the large identical cluster and the edited cluster") {
+    val found = pairs("q65_minhash_lsh")
+    assert(within(0 until 25).subsetOf(found), "large identical cluster missed by LSH")
+    val bFound = found.intersect(within(30 until 36))
+    assert(bFound.size >= 10, s"edited cluster under-detected: ${bFound.size}/15 pairs")
+    // No false pairs among boilerplate-only or background docs.
+    assert(found.forall { case (a, b) => a < 36 && b < 36 }, s"false positives: $found")
+  }
+
+  test("rare-shingle Jaccard catches the small cluster, rejects boilerplate, has the documented large-cluster blind spot") {
+    val found = pairs("q67_ngram_jaccard")
+    val bFound = found.intersect(within(30 until 36))
+    assert(bFound.size >= 10, s"edited cluster under-detected: ${bFound.size}/15 pairs")
+    // Boilerplate docs share only an 8-token header (~5 of ~50
+    // shingles): below the 0.3 Jaccard floor, must not pair.
+    assert(found.forall { case (a, b) => !(a >= 40 && b >= 40) },
+      s"boilerplate false positives: $found")
+    // Designed-in cliff: the 25-doc cluster's shingles all have df=25
+    // > RareShingleCap, so the rare-shingle method nominates none of
+    // its pairs — the complementary LSH path covers that shape.
+    assert(found.intersect(within(0 until 25)).isEmpty)
+  }
+
+  test("rolling fingerprints are identical across exact copies and distinct elsewhere") {
+    val fps = SparkEntry.queries("q75_rolling_fingerprint")(spark, corpusDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusterFp = fps(0L)
+    (1L until 25L).foreach(i => assert(fps(i) == clusterFp))
+    // Background docs shouldn't collide with the cluster fingerprint.
+    assert((70L until 90L).count(i => fps(i) == clusterFp) == 0)
+  }
+}
