@@ -53,6 +53,44 @@ class EventStreamSpec extends SparkTestBase {
     assert(spark.table("deduped").count() == 3)
   }
 
+  test("streaming sessionization over the real corpus matches the oracle-checked batch query") {
+    implicit val sc = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val events = graft.util.Tables.events(spark, sfDir)
+      .select($"ts", $"user_id", $"event_type", $"value", $"event_id")
+      .as[Ev].collect().toSeq
+    val maxTs = events.map(_.ts.getTime).max
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    // Sentinel far past every session's end: advances the watermark so
+    // append mode emits ALL real sessions (its own stays in state).
+    stream.addData(Ev(new Timestamp(maxTs + 48L * 3600 * 1000), -1L, "sentinel", 0.0, -1L))
+    val q = EventStream.sessionAggregates(stream.toDF())
+      .writeStream.format("memory").queryName("real_sessions")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long, Long, Long, Double)] =
+      rows.map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          math.round(r.getDouble(4) * 100.0) / 100.0)
+      }.toSeq.sorted
+
+    val streamed = canon(
+      spark.table("real_sessions").filter($"user_id" >= 0)
+        .selectExpr("user_id", "unix_micros(session_start)", "unix_micros(session_end)",
+          "n_events", "sum_value")
+        .collect())
+    // q52 is the DuckDB-oracle-checked batch twin over the same corpus.
+    val batch = canon(
+      graft.SparkEntry.queries("q52_session_window")(spark, sfDir)
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+        .collect())
+    assert(streamed.size == batch.size, s"${streamed.size} streamed vs ${batch.size} batch")
+    assert(streamed == batch)
+  }
+
   test("stream-stream attribution joins views to preceding clicks within the window") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
