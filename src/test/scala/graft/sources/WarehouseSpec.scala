@@ -96,6 +96,31 @@ class WarehouseSpec extends SparkTestBase {
     assert(agg.map(_.getString(0)).toSeq == Seq("Action", "Drama", "Sci-Fi"))
   }
 
+  test("two-schema catalog layout: raw_data ingest feeding production (reference parity)") {
+    val dir = Files.createTempDirectory("graft_two_schema").toString
+    val csv =
+      """id,title,release_date,genres,revenue,budget,popularity,imdb_rating
+        |1,A,2009-12-15,"Action, Sci-Fi",100.0,50.0,9.0,7.9
+        |2,B,1994-06-01,Drama,200.0,60.0,8.0,8.8
+        |""".stripMargin
+    val f = new java.io.File(dir, "movies.csv")
+    Files.writeString(f.toPath, csv)
+
+    // ingest.py:28 CREATE SCHEMA raw_data; transform.py:85 production —
+    // the same two-level namespace, via the catalog end to end.
+    val n = MoviePipeline.ingest(
+      spark, f.getAbsolutePath, new CatalogWarehouse("raw_data"), "tmdb_movies_raw")
+    assert(n == 2)
+    val cleaned = MoviePipeline.clean(spark.table("raw_data.tmdb_movies_raw"))
+    MoviePipeline.transform(spark, cleaned, new CatalogWarehouse("production"))
+
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).toSet
+    assert(Set("raw_data", "production").subsetOf(dbs))
+    assert(spark.sql(
+      "SELECT genre_name FROM production.genre_average_revenue ORDER BY genre_name")
+      .collect().map(_.getString(0)).toSeq == Seq("Action", "Drama", "Sci-Fi"))
+  }
+
   test("catalog tables: CREATE DATABASE IF NOT EXISTS + saveAsTable (D1/D2)") {
     import sqlImplicits._
     val wh = new CatalogWarehouse("production")
