@@ -209,6 +209,40 @@ object Events {
     },
 
     // ------------------------------------------------------------------
+    // Schema-projected JSON parsing: from_json with an explicit schema
+    // parses the document ONCE into a struct — the right call when a
+    // query touches multiple fields (per-path get_json_object, q54,
+    // re-parses per path); malformed documents become null structs,
+    // the lenient-cast posture (X3) applied to JSON.
+    QueryDef(
+      "q58_json_struct",
+      Some("""
+        SELECT event_type,
+               count(try_cast(json_extract_string(props, '$.k') AS INT)) AS n_parsed,
+               CAST(sum(try_cast(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                 AS sum_k,
+               CAST(count(*) FILTER (WHERE try_cast(json_extract_string(props, '$.k') AS INT) >= 50)
+                 AS BIGINT) AS n_high
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """),
+    ) { (s, dir) =>
+      val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField(
+          "k", org.apache.spark.sql.types.IntegerType))))
+      Tables.events(s, dir)
+        .select(col("event_type"), parsed.getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n_parsed"),
+          sum(col("k")).as("sum_k"),
+          count(when(col("k") >= 50, 1)).as("n_high"),
+        )
+        .orderBy("event_type")
+    },
+
+    // ------------------------------------------------------------------
     // Range join via BANDING — the scale-safe construction for interval
     // predicates: bucket both sides by a 60s band, join each event to
     // its own and the adjacent band (every |Δt| ≤ 60s pair must share
