@@ -395,6 +395,36 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Array aggregation: collect the distinct order statuses per
+    // customer. collect_list is order-nondeterministic (arrival order
+    // across partitions), so the result is canonicalized — distinct →
+    // sort → join — before leaving the query; emitting it as a string
+    // also sidesteps engine-specific list hashing in the compare.
+    QueryDef(
+      "q45_array_agg",
+      Some("""
+        SELECT o_custkey,
+               array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+                 AS statuses,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+        LIMIT 1000
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          array_join(sort_array(array_distinct(collect_list(col("o_orderstatus")))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n_orders"),
+        )
+        .orderBy("o_custkey")
+        .limit(1000)
+    },
+
+    // ------------------------------------------------------------------
     // Correlated scalar subquery, submitted as SQL TEXT (spark.sql over
     // a temp view — the reference's users write SQL, so the engine's
     // SQL entry path is part of parity): orders priced above their
