@@ -228,11 +228,16 @@ object Events {
         ORDER BY event_type
       """),
     ) { (s, dir) =>
+      // Field extracted as STRING then try_cast: a quoted "42" parses
+      // on both engines this way, whereas from_json straight to int
+      // nulls the whole struct on quoted numerics while the oracle's
+      // json_extract_string + try_cast accepts them — keep both sides
+      // string-lenient (X3 posture).
       val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(
         Seq(org.apache.spark.sql.types.StructField(
-          "k", org.apache.spark.sql.types.IntegerType))))
+          "k", org.apache.spark.sql.types.StringType))))
       Tables.events(s, dir)
-        .select(col("event_type"), parsed.getField("k").as("k"))
+        .select(col("event_type"), parsed.getField("k").try_cast("int").as("k"))
         .groupBy("event_type")
         .agg(
           count(col("k")).as("n_parsed"),

@@ -51,14 +51,15 @@ class AnnQualitySpec extends SparkTestBase {
   }
 
   test("cell-pruned top-3 equals brute-force top-3 per query") {
-    def topSets(name: String): Map[Long, Set[Long]] =
+    def topSets(name: String, maxRank: Int): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, corpusDir)
-        .select("query_id", "neighbor_id").collect()
+        .select("query_id", "neighbor_id", "rank").collect()
+        .filter(_.getInt(2) <= maxRank)
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val brute = topSets("q68_knn_bruteforce") // rank ≤ 5
-    val ivf = topSets("q69_knn_ivf") // rank ≤ 3
+    val brute = topSets("q68_knn_bruteforce", 3)
+    val ivf = topSets("q69_knn_ivf", 3)
     ivf.foreach { case (q, neigh) =>
-      assert(neigh.subsetOf(brute(q)), s"query $q: IVF found $neigh, brute top-5 ${brute(q)}")
+      assert(neigh == brute(q), s"query $q: IVF found $neigh, brute top-3 ${brute(q)}")
     }
   }
 

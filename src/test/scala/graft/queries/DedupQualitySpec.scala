@@ -45,7 +45,13 @@ class DedupQualitySpec extends SparkTestBase {
     val base = sentence(40).split(" ")
     val clusterB = (30L until 36L).map { i =>
       val t = base.clone()
-      t((i * 5 % base.length).toInt) = vocab(rng.nextInt(vocab.length))
+      val pos = (i * 5 % base.length).toInt
+      // Re-draw until the edit actually changes the token — a no-op
+      // edit would make two cluster-B docs byte-identical and corrupt
+      // the planted exact-dup count.
+      var repl = vocab(rng.nextInt(vocab.length))
+      while (repl == t(pos)) repl = vocab(rng.nextInt(vocab.length))
+      t(pos) = repl
       (i, t.mkString(" "))
     }
 

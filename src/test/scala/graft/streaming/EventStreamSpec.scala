@@ -73,8 +73,10 @@ class EventStreamSpec extends SparkTestBase {
 
     def canon(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long, Long, Long, Double)] =
       rows.map { r =>
+        // HALF_UP like Spark's round(), not math.round (half-toward-
+        // +inf) — the two disagree on negative midpoints.
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          math.round(r.getDouble(4) * 100.0) / 100.0)
+          BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toSeq.sorted
 
     val streamed = canon(
