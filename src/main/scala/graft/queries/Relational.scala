@@ -395,6 +395,72 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q6 verbatim shape (forecast revenue change): pure
+    // filter-and-sum — every predicate pushes into the parquet scan,
+    // the aggregate is one partial+final pass, zero shuffles beyond
+    // the single-row reduce. The canonical scan-efficiency benchmark.
+    QueryDef(
+      "q46_tpch_q6",
+      Some("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+      """)
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q3 shape (top unshipped orders by revenue): segment-filtered
+    // customer dim joins the fact chain, top-10 by revenue — the
+    // classic join + aggregate + top-k pipeline; Catalyst plans the
+    // final sort+limit as TakeOrderedAndProject.
+    QueryDef(
+      "q47_tpch_q3",
+      Some("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < CAST('1998-03-15' AS TIMESTAMP)
+          AND l_shipdate > CAST('1998-03-15' AS TIMESTAMP)
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "customer").createOrReplaceTempView("customer")
+      tbl(s, dir, "orders").createOrReplaceTempView("orders")
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < CAST('1998-03-15' AS TIMESTAMP)
+          AND l_shipdate > CAST('1998-03-15' AS TIMESTAMP)
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """)
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →
