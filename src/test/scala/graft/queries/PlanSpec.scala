@@ -58,6 +58,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q46 (TPC-H Q6): every predicate reaches the parquet scan") {
+    val p = plan("q46_tpch_q6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q47 (TPC-H Q3): top-k plans as TakeOrderedAndProject with the segment filter pushed") {
+    val p = plan("q47_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("c_mktsegment")), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
