@@ -33,6 +33,28 @@ class OpsSpec extends SparkTestBase {
     assert(got == Seq("a.b", "c"))
   }
 
+  test("X2 parseNameListParity reproduces the astype(str) quirk on demand") {
+    val df = Seq(
+      (null: String),       // pandas astype(str): NaN → literal 'nan' token
+      ("Action, Drama"),
+      (""),
+    ).toDF("genres")
+    val nan = df.select(Ops.parseNameListParity($"genres").as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(nan(0) == Seq("nan")) // the quirk: a bogus one-token list
+    assert(nan(1) == Seq("Action", "Drama")) // non-null path = clean X1
+    assert(nan(2) == Seq.empty) // blank (a real string) still parses to []
+
+    // Object-None flavor ('None'), selectable per the reference's dtype.
+    val none = df.select(Ops.parseNameListParity($"genres", ",", "None").as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(none(0) == Seq("None"))
+
+    // The quirk token survives the reference's own F2 filter (!= ''),
+    // which is exactly how it polluted movie_genre_fact.
+    assert(Seq("nan").filter(_ != "").nonEmpty)
+  }
+
   test("X6 serializeList: bracketed, no spaces, [] for empty/null") {
     val df = Seq(
       (Seq("a", "b", "c")),
