@@ -432,7 +432,42 @@ object TextOps {
         )
         .orderBy("doc_id")
     },
-  ) :+ contaminationDef
+  ) :+ contaminationDef :+ dataMixingDef
+
+  /** q76 — deterministic data mixing: per-source keep-rates applied by
+    * hashing the document id, NOT by rand(). Hash-based selection makes
+    * the subsample a pure function of the corpus — rerunnable,
+    * auditable, identical on any cluster size — which is how a
+    * training-data recipe ("80% of sources 0-2, 30% of the rest") stays
+    * reproducible; rand()-based sampling can't be oracle-checked and
+    * can't be re-derived after the fact.
+    */
+  private lazy val dataMixingDef: QueryDef = QueryDef(
+    "q76_data_mixing",
+    Some(s"""
+      WITH sel AS (
+        SELECT source, n_chars,
+               ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+        FROM documents)
+      SELECT source, count(*) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM sel
+      WHERE bucket < CASE WHEN source IN ('src0', 'src1', 'src2')
+                          THEN 80 ELSE 30 END
+      GROUP BY source
+      ORDER BY source
+    """),
+  ) { (s, dir) =>
+    val bucket = stringHash60(col("doc_id").cast("string")) % 100
+    val rate = when(col("source").isInCollection(Seq("src0", "src1", "src2")), 80)
+      .otherwise(30)
+    tbl(s, dir, "documents")
+      .select(col("source"), col("n_chars"), bucket.as("bucket"), rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
 
   /** q74 — appended to `defs` below; lazy because it is defined after
     * `defs` in initialization order.
