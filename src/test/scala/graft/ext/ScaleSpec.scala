@@ -54,6 +54,22 @@ class ScaleSpec extends SparkTestBase {
     assert(pruned.select("year").distinct().collect().map(_.getInt(0)).toSeq == Seq(2001))
   }
 
+  test("compaction rewrites many small files into few, preserving data") {
+    import sqlImplicits._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(32).write.parquet(s"$dir/t") // 32 tiny files
+    def parquetFiles = new java.io.File(s"$dir/t").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 32)
+
+    Scale.compact(spark, s"$dir/t", 2)
+    assert(parquetFiles == 2)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 500500L)
+  }
+
   test("dynamic partition overwrite refreshes one partition, leaves the rest intact") {
     import sqlImplicits._
     val dir = Files.createTempDirectory("graft_dpo").toString
