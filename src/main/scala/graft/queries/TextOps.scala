@@ -432,7 +432,7 @@ object TextOps {
         )
         .orderBy("doc_id")
     },
-  ) :+ contaminationDef :+ dataMixingDef
+  ) :+ contaminationDef :+ dataMixingDef :+ qualityGateDef
 
   /** q76 — deterministic data mixing: per-source keep-rates applied by
     * hashing the document id, NOT by rand(). Hash-based selection makes
@@ -467,6 +467,48 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("total_chars"))
       .orderBy("source")
+  }
+
+  /** q77 — quality gating: the filter step between scoring (q63) and
+    * mixing (q76). Same score formula as q63, thresholded; reports the
+    * kept/dropped accounting per language a pipeline logs before a
+    * data release. Map-side except the final small aggregate.
+    */
+  private lazy val qualityGateDef: QueryDef = QueryDef(
+    "q77_quality_gate",
+    Some("""
+      WITH f AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5 +
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                 greatest(len(string_split(text, ' ')), 1) * 0.5 AS quality
+        FROM documents)
+      SELECT lang,
+             count(*) FILTER (WHERE quality >= 0.6) AS n_kept,
+             count(*) FILTER (WHERE quality < 0.6) AS n_dropped,
+             CAST(coalesce(sum(n_tokens) FILTER (WHERE quality >= 0.6), 0) AS BIGINT)
+               AS kept_tokens
+      FROM f
+      GROUP BY lang
+      ORDER BY lang
+    """),
+  ) { (s, dir) =>
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val quality =
+      least(nTokens / 100.0, lit(1.0)) * 0.5 +
+        size(array_distinct(toks)).cast("double") / greatest(nTokens, lit(1)) * 0.5
+    tbl(s, dir, "documents")
+      .select(col("lang"), nTokens.as("n_tokens"), quality.as("quality"))
+      .groupBy("lang")
+      .agg(
+        count(when(col("quality") >= 0.6, 1)).as("n_kept"),
+        count(when(col("quality") < 0.6, 1)).as("n_dropped"),
+        coalesce(sum(when(col("quality") >= 0.6, col("n_tokens"))), lit(0L))
+          .as("kept_tokens"),
+      )
+      .orderBy("lang")
   }
 
   /** q74 — appended to `defs` below; lazy because it is defined after
