@@ -341,6 +341,50 @@ object Events {
     },
 
     // ------------------------------------------------------------------
+    // Funnel analysis: users who progressed click → purchase in event-
+    // time order, per cohort of first activity. One aggregate over
+    // conditional mins — no joins, no per-step passes; the standard
+    // way a funnel survives arbitrary event volume.
+    QueryDef(
+      "q59_funnel",
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 min(epoch_us(ts)) AS first_seen_us,
+                 min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+          FROM events GROUP BY user_id)
+        SELECT count(*) AS n_users,
+               count(first_click_us) AS n_clicked,
+               CAST(count(*) FILTER (WHERE first_purchase_us > first_click_us) AS BIGINT)
+                 AS n_converted,
+               round(CAST(count(*) FILTER (WHERE first_purchase_us > first_click_us) AS DOUBLE) /
+                     greatest(count(first_click_us), 1), 4) AS conversion
+        FROM u
+      """),
+    ) { (s, dir) =>
+      val t = unix_micros(col("ts"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), t.as("t"))
+        .groupBy("user_id")
+        .agg(
+          min(col("t")).as("first_seen_us"),
+          min(when(col("event_type") === "click", col("t"))).as("first_click_us"),
+          min(when(col("event_type") === "purchase", col("t"))).as("first_purchase_us"),
+        )
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("first_click_us")).as("n_clicked"),
+          count(when(col("first_purchase_us") > col("first_click_us"), 1)).as("n_converted"),
+          round(
+            count(when(col("first_purchase_us") > col("first_click_us"), 1)).cast("double") /
+              greatest(count(col("first_click_us")), lit(1)),
+            4,
+          ).as("conversion"),
+        )
+    },
+
+    // ------------------------------------------------------------------
     // Exact deduplication on a projected key set (distinct = the
     // deterministic form of dropDuplicates; one shuffle on the key).
     QueryDef(

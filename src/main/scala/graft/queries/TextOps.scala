@@ -432,7 +432,39 @@ object TextOps {
         )
         .orderBy("doc_id")
     },
-  ) :+ contaminationDef :+ dataMixingDef :+ qualityGateDef
+  ) :+ contaminationDef :+ dataMixingDef :+ qualityGateDef :+ dedupMaterializeDef
+
+  /** q78 — the dedup WRITE step (q60 only counts): keep one canonical
+    * representative per exact-duplicate group, chosen deterministically
+    * (lowest doc_id), via a window ranked inside md5(text) groups. The
+    * shuffle carries the 16-byte digest as the partition key; survivors
+    * stream out without materializing groups.
+    */
+  private lazy val dedupMaterializeDef: QueryDef = QueryDef(
+    "q78_dedup_materialize",
+    Some("""
+      WITH ranked AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk,
+               count(*) OVER (PARTITION BY md5(text)) AS group_size
+        FROM documents)
+      SELECT doc_id, lang, source, CAST(group_size AS BIGINT) AS n_copies
+      FROM ranked
+      WHERE rk = 1
+      ORDER BY doc_id
+    """),
+  ) { (s, dir) =>
+    val byText = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    tbl(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        row_number().over(byText.orderBy(asc("doc_id"))).as("rk"),
+        count(lit(1)).over(byText).as("group_size"),
+      )
+      .filter(col("rk") === 1) // the deduplicated corpus: every group's canonical row
+      .select(col("doc_id"), col("lang"), col("source"), col("group_size").as("n_copies"))
+      .orderBy("doc_id")
+  }
 
   /** q76 — deterministic data mixing: per-source keep-rates applied by
     * hashing the document id, NOT by rand(). Hash-based selection makes
