@@ -385,6 +385,50 @@ object Events {
     },
 
     // ------------------------------------------------------------------
+    // Cohort retention: users grouped by first-activity week, counted
+    // by how many distinct weeks they returned. Two aggregates — per
+    // (user, week) activity, then per cohort — never a user × week
+    // matrix materialized row-per-cell; the retention curve falls out
+    // of the distinct-week counts.
+    QueryDef(
+      "q79_cohort_retention",
+      Some(s"""
+        WITH uw AS (
+          SELECT user_id, epoch_us(ts) // ${7 * 24 * 3600L * 1000000L} AS week
+          FROM events GROUP BY user_id, week),
+        u AS (
+          SELECT user_id, min(week) AS cohort_week,
+                 count(*) AS n_active_weeks
+          FROM uw GROUP BY user_id)
+        SELECT cohort_week, count(*) AS cohort_size,
+               CAST(count(*) FILTER (WHERE n_active_weeks >= 2) AS BIGINT) AS retained_2w,
+               CAST(count(*) FILTER (WHERE n_active_weeks >= 4) AS BIGINT) AS retained_4w,
+               round(avg(n_active_weeks), 4) AS avg_active_weeks
+        FROM u
+        GROUP BY cohort_week
+        ORDER BY cohort_week
+      """),
+    ) { (s, dir) =>
+      val weekUs = 7 * 24 * 3600L * 1000000L
+      // `div`, not `/`: integer division like DuckDB's `//` — double
+      // division + cast could round across a week boundary.
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        .selectExpr("user_id", s"t div ${weekUs}L AS week")
+        .distinct()
+      uw.groupBy("user_id")
+        .agg(min("week").as("cohort_week"), count(lit(1)).as("n_active_weeks"))
+        .groupBy("cohort_week")
+        .agg(
+          count(lit(1)).as("cohort_size"),
+          count(when(col("n_active_weeks") >= 2, 1)).as("retained_2w"),
+          count(when(col("n_active_weeks") >= 4, 1)).as("retained_4w"),
+          round(avg("n_active_weeks"), 4).as("avg_active_weeks"),
+        )
+        .orderBy("cohort_week")
+    },
+
+    // ------------------------------------------------------------------
     // Exact deduplication on a projected key set (distinct = the
     // deterministic form of dropDuplicates; one shuffle on the key).
     QueryDef(
