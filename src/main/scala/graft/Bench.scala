@@ -46,7 +46,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+    // Also persist to a file: a tail-capture of stdout can truncate the
+    // (long) summary line mid-JSON (BENCH_r02 "parsed": null); the file
+    // is immune to log interleaving and capture windows.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SUMMARY.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // file is best-effort; stdout is the contract
+    println(json)
     spark.stop()
   }
 }

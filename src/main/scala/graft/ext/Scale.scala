@@ -38,19 +38,41 @@ object Scale {
     * files. Streaming appends and fine-grained incremental writes leave
     * thousands of KB-sized files whose per-file open/footer overhead
     * dominates scan time at scale; periodic compaction restores
-    * full-bandwidth scans. Rewrites via a temp directory then swaps, so
-    * a crash mid-compaction never leaves the table truncated.
+    * full-bandwidth scans.
+    *
+    * Crash-safety contract: the swap is two renames — the live table is
+    * first set aside at `path.compact-old`, then the compacted rewrite
+    * is renamed in. The DATA is never lost: at every instant the
+    * complete table exists at `path` or at `path.compact-old`, and the
+    * next `compact` call heals an interrupted swap before doing
+    * anything else. What is NOT guaranteed is continuous readability —
+    * between the two renames a concurrent reader sees no directory at
+    * `path` (a filesystem without atomic multi-file swap cannot close
+    * that window; table formats like Iceberg/Delta exist precisely to
+    * move the swap into a metadata pointer).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
-    val tmp = path + ".compact-tmp"
-    spark.read.parquet(path).repartition(numFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Heal a swap interrupted between the two renames: the previous
+    // run moved the table aside but died before moving the rewrite in.
+    if (!fs.exists(dst) && fs.exists(old)) {
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(s"compact: failed to restore $old -> $dst")
+    }
+    spark.read.parquet(path).repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true) // leftover from an older COMPLETED run
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: failed to set aside $dst -> $old")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back so the table stays live
+      throw new java.io.IOException(s"compact: failed to swap in $tmp -> $dst")
+    }
+    fs.delete(old, true)
   }
 
   /** Incremental refresh of a partitioned table: overwrite ONLY the

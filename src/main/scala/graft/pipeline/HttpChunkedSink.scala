@@ -18,6 +18,13 @@ import java.nio.charset.StandardCharsets
   * else is a JSON string — mirroring the reference's USER_ENTERED value
   * semantics where the receiving end interprets typed cells.
   *
+  * Reliability: every call retries on 429/5xx with bounded exponential
+  * backoff (`maxRetries`, `retryBaseMillis`) — the reference's real
+  * endpoint (Sheets REST) rate-limits exactly this way, and a 50k-chunk
+  * publish that dies on one transient 429 would otherwise leave the
+  * table half-written. 4xx other than 429 never retries (it won't get
+  * better).
+  *
   * Driver-side by design: Publish streams the row-capped result through
   * toLocalIterator (bounded by the reference's own 50k cap), so the
   * sink never sees more than one chunk in memory.
@@ -25,10 +32,29 @@ import java.nio.charset.StandardCharsets
 class HttpChunkedSink(
     baseUrl: String,
     client: HttpClient = HttpClient.newHttpClient(),
+    maxRetries: Int = 4,
+    retryBaseMillis: Long = 250,
 ) extends ChunkedSink {
+
+  private def tableUri(table: String): URI =
+    URI.create(s"$baseUrl/tables/$table")
 
   private def rowsUri(table: String): URI =
     URI.create(s"$baseUrl/tables/$table/rows")
+
+  /** Create-if-missing (publish.py:64-68: worksheet lookup → on
+    * WorksheetNotFound, add_worksheet): GET the table resource; on 404,
+    * PUT it into existence.
+    */
+  override def ensure(table: String): Unit = {
+    val got = sendRaw(HttpRequest.newBuilder(tableUri(table)).GET().build())
+    if (got.statusCode() == 404)
+      send(HttpRequest.newBuilder(tableUri(table))
+        .PUT(HttpRequest.BodyPublishers.noBody()).build())
+    else if (got.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"sink GET ${tableUri(table)} -> HTTP ${got.statusCode()}: ${got.body()}")
+  }
 
   override def clear(table: String): Unit =
     send(HttpRequest.newBuilder(rowsUri(table)).DELETE().build())
@@ -44,8 +70,24 @@ class HttpChunkedSink(
         .build()
     )
 
+  /** Send with bounded exponential backoff on 429/5xx; returns the
+    * final response whatever its status (callers decide what a non-2xx
+    * means — `ensure` treats 404 as "create it").
+    */
+  private def sendRaw(req: HttpRequest): HttpResponse[String] = {
+    var attempt = 0
+    var resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    while (attempt < maxRetries &&
+      (resp.statusCode() == 429 || resp.statusCode() / 100 == 5)) {
+      Thread.sleep(retryBaseMillis << attempt) // 1x, 2x, 4x, 8x base
+      attempt += 1
+      resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+    resp
+  }
+
   private def send(req: HttpRequest): Unit = {
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = sendRaw(req)
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
         s"sink ${req.method()} ${req.uri()} -> HTTP ${resp.statusCode()}: ${resp.body()}")

@@ -20,6 +20,12 @@ import graft.engine.Ops
   * frame).
   */
 trait ChunkedSink {
+  /** Create the destination table if it doesn't exist (publish.py:64-68:
+    * `spreadsheet.worksheet(name)` → on WorksheetNotFound,
+    * `add_worksheet(...)`). Default no-op — file-backed sinks create on
+    * first write anyway.
+    */
+  def ensure(table: String): Unit = ()
   def clear(table: String): Unit
   def appendHeader(table: String, columns: Seq[String]): Unit
   def appendChunk(table: String, rows: Seq[Seq[Any]]): Unit
@@ -43,6 +49,7 @@ object Publish {
     val normalized = normalizeDoubles(df)
     val capped = limit.fold(normalized)(normalized.limit)
     if (capped.isEmpty) return 0L // publish.py:43-45 empty-frame guard
+    sink.ensure(table) // publish.py:64-68 create-if-missing
     sink.clear(table)
     sink.appendHeader(table, capped.columns.toSeq)
     var published = 0L

@@ -53,26 +53,57 @@ object Tables {
   * scans thereafter — exactly what a cluster pipeline does with
   * shingle/signature/cluster tables, persisted once per corpus
   * snapshot.
+  *
+  * Keyed by (corpus dir, artifact name, corpus CONTENT fingerprint):
+  * if the corpus parquet at a path is rewritten mid-session, the
+  * fingerprint (sorted recursive file listing: path + length + mtime)
+  * changes and the artifact rebuilds instead of silently serving the
+  * stale snapshot. The mtime listing is the filesystem-generic stand-in
+  * for what a table format gives as a snapshot id; its granularity is
+  * the filesystem's mtime resolution.
   */
 object Snapshots {
-  private val paths = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val paths = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
   def apply(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
+    val fp = fingerprint(spark, dir)
     val path = paths.getOrElseUpdate(
-      (dir, name), {
+      (dir, name, fp), {
         // md5 of the corpus dir, not hashCode: hashCode collisions
         // between two corpus dirs would silently serve wrong-corpus
         // artifacts (and abs(Int.MinValue) is negative).
-        val dirKey = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$name"
+        val dirKey = md5Hex(dir).take(12)
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-$name"
         build.write.mode("overwrite").parquet(out)
         out
       },
     )
     spark.read.parquet(path)
   }
+
+  /** Content fingerprint of the corpus dir: md5 over the sorted
+    * recursive (path, length, mtime) listing. Cheap relative to any
+    * build (one namenode/dirent sweep, no data read).
+    */
+  private def fingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+    }
+    md5Hex(entries.sorted.mkString("\n")).take(12)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
 
 /** One declared query: a Spark implementation plus (when the semantics

@@ -70,6 +70,33 @@ class ScaleSpec extends SparkTestBase {
     assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 500500L)
   }
 
+  test("compaction interrupted between the two renames heals on the next run") {
+    import sqlImplicits._
+    val dir = Files.createTempDirectory("graft_compact_crash").toString
+    val df = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(8).write.parquet(s"$dir/t")
+
+    // Simulate the crash window: a previous compact() wrote the rewrite
+    // to .compact-tmp and moved the live table aside to .compact-old,
+    // then died before the second rename — nothing is at `path`.
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$dir/t").repartition(2)
+      .write.parquet(s"$dir/t.compact-tmp")
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/t"),
+      new org.apache.hadoop.fs.Path(s"$dir/t.compact-old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t")))
+
+    // The next compact() must first restore the set-aside table, then
+    // complete normally — no data lost, table back at `path`.
+    Scale.compact(spark, s"$dir/t", 2)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 500)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 125250L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t.compact-old")))
+  }
+
   test("dynamic partition overwrite refreshes one partition, leaves the rest intact") {
     import sqlImplicits._
     val dir = Files.createTempDirectory("graft_dpo").toString

@@ -53,6 +53,23 @@ class WarehouseSpec extends SparkTestBase {
     assert(wh.read(spark, "t1").count() == 1)
   }
 
+  test("JDBC warehouse wired from a dotenv config file round-trips") {
+    import sqlImplicits._
+    // The reference hardcodes its connection as module constants
+    // (ingest.py:9-13); the engine resolves the same keys from a config
+    // file with the environment taking precedence.
+    val f = Files.createTempFile("graft_cfg", ".env")
+    Files.write(f, (
+      s"# test warehouse\n" +
+        s"DB_URL=jdbc:derby:$derbyDir/fromcfg;create=true\n" +
+        s"DB_DRIVER=org.apache.derby.jdbc.EmbeddedDriver\n"
+      ).getBytes("UTF-8"))
+    val wh = graft.util.EnvConfig.jdbcWarehouse(
+      graft.util.EnvConfig.load(f.toString), env = Map.empty)
+    wh.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "cfg_t")
+    assert(wh.read(spark, "cfg_t").count() == 2)
+  }
+
   test("JDBC warehouse: row-capped and partitioned parallel reads") {
     import sqlImplicits._
     val wh = derbyWarehouse("scans")
