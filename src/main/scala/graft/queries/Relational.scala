@@ -689,5 +689,43 @@ object Relational {
         )
         .orderBy("qty_bucket")
     },
+
+    // ------------------------------------------------------------------
+    // Partition pruning over an at-rest layout: orders materialized once
+    // per corpus partitioned by order_year (Scale.writePartitioned's
+    // layout, via the Snapshots artifact path), then a year-range query
+    // reads ONLY the matching partition directories — `PartitionFilters`
+    // in the scan, zero rows decoded outside 1996-1997. At 100 TB this
+    // is the difference between scanning two years and scanning the
+    // table; PlanSpec pins the pruned plan shape. The oracle computes
+    // the same result from the raw table (DuckDB sees no partitioning —
+    // the layout is a physical detail the result must be invariant to).
+    QueryDef(
+      "q48_partition_pruned",
+      Some("""
+        SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+               o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1996 AND 1997
+        GROUP BY order_year, o_orderstatus
+        ORDER BY order_year, o_orderstatus
+      """),
+    ) { (s, dir) =>
+      val byYear = graft.util.Snapshots(
+        s, dir, "orders-by-year", partitionBy = Seq("order_year")) {
+        tbl(s, dir, "orders")
+          .withColumn("order_year", year(col("o_orderdate").cast("date")))
+      }
+      byYear
+        .filter(col("order_year").between(1996, 1997))
+        .groupBy("order_year", "o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"),
+        )
+        .orderBy("order_year", "o_orderstatus")
+    },
   )
 }

@@ -65,7 +65,8 @@ object Tables {
 object Snapshots {
   private val paths = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
-  def apply(spark: SparkSession, dir: String, name: String)(
+  def apply(spark: SparkSession, dir: String, name: String,
+      partitionBy: Seq[String] = Nil)(
       build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
     val path = paths.getOrElseUpdate(
@@ -76,7 +77,9 @@ object Snapshots {
         val dirKey = md5Hex(dir).take(12)
         val out =
           s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-$name"
-        build.write.mode("overwrite").parquet(out)
+        val w = build.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(out)
         out
       },
     )

@@ -72,6 +72,17 @@ class PlanSpec extends SparkTestBase {
       l.contains("PushedFilters") && l.contains("c_mktsegment")), p)
   }
 
+  test("q48: the year filter prunes partitions of the at-rest layout") {
+    val p = plan("q48_partition_pruned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("order_year"), s"no partition filter on order_year:\n$p")
+    // The filter must be a PARTITION filter (directory-level pruning),
+    // not a pushed data filter: the scan's PushedFilters must not need
+    // to re-check order_year row by row.
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushed.contains("order_year"), s"order_year degraded to a data filter:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
