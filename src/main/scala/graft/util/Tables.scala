@@ -86,6 +86,33 @@ object Snapshots {
     spark.read.parquet(path)
   }
 
+  /** Bucketed-table variant: materialize the artifact as a catalog
+    * table bucketed (and sorted) by `key`, data at an external tmpdir
+    * path. Joins and aggregations keyed on the bucket column then plan
+    * with NO hash-partitioning Exchange — the shuffle is paid once at
+    * write time, the at-rest layout a 100 TB fact table repeatedly
+    * joined/aggregated on one key wants. Same (dir, name, content
+    * fingerprint) keying as parquet snapshots.
+    */
+  def bucketedTable(spark: SparkSession, dir: String, name: String,
+      key: String, buckets: Int)(build: => DataFrame): DataFrame = {
+    val fp = fingerprint(spark, dir)
+    val table = paths.getOrElseUpdate(
+      (dir, s"bkt-$name", fp), {
+        val dirKey = md5Hex(dir).take(12)
+        val t = s"graft_snap_${dirKey}_${fp}_${name.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-bkt-$name"
+        build.write.mode("overwrite")
+          .option("path", out)
+          .bucketBy(buckets, key).sortBy(key)
+          .saveAsTable(t)
+        t
+      },
+    )
+    spark.table(table)
+  }
+
   /** Content fingerprint of the corpus dir: md5 over the sorted
     * recursive (path, length, mtime) listing. Cheap relative to any
     * build (one namenode/dirent sweep, no data read).

@@ -83,6 +83,14 @@ class PlanSpec extends SparkTestBase {
     assert(!pushed.contains("order_year"), s"order_year degraded to a data filter:\n$p")
   }
 
+  test("q49: the keyed aggregate over the bucketed table plans with no hash exchange") {
+    val p = plan("q49_bucketed_agg")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed agg should consume the scan's distribution:\n$p")
+    // The layout is really in play: the scan must be a bucketed scan.
+    assert(p.contains("Bucketed: true"), s"scan is not bucketed:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
