@@ -26,6 +26,24 @@ object Bench {
         .selectExpr("md5(text) AS m", "explode(split(text, ' ')) AS t")
         .groupBy("t").agg(org.apache.spark.sql.functions.count("m"))
         .count())
+    // Shingle/HOF + parquet-write warmup: the higher-order shingle
+    // chain (transform/sequence/element_at), conv(), and the parquet
+    // write committer each pay a first-use planning/JIT tax that
+    // measured 5-10 s on a cold JVM (box-dependent) — without this it
+    // all lands on whichever shingle query sorts first (q64), making
+    // per-query numbers incomparable across rounds/boxes.
+    warm {
+      import org.apache.spark.sql.functions._
+      val f = graft.functions.TextFunctions
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(f.shingles(f.tokens(col("text")), 3))).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("m"))
+        .withColumn("h", conv(substring(col("m"), 1, 15), 16, 10).try_cast("bigint"))
+        .write.mode("overwrite")
+        .parquet(s"${System.getProperty("java.io.tmpdir")}/graft-bench-warm")
+    }
     // Deterministic name order so per-query numbers compare across rounds.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

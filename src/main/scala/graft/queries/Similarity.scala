@@ -260,7 +260,115 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  // -------------------------------------------------------------------
+  // q84: random-hyperplane LSH (SRP — sign-random-projection) ANN.
+
+  /** Hyperplane count: buckets = 2^NPlanes. The occupancy knob — at
+    * corpus size N the expected bucket population is N/2^NPlanes, so
+    * production scales the plane count with log2(N) (and multiprobes
+    * neighboring buckets for recall); fixed here so the oracle SQL is
+    * static across scale factors.
+    */
+  private val NPlanes = 8
+
+  /** Embedding dimensionality of the corpus (TESTDATA.md: dim 64). The
+    * hyperplane weights are plan-time literals, so the dimension must
+    * be fixed; a dim change would surface as zip_with null-padding →
+    * null dots, caught by the oracle compare.
+    */
+  private val EmbDim = 64
+
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1]:
+    * md5("plane{p}_dim{d}") → 60-bit int → scaled. Computed ONCE in
+    * Scala and embedded as numeric literals in BOTH the Spark plan and
+    * the generated oracle SQL — cross-engine agreement needs no hash
+    * parity at all, only decimal round-trip (shortest-repr doubles
+    * parse to identical bits in any IEEE engine).
+    */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane${p}_dim$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    ((java.lang.Long.parseLong(hex, 16) % 1001L) - 500L) / 500.0
+  }
+
+  private lazy val planes: Seq[Array[Double]] =
+    (0 until NPlanes).map(p => Array.tabulate(EmbDim)(d => planeWeight(p, d)))
+
+  /** SRP bucket id: bit p is the sign of the dot with hyperplane p.
+    * Left-to-right accumulation in both engines (see file header), so
+    * the sign — and hence the bucket — is bit-deterministic.
+    */
+  private def srpBucket(emb: Column): Column =
+    (0 until NPlanes).map { p =>
+      val w = array(planes(p).map(lit): _*)
+      when(dotBuiltin(emb, w) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private lazy val duckSrpBucket: String = {
+    val ed = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    (0 until NPlanes).map { p =>
+      val ws = planes(p).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product($ed, $ws) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Random-hyperplane LSH ANN — the second scale path next to IVF
+    // (q69): 8 sign-random-projection bits bucket the corpus; search
+    // touches only the query's bucket (vs IVF's nearest-centroid cell).
+    // No training step at all — the trade against q69 is recall vs
+    // index-build cost, which is why pipelines keep both.
+    QueryDef(
+      "q84_ann_lsh_buckets",
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, embedding, $duckNorm AS nrm, $duckSrpBucket AS bucket
+          FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.bucket, v.vec_id AS neighbor_id,
+                 ${duckCos("q", "v")} AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ${duckCos("q", "v")} DESC, v.vec_id) AS rank
+          FROM q JOIN v ON q.bucket = v.bucket AND q.vec_id != v.vec_id)
+        SELECT query_id, bucket, neighbor_id, round(cos, 4) AS cosine, rank
+        FROM scored WHERE rank <= 3
+        ORDER BY query_id, rank
+      """),
+    ) { (s, dir) =>
+      val v = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", l2Norm(col("embedding")))
+        .withColumn("bucket", srpBucket(col("embedding")))
+      val q = v.filter(col("vec_id") < 10)
+        .select(
+          col("vec_id").as("query_id"),
+          col("bucket").as("q_bucket"),
+          col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+        )
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+      v.join(
+        broadcast(q),
+        col("q_bucket") === col("bucket") && col("query_id") =!= col("vec_id"),
+      )
+        .select(
+          col("query_id"),
+          col("bucket"),
+          col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"),
+        )
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(
+          col("query_id"), col("bucket"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"),
+        )
+        .orderBy("query_id", "rank")
+    },
     // ------------------------------------------------------------------
     QueryDef(
       "q68_knn_bruteforce",

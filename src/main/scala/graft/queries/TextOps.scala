@@ -24,6 +24,26 @@ object TextOps {
   private val Bands = 4
   private val Rows = 4 // NumHashes / Bands
 
+  /** q80 banded-Hamming parameters: a 60-bit SimHash cut into 6 bands
+    * of 10 bits. Pigeonhole guarantees COMPLETENESS for the Hamming
+    * threshold: a pair differing in ≤ 5 bits cannot touch all 6 bands,
+    * so at least one band matches exactly and the band-bucket join
+    * nominates the pair — banding is a pruning, never a recall loss,
+    * for ham ≤ bands-1 (Manku et al., WWW'07). Band width is the
+    * occupancy knob at scale: expected bucket population is N/2^bits,
+    * so a bigger corpus takes wider bands (64-bit sigs, 16-bit bands in
+    * production) to keep the per-bucket self-join bounded.
+    *
+    * Declared BEFORE `defs`: appended QueryDefs are forced during
+    * object init, and a val declared later in the file would still be
+    * zero at that point (the q80 oracle would silently generate empty
+    * SQL — caught by the local verify gate).
+    */
+  private val SimBits = 60
+  private val SimBands = 6
+  private val SimBandBits = 10
+  private val MaxHamming = SimBands - 1
+
   /** Max documents a shingle may appear in and still drive candidate
     * generation in q67. A hot 4-gram (boilerplate, templated text)
     * otherwise creates O(df²) candidate pairs in the shingle self-join;
@@ -113,6 +133,40 @@ object TextOps {
         col("d1"), col("d2"),
         (col("inter") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"),
       )
+  }
+
+  /** MinHash+LSH near-dup pairs with exact Jaccard ≥ 0.6 — the shared
+    * candidate machine behind q65 (pair report) and q87 (cluster
+    * labeling): 3-shingles → 16 minhashes → 4 bands × 4 rows →
+    * band-bucket self-join → exact-Jaccard verification. The banded
+    * join is the scale path: candidates ∝ colliding buckets, never
+    * all-pairs over the corpus.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(s, dir, 3)
+    // Signatures are a per-corpus artifact → parquet snapshot (the
+    // band self-join below reads them from two plan branches).
+    val sigs = snapshot(s, dir, "minhash-sigs") {
+      val minAggs = (0 until NumHashes)
+        .map(i => min(minhashExpr(col("h"), i)).as(s"m$i"))
+      sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    }
+    // One pass over the signatures emits all 4 band keys (posexplode)
+    // instead of 4 unioned projections re-reading the frame.
+    val bandKeys = (0 until Bands).map { b =>
+      val keyCols = (0 until Rows).map(r => col(s"m${Rows * b + r}"))
+      md5(concat_ws(",", keyCols: _*))
+    }
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")),
+    )
+    val cand = bands.as("x")
+      .join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    jaccardOfCandidates(cand, sh).filter(col("jaccard") >= 0.6)
   }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -318,31 +372,7 @@ object TextOps {
     // exact-Jaccard verification ≥ 0.6. The banded join is the scale
     // path: candidates ∝ colliding buckets, never all-pairs.
     QueryDef("q65_minhash_lsh", Some(minhashLshOracle)) { (s, dir) =>
-      val sh = shingleHashes(s, dir, 3)
-      // Signatures are a per-corpus artifact → parquet snapshot (the
-      // band self-join below reads them from two plan branches).
-      val sigs = snapshot(s, dir, "minhash-sigs") {
-        val minAggs = (0 until NumHashes)
-          .map(i => min(minhashExpr(col("h"), i)).as(s"m$i"))
-        sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-      }
-      // One pass over the signatures emits all 4 band keys (posexplode)
-      // instead of 4 unioned projections re-reading the frame.
-      val bandKeys = (0 until Bands).map { b =>
-        val keyCols = (0 until Rows).map(r => col(s"m${Rows * b + r}"))
-        md5(concat_ws(",", keyCols: _*))
-      }
-      val bands = sigs.select(
-        col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key")),
-      )
-      val cand = bands.as("x")
-        .join(bands.as("y"), Seq("band", "key"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      jaccardOfCandidates(cand, sh)
-        .filter(col("jaccard") >= 0.6)
+      minhashPairs(s, dir)
         .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("d1", "d2")
     },
@@ -432,7 +462,198 @@ object TextOps {
         )
         .orderBy("doc_id")
     },
-  ) :+ contaminationDef :+ dataMixingDef :+ qualityGateDef :+ dedupMaterializeDef
+  ) :+ contaminationDef :+ dataMixingDef :+ qualityGateDef :+ dedupMaterializeDef :+
+    repetitionDef :+ incrementalDedupDef :+ stratifiedSplitDef :+ tfidfDef :+
+    simhashNearDupDef :+ dedupClustersDef
+
+  /** q81 — intra-document repetition signals (the Gopher-style "rep"
+    * family of quality filters): top-unigram and top-bigram mass
+    * fractions per document. Highly templated / looping text shows a
+    * heavy head in its n-gram distribution long before exact or
+    * near-dup detectors fire, so pipelines gate on these BEFORE dedup.
+    * Shape: explode → two-level aggregate — all partial-aggregated
+    * map-side, shuffle keys are (doc_id, gram); nothing corpus-global.
+    */
+  private lazy val repetitionDef: QueryDef = QueryDef(
+    "q81_repetition_signals",
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+      ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY doc_id, g),
+      uagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(max(c) AS BIGINT) AS top_uni
+               FROM ucnt GROUP BY doc_id),
+      bi AS (SELECT doc_id, unnest(${duckShingles("t", 2)}) AS g FROM toks),
+      bcnt AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+      bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                      CAST(max(c) AS BIGINT) AS top_bi
+               FROM bcnt GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             round(top_uni * 1.0 / n_tokens, 4) AS top_unigram_frac,
+             round(top_bi * 1.0 / n_bigrams, 4) AS top_bigram_frac,
+             CASE WHEN top_uni * 1.0 / n_tokens > 0.2
+                    OR top_bi * 1.0 / n_bigrams > 0.18 THEN 1 ELSE 0 END AS repetitive
+      FROM uagg JOIN bagg USING (doc_id)
+      ORDER BY doc_id
+    """),
+  ) { (s, dir) =>
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    def topMass(grams: DataFrame, nName: String, topName: String): DataFrame =
+      grams
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as(nName), max("c").as(topName))
+    val uni = topMass(
+      toks.select(col("doc_id"), explode(col("t")).as("g")), "n_tokens", "top_uni")
+    val bi = topMass(
+      toks.select(col("doc_id"), explode(shingles(col("t"), 2)).as("g")),
+      "n_bigrams", "top_bi")
+    val uniFrac = col("top_uni") * 1.0 / col("n_tokens")
+    val biFrac = col("top_bi") * 1.0 / col("n_bigrams")
+    uni.join(bi, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(uniFrac, 4).as("top_unigram_frac"),
+        round(biFrac, 4).as("top_bigram_frac"),
+        when(uniFrac > 0.2 || biFrac > 0.18, 1).otherwise(0).as("repetitive"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** q82 — term weighting: TF-IDF-style top-3 terms per document.
+    * The idf factor is the RATIONAL form N/df, not ln(N/df): IEEE
+    * multiply/divide are correctly rounded (bit-identical between
+    * Spark and DuckDB) while libm log is only ~1-ulp accurate and
+    * engine-specific, which could flip the rank of two near-tied terms
+    * and fail the hash-compare; the ranking is monotone in either form.
+    * Shape: two aggregates (tf per (doc, term), df per term) joined on
+    * the term, then a per-doc top-k window — df is corpus-global but
+    * one row per distinct term, and the final sort is partitioned by
+    * doc_id, so nothing concentrates on one node at scale.
+    */
+  private lazy val tfidfDef: QueryDef = QueryDef(
+    "q82_tfidf_topterms",
+    Some("""
+      WITH uni AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS c FROM uni GROUP BY doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM uni GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+               c * ((SELECT n_docs FROM n) * 1.0 / df) AS w,
+               row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY c * ((SELECT n_docs FROM n) * 1.0 / df) DESC, term) AS rank
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, term, round(w, 4) AS weight, rank
+      FROM scored WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """),
+  ) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    val uni = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = uni.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val df = uni.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    val w = col("c") * (col("n_docs") * 1.0 / col("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("w"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row corpus count: broadcast literal
+      .withColumn("w", w)
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), round(col("w"), 4).as("weight"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** q85 — incremental dedup against an at-rest hash index: THE 100 TB
+    * ingest pattern (a new batch never re-deduplicates the whole
+    * corpus; it dedups within itself, then anti-joins the persisted
+    * digest index). Modeled here by splitting the corpus on doc_id
+    * parity: even rows are the at-rest index, odd rows the arriving
+    * batch. All joins key on the 16-byte md5 digest, never on text; at
+    * scale the index lives bucketed by digest prefix so the batch join
+    * shuffles only the (small) batch side.
+    */
+  private lazy val incrementalDedupDef: QueryDef = QueryDef(
+    "q85_incremental_dedup",
+    Some("""
+      WITH existing AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+      batch AS (
+        SELECT doc_id, source, md5(text) AS h,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        FROM documents WHERE doc_id % 2 = 1)
+      SELECT source,
+             count(*) AS n_batch,
+             count(*) FILTER (WHERE rk > 1) AS n_dup_in_batch,
+             count(*) FILTER (WHERE rk = 1 AND h IN (SELECT h FROM existing))
+               AS n_dup_vs_index,
+             count(*) FILTER (WHERE rk = 1 AND h NOT IN (SELECT h FROM existing))
+               AS n_ingested
+      FROM batch
+      GROUP BY source
+      ORDER BY source
+    """),
+  ) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("in_index", lit(1))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("rk", row_number().over(byHash))
+    batch.join(existing, Seq("h"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        count(when(col("rk") > 1, 1)).as("n_dup_in_batch"),
+        count(when(col("rk") === 1 && col("in_index") === 1, 1)).as("n_dup_vs_index"),
+        count(when(col("rk") === 1 && col("in_index").isNull, 1)).as("n_ingested"),
+      )
+      .orderBy("source")
+  }
+
+  /** q86 — deterministic stratified train/val split: the doc_id hash
+    * (not rand()) buckets every document 90/10 within each source, so
+    * the split is a pure function of the corpus — reproducible at any
+    * parallelism, auditable after the fact, stable across reruns
+    * (complements q76's mixing; same md5-derived bucket both engines
+    * compute identically). The per-source share is a window over the
+    * tiny aggregate, not over documents.
+    */
+  private lazy val stratifiedSplitDef: QueryDef = QueryDef(
+    "q86_stratified_split",
+    Some(s"""
+      WITH s AS (
+        SELECT source, n_chars,
+               CASE WHEN ${duckHash("CAST(doc_id AS VARCHAR)")} % 10 < 9
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents),
+      agg AS (
+        SELECT source, split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM s GROUP BY source, split)
+      SELECT source, split, n_docs, total_chars,
+             round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source), 4) AS frac
+      FROM agg
+      ORDER BY source, split
+    """),
+  ) { (s, dir) =>
+    val split = when(stringHash60(col("doc_id").cast("string")) % 10 < 9, "train")
+      .otherwise("val")
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    tbl(s, dir, "documents")
+      .select(col("source"), col("n_chars"), split.as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .withColumn("frac", round(col("n_docs") * 1.0 / sum("n_docs").over(bySource), 4))
+      .orderBy("source", "split")
+  }
 
   /** q78 — the dedup WRITE step (q60 only counts): keep one canonical
     * representative per exact-duplicate group, chosen deterministically
@@ -543,6 +764,82 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** q80 — SimHash near-dup PAIRS (q66 only emits signatures): banded
+    * band-bucket self-join for candidates, exact Hamming verification
+    * via bit_count(xor). Complements MinHash (q65): SimHash hamming
+    * tracks cosine of the token-frequency profile, MinHash tracks set
+    * Jaccard — pipelines run both because each catches edits the other
+    * scores as similar.
+    */
+  private lazy val simhashNearDupDef: QueryDef = QueryDef(
+    "q80_simhash_neardup",
+    Some(simhashNearDupOracle),
+  ) { (s, dir) =>
+    val tok = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", stringHash60(col("tok")))
+    val balanceAggs = (0 until SimBits)
+      .map(j => sum(simhashBitTerm(col("h"), j)).as(s"b$j"))
+    val sigs = tok.groupBy("doc_id")
+      .agg(balanceAggs.head, balanceAggs.tail: _*)
+      .select(
+        col("doc_id"),
+        simhashFromBalances((0 until SimBits).map(j => col(s"b$j"))).as("sig"),
+      )
+    val bandKeys = (0 until SimBands).map(b =>
+      shiftright(col("sig"), b * SimBandBits).bitwiseAND(lit((1 << SimBandBits) - 1)))
+    // The signature rides along with each band row so candidate pairs
+    // verify without re-joining the signature table.
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")),
+    )
+    val ham = bit_count(col("s1").bitwiseXOR(col("s2")))
+    bands.as("x")
+      .join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sig").as("s1"), col("y.sig").as("s2"),
+      )
+      .distinct()
+      .filter(ham <= MaxHamming)
+      .select(col("d1"), col("d2"), ham.cast("long").as("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Oracle for q80 — same 60-bit construction, bands via UNION ALL. */
+  private lazy val simhashNearDupOracle: String = {
+    val balances = (0 until SimBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n               ")
+    val assemble = (0 until SimBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val bandSelects = (0 until SimBands).map { b =>
+      s"SELECT doc_id, sig, $b AS band, (sig >> ${b * SimBandBits}) & ${(1 << SimBandBits) - 1} AS key FROM sigs"
+    }.mkString("\n          UNION ALL ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      hashed AS (SELECT doc_id, ${duckHash("tok")} AS h FROM toks),
+      bal AS (
+        SELECT doc_id,
+               $balances
+        FROM hashed GROUP BY doc_id),
+      sigs AS (SELECT doc_id, $assemble AS sig FROM bal),
+      bands AS (
+          $bandSelects),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.sig AS s1, y.sig AS s2
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(s1, s2)) <= $MaxHamming
+      ORDER BY d1, d2
+    """
+  }
+
   /** q74 — appended to `defs` below; lazy because it is defined after
     * `defs` in initialization order.
     */
@@ -581,10 +878,12 @@ object TextOps {
       .limit(20)
   }
 
-  /** Oracle for q65 — generated from the same constants as the Spark
-    * side (NumHashes/Bands/minhashA/minhashB), so they cannot drift.
+  /** Shared oracle CTE block ending in `lshpairs(d1, d2, jaccard)` —
+    * the DuckDB twin of [[minhashPairs]], generated from the same
+    * constants as the Spark side (NumHashes/Bands/minhashA/minhashB),
+    * so they cannot drift. Used by the q65 and q87 oracles.
     */
-  private lazy val minhashLshOracle: String = {
+  private lazy val minhashPairsCtes: String = {
     val minExprs = (0 until NumHashes)
       .map(i => s"min((${minhashA(i)} * (h % $MinhashP) + ${minhashB(i)}) % $MinhashP) AS m$i")
       .mkString(",\n                 ")
@@ -592,8 +891,7 @@ object TextOps {
       val keyCols = (0 until Rows).map(r => s"m${Rows * b + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $keyCols)) AS key FROM sigs"
     }.mkString("\n          UNION ALL ")
-    s"""
-      WITH ${duckShinglePrefix(3)},
+    s"""${duckShinglePrefix(3)},
       sigs AS (
         SELECT doc_id,
                  $minExprs
@@ -610,14 +908,93 @@ object TextOps {
         FROM cand
           JOIN shh s1 ON d1 = s1.doc_id
           JOIN shh s2 ON d2 = s2.doc_id AND s1.h = s2.h
-        GROUP BY d1, d2)
-      SELECT d1, d2, round(inter / (n1.n + n2.n - inter), 4) AS jaccard
-      FROM inter
-        JOIN sizes n1 ON d1 = n1.doc_id
-        JOIN sizes n2 ON d2 = n2.doc_id
-      WHERE inter / (n1.n + n2.n - inter) >= 0.6
+        GROUP BY d1, d2),
+      lshpairs AS (
+        SELECT d1, d2, inter / (n1.n + n2.n - inter) AS jaccard
+        FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id
+        WHERE inter / (n1.n + n2.n - inter) >= 0.6)"""
+  }
+
+  /** Oracle for q65 — final select over [[minhashPairsCtes]]. */
+  private lazy val minhashLshOracle: String =
+    s"""
+      WITH $minhashPairsCtes
+      SELECT d1, d2, round(jaccard, 4) AS jaccard
+      FROM lshpairs
       ORDER BY d1, d2
     """
+
+  /** q87 — near-dup CLUSTER labeling: connected components over the
+    * LSH pair graph (q65's edges), each doc labeled with the minimum
+    * doc_id reachable from it. Pair lists (q65/q67/q80) are not what a
+    * dedup pipeline executes on — it keeps ONE representative per
+    * component, and components can chain (A~B, B~C, but A≁C), so a
+    * transitive closure is required between pair generation and the
+    * keep-decision.
+    *
+    * Spark side: iterative min-label propagation — label(v) starts at
+    * v and each round takes the min over neighbors; converges to the
+    * exact component minimum after diameter(G) rounds. Near-dup
+    * components are dense (near-cliques of mutually-similar docs), so
+    * the diameter is tiny regardless of corpus size; each round is one
+    * shuffle join keyed on vertex id plus an O(1) emptiness probe for
+    * convergence (the same driver-side loop shape as GraphX Pregel),
+    * and each round's result is checkpointed so the plan does not grow
+    * exponentially with iterations (on a cluster this would be a
+    * reliable checkpoint, not a local one). The oracle computes the
+    * same fixpoint as a recursive transitive closure — iteration-count
+    * independent on both sides, so the hash compare is stable.
+    */
+  private lazy val dedupClustersDef: QueryDef = QueryDef(
+    "q87_dedup_clusters",
+    Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      edges AS (
+        SELECT d1 AS a, d2 AS b FROM lshpairs
+        UNION SELECT d2, d1 FROM lshpairs),
+      verts AS (SELECT DISTINCT a AS v FROM edges),
+      reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      SELECT doc_id, cluster_id,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      FROM comp
+      ORDER BY cluster_id, doc_id
+    """),
+  ) { (s, dir) =>
+    val pairs = minhashPairs(s, dir).select("d1", "d2")
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .select(col("d1").as("v"), col("d2").as("u"))
+      .localCheckpoint() // read once per round, not re-derived through the LSH pipeline
+    var labels = edges.select(col("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) { // cap >> any real dup-component diameter
+      val nbrMin = edges
+        .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), "u")
+        .groupBy("v").agg(min("ulbl").as("nlbl"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") =!= col("old"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    labels
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
+      .orderBy("cluster_id", "doc_id")
   }
 
   /** Oracle for q66 — 32 bit-balance sums + signature reassembly. */

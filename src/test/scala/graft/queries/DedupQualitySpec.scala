@@ -104,6 +104,60 @@ class DedupQualitySpec extends SparkTestBase {
     assert(found.intersect(within(0 until 25)).isEmpty)
   }
 
+  /** Separate corpus for cluster labeling: an exact-copy clique plus a
+    * CHAIN (10~11 and 11~12 near-dup, 10~12 two edits apart ≈ 0.5
+    * Jaccard — below the 0.6 edge threshold), so the component is only
+    * recoverable transitively: pair-level output (q65) cannot see that
+    * 10 and 12 belong together, and label propagation needs a second
+    * round to converge. Background docs must not appear at all.
+    */
+  private lazy val chainDir: String = {
+    val dir = Files.createTempDirectory("graft_cc_quality").toString
+    val cliqueText = sentence(40)
+    val clique = (0L until 3L).map(i => (i, cliqueText))
+    val base = sentence(40).split(" ")
+    def editAt(t: Array[String], pos: Int): Array[String] = {
+      val out = t.clone()
+      var repl = vocab(rng.nextInt(vocab.length))
+      while (repl == out(pos)) repl = vocab(rng.nextInt(vocab.length))
+      out(pos) = repl
+      out
+    }
+    val t11 = editAt(base, 10) // 1 edit from 10 → ≈0.85 Jaccard
+    val t12 = editAt(t11, 30)  // 1 edit from 11 (keeps 11's pos-10 token) → 2 edits from 10
+    val chain = Seq(
+      (10L, base.mkString(" ")),
+      (11L, t11.mkString(" ")),
+      (12L, t12.mkString(" ")),
+    )
+    val background = (20L until 24L).map(i => (i, sentence(50)))
+    val docs = (clique ++ chain ++ background)
+      .map { case (id, text) => (id, text, "en", s"src${id % 3}", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("cluster labeling recovers transitive components the pair list cannot") {
+    // Precondition the chain is a real chain for THIS seed: 10~11 and
+    // 11~12 edges exist. (10~12 may or may not clear 0.6 — the
+    // component assertion below is correct either way; with this seed
+    // it stays below, exercising the multi-round propagation path.)
+    val edge = SparkEntry.queries("q65_minhash_lsh")(spark, chainDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edge.contains((10L, 11L)) && edge.contains((11L, 12L)),
+      s"planted chain edges missing: $edge")
+    val rows = SparkEntry.queries("q87_dedup_clusters")(spark, chainDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expected = Set(
+      (0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+    )
+    assert(rows == expected, s"components wrong: $rows")
+  }
+
   test("rolling fingerprints are identical across exact copies and distinct elsewhere") {
     val fps = SparkEntry.queries("q75_rolling_fingerprint")(spark, corpusDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -91,6 +91,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Bucketed: true"), s"scan is not bucketed:\n$p")
   }
 
+  test("q80: simhash candidates come from a band-bucket equi-join, not an all-pairs comparison") {
+    val p = plan("q80_simhash_neardup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"band join is not an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs comparison in q80:\n$p")
+  }
+
+  test("q84: LSH search broadcasts the query set and joins on the bucket key") {
+    val p = plan("q84_ann_lsh_buckets")
+    assert(p.contains("BroadcastHashJoin"), s"bucket join should broadcast queries:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
