@@ -444,5 +444,41 @@ object Events {
         .distinct()
         .orderBy("user_id", "event_type")
     },
+
+    // ------------------------------------------------------------------
+    // Skew-mitigated fact⋈dim join on the declared path: the events
+    // fact joins the customer dim through Scale.saltedJoin — the fact
+    // side gets a random salt in [0, 16), the dim is replicated per
+    // salt, and the join key becomes (user_id, salt), so one hot user
+    // lands on 16 reducers instead of one. The salt is join-local:
+    // the result is row-identical to the plain join (which is exactly
+    // what the oracle checks — the oracle is the UNSALTED join, so
+    // this query proves the rewrite is semantics-preserving). AQE's
+    // skew-join handles moderate skew adaptively; explicit salting is
+    // the tool for the pathological head key a 100 TB events table
+    // always has.
+    QueryDef(
+      "q83_salted_skew_join",
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """),
+    ) { (s, dir) =>
+      val fact = Tables.events(s, dir).select("user_id", "value")
+      val dim = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.ext.Scale.saltedJoin(fact, dim, "user_id", salts = 16)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(fact("user_id")).as("n_users"),
+          round(sum("value"), 2).as("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    },
   )
 }

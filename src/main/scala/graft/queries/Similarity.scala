@@ -313,7 +313,146 @@ object Similarity {
     }.mkString("(", " + ", ")")
   }
 
+  /** Per-cell centroid MEANS of a (vec_id, embedding, nrm, cluster)
+    * assignment — the same exact-DECIMAL element-wise mean as
+    * [[lloydStep]] (order-independent, engine-independent), but over
+    * the full assigned corpus: every cell present has ≥ 1 member, so
+    * no empty-cell coalesce is needed. One row per cell → always
+    * broadcastable (cells ≤ MaxNList).
+    */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster").as("cid"), posexplode(col("embedding")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("col").cast("double").cast("decimal(38,15)")).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mv")))),
+        x => x.getField("mv")).as("c_emb"))
+      .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
+
+  /** DuckDB twin of [[cellMeans]] over CTE `av`, emitted as `cm`. */
+  private val duckCellMeansCte: String =
+    """cm0 AS (
+          SELECT cid, pos,
+                 CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE)
+                   / count(*) AS mv
+          FROM (SELECT cluster AS cid, unnest(embedding) AS val,
+                       unnest(range(len(embedding))) AS pos FROM av)
+          GROUP BY cid, pos),
+        cm AS (
+          SELECT cid, list(mv ORDER BY pos) AS c_emb,
+                 sqrt(list_dot_product(list(mv ORDER BY pos), list(mv ORDER BY pos))) AS c_nrm
+          FROM cm0 GROUP BY cid)"""
+
   val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Multiprobe IVF search: the recall knob every IVF deployment
+    // turns before touching the quantizer — score the query against
+    // ALL cell centroids (a broadcastable table by construction), take
+    // the nprobe=2 nearest CELLS, and search only their members.
+    // Probing 2 of nlist cells still touches ~2N/nlist ≈ 2√N vectors
+    // per query; the cell restriction stays partition-prunable at
+    // rest. Recall ≥ single-probe (q69) by construction — asserted on
+    // the planted corpus in AnnQualitySpec.
+    QueryDef(
+      "q88_knn_ivf_multiprobe",
+      Some(s"""
+        WITH $duckAssignedCte,
+        $duckCellMeansCte,
+        q AS (SELECT * FROM av WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${duckCosCent("q", "c")} DESC, c.cid) AS crk
+            FROM q CROSS JOIN cm c) WHERE crk <= 2),
+        scored AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 ${duckCos("q", "v")} AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ${duckCos("q", "v")} DESC, v.vec_id) AS rank
+          FROM probes p
+            JOIN q ON q.vec_id = p.query_id
+            JOIN av v ON v.cluster = p.cid AND q.vec_id != v.vec_id)
+        SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+        FROM scored WHERE rank <= 3
+        ORDER BY query_id, rank
+      """),
+    ) { (s, dir) =>
+      val assigned = assignedVectors(s, dir)
+      val cm = cellMeans(assigned)
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(
+          col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+        )
+      val cw = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cid"))
+      val probes = q.crossJoin(broadcast(cm))
+        .withColumn("csim", cosine(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+        .withColumn("crk", row_number().over(cw))
+        .filter(col("crk") <= 2)
+        .select("query_id", "cid", "q_emb", "q_nrm")
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+      assigned.join(
+        broadcast(probes),
+        col("cid") === col("cluster") && col("query_id") =!= col("vec_id"),
+      )
+        .select(
+          col("query_id"),
+          col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"),
+        )
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ------------------------------------------------------------------
+    // SemDeDup survivor materialization — the WRITE step q71 (pair
+    // report) stops short of: a vector is dropped iff some same-cell
+    // vector with a SMALLER id is cosine-similar at the production
+    // threshold; survivors stream out via anti-join. The lower-id rule
+    // is the deterministic keep policy (SemDeDup keeps one arbitrary
+    // member per near-dup group; "lowest id" makes the choice a pure
+    // function of the corpus, so the output is reproducible and
+    // oracle-checkable). Pair work is bounded per cell exactly as in
+    // q71: nlist ∝ √N keeps it O(N^1.5), never O(N²).
+    QueryDef(
+      "q89_embedding_dedup_materialize",
+      Some(s"""
+        WITH $duckAssignedCte,
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ${duckCos("a", "b")} >= $TauNearDup)
+        SELECT vec_id, cluster
+        FROM av
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY vec_id
+      """),
+    ) { (s, dir) =>
+      val a = assignedVectors(s, dir)
+        .select(col("cluster"), col("vec_id").as("d1"),
+          col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = assignedVectors(s, dir)
+        .select(col("cluster"), col("vec_id").as("d2"),
+          col("embedding").as("e2"), col("nrm").as("n2"))
+      val dropped = a.join(b, Seq("cluster"))
+        .filter(col("d1") < col("d2"))
+        .filter(cosine(col("e1"), col("e2"), col("n1"), col("n2")) >= TauNearDup)
+        .select(col("d2").as("vec_id"))
+        .distinct()
+      assignedVectors(s, dir)
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    },
+
     // ------------------------------------------------------------------
     // Random-hyperplane LSH ANN — the second scale path next to IVF
     // (q69): 8 sign-random-projection bits bucket the corpus; search

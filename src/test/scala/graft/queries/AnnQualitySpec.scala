@@ -72,6 +72,39 @@ class AnnQualitySpec extends SparkTestBase {
     }
   }
 
+  test("multiprobe top-3 dominates single-probe per rank and matches brute force on separable clusters") {
+    def ranked(name: String): Map[Long, Seq[Double]] =
+      SparkEntry.queries(name)(spark, plantedDir)
+        .select("query_id", "cosine", "rank").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.sortBy(_.getInt(2)).map(_.getDouble(1)).toSeq }
+    val single = ranked("q69_knn_ivf")
+    val multi = ranked("q88_knn_ivf_multiprobe")
+    // Probing a superset of cells can only improve (or tie) each rank.
+    single.foreach { case (q, sc) =>
+      val mc = multi(q)
+      assert(mc.size >= sc.size, s"query $q: multiprobe returned fewer rows")
+      sc.zip(mc).foreach { case (s, m) =>
+        assert(m >= s, s"query $q: multiprobe rank cosine $m < single-probe $s")
+      }
+    }
+    // On the separable corpus single-probe already equals brute force
+    // (test above), so multiprobe must too.
+    single.foreach { case (q, sc) => assert(multi(q) == sc, s"query $q diverged") }
+  }
+
+  test("embedding dedup materialization keeps exactly the per-group minima") {
+    // In every planted near-dup group (same basis direction, cos ≈ 1
+    // for same-cluster members), the survivor must be the lowest id:
+    // cluster c's members are {c, 10+((c..)%8 round robin), ...} plus
+    // 8→cluster0, 9→cluster1 — all mutually similar far above τ, so
+    // exactly ONE survivor per planted cluster, and it is the minimum.
+    val kept = SparkEntry.queries("q89_embedding_dedup_materialize")(spark, plantedDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until Clusters.toLong).toSet,
+      s"survivors should be the 8 planted-cluster minima, got $kept")
+  }
+
   test("embedding near-dup pairs stay within their planted cluster") {
     val assigned = SparkEntry.queries("q71_embedding_neardup")(spark, plantedDir)
       .collect()
