@@ -46,6 +46,19 @@ object TextFunctions {
       when(size(t) >= k, win).otherwise(array(array_join(t, " ")))
     }))
 
+  /** Document quality score in [0, 1]: half length saturation (100
+    * tokens → full marks), half lexical diversity (distinct/total
+    * tokens). The single formula behind q63 (scoring), q77 (gating)
+    * and the TextPipeline gate stage — one definition, one oracle
+    * twin, no drift.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    least(n / 100.0, lit(1.0)) * 0.5 +
+      size(array_distinct(toks)).cast("double") / greatest(n, lit(1)) * 0.5
+  }
+
   /** MinHash family: h_i(x) = (a_i * (x mod P) + b_i) mod P over the
     * 60-bit shingle hash. P = 2^31 - 1 (Mersenne); a_i/b_i are fixed
     * odd constants so signatures are reproducible across engines.

@@ -691,6 +691,19 @@ object Similarity {
     ) { (s, dir) => recallAt3(s, dir) },
 
     // ------------------------------------------------------------------
+    // Multimodal batch decode on the declared path: binary payloads
+    // stream through mapPartitions with per-partition codec init (the
+    // Scala analog of mapInPandas' batched contract); the decode step
+    // is the labeled stub (no codec libs in this container), the
+    // plumbing — schema, batching, partitioning — is real. Not
+    // SQL-expressible (imperative per-partition codec) → rows-only
+    // check; MultimodalSpec pins the stub's deterministic values.
+    QueryDef("q90_multimodal_features", None) { (s, dir) =>
+      val media = graft.ext.Multimodal.mediaFromDocuments(tbl(s, dir, "documents"))
+      graft.ext.Multimodal.extractFeatures(media).toDF().orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
     // Multimodal plumbing, SQL-visible part: opaque binary payload +
     // typed metadata (byte length, content digest, a deterministic
     // stub "feature"). The batch decode path lives in

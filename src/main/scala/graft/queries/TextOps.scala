@@ -747,13 +747,9 @@ object TextOps {
       ORDER BY lang
     """),
   ) { (s, dir) =>
-    val toks = tokens(col("text"))
-    val nTokens = size(toks)
-    val quality =
-      least(nTokens / 100.0, lit(1.0)) * 0.5 +
-        size(array_distinct(toks)).cast("double") / greatest(nTokens, lit(1)) * 0.5
+    val nTokens = size(tokens(col("text")))
     tbl(s, dir, "documents")
-      .select(col("lang"), nTokens.as("n_tokens"), quality.as("quality"))
+      .select(col("lang"), nTokens.as("n_tokens"), qualityScore(col("text")).as("quality"))
       .groupBy("lang")
       .agg(
         count(when(col("quality") >= 0.6, 1)).as("n_kept"),
@@ -794,6 +790,9 @@ object TextOps {
       col("doc_id"), col("sig"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")),
     )
+    // Hamming filter BEFORE the pair dedup: a pair can be nominated by
+    // up to SimBands buckets, and rejecting sub-threshold nominations
+    // early keeps those duplicates out of the distinct's exchange.
     val ham = bit_count(col("s1").bitwiseXOR(col("s2")))
     bands.as("x")
       .join(bands.as("y"), Seq("band", "key"))
@@ -802,9 +801,10 @@ object TextOps {
         col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.sig").as("s1"), col("y.sig").as("s2"),
       )
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .select("d1", "d2", "hamming")
       .distinct()
-      .filter(ham <= MaxHamming)
-      .select(col("d1"), col("d2"), ham.cast("long").as("hamming"))
       .orderBy("d1", "d2")
   }
 

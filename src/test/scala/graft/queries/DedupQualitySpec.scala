@@ -158,6 +158,26 @@ class DedupQualitySpec extends SparkTestBase {
     assert(rows == expected, s"components wrong: $rows")
   }
 
+  test("simhash banding finds the identical cluster at hamming 0 and keeps background apart") {
+    val found = pairs("q80_simhash_neardup")
+    // Identical texts have identical signatures → every cluster-A pair
+    // must surface (banding is complete for ham ≤ 5 by pigeonhole).
+    assert(within(0 until 25).subsetOf(found), "identical cluster missed by simhash banding")
+    // Word-salad background docs share the vocab DISTRIBUTION — which
+    // is exactly what simhash sketches, so unlike MinHash (set
+    // Jaccard; its test above asserts ZERO background pairs) a few
+    // distribution-coincidences among 50-token draws from a 20-word
+    // vocab are expected and correct behavior for this method. Pin the
+    // complementarity: the false-pair rate stays marginal (a handful
+    // of the 190 possible background pairs for this seed), and none
+    // of them is an exact-signature collision.
+    val bg = found.filter { case (a, b) => a >= 70 && b >= 70 }
+    assert(bg.size <= 5, s"background simhash collision rate too high: $bg")
+    val hams = SparkEntry.queries("q80_simhash_neardup")(spark, corpusDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    bg.foreach(p => assert(hams(p) > 0, s"background pair $p at hamming 0"))
+  }
+
   test("rolling fingerprints are identical across exact copies and distinct elsewhere") {
     val fps = SparkEntry.queries("q75_rolling_fingerprint")(spark, corpusDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
