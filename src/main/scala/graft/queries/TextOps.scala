@@ -142,25 +142,34 @@ object TextOps {
     * join is the scale path: candidates ∝ colliding buckets, never
     * all-pairs over the corpus.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** LSH band-key rows (doc_id, band, key) over the per-corpus minhash
+    * signature snapshot — THE near-dup index artifact: q65/q87 self-join
+    * it, q92 joins an arriving batch's keys against it. One pass over
+    * the signatures emits all 4 band keys (posexplode) instead of 4
+    * unioned projections re-reading the frame.
+    */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(s, dir, 3)
     // Signatures are a per-corpus artifact → parquet snapshot (the
-    // band self-join below reads them from two plan branches).
+    // band joins read them from multiple plan branches).
     val sigs = snapshot(s, dir, "minhash-sigs") {
       val minAggs = (0 until NumHashes)
         .map(i => min(minhashExpr(col("h"), i)).as(s"m$i"))
       sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     }
-    // One pass over the signatures emits all 4 band keys (posexplode)
-    // instead of 4 unioned projections re-reading the frame.
     val bandKeys = (0 until Bands).map { b =>
       val keyCols = (0 until Rows).map(r => col(s"m${Rows * b + r}"))
       md5(concat_ws(",", keyCols: _*))
     }
-    val bands = sigs.select(
+    sigs.select(
       col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")),
     )
+  }
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(s, dir, 3)
+    val bands = minhashBands(s, dir)
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -464,7 +473,7 @@ object TextOps {
     },
   ) :+ contaminationDef :+ dataMixingDef :+ qualityGateDef :+ dedupMaterializeDef :+
     repetitionDef :+ incrementalDedupDef :+ stratifiedSplitDef :+ tfidfDef :+
-    simhashNearDupDef :+ dedupClustersDef
+    simhashNearDupDef :+ dedupClustersDef :+ hotNgramsDef :+ incrementalNearDupDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -840,6 +849,83 @@ object TextOps {
     """
   }
 
+  /** q91 — hot n-gram mining (boilerplate detection): the 4-grams
+    * present in the most documents. Templated headers/footers and
+    * licensing blurbs surface here long before any pair-level dedup;
+    * pipelines strip or down-weight them, and the rare-shingle method
+    * (q67) treats exactly these as non-discriminative. Top-k by
+    * document frequency plans as TakeOrderedAndProject: the full df
+    * table never sorts globally. The shuffle key is the shingle text
+    * (the deliverable); the count is partial-aggregated map-side.
+    */
+  private lazy val hotNgramsDef: QueryDef = QueryDef(
+    "q91_hot_ngrams",
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      shd AS (SELECT doc_id, unnest(list_distinct(${duckShingles("t", 4)})) AS ngram FROM toks)
+      SELECT ngram, count(*) AS df
+      FROM shd
+      GROUP BY ngram
+      ORDER BY df DESC, ngram
+      LIMIT 20
+    """),
+  ) { (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 4))).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("ngram"))
+      .limit(20)
+  }
+
+  /** q92 — incremental NEAR-dup against the at-rest LSH index: q85's
+    * ingest pattern lifted from exact digests to MinHash bands. The
+    * arriving batch (odd doc_ids) computes band keys and joins them
+    * against the persisted index side (even doc_ids) — never against
+    * itself, never all-pairs — then candidates verify with exact
+    * Jaccard over full shingle sets. At 100 TB the band-key table IS
+    * the dedup index at rest (partitioned by band, bucketed by key);
+    * a batch of B docs probes it with O(B·bands) lookups regardless
+    * of corpus size.
+    */
+  private lazy val incrementalNearDupDef: QueryDef = QueryDef(
+    "q92_incremental_neardup",
+    Some(s"""
+      WITH $minhashBandCtes,
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+      inter AS (
+        SELECT d1, d2, count(*) AS inter
+        FROM cand
+          JOIN shh s1 ON d1 = s1.doc_id
+          JOIN shh s2 ON d2 = s2.doc_id AND s1.h = s2.h
+        GROUP BY d1, d2)
+      SELECT d1 AS new_id, d2 AS old_id,
+             round(inter / (n1.n + n2.n - inter), 4) AS jaccard
+      FROM inter
+        JOIN sizes n1 ON d1 = n1.doc_id
+        JOIN sizes n2 ON d2 = n2.doc_id
+      WHERE inter / (n1.n + n2.n - inter) >= 0.6
+      ORDER BY new_id, old_id
+    """),
+  ) { (s, dir) =>
+    val sh = shingleHashes(s, dir, 3)
+    val bands = minhashBands(s, dir)
+    val cand = bands.filter(col("doc_id") % 2 === 1).as("x")
+      .join(bands.filter(col("doc_id") % 2 === 0).as("y"), Seq("band", "key"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    jaccardOfCandidates(cand, sh)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("d1").as("new_id"), col("d2").as("old_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
   /** q74 — appended to `defs` below; lazy because it is defined after
     * `defs` in initialization order.
     */
@@ -878,12 +964,12 @@ object TextOps {
       .limit(20)
   }
 
-  /** Shared oracle CTE block ending in `lshpairs(d1, d2, jaccard)` —
-    * the DuckDB twin of [[minhashPairs]], generated from the same
+  /** Shared oracle CTE block ending in `bands(doc_id, band, key)` —
+    * the DuckDB twin of [[minhashBands]], generated from the same
     * constants as the Spark side (NumHashes/Bands/minhashA/minhashB),
-    * so they cannot drift. Used by the q65 and q87 oracles.
+    * so they cannot drift. Used by the q65/q87/q92 oracles.
     */
-  private lazy val minhashPairsCtes: String = {
+  private lazy val minhashBandCtes: String = {
     val minExprs = (0 until NumHashes)
       .map(i => s"min((${minhashA(i)} * (h % $MinhashP) + ${minhashB(i)}) % $MinhashP) AS m$i")
       .mkString(",\n                 ")
@@ -897,7 +983,14 @@ object TextOps {
                  $minExprs
         FROM shh GROUP BY doc_id),
       bands AS (
-          $bandSelects),
+          $bandSelects)"""
+  }
+
+  /** Oracle CTE block ending in `lshpairs(d1, d2, jaccard)` — the
+    * DuckDB twin of [[minhashPairs]]. Used by the q65 and q87 oracles.
+    */
+  private lazy val minhashPairsCtes: String = {
+    s"""$minhashBandCtes,
       cand AS (
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM bands x JOIN bands y
