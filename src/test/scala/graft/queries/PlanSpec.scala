@@ -103,6 +103,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"bucket join should broadcast queries:\n$p")
   }
 
+  test("q91: hot-ngram top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q91_hot_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), s"q91 sorts globally:\n$p")
+  }
+
+  test("q92: incremental candidates equi-join the band index, no all-pairs comparison") {
+    val p = plan("q92_incremental_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs comparison in q92:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"band probe is not an equi-join:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
