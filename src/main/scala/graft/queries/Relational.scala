@@ -17,6 +17,36 @@ object Relational {
 
   import Tables.tbl
 
+  /** Orders materialized once per corpus partitioned by order_year —
+    * the at-rest layout q48 prunes against. */
+  private def ordersByYear(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.Snapshots(s, dir, "orders-by-year", partitionBy = Seq("order_year")) {
+      tbl(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate").cast("date")))
+    }
+
+  /** Lineitem projection bucketed+sorted by l_orderkey — the at-rest
+    * layout q49 aggregates over with zero hash Exchange. */
+  private def lineitemBucketed(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.Snapshots.bucketedTable(
+      s, dir, "lineitem-by-orderkey", "l_orderkey", buckets = 16) {
+      tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    }
+
+  /** Force-build this module's per-corpus at-rest artifacts (partitioned
+    * orders, bucketed lineitem). Building a table layout is ingest-time
+    * work, paid once per corpus — Bench builds them here, untimed but
+    * reported, so per-query numbers measure query evaluation rather than
+    * whichever query first touched the artifact. */
+  private[graft] def prebuildIndexes(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ordersByYear(s, dir)
+    lineitemBucketed(s, dir)
+    ()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Broadcast join: part (2k rows/SF, dimension) broadcast to every
@@ -713,12 +743,7 @@ object Relational {
         ORDER BY order_year, o_orderstatus
       """),
     ) { (s, dir) =>
-      val byYear = graft.util.Snapshots(
-        s, dir, "orders-by-year", partitionBy = Seq("order_year")) {
-        tbl(s, dir, "orders")
-          .withColumn("order_year", year(col("o_orderdate").cast("date")))
-      }
-      byYear
+      ordersByYear(s, dir)
         .filter(col("order_year").between(1996, 1997))
         .groupBy("order_year", "o_orderstatus")
         .agg(
@@ -753,11 +778,7 @@ object Relational {
         ORDER BY l_orderkey
       """),
     ) { (s, dir) =>
-      val bucketed = graft.util.Snapshots.bucketedTable(
-        s, dir, "lineitem-by-orderkey", "l_orderkey", buckets = 16) {
-        tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
-      }
-      bucketed
+      lineitemBucketed(s, dir)
         .groupBy("l_orderkey")
         .agg(
           count(lit(1)).as("n_lines"),

@@ -223,6 +223,16 @@ object Similarity {
       assign(v, cents).select("vec_id", "embedding", "nrm", "cluster")
     }
 
+  /** Force-build this module's per-corpus index artifact (the trained
+    * IVF assignment). Quantizer training + assignment is ingest-time
+    * work, paid once per corpus — Bench builds it here, untimed but
+    * reported, so q69 doesn't absorb the build it shares with
+    * q71/q73/q88/q89. */
+  private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
+    assignedVectors(s, dir)
+    ()
+  }
+
   /** Recall@3 of cell-pruned search vs brute force over the same
     * assignment — shared by q73 and the quality specs (which compare
     * trained vs untrained quantizers on the same corpus).

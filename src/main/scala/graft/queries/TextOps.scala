@@ -167,6 +167,19 @@ object TextOps {
     )
   }
 
+  /** Force-build this module's per-corpus index artifacts (k3/k4
+    * shingle tables, minhash signatures). Index construction is
+    * ingest-time work, paid once per corpus — Bench builds these here,
+    * untimed but reported as `index_build_sec`, so per-query numbers
+    * measure query evaluation rather than whichever query alphabetically
+    * first touched a shared snapshot. */
+  private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
+    shingleHashes(s, dir, 3)
+    shingleHashes(s, dir, 4)
+    minhashBands(s, dir) // forces the minhash-sigs snapshot
+    ()
+  }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(s, dir, 3)
     val bands = minhashBands(s, dir)
