@@ -59,6 +59,13 @@ object Similarity {
     */
   private val TauNearDup = 0.25
 
+  /** Per-cell cap for q96's balanced sample. Declared above `defs`:
+    * the strict `defs` val forces the lazy QueryDefs at object
+    * construction, so an oracle-interpolated constant declared below
+    * it would still be 0 (Scala init order) and corrupt the SQL.
+    */
+  private val SampleCap = 10
+
   /** nlist = ⌈√N⌉ capped: cells stay ~√N-sized as the corpus grows. */
   private def nlistFor(n: Long): Int =
     math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong, MaxNList.toLong)).toInt
@@ -740,5 +747,55 @@ object Similarity {
         )
         .orderBy("doc_id")
     },
-  )
+  ) :+ clusterSampleDef
+
+  /** q96 — cluster-balanced subsampling over the IVF assignment (the
+    * diversity-sampling step of an embedding-curation pipeline, cf.
+    * SemDeDup/DiverseSample): keep at most [[SampleCap]] vectors per
+    * cell, chosen by rank over md5(vec_id) — a deterministic stand-in
+    * for uniform-without-replacement that is reproducible at any
+    * parallelism (no rand(), same posture as q76/q86). Dense cells are
+    * clipped, sparse cells survive whole, so the sample's cluster
+    * histogram flattens toward uniform. Shape: one rank window
+    * partitioned by cluster (cells are ~√N under the derived-nlist
+    * quantizer — no partition concentrates the corpus), then a per-cell
+    * aggregate; kept_vec_sum pins WHICH vectors were kept, not just how
+    * many.
+    */
+  private lazy val clusterSampleDef: QueryDef = QueryDef(
+    "q96_cluster_balanced_sample",
+    Some(s"""
+      WITH $duckAssignedCte,
+      ranked AS (
+        SELECT cluster, vec_id,
+               row_number() OVER (
+                 PARTITION BY cluster
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM av)
+      SELECT cluster,
+             count(*) AS n_cell,
+             count(*) FILTER (WHERE rk <= $SampleCap) AS n_kept,
+             CAST(sum(CASE WHEN rk <= $SampleCap THEN vec_id END) AS BIGINT)
+               AS kept_vec_sum
+      FROM ranked
+      GROUP BY cluster
+      ORDER BY cluster
+    """),
+  ) { (s, dir) =>
+    val ranked = assignedVectors(s, dir)
+      .select(
+        col("cluster"), col("vec_id"),
+        row_number().over(
+          Window.partitionBy("cluster")
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))).as("rk"),
+      )
+    ranked
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_cell"),
+        count(when(col("rk") <= SampleCap, 1)).as("n_kept"),
+        sum(when(col("rk") <= SampleCap, col("vec_id"))).as("kept_vec_sum"),
+      )
+      .orderBy("cluster")
+  }
 }

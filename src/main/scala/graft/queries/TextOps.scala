@@ -62,6 +62,38 @@ object TextOps {
     */
   private val RareShingleCap = 20
 
+  /** Minimum corpus document-frequency for a 4-gram to count as
+    * boilerplate in q93. Absolute here because the test corpora are
+    * fixed-size; production derives it from corpus size (df/N above a
+    * few permille), same knob family as [[RareShingleCap]] — both mark
+    * high-df n-grams as non-discriminative, q67 to skip them, q93 to
+    * measure how much of a document is made of them.
+    *
+    * NOTE for this and every constant a QueryDef oracle interpolates:
+    * it must be declared ABOVE `defs` — the (strict) `defs` val forces
+    * the lazy QueryDefs during object construction, and a constant
+    * declared below it still holds 0/null at that point (Scala
+    * initialization order), silently corrupting the oracle SQL.
+    */
+  private val BoilerDfMin = 3
+
+  /** Held-out source treated as the evaluation benchmark by q94. */
+  private val BenchSource = "src19"
+
+  /** q95's scrub pattern: email addresses, SSN-shaped digit groups,
+    * and (so the operator is exercised on the synthetic corpus, whose
+    * word-salad text contains neither) the standalone token `a`. The
+    * pattern is the operator's knob — production swaps in its PII
+    * class list; the plan shape (one codegen'd regexp pass, no UDF)
+    * does not change. Spelled dialect-neutrally: explicit classes,
+    * no \\s/\\d shorthands (Java and RE2 disagree on their exact
+    * membership), \\b is ASCII-identical in both.
+    */
+  private[graft] val ScrubPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+" +
+      "|[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]" +
+      "|\\ba\\b"
+
   /** BPE-style pre-tokenizer split: letter runs | digit runs | single
     * non-whitespace symbol. The whitespace set is spelled as EXPLICIT
     * characters, not \s — Java's \s includes vertical tab (U+000B)
@@ -177,6 +209,7 @@ object TextOps {
     shingleHashes(s, dir, 3)
     shingleHashes(s, dir, 4)
     minhashBands(s, dir) // forces the minhash-sigs snapshot
+    simhash60Sigs(s, dir)
     ()
   }
 
@@ -486,7 +519,8 @@ object TextOps {
     },
   ) :+ contaminationDef :+ dataMixingDef :+ qualityGateDef :+ dedupMaterializeDef :+
     repetitionDef :+ incrementalDedupDef :+ stratifiedSplitDef :+ tfidfDef :+
-    simhashNearDupDef :+ dedupClustersDef :+ hotNgramsDef :+ incrementalNearDupDef
+    simhashNearDupDef :+ dedupClustersDef :+ hotNgramsDef :+ incrementalNearDupDef :+
+    boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -521,8 +555,14 @@ object TextOps {
   ) { (s, dir) =>
     val toks = tbl(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
+    // Group on xxhash64(gram), not the gram text: the count/max per
+    // (doc, gram) are unchanged unless two distinct grams of ONE
+    // document collide in 64 bits (~n²/2⁶⁵ per doc — vanishing), and
+    // the partial-agg shuffle then carries 8-byte keys instead of
+    // n-gram strings — at 100 TB that is most of the exchange's bytes.
     def topMass(grams: DataFrame, nName: String, topName: String): DataFrame =
       grams
+        .select(col("doc_id"), xxhash64(col("g")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(sum("c").as(nName), max("c").as(topName))
     val uni = topMass(
@@ -782,6 +822,27 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Per-corpus 60-bit SimHash signature table — an index artifact on
+    * par with minhash-sigs: one row per doc, built by the 60
+    * bit-balance aggregates over every token occurrence (the costly
+    * part of any SimHash pipeline), snapshotted so near-dup queries
+    * pay only the band join.
+    */
+  private def simhash60Sigs(s: SparkSession, dir: String): DataFrame =
+    snapshot(s, dir, "simhash-sigs-60") {
+      val tok = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("h", stringHash60(col("tok")))
+      val balanceAggs = (0 until SimBits)
+        .map(j => sum(simhashBitTerm(col("h"), j)).as(s"b$j"))
+      tok.groupBy("doc_id")
+        .agg(balanceAggs.head, balanceAggs.tail: _*)
+        .select(
+          col("doc_id"),
+          simhashFromBalances((0 until SimBits).map(j => col(s"b$j"))).as("sig"),
+        )
+    }
+
   /** q80 — SimHash near-dup PAIRS (q66 only emits signatures): banded
     * band-bucket self-join for candidates, exact Hamming verification
     * via bit_count(xor). Complements MinHash (q65): SimHash hamming
@@ -793,17 +854,7 @@ object TextOps {
     "q80_simhash_neardup",
     Some(simhashNearDupOracle),
   ) { (s, dir) =>
-    val tok = tbl(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", stringHash60(col("tok")))
-    val balanceAggs = (0 until SimBits)
-      .map(j => sum(simhashBitTerm(col("h"), j)).as(s"b$j"))
-    val sigs = tok.groupBy("doc_id")
-      .agg(balanceAggs.head, balanceAggs.tail: _*)
-      .select(
-        col("doc_id"),
-        simhashFromBalances((0 until SimBits).map(j => col(s"b$j"))).as("sig"),
-      )
+    val sigs = simhash60Sigs(s, dir)
     val bandKeys = (0 until SimBands).map(b =>
       shiftright(col("sig"), b * SimBandBits).bitwiseAND(lit((1 << SimBandBits) - 1)))
     // The signature rides along with each band row so candidate pairs
@@ -1123,5 +1174,126 @@ object TextOps {
       FROM bal
       ORDER BY doc_id
     """
+  }
+
+  /** q93 — boilerplate fraction per document (C4/CCNet-family signal):
+    * share of a document's distinct 4-grams whose corpus document
+    * frequency is ≥ [[BoilerDfMin]] — templated headers/footers and
+    * site chrome repeat across many documents, so a high hot-shingle
+    * share flags extraction boilerplate that per-document repetition
+    * (q81) cannot see. Reuses the shingles-k4 index artifact and a
+    * per-corpus df aggregate over 8-byte hashes; both sides of the
+    * oracle compare work on the same md5-derived h, so collision
+    * behavior is identical by construction. Shape: one agg + one join
+    * keyed on h, one per-doc agg — nothing corpus-global but the df
+    * table (one row per distinct 4-gram).
+    */
+  private lazy val boilerplateFracDef: QueryDef = QueryDef(
+    "q93_boilerplate_frac",
+    Some(s"""
+      WITH ${duckShinglePrefix(4)},
+      df AS (SELECT h, count(*) AS df FROM shh GROUP BY h)
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             count(*) FILTER (WHERE df.df >= $BoilerDfMin) AS n_boiler,
+             round(count(*) FILTER (WHERE df.df >= $BoilerDfMin) * 1.0 / count(*), 4)
+               AS boiler_frac,
+             CASE WHEN count(*) FILTER (WHERE df.df >= $BoilerDfMin) * 1.0 / count(*) > 0.5
+               THEN 1 ELSE 0 END AS flagged
+      FROM shh s JOIN df USING (h)
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id
+    """),
+  ) { (s, dir) =>
+    val sh = shingleHashes(s, dir, 4)
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val hot = count(when(col("df") >= BoilerDfMin, 1))
+    sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        hot.as("n_boiler"),
+        round(hot * 1.0 / count(lit(1)), 4).as("boiler_frac"),
+        when(hot * 1.0 / count(lit(1)) > 0.5, 1).otherwise(0).as("flagged"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** q94 — n-gram decontamination against a held-out benchmark set
+    * (the GPT-3/Llama decontamination construction): a training
+    * document is contaminated if it shares any 4-gram with the
+    * benchmark corpus — q74 catches verbatim cross-source copies by
+    * whole-document digest; this catches partial/quoted overlap at
+    * n-gram granularity. Shape: the benchmark's distinct-shingle set
+    * is tiny next to the corpus (eval suites are MBs, training sets
+    * TBs) — the left join against it broadcasts under AQE without a
+    * hint, and the train side never self-joins. Joins carry the 8-byte
+    * shingle hash, never n-gram text.
+    */
+  private lazy val decontamNgramDef: QueryDef = QueryDef(
+    "q94_ngram_decontam",
+    Some(s"""
+      WITH ${duckShinglePrefix(4)},
+      shs AS (
+        SELECT s.doc_id, s.h, d.source
+        FROM shh s JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+      bench AS (SELECT DISTINCT h FROM shs WHERE source = '$BenchSource'),
+      train AS (SELECT * FROM shs WHERE source != '$BenchSource')
+      SELECT t.doc_id,
+             count(*) AS n_shingles,
+             count(b.h) AS n_overlap,
+             round(count(b.h) * 1.0 / count(*), 4) AS overlap_frac,
+             CASE WHEN count(b.h) > 0 THEN 1 ELSE 0 END AS contaminated
+      FROM train t LEFT JOIN bench b ON t.h = b.h
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id
+    """),
+  ) { (s, dir) =>
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+    val sh = shingleHashes(s, dir, 4).join(docs, "doc_id")
+    val bench = sh.filter(col("source") === BenchSource)
+      .select("h").distinct().withColumn("hit", lit(1))
+    sh.filter(col("source") =!= BenchSource)
+      .join(bench, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_overlap"),
+        round(count(col("hit")) * 1.0 / count(lit(1)), 4).as("overlap_frac"),
+        when(count(col("hit")) > 0, 1).otherwise(0).as("contaminated"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** q95 — pattern scrub (the PII-redaction shape): count and redact
+    * every match of [[ScrubPattern]] in one map-side regexp pass.
+    * Emits the redacted text's md5 rather than the text itself so the
+    * result stays narrow; redaction is verified end-to-end in the spec
+    * by planting real emails/SSNs through the same expressions. Shape:
+    * embarrassingly parallel, stays inside whole-stage codegen — the
+    * 100 TB cost is one scan.
+    */
+  private lazy val patternScrubDef: QueryDef = QueryDef(
+    "q95_pattern_scrub",
+    Some(s"""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '$ScrubPattern')) AS n_hits,
+             md5(regexp_replace(text, '$ScrubPattern', '[X]', 'g')) AS redacted_md5,
+             CAST(len(regexp_replace(text, '$ScrubPattern', '[X]', 'g')) AS BIGINT)
+               AS n_chars_clean
+      FROM documents
+      ORDER BY doc_id
+    """),
+  ) { (s, dir) =>
+    val redacted = regexp_replace(col("text"), lit(ScrubPattern), lit("[X]"))
+    tbl(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
+          .cast("bigint").as("n_hits"),
+        md5(redacted).as("redacted_md5"),
+        length(redacted).cast("bigint").as("n_chars_clean"),
+      )
+      .orderBy("doc_id")
   }
 }

@@ -1,0 +1,154 @@
+package graft.queries
+
+import java.nio.file.Files
+import scala.util.Random
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Quality-level validation of the round-4 curation operators on
+  * PLANTED corpora — the oracle gate proves Spark and DuckDB agree;
+  * this proves the operators catch what they claim to catch:
+  *
+  *   - q93 boilerplate fraction flags documents dominated by a block
+  *     shared across the corpus and passes unique documents,
+  *   - q94 n-gram decontamination flags exactly the training documents
+  *     that quote a benchmark span,
+  *   - q95 pattern scrub redacts planted emails/SSNs byte-for-byte the
+  *     way java.util.regex does (the engine the Spark plan compiles to),
+  *   - q96 cluster-balanced sampling clips dense cells to the cap,
+  *     keeps sparse cells whole, and is deterministic across runs.
+  */
+class CurationQualitySpec extends SparkTestBase {
+  import sqlImplicits._
+
+  private val rng = new Random(91)
+  private val vocabA = Array(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+  private val vocabB = Array(
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "omega", "sigma")
+
+  private def sentence(v: Array[String], n: Int): String =
+    Seq.fill(n)(v(rng.nextInt(v.length))).mkString(" ")
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft_curation_quality").toString
+    rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // -------------------------------------------------------------------
+  test("q93 flags boilerplate-dominated docs and passes unique docs") {
+    val boilerBlock = sentence(vocabA, 30) // shared by 12 docs → df=12 ≥ BoilerDfMin
+    val boilerDocs = (0L until 12L).map(i =>
+      (i, boilerBlock + " " + sentence(vocabA, 5), s"src${i % 3}"))
+    val uniqueDocs = (20L until 30L).map(i =>
+      (i, sentence(vocabB, 40), s"src${i % 3}"))
+    val dir = writeDocs(boilerDocs ++ uniqueDocs)
+
+    val rows = SparkEntry.queries("q93_boilerplate_frac")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("boiler_frac"), r.getAs[Int]("flagged"))).toMap
+
+    (0L until 12L).foreach { id =>
+      val (frac, flag) = rows(id)
+      assert(flag == 1 && frac > 0.7, s"boiler doc $id: frac=$frac flag=$flag")
+    }
+    (20L until 30L).foreach { id =>
+      val (frac, flag) = rows(id)
+      assert(flag == 0 && frac < 0.3, s"unique doc $id: frac=$frac flag=$flag")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  test("q94 flags exactly the train docs quoting a benchmark span") {
+    val benchDocs = (0L until 3L).map(i => (i, sentence(vocabA, 40), "src19"))
+    val quoted = benchDocs.head._2.split(" ").slice(5, 17).mkString(" ") // 12-token span → 9 shared 4-grams
+    val contaminated = Seq(
+      (10L, quoted + " " + sentence(vocabB, 20), "src0"),
+      (11L, sentence(vocabB, 15) + " " + quoted, "src1"),
+    )
+    val clean = (20L until 28L).map(i => (i, sentence(vocabB, 40), s"src${i % 3}"))
+    val dir = writeDocs(benchDocs ++ contaminated ++ clean)
+
+    val rows = SparkEntry.queries("q94_ngram_decontam")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Int]("contaminated"))).toMap
+
+    assert(!rows.contains(0L), "benchmark docs must not appear in the train report")
+    Seq(10L, 11L).foreach { id =>
+      val (overlap, flag) = rows(id)
+      assert(flag == 1 && overlap >= 7, s"contaminated doc $id: overlap=$overlap")
+    }
+    (20L until 28L).foreach { id =>
+      val (overlap, flag) = rows(id)
+      assert(flag == 0 && overlap == 0, s"clean doc $id: overlap=$overlap")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  test("q95 redacts planted emails and SSNs exactly as java.util.regex does") {
+    val texts = Seq(
+      (0L, "contact bob@example.com or alice.smith@dev.example.org today", "src0"),
+      (1L, "ssn 123-45-6789 on file plus a second 987-65-4321 entry", "src0"),
+      (2L, "a plain doc with a few a tokens and no pii at all", "src1"),
+      (3L, "nothing sensitive here whatsoever", "src1"),
+    )
+    val dir = writeDocs(texts)
+
+    val got = SparkEntry.queries("q95_pattern_scrub")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[String]("redacted_md5"),
+          r.getAs[Long]("n_chars_clean"))).toMap
+
+    texts.foreach { case (id, text, _) =>
+      val expected = text.replaceAll(TextOps.ScrubPattern, "[X]")
+      val expectedHits = TextOps.ScrubPattern.r.findAllIn(text).size
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (hits, gotMd5, len) = got(id)
+      assert(hits == expectedHits, s"doc $id hits: $hits vs $expectedHits")
+      assert(gotMd5 == md5 && len == expected.length, s"doc $id redaction diverged")
+    }
+    // The planted PII really was found: emails on doc 0, SSNs on doc 1,
+    // standalone-a tokens on doc 2, nothing on doc 3.
+    assert(got(0L)._1 == 2 && got(1L)._1 >= 2 && got(2L)._1 == 3 && got(3L)._1 == 0)
+  }
+
+  // -------------------------------------------------------------------
+  /** 36 vectors, nlist = ⌈√36⌉ = 6: seeds 0..5 are one member of each
+    * of 6 orthogonal clusters; cluster 0 gets 15 extra members (ids
+    * 6..20, dense cell → clipped to the cap), clusters 1..5 get 3 each
+    * (sparse cells → survive whole).
+    */
+  test("q96 clips dense cells to the cap, keeps sparse cells whole, deterministically") {
+    val dim = 32
+    def noisyBasis(c: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => (if (d == c) 1f else 0f) + (rng.nextFloat() - 0.5f) * 0.05f)
+    val rows =
+      (0 until 6).map(c => (c.toLong, noisyBasis(c))) ++
+        (6 until 21).map(i => (i.toLong, noisyBasis(0))) ++
+        (21 until 36).map(i => (i.toLong, noisyBasis(1 + (i - 21) % 5)))
+    val dir = Files.createTempDirectory("graft_q96").toString
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    def run() = SparkEntry.queries("q96_cluster_balanced_sample")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("cluster"),
+        r.getAs[Long]("n_cell"), r.getAs[Long]("n_kept"), r.getAs[Long]("kept_vec_sum")))
+
+    val first = run()
+    assert(first.map(_._2).sum == 36, s"cells must partition the corpus: $first")
+    first.foreach { case (cl, n, kept, _) =>
+      assert(kept == math.min(n, 10L), s"cell $cl: n=$n kept=$kept")
+    }
+    assert(first.exists { case (_, n, kept, _) => n == 16 && kept == 10 },
+      s"the dense cell (seed 0 + 15 extras) must be clipped: $first")
+    assert(first.count { case (_, n, kept, _) => n == 4 && kept == 4 } == 5,
+      s"five sparse cells must survive whole: $first")
+    assert(run().toSeq == first.toSeq, "hash-ranked sample must be deterministic")
+  }
+}

@@ -115,6 +115,34 @@ class PlanSpec extends SparkTestBase {
       || p.contains("BroadcastHashJoin"), s"band probe is not an equi-join:\n$p")
   }
 
+  test("q93/q94: shingle joins carry the 8-byte hash, never n-gram text") {
+    Seq("q93_boilerplate_frac", "q94_ngram_decontam").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join in $name:\n$p")
+      // Every join keys on h (bigint); the shingle TEXT column (sh/m)
+      // must not survive into any exchange.
+      val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, s"expected keyed exchanges in $name:\n$p")
+      exchanges.foreach(e =>
+        assert(!e.contains("sh#") && !e.contains("m#"), s"shingle text shuffled in $name: $e"))
+    }
+  }
+
+  test("q95: the scrub is one codegen'd map pass — no exchange before the presentation sort") {
+    val p = plan("q95_pattern_scrub")
+    assert(!p.contains("hashpartitioning"),
+      s"q95 should only exchange for the final sort (rangepartitioning):\n$p")
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q96: the balanced sample ranks inside cluster partitions, no corpus-global window") {
+    val p = plan("q96_cluster_balanced_sample")
+    assert(p.contains("Window"), p)
+    val windowPart = p.linesIterator.find(_.contains("row_number()")).getOrElse("")
+    assert(windowPart.contains("cluster"), s"rank window not partitioned by cluster: $windowPart")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
