@@ -80,6 +80,12 @@ object TextOps {
   /** Held-out source treated as the evaluation benchmark by q94. */
   private val BenchSource = "src19"
 
+  /** q97: fraction of the corpus's tokens the training mix may spend. */
+  private val BudgetFrac = 0.3
+
+  /** q98: tokens per packed training sequence. */
+  private val SeqLen = 512
+
   /** q95's scrub pattern: email addresses, SSN-shaped digit groups,
     * and (so the operator is exercised on the synthetic corpus, whose
     * word-salad text contains neither) the standalone token `a`. The
@@ -520,7 +526,8 @@ object TextOps {
   ) :+ contaminationDef :+ dataMixingDef :+ qualityGateDef :+ dedupMaterializeDef :+
     repetitionDef :+ incrementalDedupDef :+ stratifiedSplitDef :+ tfidfDef :+
     simhashNearDupDef :+ dedupClustersDef :+ hotNgramsDef :+ incrementalNearDupDef :+
-    boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef
+    boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef :+
+    tokenBudgetDef :+ sequencePackingDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -1263,6 +1270,90 @@ object TextOps {
         when(count(col("hit")) > 0, 1).otherwise(0).as("contaminated"),
       )
       .orderBy("doc_id")
+  }
+
+  /** q97 — token-budget mixing weights: the planning step ahead of
+    * q76's hash-based mixing. Given a global token budget
+    * ([[BudgetFrac]] of the corpus) split uniformly across sources,
+    * compute each source's keep rate, saturating at 1.0 — a source
+    * with fewer tokens than its allocation is taken whole (the
+    * under-represented-source case every real mixture solve handles).
+    * Shape: one map-side token count, a tiny per-source aggregate, and
+    * a one-row corpus total broadcast back over it — nothing scales
+    * with documents except the first scan.
+    */
+  private lazy val tokenBudgetDef: QueryDef = QueryDef(
+    "q97_token_budget",
+    Some(s"""
+      WITH tok AS (
+        SELECT source, len(string_split(text, ' ')) AS n FROM documents),
+      per AS (
+        SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source),
+      tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+               count(*) AS nsrc
+        FROM per)
+      SELECT source, n_docs, n_tokens,
+             round(least(CAST(1.0 AS DOUBLE),
+                         (tot * CAST($BudgetFrac AS DOUBLE) / nsrc) / n_tokens), 4)
+               AS keep_rate
+      FROM per CROSS JOIN tot
+      ORDER BY source
+    """),
+  ) { (s, dir) =>
+    val per = tbl(s, dir, "documents")
+      .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val tot = per.agg(
+      sum("n_tokens").as("tot"), count(lit(1)).as("nsrc"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(
+          least(lit(1.0), (col("tot") * BudgetFrac / col("nsrc")) / col("n_tokens")),
+          4).as("keep_rate"),
+      )
+      .orderBy("source")
+  }
+
+  /** q98 — sequence packing: assign documents to fixed-[[SeqLen]]
+    * training sequences by running token count, the batch-construction
+    * step between curation and the trainer. Packing is per-source and
+    * in doc_id order, so the assignment is a pure function of the
+    * corpus (greedy packers that follow arrival order are not
+    * reproducible under retries). Shape: one cumulative-sum window
+    * partitioned by source — the 100 TB variant sub-shards the
+    * partition key ((source, shard)) exactly like this plan, never a
+    * corpus-global prefix scan.
+    */
+  private lazy val sequencePackingDef: QueryDef = QueryDef(
+    "q98_sequence_packing",
+    Some(s"""
+      WITH tok AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      c AS (
+        SELECT source, doc_id, n,
+               sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS cb
+        FROM tok)
+      SELECT source, CAST(cb // $SeqLen AS BIGINT) AS seq_id,
+             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM c
+      GROUP BY source, seq_id
+      ORDER BY source, seq_id
+    """),
+  ) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    tbl(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("bigint").as("n"))
+      .withColumn("cb", sum("n").over(w) - col("n"))
+      .withColumn("seq_id", expr(s"cb div $SeqLen"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .orderBy("source", "seq_id")
   }
 
   /** q95 — pattern scrub (the PII-redaction shape): count and redact

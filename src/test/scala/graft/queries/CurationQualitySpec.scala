@@ -119,6 +119,35 @@ class CurationQualitySpec extends SparkTestBase {
   }
 
   // -------------------------------------------------------------------
+  test("q97 saturates the keep rate for under-represented sources") {
+    // srcBig: 20 docs × 50 tokens = 1000; srcSmall: 2 docs × 10 = 20.
+    // Budget = 0.3·1020/2 = 153 per source → big keeps 0.153, small 1.0.
+    val big = (0L until 20L).map(i => (i, sentence(vocabA, 50), "srcBig"))
+    val small = (30L until 32L).map(i => (i, sentence(vocabB, 10), "srcSmall"))
+    val dir = writeDocs(big ++ small)
+
+    val rows = SparkEntry.queries("q97_token_budget")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("keep_rate"))).toMap
+    assert(rows("srcSmall") == ((20L, 1.0)), s"small source must keep 1.0: $rows")
+    val (bigTokens, bigRate) = rows("srcBig")
+    assert(bigTokens == 1000L && math.abs(bigRate - 0.153) < 1e-9, s"big source: $rows")
+  }
+
+  // -------------------------------------------------------------------
+  test("q98 packs docs into sequences by running token count, boundaries where expected") {
+    // 10 docs × 100 tokens, SeqLen=512: cum-before 0..900 → docs 0-5
+    // start in seq 0 (cb ≤ 500), docs 6-9 in seq 1 (cb 600..900).
+    val docs = (0L until 10L).map(i => (i, sentence(vocabA, 100), "src0"))
+    val dir = writeDocs(docs)
+
+    val rows = SparkEntry.queries("q98_sequence_packing")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    assert(rows.toSeq == Seq((0L, 6L, 600L), (1L, 4L, 400L)), rows.toSeq.toString)
+  }
+
+  // -------------------------------------------------------------------
   /** 36 vectors, nlist = ⌈√36⌉ = 6: seeds 0..5 are one member of each
     * of 6 orthogonal clusters; cluster 0 gets 15 extra members (ids
     * 6..20, dense cell → clipped to the cap), clusters 1..5 get 3 each
