@@ -81,4 +81,14 @@ object TextFunctions {
     balances.zipWithIndex.map { case (b, j) =>
       when(b > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Native one-pass SimHash ([[SimHash]]): bit-identical to the
+    * explode + [[simhashBitTerm]] + [[simhashFromBalances]] pipeline
+    * (fuzz-asserted in SimHashSpec) with zero exchange — the signature
+    * is computed where the row is.
+    */
+  def simhashNative(text: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SimHash(ColumnBridge.expression(text), bits))
+  }
 }

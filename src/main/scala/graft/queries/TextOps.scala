@@ -442,18 +442,13 @@ object TextOps {
     // SimHash signatures: 32-bit, token-frequency weighted. Near-dup
     // docs end up at small Hamming distance; the signature is the
     // locality-sensitive key for Hamming-space dedup at scale.
+    // Native one-pass signature (graft.functions.SimHash): zero
+    // exchange — the oracle still computes the 32 bit-balance sums
+    // declaratively, so the gate cross-checks the native expression
+    // against an independent construction on the full corpus.
     QueryDef("q66_simhash", Some(simhashOracle)) { (s, dir) =>
-      val tok = tbl(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("h", stringHash60(col("tok")))
-      val balanceAggs = (0 until 32)
-        .map(j => sum(simhashBitTerm(col("h"), j)).as(s"b$j"))
-      tok.groupBy("doc_id")
-        .agg(balanceAggs.head, balanceAggs.tail: _*)
-        .select(
-          col("doc_id"),
-          simhashFromBalances((0 until 32).map(j => col(s"b$j"))).as("simhash"),
-        )
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), simhashNative(col("text"), 32).as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -837,17 +832,8 @@ object TextOps {
     */
   private def simhash60Sigs(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "simhash-sigs-60") {
-      val tok = tbl(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("h", stringHash60(col("tok")))
-      val balanceAggs = (0 until SimBits)
-        .map(j => sum(simhashBitTerm(col("h"), j)).as(s"b$j"))
-      tok.groupBy("doc_id")
-        .agg(balanceAggs.head, balanceAggs.tail: _*)
-        .select(
-          col("doc_id"),
-          simhashFromBalances((0 until SimBits).map(j => col(s"b$j"))).as("sig"),
-        )
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), simhashNative(col("text"), SimBits).as("sig"))
     }
 
   /** q80 — SimHash near-dup PAIRS (q66 only emits signatures): banded
