@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductFloat, RollingMinHash}
+import graft.functions.{DotProductFloat, RollingMinHash, SimHash}
 
 /** Session-extension entry point (SparkSessionExtensions): registers
   * the engine's native expressions with the SQL function registry, so
@@ -52,6 +52,31 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
             case n: Number => RollingMinHash(children.head, n.intValue())
             case other => throw new IllegalArgumentException(
               s"graft_rolling_min_hash: k must be a non-null integer, got $other")
+          }
+        },
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(
+          classOf[SimHash].getCanonicalName,
+          null,
+          "graft_simhash",
+          "graft_simhash(text, bits) - one-pass token-level SimHash signature, bits in 1..60",
+          "",
+        ),
+        (children: Seq[Expression]) => {
+          if (children.length != 2)
+            throw new IllegalArgumentException(
+              "graft_simhash(text, bits) takes exactly 2 arguments")
+          if (!children(1).foldable)
+            throw new IllegalArgumentException(
+              "graft_simhash: bits must be a constant")
+          children(1).eval() match {
+            case n: Number => SimHash(children.head, n.intValue())
+            case other => throw new IllegalArgumentException(
+              s"graft_simhash: bits must be a non-null integer, got $other")
           }
         },
       )

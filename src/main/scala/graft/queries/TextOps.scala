@@ -86,6 +86,14 @@ object TextOps {
   /** q98: tokens per packed training sequence. */
   private val SeqLen = 512
 
+  /** q101: per-source percent-rank cut — documents below this quality
+    * rank within their source are dropped. A rank cut, not a global
+    * threshold: sources differ systematically in quality-feature
+    * distribution, and a single corpus-wide threshold would empty the
+    * weakest source while keeping every doc of the strongest.
+    */
+  private val AdaptiveDropFrac = 0.4
+
   /** q95's scrub pattern: email addresses, SSN-shaped digit groups,
     * and (so the operator is exercised on the synthetic corpus, whose
     * word-salad text contains neither) the standalone token `a`. The
@@ -522,7 +530,8 @@ object TextOps {
     repetitionDef :+ incrementalDedupDef :+ stratifiedSplitDef :+ tfidfDef :+
     simhashNearDupDef :+ dedupClustersDef :+ hotNgramsDef :+ incrementalNearDupDef :+
     boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef :+
-    tokenBudgetDef :+ sequencePackingDef
+    tokenBudgetDef :+ sequencePackingDef :+ lshSurvivorsDef :+
+    normalizedDedupDef :+ adaptiveQualityDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -1116,6 +1125,19 @@ object TextOps {
       ORDER BY cluster_id, doc_id
     """),
   ) { (s, dir) =>
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    lshClusterLabels(s, dir)
+      .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Connected-component labels over the LSH near-dup pair graph —
+    * (doc_id, cluster_id) for every doc touching at least one
+    * qualifying pair, cluster_id = minimum doc_id in the component
+    * (the iterative min-label propagation documented on q87, shared
+    * with q99's survivor materialization).
+    */
+  private def lshClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(s, dir).select("d1", "d2")
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -1140,11 +1162,7 @@ object TextOps {
       labels = next
       rounds += 1
     }
-    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    labels
-      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
-      .orderBy("cluster_id", "doc_id")
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** Oracle for q66 — 32 bit-balance sums + signature reassembly. */
@@ -1372,5 +1390,166 @@ object TextOps {
         length(redacted).cast("bigint").as("n_chars_clean"),
       )
       .orderBy("doc_id")
+  }
+
+  /** q99 — near-dup SURVIVOR materialization: the keep-decision a dedup
+    * pipeline actually executes. One canonical document per LSH
+    * near-dup component (the minimum doc_id — [[lshClusterLabels]]),
+    * everything else in the component dropped; docs in no component
+    * kept. Completes the materialize family: q78 keeps one row per
+    * exact digest, q89 one per embedding-cosine cluster, q99 one per
+    * MinHash-Jaccard component. Shape: the label table holds only docs
+    * that appear in ≥ 1 qualifying pair (≪ corpus), left-joined to the
+    * corpus on doc_id — a shuffle join AQE downgrades to broadcast
+    * when the pair graph is small, never a corpus-wide all-pairs.
+    */
+  private lazy val lshSurvivorsDef: QueryDef = QueryDef(
+    "q99_lsh_survivors",
+    Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      edges AS (
+        SELECT d1 AS a, d2 AS b FROM lshpairs
+        UNION SELECT d2, d1 FROM lshpairs),
+      verts AS (SELECT DISTINCT a AS v FROM edges),
+      reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      flags AS (
+        SELECT d.source,
+               len(string_split(d.text, ' ')) AS n_tok,
+               (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM flags
+      GROUP BY source
+      ORDER BY source
+    """),
+  ) { (s, dir) =>
+    val keep = col("cluster_id").isNull || col("cluster_id") === col("doc_id")
+    tbl(s, dir, "documents")
+      .join(lshClusterLabels(s, dir), Seq("doc_id"), "left")
+      .select(
+        col("source"),
+        size(tokens(col("text"))).cast("bigint").as("n_tok"),
+        keep.as("keep"),
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+      )
+      .orderBy("source")
+  }
+
+  /** q100 — normalization-collision dedup accounting (the "fuzzy exact"
+    * stage between exact and near dedup): canonicalize text (lowercase,
+    * strip non-alphanumeric, collapse space runs, trim) and count, per
+    * language, raw-distinct vs normalized-distinct digests. Documents
+    * that collide only after normalization are formatting twins —
+    * cheap to catch here (one map-side pass + one agg, no candidate
+    * generation) before the LSH machinery ever runs. Both regexps are
+    * dialect-pinned: explicit classes only, and the DuckDB side spells
+    * the 'g' flag (Spark's regexp_replace is always global).
+    */
+  private lazy val normalizedDedupDef: QueryDef = QueryDef(
+    "q100_normalized_dedup",
+    Some("""
+      WITH n AS (
+        SELECT lang,
+               md5(text) AS raw_d,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), '[ ]+', ' ', 'g'))) AS norm_d
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT raw_d) AS uniq_raw,
+             count(DISTINCT norm_d) AS uniq_norm,
+             count(DISTINCT raw_d) - count(DISTINCT norm_d) AS norm_collisions
+      FROM n
+      GROUP BY lang
+      ORDER BY lang
+    """),
+  ) { (s, dir) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "[ ]+", " "))
+    tbl(s, dir, "documents")
+      .select(col("lang"), md5(col("text")).as("raw_d"), md5(norm).as("norm_d"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_d")).as("uniq_raw"),
+        countDistinct(col("norm_d")).as("uniq_norm"),
+        (countDistinct(col("raw_d")) - countDistinct(col("norm_d")))
+          .as("norm_collisions"),
+      )
+      .orderBy("lang")
+  }
+
+  /** q101 — adaptive per-source quality gate: keep each source's top
+    * (1 − [[AdaptiveDropFrac]]) of documents by q63's quality score,
+    * via percent_rank within the source. The window partitions by
+    * source, so at 100 TB each source ranks independently (sub-shard a
+    * pathologically large source on a salt, take per-shard ranks — the
+    * cut is a rank, not a global sort). percent_rank is tie-stable:
+    * equal scores get equal ranks in both engines, so the hash compare
+    * cannot flip on tie order.
+    */
+  private lazy val adaptiveQualityDef: QueryDef = QueryDef(
+    "q101_adaptive_quality_gate",
+    Some(s"""
+      WITH f AS (
+        SELECT source,
+               least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5 +
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                 greatest(len(string_split(text, ' ')), 1) * 0.5 AS quality
+        FROM documents),
+      r AS (
+        SELECT source, quality,
+               percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pr
+        FROM f)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN pr >= $AdaptiveDropFrac THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             round(min(CASE WHEN pr >= $AdaptiveDropFrac THEN quality END), 4)
+               AS threshold,
+             round(avg(CASE WHEN pr >= $AdaptiveDropFrac THEN quality END), 4)
+               AS kept_avg_quality
+      FROM r
+      GROUP BY source
+      ORDER BY source
+    """),
+  ) { (s, dir) =>
+    val toks = tokens(col("text"))
+    val kept = col("pr") >= AdaptiveDropFrac
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("quality")
+    tbl(s, dir, "documents")
+      .select(
+        col("source"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+      )
+      .select(
+        col("source"),
+        (least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)) * 0.5)
+          .as("quality"),
+      )
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        round(min(when(kept, col("quality"))), 4).as("threshold"),
+        round(avg(when(kept, col("quality"))), 4).as("kept_avg_quality"),
+      )
+      .orderBy("source")
   }
 }

@@ -55,6 +55,17 @@ class SimHashSpec extends SparkTestBase {
     assert(native(texts, 60) == interpreted)
   }
 
+  test("registered in SQL as graft_simhash") {
+    val viaSql = spark.sql("SELECT graft_simhash('alpha bravo alpha', 60) AS sig")
+      .collect()(0).getLong(0)
+    assert(viaSql == SimHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("alpha bravo alpha"), 60))
+    // Non-constant / wrong-arity bits argument is rejected at plan time.
+    intercept[Exception] {
+      spark.sql("SELECT graft_simhash('a', cast(rand() * 10 AS INT)) AS sig").collect()
+    }
+  }
+
   test("null propagates") {
     val out = Seq(Some("a b"), None).toDF("t")
       .select(simhashNative($"t", 60).as("sig")).collect()

@@ -180,4 +180,66 @@ class CurationQualitySpec extends SparkTestBase {
       s"five sparse cells must survive whole: $first")
     assert(run().toSeq == first.toSeq, "hash-ranked sample must be deterministic")
   }
+
+  // -------------------------------------------------------------------
+  test("q99 keeps exactly one survivor per planted near-dup cluster") {
+    val base = sentence(vocabA, 40).split(" ")
+    // 4 near-dups of the base doc (one token differs each → 3-shingle
+    // Jaccard far above 0.6), plus 5 unrelated unique docs.
+    val nearDups = (0L until 4L).map { i =>
+      val t = base.updated(base.length - 1 - i.toInt, s"variant$i").mkString(" ")
+      (i, t, "src0")
+    }
+    val unique = (10L until 15L).map(i => (i, sentence(vocabB, 40), "src1"))
+    val dir = writeDocs(nearDups ++ unique)
+
+    val rows = SparkEntry.queries("q99_lsh_survivors")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed")))
+      .toMap
+    assert(rows("src0") == ((4L, 1L, 3L)),
+      s"near-dup cluster must collapse to one survivor: ${rows("src0")}")
+    assert(rows("src1") == ((5L, 5L, 0L)),
+      s"unique docs must all survive: ${rows("src1")}")
+  }
+
+  // -------------------------------------------------------------------
+  test("q100 catches formatting twins that collide only after normalization") {
+    val body = sentence(vocabA, 20)
+    val twins = Seq(
+      (0L, body, "src0"),
+      (1L, body.toUpperCase + "!!", "src0"),    // case + punctuation variant
+      (2L, "  " + body.replace(" ", "   "), "src0"), // whitespace-run variant
+    )
+    val unique = (10L until 14L).map(i => (i, sentence(vocabB, 20), "src0"))
+    val dir = writeDocs(twins ++ unique)
+
+    val r = SparkEntry.queries("q100_normalized_dedup")(spark, dir)
+      .collect().map(x => (x.getAs[Long]("n_docs"), x.getAs[Long]("uniq_raw"),
+        x.getAs[Long]("uniq_norm"), x.getAs[Long]("norm_collisions")))
+    assert(r.length == 1) // all docs are lang=en
+    // 7 docs, all raw-distinct; the 3 twins collapse to 1 normalized form.
+    assert(r(0) == ((7L, 7L, 5L, 2L)), s"got ${r(0)}")
+  }
+
+  // -------------------------------------------------------------------
+  /** 10 docs per source with strictly increasing quality (all-distinct
+    * tokens → diversity 1; token count drives the length factor):
+    * percent_rank = (rank−1)/9, so pr ≥ 0.4 keeps ranks 5..10 — six
+    * docs — in EACH source independently, even though srcB's best doc
+    * is worse than srcA's worst.
+    */
+  test("q101 cuts each source at its own quality rank, not a global threshold") {
+    def doc(id: Long, nTok: Int, source: String) =
+      (id, (1 to nTok).map(j => s"t${id}x$j").mkString(" "), source)
+    val srcA = (0L until 10L).map(i => doc(i, 50 + 5 * i.toInt, "srcA"))   // 50..95 tokens
+    val srcB = (10L until 20L).map(i => doc(i, 5 + 2 * (i.toInt - 10), "srcB")) // 5..23 tokens
+    val dir = writeDocs(srcA ++ srcB)
+
+    val rows = SparkEntry.queries("q101_adaptive_quality_gate")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(rows("srcA") == ((10L, 6L)), s"srcA: ${rows("srcA")}")
+    assert(rows("srcB") == ((10L, 6L)), s"srcB: ${rows("srcB")}")
+  }
 }
