@@ -531,7 +531,7 @@ object TextOps {
     simhashNearDupDef :+ dedupClustersDef :+ hotNgramsDef :+ incrementalNearDupDef :+
     boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef :+
     tokenBudgetDef :+ sequencePackingDef :+ lshSurvivorsDef :+
-    normalizedDedupDef :+ adaptiveQualityDef
+    normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -1549,6 +1549,71 @@ object TextOps {
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
         round(min(when(kept, col("quality"))), 4).as("threshold"),
         round(avg(when(kept, col("quality"))), 4).as("kept_avg_quality"),
+      )
+      .orderBy("source")
+  }
+
+  /** q102 — Bloom-prefiltered incremental dedup (q85's split: even
+    * doc_ids are the at-rest index, odd the arriving batch). The batch
+    * probes a serialized Bloom filter of the index digests
+    * ([[graft.functions.BloomFunctions]] over Spark's own
+    * BloomFilterAggregate) BEFORE the exact join: rows the filter
+    * rejects are definitely new (no false negatives) and bypass the
+    * join entirely; only maybe-dup candidates shuffle. At 10⁹ index
+    * digests the bloom is a few hundred MB shipped once per executor
+    * vs a digest table that must be shuffled or bucketed — and since
+    * false positives only add redundant candidates that the exact join
+    * then rejects, the RESULT is exactly the plain join's, which is
+    * why a DuckDB oracle with no bloom still hash-matches. The one-row
+    * driver read of the aggregated filter is the same materialization
+    * Spark's InjectRuntimeFilter performs for its bloom scalar
+    * subquery.
+    */
+  private lazy val bloomDedupDef: QueryDef = QueryDef(
+    "q102_bloom_dedup",
+    Some("""
+      WITH existing AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+      batch AS (
+        SELECT source, md5(text) AS h
+        FROM documents WHERE doc_id % 2 = 1)
+      SELECT source,
+             count(*) AS n_batch,
+             count(*) FILTER (WHERE h IN (SELECT h FROM existing))
+               AS n_dup_vs_index,
+             count(*) FILTER (WHERE h NOT IN (SELECT h FROM existing))
+               AS n_new
+      FROM batch
+      GROUP BY source
+      ORDER BY source
+    """),
+  ) { (s, dir) =>
+    import graft.functions.BloomFunctions._
+    val docs = tbl(s, dir, "documents")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+    // One-row driver read of the serialized filter (see Scaladoc).
+    // Empty index → no filter row → every batch doc is definitely new.
+    val bloomBits = existing
+      .agg(bloomAgg(xxhash64(col("h")), 100000L, 1L << 20).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("source"), md5(col("text")).as("h"))
+    val flagged =
+      if (bloomBits == null) batch.withColumn("maybe", lit(false))
+      else batch.withColumn("maybe", mightContain(bloomBits, xxhash64(col("h"))))
+    // Definite-new rows bypass the join; only bloom candidates join the
+    // index for exact verification.
+    val checked = flagged.filter(col("maybe"))
+      .join(existing.withColumn("in_index", lit(1)), Seq("h"), "left")
+    val all = flagged.filter(!col("maybe"))
+      .withColumn("in_index", lit(null).cast("int"))
+      .unionByName(checked)
+    all.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        count(when(col("in_index") === 1, 1)).as("n_dup_vs_index"),
+        count(when(col("in_index").isNull, 1)).as("n_new"),
       )
       .orderBy("source")
   }

@@ -186,4 +186,31 @@ class DedupQualitySpec extends SparkTestBase {
     // Background docs shouldn't collide with the cluster fingerprint.
     assert((70L until 90L).count(i => fps(i) == clusterFp) == 0)
   }
+
+  /** The planted corpus's cluster A (ids 0..24, identical text) spans
+    * both parities: even members land in the at-rest index, so every
+    * odd member is a dup-vs-index; cluster-B/boiler/background texts
+    * are all distinct, so their odd members are new. The bloom prune
+    * must leave those exact counts intact (no false negatives) and the
+    * probe must actually be in the executed plan.
+    */
+  test("bloom-prefiltered incremental dedup matches the exact-join truth") {
+    val df = SparkEntry.queries("q102_bloom_dedup")(spark, corpusDir)
+    assert(df.queryExecution.executedPlan.toString.contains("might_contain"),
+      "the bloom probe must appear in the physical plan")
+    val bySrc = df.collect().map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_batch"), r.getAs[Long]("n_dup_vs_index"), r.getAs[Long]("n_new")))
+      .toMap
+    // Odd cluster-A ids per source: src1 = {1,7,13,19}, src2 = {5,11,17,23},
+    // src0 = {3,9,15,21} — every one a dup vs the even-id index copies.
+    val expectDup = Map("src0" -> 4L, "src1" -> 4L, "src2" -> 4L)
+    expectDup.foreach { case (src, d) =>
+      val (n, dup, fresh) = bySrc(src)
+      assert(dup == d, s"$src: expected $d dups vs index, got $dup")
+      assert(n == dup + fresh, s"$src: batch accounting must add up")
+    }
+    // All non-cluster-A odd docs are unique texts → new.
+    assert(bySrc.values.map(_._3).sum ==
+      bySrc.values.map(_._1).sum - 12L, "every non-planted odd doc must be new")
+  }
 }
