@@ -94,6 +94,14 @@ object TextOps {
     */
   private val AdaptiveDropFrac = 0.4
 
+  /** q103: context-window size and stride, in tokens. Stride <
+    * window ⇒ adjacent chunks overlap by (window − stride) tokens, the
+    * standard continuity overlap when cutting documents into
+    * model-context pieces.
+    */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
   /** q95's scrub pattern: email addresses, SSN-shaped digit groups,
     * and (so the operator is exercised on the synthetic corpus, whose
     * word-salad text contains neither) the standalone token `a`. The
@@ -531,7 +539,8 @@ object TextOps {
     simhashNearDupDef :+ dedupClustersDef :+ hotNgramsDef :+ incrementalNearDupDef :+
     boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef :+
     tokenBudgetDef :+ sequencePackingDef :+ lshSurvivorsDef :+
-    normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef
+    normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
+    contextChunksDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -1616,5 +1625,65 @@ object TextOps {
         count(when(col("in_index").isNull, 1)).as("n_new"),
       )
       .orderBy("source")
+  }
+
+  /** q103 — context-window chunking: explode each document into
+    * overlapping [[ChunkTokens]]-token windows advancing by
+    * [[ChunkStride]] tokens, the doc → training-context step that sits
+    * between curation and sequence packing (q98). Each chunk carries
+    * its token count and a content digest, so chunk-LEVEL exact dedup
+    * (the q60 shape over chunks instead of documents) composes
+    * directly on the output. Chunk starts are 0, stride, 2·stride, …
+    * while start < max(n − overlap, 1), so every token lands in ≥ 1
+    * chunk, adjacent chunks share (window − stride) tokens, and a
+    * document shorter than one window yields exactly one chunk.
+    *
+    * Shape: one map-side pass — tokenize, `sequence` the starts,
+    * `explode`, `slice` — entirely inside whole-stage codegen with no
+    * UDF and no shuffle (the orderBy exists only for oracle
+    * determinism). Output is ~n/stride rows per document; at 100 TB
+    * the explode fan-out (~1.3× rows at 64/48) is the cost, and it
+    * stays embarrassingly parallel — no skew, no join, no state.
+    */
+  private lazy val contextChunksDef: QueryDef = QueryDef(
+    "q103_context_chunks",
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      st AS (
+        SELECT doc_id, toks,
+               unnest(range(0,
+                            greatest(len(toks) - ${ChunkTokens - ChunkStride}, 1),
+                            $ChunkStride)) AS s
+        FROM tok)
+      SELECT doc_id,
+             CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(toks, s + 1, s + $ChunkTokens)) AS BIGINT)
+               AS n_tokens,
+             md5(array_to_string(list_slice(toks, s + 1, s + $ChunkTokens), ' '))
+               AS chunk_md5
+      FROM st
+      ORDER BY doc_id, chunk_id
+    """),
+  ) { (s, dir) =>
+    val overlap = ChunkTokens - ChunkStride
+    val chunk = slice(col("toks"), col("st") + 1, lit(ChunkTokens))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("toks"),
+        explode(
+          sequence(
+            lit(0),
+            greatest(size(col("toks")) - overlap, lit(1)) - 1,
+            lit(ChunkStride))).as("st"),
+      )
+      .select(
+        col("doc_id"),
+        (col("st") / ChunkStride).cast("bigint").as("chunk_id"),
+        size(chunk).cast("bigint").as("n_tokens"),
+        md5(array_join(chunk, " ")).as("chunk_md5"),
+      )
+      .orderBy("doc_id", "chunk_id")
   }
 }

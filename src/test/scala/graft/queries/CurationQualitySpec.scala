@@ -242,4 +242,46 @@ class CurationQualitySpec extends SparkTestBase {
     assert(rows("srcA") == ((10L, 6L)), s"srcA: ${rows("srcA")}")
     assert(rows("srcB") == ((10L, 6L)), s"srcB: ${rows("srcB")}")
   }
+
+  /** Window = 64, stride = 48 (overlap 16). Doc lengths probe every
+    * boundary case: shorter than a window (one short chunk), exactly
+    * one window, one token past (second chunk is overlap + 1 tokens),
+    * an exact multiple of stride landing flush (no tail), and one past
+    * that. Chunk i covers tokens [48·i, 48·i + n_tokens); together the
+    * chunks must cover 0..n with no gap, and identical docs must emit
+    * identical digest sequences (chunk-level dedup composes).
+    */
+  test("q103 chunks cover every token, overlap by window-stride, dedup-stable digests") {
+    def doc(id: Long, nTok: Int) =
+      (id, (1 to nTok).map(j => s"w${id}n$j").mkString(" "), "src0")
+    val lens = Map(0L -> 10, 1L -> 64, 2L -> 65, 3L -> 160, 4L -> 161)
+    val twin = (5L, (1 to 161).map(j => s"w4n$j").mkString(" "), "src1") // same text as doc 4
+    val dir = writeDocs(lens.toSeq.sortBy(_._1).map { case (id, n) => doc(id, n) } :+ twin)
+
+    val rows = SparkEntry.queries("q103_context_chunks")(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id")).map { case (id, rs) =>
+      id -> rs.sortBy(_.getAs[Long]("chunk_id"))
+        .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_md5")))
+    }
+
+    def shape(id: Long): Seq[(Long, Long)] = byDoc(id).map(c => (c._1, c._2)).toSeq
+    assert(shape(0L) == Seq((0L, 10L)), s"short doc: ${shape(0L)}")
+    assert(shape(1L) == Seq((0L, 64L)), s"exact window: ${shape(1L)}")
+    assert(shape(2L) == Seq((0L, 64L), (1L, 17L)), s"window+1: ${shape(2L)}")
+    assert(shape(3L) == Seq((0L, 64L), (1L, 64L), (2L, 64L)), s"flush: ${shape(3L)}")
+    assert(shape(4L) == Seq((0L, 64L), (1L, 64L), (2L, 64L), (3L, 17L)), s"flush+1: ${shape(4L)}")
+
+    // Coverage: chunk i starts at 48·i, so end of last chunk must hit n
+    // and each next chunk must start inside the previous one (overlap).
+    lens.foreach { case (id, n) =>
+      val spans = byDoc(id).toSeq.map { case (cid, nt, _) => (48 * cid, 48 * cid + nt) }
+      assert(spans.last._2 == n, s"doc $id: covered to ${spans.last._2}, n=$n")
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 < e1, s"doc $id: gap at $s2")
+        case _ =>
+      }
+    }
+    assert(byDoc(5L).map(_._3).sameElements(byDoc(4L).map(_._3)),
+      "identical texts must produce identical chunk digests")
+  }
 }
