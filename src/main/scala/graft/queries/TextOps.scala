@@ -540,7 +540,7 @@ object TextOps {
     boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef :+
     tokenBudgetDef :+ sequencePackingDef :+ lshSurvivorsDef :+
     normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
-    contextChunksDef
+    contextChunksDef :+ chunkDedupDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -1645,27 +1645,31 @@ object TextOps {
     * the explode fan-out (~1.3× rows at 64/48) is the cost, and it
     * stays embarrassingly parallel — no skew, no join, no state.
     */
-  private lazy val contextChunksDef: QueryDef = QueryDef(
-    "q103_context_chunks",
-    Some(s"""
-      WITH tok AS (
+  /** DuckDB twin of [[chunkFrame]]: CTE prefix ending in a `chunks`
+    * relation (doc_id, chunk_id, n_tokens, chunk_md5). */
+  private def duckChunks: String =
+    s"""tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       st AS (
         SELECT doc_id, toks,
                unnest(range(0,
                             greatest(len(toks) - ${ChunkTokens - ChunkStride}, 1),
                             $ChunkStride)) AS s
-        FROM tok)
-      SELECT doc_id,
-             CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
-             CAST(len(list_slice(toks, s + 1, s + $ChunkTokens)) AS BIGINT)
-               AS n_tokens,
-             md5(array_to_string(list_slice(toks, s + 1, s + $ChunkTokens), ' '))
-               AS chunk_md5
-      FROM st
-      ORDER BY doc_id, chunk_id
-    """),
-  ) { (s, dir) =>
+        FROM tok),
+      chunks AS (
+        SELECT doc_id,
+               CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, s + 1, s + $ChunkTokens)) AS BIGINT)
+                 AS n_tokens,
+               md5(array_to_string(list_slice(toks, s + 1, s + $ChunkTokens), ' '))
+                 AS chunk_md5
+        FROM st)"""
+
+  /** The context-chunk table behind q103/q104: one row per
+    * [[ChunkTokens]]-token window on a [[ChunkStride]] stride —
+    * (doc_id, chunk_id, n_tokens, chunk_md5). One map-side codegen
+    * pass: tokenize, `sequence` the starts, `explode`, `slice`. */
+  private def chunkFrame(s: SparkSession, dir: String): DataFrame = {
     val overlap = ChunkTokens - ChunkStride
     val chunk = slice(col("toks"), col("st") + 1, lit(ChunkTokens))
     tbl(s, dir, "documents")
@@ -1684,6 +1688,65 @@ object TextOps {
         size(chunk).cast("bigint").as("n_tokens"),
         md5(array_join(chunk, " ")).as("chunk_md5"),
       )
-      .orderBy("doc_id", "chunk_id")
+  }
+
+  private lazy val contextChunksDef: QueryDef = QueryDef(
+    "q103_context_chunks",
+    Some(s"""
+      WITH $duckChunks
+      SELECT doc_id, chunk_id, n_tokens, chunk_md5
+      FROM chunks
+      ORDER BY doc_id, chunk_id
+    """),
+  ) { (s, dir) =>
+    chunkFrame(s, dir).orderBy("doc_id", "chunk_id")
+  }
+
+  /** q104 — chunk-level cross-document dedup over the q103 context
+    * table: for each document, the fraction of its chunks whose digest
+    * also appears in ≥ 2 distinct documents. This is the exact-dedup
+    * pass run at the granularity the trainer consumes — it catches
+    * PARTIAL duplication (a copied article inside an otherwise-unique
+    * page) that whole-document digests (q60) miss, the
+    * RefinedWeb/CCNet segment-dedup construction. Window-aligned
+    * chunking only matches alignment-preserving copies; unaligned
+    * overlap is the shingle family's job (q65/q67) — this operator is
+    * the cheap exact sweep over the materialized chunk table.
+    *
+    * Shape: groupBy on the 16-byte digest for document frequency, one
+    * hash join back, per-doc agg — identical scale posture to
+    * q93's shingle-df pipeline (shuffles carry digests, never text).
+    */
+  private lazy val chunkDedupDef: QueryDef = QueryDef(
+    "q104_chunk_dedup",
+    Some(s"""
+      WITH $duckChunks,
+      df AS (
+        SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+        FROM chunks GROUP BY chunk_md5)
+      SELECT c.doc_id,
+             count(*) AS n_chunks,
+             count(*) FILTER (WHERE df.nd >= 2) AS n_shared,
+             round(count(*) FILTER (WHERE df.nd >= 2) * 1.0 / count(*), 4)
+               AS shared_frac,
+             CASE WHEN count(*) FILTER (WHERE df.nd >= 2) * 1.0 / count(*) > 0.5
+               THEN 1 ELSE 0 END AS flagged
+      FROM chunks c JOIN df USING (chunk_md5)
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id
+    """),
+  ) { (s, dir) =>
+    val ch = chunkFrame(s, dir)
+    val df = ch.groupBy("chunk_md5").agg(countDistinct("doc_id").as("nd"))
+    val shared = count(when(col("nd") >= 2, 1))
+    ch.join(df, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        shared.as("n_shared"),
+        round(shared * 1.0 / count(lit(1)), 4).as("shared_frac"),
+        when(shared * 1.0 / count(lit(1)) > 0.5, 1).otherwise(0).as("flagged"),
+      )
+      .orderBy("doc_id")
   }
 }

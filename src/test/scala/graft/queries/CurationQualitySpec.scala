@@ -284,4 +284,29 @@ class CurationQualitySpec extends SparkTestBase {
     assert(byDoc(5L).map(_._3).sameElements(byDoc(4L).map(_._3)),
       "identical texts must produce identical chunk digests")
   }
+
+  /** Doc 0 is a 160-token block P (3 chunks, all inside P); doc 1 is
+    * P followed by 160 unique tokens (7 chunks, of which the first 3
+    * — starts 0/48/96, all ending at or before token 160 — are
+    * byte-identical to doc 0's). So doc 0 is fully covered by shared
+    * chunks (flagged) while doc 1 shares only 3/7 (not flagged): the
+    * partial-duplication case whole-document digests cannot see.
+    * Docs with disjoint vocab share nothing.
+    */
+  test("q104 flags the contained copy, grades the partial overlap, passes unique docs") {
+    val p = (1 to 160).map(j => s"p$j").mkString(" ")
+    val uniq = (1 to 160).map(j => s"u$j").mkString(" ")
+    val others = (10L until 14L).map(i =>
+      (i, (1 to 100).map(j => s"o${i}x$j").mkString(" "), "src2"))
+    val dir = writeDocs(Seq((0L, p, "src0"), (1L, s"$p $uniq", "src1")) ++ others)
+
+    val rows = SparkEntry.queries("q104_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared"), r.getAs[Int]("flagged")))).toMap
+    assert(rows(0L) == ((3L, 3L, 1)), s"contained copy: ${rows(0L)}")
+    assert(rows(1L) == ((7L, 3L, 0)), s"partial overlap: ${rows(1L)}")
+    (10L until 14L).foreach { id =>
+      assert(rows(id)._2 == 0L && rows(id)._3 == 0, s"unique doc $id: ${rows(id)}")
+    }
+  }
 }
