@@ -143,6 +143,24 @@ class PlanSpec extends SparkTestBase {
     assert(windowPart.contains("cluster"), s"rank window not partitioned by cluster: $windowPart")
   }
 
+  test("q103: chunking is one map-side pass — no exchange before the presentation sort") {
+    val p = plan("q103_context_chunks")
+    assert(!p.contains("hashpartitioning"),
+      s"q103 should only exchange for the final sort (rangepartitioning):\n$p")
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q104: chunk joins carry the digest, never token arrays or text") {
+    val p = plan("q104_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in q104:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected digest-keyed exchanges in q104:\n$p")
+    exchanges.foreach(e =>
+      assert(!e.contains("toks#") && !e.contains("text#"),
+        s"token text shuffled in q104: $e"))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
