@@ -540,7 +540,7 @@ object TextOps {
     boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef :+
     tokenBudgetDef :+ sequencePackingDef :+ lshSurvivorsDef :+
     normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
-    contextChunksDef :+ chunkDedupDef
+    contextChunksDef :+ chunkDedupDef :+ curationFunnelDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -1748,5 +1748,83 @@ object TextOps {
         when(shared * 1.0 / count(lit(1)) > 0.5, 1).otherwise(0).as("flagged"),
       )
       .orderBy("doc_id")
+  }
+
+  /** q105 — curation funnel: per-source survivor counts through the
+    * release pipeline's stages in [[graft.pipeline.TextPipeline]]
+    * order — raw → quality gate (q77's score ≥ 0.6) → exact dedup
+    * (q78's canonical-survivor rule, applied to the GATED set) →
+    * deterministic mix (q76's hash-of-id keep rates). This is the
+    * accounting table a data release logs: where each source's
+    * documents were lost, with every stage a pure function of the
+    * corpus so the funnel is re-derivable after the fact. Left joins
+    * from the raw counts keep a fully-filtered source visible as an
+    * explicit zero instead of a missing row.
+    *
+    * Shape: one corpus scan feeds the gate map-side; the only wide
+    * operation is the dedup window keyed on the 16-byte text digest
+    * (text itself is projected away before the exchange); the stage
+    * aggregates are per-source (tiny) and the final joins broadcast.
+    */
+  private lazy val curationFunnelDef: QueryDef = QueryDef(
+    "q105_curation_funnel",
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source, text,
+               least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5 +
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                 greatest(len(string_split(text, ' ')), 1) * 0.5 AS quality
+        FROM documents),
+      gated AS (SELECT doc_id, source, text FROM scored WHERE quality >= 0.6),
+      sur AS (
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+          FROM gated)
+        WHERE rk = 1),
+      mixed AS (
+        SELECT doc_id, source FROM sur
+        WHERE ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 <
+              CASE WHEN source IN ('src0', 'src1', 'src2') THEN 80 ELSE 30 END),
+      r AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+      g AS (SELECT source, count(*) AS n_gated FROM gated GROUP BY source),
+      d AS (SELECT source, count(*) AS n_deduped FROM sur GROUP BY source),
+      m AS (SELECT source, count(*) AS n_mixed FROM mixed GROUP BY source)
+      SELECT r.source, r.n_raw,
+             CAST(coalesce(g.n_gated, 0) AS BIGINT) AS n_gated,
+             CAST(coalesce(d.n_deduped, 0) AS BIGINT) AS n_deduped,
+             CAST(coalesce(m.n_mixed, 0) AS BIGINT) AS n_mixed
+      FROM r
+      LEFT JOIN g USING (source)
+      LEFT JOIN d USING (source)
+      LEFT JOIN m USING (source)
+      ORDER BY source
+    """),
+  ) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    val gated = docs
+      .select(col("doc_id"), col("source"), col("text"), qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 0.6)
+    val byText = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val sur = gated
+      .select(col("doc_id"), col("source"),
+        row_number().over(byText.orderBy(asc("doc_id"))).as("rk"))
+      .filter(col("rk") === 1)
+    val mixed = sur.filter(
+      stringHash60(col("doc_id").cast("string")) % 100 <
+        when(col("source").isInCollection(Seq("src0", "src1", "src2")), 80).otherwise(30))
+    def perSource(df: DataFrame, as: String): DataFrame =
+      df.groupBy("source").agg(count(lit(1)).as(as))
+    perSource(docs, "n_raw")
+      .join(perSource(gated, "n_gated"), Seq("source"), "left")
+      .join(perSource(sur, "n_deduped"), Seq("source"), "left")
+      .join(perSource(mixed, "n_mixed"), Seq("source"), "left")
+      .select(
+        col("source"), col("n_raw"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
+        coalesce(col("n_mixed"), lit(0L)).as("n_mixed"),
+      )
+      .orderBy("source")
   }
 }

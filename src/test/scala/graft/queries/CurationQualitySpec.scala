@@ -309,4 +309,33 @@ class CurationQualitySpec extends SparkTestBase {
       assert(rows(id)._2 == 0L && rows(id)._3 == 0, s"unique doc $id: ${rows(id)}")
     }
   }
+
+  /** src0: three identical high-quality docs (100 distinct tokens →
+    * quality 1.0; dedup keeps one) plus one repeated-token doc
+    * (quality ≈ 0.26, gated out) → funnel 4 → 3 → 1. srcZ: only
+    * low-quality docs → the left join must still emit its row with
+    * explicit zeros. Mixing is hash-deterministic, so n_mixed is
+    * bounded by the dedup survivors and identical across runs.
+    */
+  test("q105 funnel counts each stage; a fully-gated source reports zeros") {
+    val hi = (1 to 100).map(j => s"h$j").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, hi, "src0"), (1L, hi, "src0"), (2L, hi, "src0"),
+      (3L, Seq.fill(50)("x").mkString(" "), "src0"),
+      (10L, Seq.fill(40)("y").mkString(" "), "srcZ"),
+      (11L, Seq.fill(60)("z").mkString(" "), "srcZ"),
+    ))
+
+    def funnel() = SparkEntry.queries("q105_curation_funnel")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_raw"), r.getAs[Long]("n_gated"),
+          r.getAs[Long]("n_deduped"), r.getAs[Long]("n_mixed")))).toMap
+
+    val out = funnel()
+    val (raw, gated, ded, mixed) = out("src0")
+    assert((raw, gated, ded) == ((4L, 3L, 1L)), s"src0: ${out("src0")}")
+    assert(mixed <= ded, s"mix kept more than the dedup survivors: ${out("src0")}")
+    assert(out("srcZ") == ((2L, 0L, 0L, 0L)), s"srcZ: ${out("srcZ")}")
+    assert(funnel()("src0")._4 == mixed, "hash-based mixing must be deterministic")
+  }
 }
