@@ -161,6 +161,14 @@ class PlanSpec extends SparkTestBase {
         s"token text shuffled in q104: $e"))
   }
 
+  test("q105: the dedup window shuffles the text digest, not the text") {
+    val p = plan("q105_curation_funnel")
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected the dedup-window exchange in q105:\n$p")
+    exchanges.foreach(e =>
+      assert(!e.contains("text#"), s"document text shuffled in q105: $e"))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
