@@ -1761,10 +1761,17 @@ object TextOps {
     * from the raw counts keep a fully-filtered source visible as an
     * explicit zero instead of a missing row.
     *
-    * Shape: one corpus scan feeds the gate map-side; the only wide
-    * operation is the dedup window keyed on the 16-byte text digest
-    * (text itself is projected away before the exchange); the stage
-    * aggregates are per-source (tiny) and the final joins broadcast.
+    * Shape: ONE corpus scan, one wide operation, one small aggregate.
+    * The naive formulation (count each stage's frame separately and
+    * join) plans three full text scans and two window shuffles —
+    * Spark's exchange reuse does not fire across the branches because
+    * each projects differently. Instead every stage becomes a flag in
+    * a single pass: the dedup window orders gated rows first within
+    * each digest group, so "first gated copy" (= rank 1 ∧ gated) is
+    * exactly q78's survivor rule applied to the gated set, and the
+    * per-source funnel is four conditional counts in one aggregate.
+    * The window exchange carries (digest, doc_id, source, gated) —
+    * text is projected away map-side.
     */
   private lazy val curationFunnelDef: QueryDef = QueryDef(
     "q105_curation_funnel",
@@ -1801,29 +1808,28 @@ object TextOps {
       ORDER BY source
     """),
   ) { (s, dir) =>
-    val docs = tbl(s, dir, "documents")
-    val gated = docs
-      .select(col("doc_id"), col("source"), col("text"), qualityScore(col("text")).as("quality"))
-      .filter(col("quality") >= 0.6)
-    val byText = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
-    val sur = gated
-      .select(col("doc_id"), col("source"),
-        row_number().over(byText.orderBy(asc("doc_id"))).as("rk"))
-      .filter(col("rk") === 1)
-    val mixed = sur.filter(
+    // Gated rows sort first (booleans order false < true, so desc), so
+    // rank 1 ∧ gated ⇔ the minimum-doc_id gated copy of each digest.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("digest").orderBy(desc("gated"), asc("doc_id"))
+    val survivor = col("gated") && row_number().over(w) === 1
+    val mixed = col("survivor") &&
       stringHash60(col("doc_id").cast("string")) % 100 <
-        when(col("source").isInCollection(Seq("src0", "src1", "src2")), 80).otherwise(30))
-    def perSource(df: DataFrame, as: String): DataFrame =
-      df.groupBy("source").agg(count(lit(1)).as(as))
-    perSource(docs, "n_raw")
-      .join(perSource(gated, "n_gated"), Seq("source"), "left")
-      .join(perSource(sur, "n_deduped"), Seq("source"), "left")
-      .join(perSource(mixed, "n_mixed"), Seq("source"), "left")
+        when(col("source").isInCollection(Seq("src0", "src1", "src2")), 80).otherwise(30)
+    tbl(s, dir, "documents")
       .select(
-        col("source"), col("n_raw"),
-        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
-        coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
-        coalesce(col("n_mixed"), lit(0L)).as("n_mixed"),
+        col("doc_id"), col("source"),
+        (qualityScore(col("text")) >= 0.6).as("gated"),
+        md5(col("text")).as("digest"),
+      )
+      .withColumn("survivor", survivor)
+      .withColumn("mixed", mixed)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("gated"), 1)).as("n_gated"),
+        count(when(col("survivor"), 1)).as("n_deduped"),
+        count(when(col("mixed"), 1)).as("n_mixed"),
       )
       .orderBy("source")
   }

@@ -161,8 +161,11 @@ class PlanSpec extends SparkTestBase {
         s"token text shuffled in q104: $e"))
   }
 
-  test("q105: the dedup window shuffles the text digest, not the text") {
+  test("q105: one scan, digest-keyed window shuffle, no text in any exchange") {
     val p = plan("q105_curation_funnel")
+    val scans = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans == 1, s"funnel should read the corpus exactly once, saw $scans:\n$p")
     val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
     assert(exchanges.nonEmpty, s"expected the dedup-window exchange in q105:\n$p")
     exchanges.foreach(e =>
