@@ -42,8 +42,31 @@ object PlanAudit {
         val scans = nodes("Scan parquet")
         val reused = nodes("ReusedExchange") + nodes("ReusedQueryStage")
         val exchanges = lines.count(_.contains("hashpartitioning"))
-        if (scans >= minScans)
-          println(f"[audit] $name%-35s scans=$scans exch=$exchanges reused=$reused")
+        // Same-table re-scans are the signal that matters at 100 TB: a
+        // query planning N scans of the SAME source reads the corpus N
+        // times. Scans of N different tables are just a join tree.
+        val tableRe = "file:[^\\]\\,]*/([A-Za-z0-9_.-]+)\\.parquet".r
+        val perTable = lines
+          .filter(_.contains("Scan parquet"))
+          .flatMap(l => tableRe.findFirstMatchIn(l).map(_.group(1)))
+          .groupBy(identity).view.mapValues(_.size)
+          .filter(_._2 >= 2).toMap
+        if (scans >= minScans || perTable.nonEmpty) {
+          val dup = perTable.toSeq.sortBy(-_._2)
+            .map { case (t, n) => s"$t×$n" }.mkString(",")
+          println(f"[audit] $name%-35s scans=$scans exch=$exchanges reused=$reused dup=[$dup]")
+          // For each duplicated table, show what each scan actually
+          // reads: N cheap key-column scans are fine; N scans that all
+          // deserialize `text` re-read the corpus payload N times.
+          val schemaRe = "ReadSchema: struct<([^>]*)".r
+          lines.filter(_.contains("Scan parquet")).foreach { l =>
+            for {
+              t <- tableRe.findFirstMatchIn(l).map(_.group(1))
+              if perTable.contains(t)
+              s <- schemaRe.findFirstMatchIn(l).map(_.group(1))
+            } println(s"         $t <- ${s.split(",").map(_.takeWhile(_ != ':')).mkString(",")}")
+          }
+        }
       } catch {
         case e: Throwable => println(s"[audit] $name ERROR ${e.getMessage}")
       }

@@ -172,6 +172,25 @@ class PlanSpec extends SparkTestBase {
       assert(!e.contains("text#"), s"document text shuffled in q105: $e"))
   }
 
+  test("restructured curation queries read the corpus text exactly once") {
+    // Each of these used to plan 2-3 full scans of documents.text (the
+    // 100 TB payload) because exchange reuse does not fire across
+    // differently-keyed branches — pinned here after the single-scan
+    // restructures (window-based df, tagged explode, at-rest digest
+    // index, flag-in-join-condition). q82 additionally plans a
+    // column-LESS documents scan for its corpus count: a parquet
+    // footer read, which this test deliberately does not count.
+    for (q <- Seq("q81_repetition_signals", "q82_tfidf_topterms",
+                  "q85_incremental_dedup", "q97_token_budget",
+                  "q102_bloom_dedup", "q104_chunk_dedup")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      val n = p.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("documents.parquet")
+          && l.contains("text:string"))
+      assert(n == 1, s"$q reads documents.text $n times:\n$p")
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
