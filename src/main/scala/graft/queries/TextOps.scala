@@ -24,15 +24,27 @@ object TextOps {
   private val Bands = 4
   private val Rows = 4 // NumHashes / Bands
 
-  /** q80 banded-Hamming parameters: a 60-bit SimHash cut into 6 bands
-    * of 10 bits. Pigeonhole guarantees COMPLETENESS for the Hamming
-    * threshold: a pair differing in ≤ 5 bits cannot touch all 6 bands,
-    * so at least one band matches exactly and the band-bucket join
-    * nominates the pair — banding is a pruning, never a recall loss,
-    * for ham ≤ bands-1 (Manku et al., WWW'07). Band width is the
-    * occupancy knob at scale: expected bucket population is N/2^bits,
-    * so a bigger corpus takes wider bands (64-bit sigs, 16-bit bands in
-    * production) to keep the per-bucket self-join bounded.
+  /** q80 banded-Hamming parameters: a 60-bit SimHash cut into bands
+    * of width `w`, where `w` is DERIVED IN-PLAN from the corpus size
+    * (the same CASE over count(*) on both engines, like IVF's nlist):
+    * expected bucket population is N/2^w, so the derivation widens the
+    * bands as the corpus grows to keep the per-bucket self-join
+    * bounded — N ≤ 2^10 → w=10 (6 bands), N ≤ 2^12 → w=12 (5 bands),
+    * beyond → w=15 (4 bands), each keeping occupancy ≈ ≤ 1 up to its
+    * breakpoint. w must divide [[SimBits]]; 15 is the 60-bit ceiling
+    * (a 100 TB corpus wants 64- or 128-bit signatures with 16+-bit
+    * bands — Manku et al. run 64-bit, k=3 at 8B pages — which is a
+    * signature-width change, not a banding change).
+    *
+    * Pigeonhole guarantees COMPLETENESS for the derived Hamming
+    * threshold bands-1: a pair differing in ≤ bands-1 bits cannot
+    * touch all bands, so at least one band matches exactly and the
+    * band-bucket join nominates the pair — banding is a pruning,
+    * never a recall loss, for ham ≤ bands-1 (Manku et al., WWW'07).
+    * The threshold is coupled to the layout by construction: wider
+    * bands (bigger corpus) mean fewer bands and a stricter threshold,
+    * trading recall for bounded candidate generation exactly as the
+    * production systems do.
     *
     * Declared BEFORE `defs`: appended QueryDefs are forced during
     * object init, and a val declared later in the file would still be
@@ -40,9 +52,14 @@ object TextOps {
     * SQL — caught by the local verify gate).
     */
   private val SimBits = 60
-  private val SimBands = 6
-  private val SimBandBits = 10
-  private val MaxHamming = SimBands - 1
+  /** Max bands any derived width yields (w=10 → 6) — sizes the static
+    * band-index domain both engines filter down to 60/w rows. */
+  private val SimMaxBands = 6
+  /** The shared width derivation as a SQL CASE over a count — spliced
+    * verbatim into both plans so the engines cannot drift. */
+  private def simWidthCase(countExpr: String): String =
+    s"CASE WHEN $countExpr <= ${1 << 10} THEN 10 " +
+      s"WHEN $countExpr <= ${1 << 12} THEN 12 ELSE 15 END"
 
   /** Max documents a shingle may appear in and still drive candidate
     * generation in q67. A hot 4-gram (boilerplate, templated text)
@@ -919,16 +936,27 @@ object TextOps {
     Some(simhashNearDupOracle),
   ) { (s, dir) =>
     val sigs = simhash60Sigs(s, dir)
-    val bandKeys = (0 until SimBands).map(b =>
-      shiftright(col("sig"), b * SimBandBits).bitwiseAND(lit((1 << SimBandBits) - 1)))
-    // The signature rides along with each band row so candidate pairs
-    // verify without re-joining the signature table.
-    val bands = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")),
-    )
+    // Band width from corpus size, in-plan (the signature table has
+    // one row per doc, so its count IS the corpus count): a 1-row
+    // broadcast parameter frame, the same construction IVF uses for
+    // nlist. maxham = bands-1 rides along for the verification filter.
+    val prm = sigs.groupBy().agg(count(lit(1)).as("n_docs"))
+      .select(expr(simWidthCase("n_docs")).as("w"))
+      .select(col("w"), expr(s"$SimBits div w").as("bands"))
+      .select(col("w"), col("bands"), (col("bands") - 1).as("maxham"))
+    // One band row per (doc, 0 ≤ band < 60/w): explode a size-derived
+    // sequence — the signature rides along with each band row so
+    // candidate pairs verify without re-joining the signature table.
+    val bands = sigs.crossJoin(broadcast(prm))
+      .select(
+        col("doc_id"), col("sig"), col("w"), col("maxham"),
+        explode(sequence(lit(0), col("bands") - 1)).as("band"),
+      )
+      .withColumn(
+        "key",
+        expr(s"shiftright(sig, band * w) & (shiftleft(CAST(1 AS BIGINT), w) - 1)"))
     // Hamming filter BEFORE the pair dedup: a pair can be nominated by
-    // up to SimBands buckets, and rejecting sub-threshold nominations
+    // up to `bands` buckets, and rejecting sub-threshold nominations
     // early keeps those duplicates out of the distinct's exchange.
     val ham = bit_count(col("s1").bitwiseXOR(col("s2")))
     bands.as("x")
@@ -937,9 +965,10 @@ object TextOps {
       .select(
         col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.sig").as("s1"), col("y.sig").as("s2"),
+        col("x.maxham").as("maxham"),
       )
       .withColumn("hamming", ham.cast("long"))
-      .filter(col("hamming") <= MaxHamming)
+      .filter(col("hamming") <= col("maxham"))
       .select("d1", "d2", "hamming")
       .distinct()
       .orderBy("d1", "d2")
@@ -953,9 +982,10 @@ object TextOps {
     val assemble = (0 until SimBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    val bandSelects = (0 until SimBands).map { b =>
-      s"SELECT doc_id, sig, $b AS band, (sig >> ${b * SimBandBits}) & ${(1 << SimBandBits) - 1} AS key FROM sigs"
-    }.mkString("\n          UNION ALL ")
+    // Static band-index domain (0 until max bands) filtered to the
+    // derived 60/w rows — the UNION-ALL-per-band form can't express a
+    // size-dependent band count.
+    val bandDomain = (0 until SimMaxBands).map(b => s"($b)").mkString(",")
     s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -965,14 +995,20 @@ object TextOps {
                $balances
         FROM hashed GROUP BY doc_id),
       sigs AS (SELECT doc_id, $assemble AS sig FROM bal),
+      prm AS (
+        SELECT w, $SimBits // w AS bands FROM (
+          SELECT ${simWidthCase("count(*)")} AS w FROM documents)),
       bands AS (
-          $bandSelects),
+        SELECT doc_id, sig, b.band,
+               (sig >> (b.band * prm.w)) & ((CAST(1 AS BIGINT) << prm.w) - 1) AS key
+        FROM sigs CROSS JOIN prm CROSS JOIN (VALUES $bandDomain) AS b(band)
+        WHERE b.band < prm.bands),
       cand AS (
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.sig AS s1, y.sig AS s2
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
       SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(s1, s2)) <= $MaxHamming
+      FROM cand WHERE bit_count(xor(s1, s2)) <= (SELECT bands - 1 FROM prm)
       ORDER BY d1, d2
     """
   }

@@ -178,6 +178,29 @@ class DedupQualitySpec extends SparkTestBase {
     bg.foreach(p => assert(hams(p) > 0, s"background pair $p at hamming 0"))
   }
 
+  test("simhash band width widens with corpus size without losing exact-dup recall") {
+    // q80 derives its band width in-plan from count(*): ≤4096 docs run
+    // 6×10-bit bands, beyond that 4×15-bit (occupancy N/2^w). This
+    // corpus crosses the breakpoint, so the wide-band branch — fewer
+    // bands, stricter ham ≤ 3 threshold — is what executes; the planted
+    // identical pair has hamming 0 and must surface under ANY derived
+    // layout (pigeonhole completeness is width-invariant at ham 0).
+    val dir = Files.createTempDirectory("graft_simhash_wide").toString
+    val wideRng = new scala.util.Random(7)
+    def s(n: Int) = Seq.fill(n)(vocab(wideRng.nextInt(vocab.length))).mkString(" ")
+    val dup = s(40)
+    val docs = ((0L until 4200L).map(i => (i, s(12) + s" uniq$i")) ++
+      Seq((9000L, dup), (9001L, dup)))
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(2).write.parquet(s"$dir/documents.parquet")
+    val found = SparkEntry.queries("q80_simhash_neardup")(spark, dir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((9000L, 9001L)),
+      s"planted exact dup missed under the wide-band layout: $found")
+  }
+
   test("rolling fingerprints are identical across exact copies and distinct elsewhere") {
     val fps = SparkEntry.queries("q75_rolling_fingerprint")(spark, corpusDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
