@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -18,16 +19,28 @@ import graft.pipeline.TextPipeline
   * dependency no append-only streaming sink can express; this is the
   * documented Structured Streaming pattern for such transactions.
   *
-  * Exactly-once caveat, stated honestly: the checkpoint makes batch
-  * REPLAY possible after a crash mid-foreachBatch, and two plain
-  * parquet appends are not atomic. Replay is IDEMPOTENT for the
-  * curated corpus' content semantics (a replayed batch's survivors
-  * anti-join against an index that may already contain them — they
-  * are filtered, nothing duplicates — unless the crash happened
-  * between the two appends, the window a table format with
-  * multi-table transactions closes in production). The index read
-  * dedups digests defensively, so a torn index append degrades
-  * storage, never correctness of subsequent filtering.
+  * Exactly-once across the TWO tables (curated corpus + digest index)
+  * comes from a staged, batch-stamped publish with a commit marker as
+  * the single commit point — the filesystem stand-in for a table
+  * format's multi-table transaction:
+  *
+  *  1. replay guard: if this batchId's commit marker exists, the batch
+  *     fully committed — the replay is a no-op;
+  *  2. undo: delete any live files stamped with this batchId in both
+  *     dirs (leftovers of a crashed attempt's partial publish);
+  *  3. stage: write both outputs under dot-prefixed staging dirs,
+  *     which Spark's file index treats as hidden — readers can never
+  *     observe in-flight data;
+  *  4. publish: move the staged files into the live dirs under
+  *     batch-stamped names;
+  *  5. commit: create the marker LAST.
+  *
+  * A crash anywhere before step 5 leaves the marker absent, so the
+  * checkpointed replay of the same batchId wipes the stamped files
+  * (step 2) and re-runs — the corpus converges to exactly the
+  * clean-run state, never a half batch. The index read still distincts
+  * digests defensively, so even the transient pre-replay state only
+  * degrades storage, never correctness of subsequent filtering.
   *
   * Scale shape: gate/dedup are map-side + one 16-byte-key shuffle per
   * batch (q78's rule); the index probe is a join keyed on the digest —
@@ -37,27 +50,81 @@ import graft.pipeline.TextPipeline
 object DocStream {
 
   /** One micro-batch of the curation transaction — factored out so the
-    * batch semantics are testable without a streaming harness.
+    * batch semantics (including crash replay) are testable without a
+    * streaming harness.
     */
   private[streaming] def curateBatch(
-      batch: DataFrame, curatedDir: String, indexDir: String): Unit = {
+      batch: DataFrame, batchId: Long,
+      curatedDir: String, indexDir: String): Unit = {
     val spark = batch.sparkSession
+    val fs = new Path(curatedDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = commitMarker(indexDir, batchId)
+    if (fs.exists(marker)) return // fully committed — replay is a no-op
+    // Undo a crashed attempt's partial publish BEFORE the index read:
+    // this batch's own half-published digests must not anti-join its
+    // replay away.
+    deleteStamped(fs, curatedDir, batchId)
+    deleteStamped(fs, indexDir, batchId)
+
     val gated = TextPipeline.gate(batch)
     val unique = TextPipeline.dedup(gated).withColumn("h", md5(col("text")))
     val fresh = unique.join(readIndex(spark, indexDir), Seq("h"), "left_anti")
-      .localCheckpoint() // evaluate the probe BEFORE the index append below changes what it reads
-    fresh.drop("h").write.mode("append").parquet(curatedDir)
-    fresh.select("h").write.mode("append").parquet(indexDir)
+      .localCheckpoint() // evaluate the probe before the appends below change what it reads
+    val curStage = s"$curatedDir/.staging-$batchId"
+    val idxStage = s"$indexDir/.staging-$batchId"
+    fresh.drop("h").write.mode("overwrite").parquet(curStage)
+    fresh.select("h").write.mode("overwrite").parquet(idxStage)
+    publishStaged(fs, curStage, curatedDir, batchId)
+    publishStaged(fs, idxStage, indexDir, batchId)
+    fs.mkdirs(marker) // the commit point: marker present ⇔ both tables hold the batch
+  }
+
+  private def commitMarker(indexDir: String, batchId: Long): Path =
+    new Path(s"$indexDir/_commits/$batchId")
+
+  /** Live data files carry their batchId as a name prefix so a replay
+    * can identify (and remove) exactly its own partial publish.
+    */
+  private def deleteStamped(fs: FileSystem, dir: String, batchId: Long): Unit = {
+    val d = new Path(dir)
+    if (fs.exists(d))
+      fs.listStatus(d)
+        .filter(_.getPath.getName.startsWith(s"batch-$batchId-"))
+        .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Move staged part files into the live dir under batch-stamped
+    * names, then drop the staging dir. Per-file renames are atomic;
+    * atomicity of the WHOLE publish is the commit marker's job.
+    */
+  private def publishStaged(
+      fs: FileSystem, stageDir: String, liveDir: String, batchId: Long): Unit = {
+    val stage = new Path(stageDir)
+    fs.listStatus(stage)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .foreach { st =>
+        val dst = new Path(liveDir, s"batch-$batchId-${st.getPath.getName}")
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"publish rename failed: ${st.getPath} -> $dst")
+      }
+    fs.delete(stage, true)
   }
 
   /** The digest index, or an empty frame before the first batch lands.
     * Digests are distinct-ed on read: a replayed/torn append may hold
     * duplicates, which must not multiply anti-join probes downstream.
+    * Only visible (non-hidden) files count — `_commits` markers and
+    * `.staging-*` dirs are bookkeeping, not data.
     */
   private def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData)
       spark.read.parquet(indexDir).select("h").distinct()
     else {
       import spark.implicits._
@@ -74,8 +141,8 @@ object DocStream {
       schema: org.apache.spark.sql.types.StructType): StreamingQuery =
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, curatedDir, indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, batchId, curatedDir, indexDir)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -58,4 +58,52 @@ class DocStreamSpec extends SparkTestBase {
       .filter(qualityScore(col("text")) < graft.pipeline.TextPipeline.QualityFloor).count()
     assert(flo == 0)
   }
+
+  test("a crash between the curated and index publishes replays to the clean-run corpus") {
+    // The torn-append window: curated rows published, digests not, no
+    // commit marker. Structured Streaming replays the same batchId
+    // after the crash; the staged-publish protocol must wipe the half
+    // batch and converge to exactly the clean-run state instead of
+    // duplicating survivors.
+    val root = Files.createTempDirectory("graft_docstream_torn").toString
+    val (curated, index) = (s"$root/curated", s"$root/index")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    DocStream.curateBatch(docs(1L -> goodA, 2L -> goodB), 0L, curated, index)
+    val cleanCurated = spark.read.parquet(curated)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // Batch 1 commits fully first so we know its expected output …
+    DocStream.curateBatch(docs(10L -> goodA, 11L -> goodC), 1L, curated, index)
+    // … then reconstruct the exact torn state a crash between the two
+    // publishes leaves behind: batch 1's index files and marker gone,
+    // its curated files still live.
+    fs.listStatus(new org.apache.hadoop.fs.Path(index))
+      .filter(_.getPath.getName.startsWith("batch-1-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$index/_commits/1"), true)
+    assert(spark.read.parquet(index).select("h").distinct().count() == 2,
+      "torn state should hold only batch 0's digests")
+
+    // Replay of batch 1 (same batchId, same data — what the checkpoint
+    // re-delivers after the crash).
+    DocStream.curateBatch(docs(10L -> goodA, 11L -> goodC), 1L, curated, index)
+    val out = spark.read.parquet(curated).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // Converged: batch 0's survivors + exactly one copy of goodC; the
+    // cross-batch dup (10L, goodA) stays filtered; nothing duplicated.
+    assert(out.map(_._1).toSet == cleanCurated + 11L, s"replay diverged: ${out.toSeq}")
+    assert(out.length == out.map(_._1).toSet.size, s"duplicate rows after replay: ${out.toSeq}")
+    assert(spark.read.parquet(index).select("h").distinct().count() == 3)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$index/_commits/1")))
+
+    // A second replay AFTER the commit marker landed is a pure no-op:
+    // same files, same mtimes.
+    def listing = fs.listStatus(new org.apache.hadoop.fs.Path(curated))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    val before = listing
+    DocStream.curateBatch(docs(10L -> goodA, 11L -> goodC), 1L, curated, index)
+    assert(listing == before, "committed batch replayed non-idempotently")
+  }
 }
