@@ -20,6 +20,22 @@ object Bench {
     // that path stays cold and its first query absorbs the JIT.
     def warm(f: => Unit): Unit = try f catch { case _: Throwable => () }
     warm(spark.read.parquet(s"$sfDir/nation.parquet").count())
+    // Touch EVERY column of EVERY table once (full decode via a noop
+    // write, not count() which prunes): first-touch page decompress +
+    // per-type decoder JIT otherwise lands on whichever timed query
+    // first reads a column family — the r3/r4 driver benches charged
+    // the events.props first decode to q54.
+    warm {
+      val fs = new org.apache.hadoop.fs.Path(sfDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(sfDir))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .foreach { p =>
+          try spark.read.parquet(p.toString)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+    }
     warm(spark.range(1000000).selectExpr("sum(id * 2)").collect())
     warm(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
