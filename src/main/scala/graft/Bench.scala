@@ -84,9 +84,18 @@ object Bench {
     val indexSec = (System.nanoTime() - idxT0) / 1e9
     // Deterministic name order so per-query numbers compare across rounds.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    def timeAll(run: Int): Seq[(String, Double)] =
+    // Driver-JVM GC time, for stall forensics: if a query's wall time
+    // spikes while its GC delta stays flat, the stall was outside the
+    // JVM (box contention / page cache); if GC tracks it, it's heap.
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    def timeAll(run: Int): Seq[(String, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
+        val g0 = gcMillis
         // noop-format write forces FULL evaluation of every column —
         // a bare count() would let Catalyst prune projection-only work
         // and under-measure map-shaped queries (VERDICT r1 caveat).
@@ -97,7 +106,7 @@ object Bench {
             if (!errors.contains(name)) errors += name
             System.err.println(s"[bench] $name FAILED (run $run): ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, (System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3)
       }
     // Two timed passes, report the per-query MIN. Rationale: the
     // driver's shared box shows one-off multi-second stalls that land
@@ -111,15 +120,17 @@ object Bench {
     // passes are reported for transparency.
     val run1 = timeAll(1)
     val run2 = timeAll(2)
-    val results = run1.zip(run2).map { case ((name, a), (_, b)) =>
+    val results = run1.zip(run2).map { case ((name, a, _), (_, b, _)) =>
       name -> math.min(a, b)
     }
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val gc1 = qjson(run1.map(r => r._1 -> r._3))
+    val gc2 = qjson(run2.map(r => r._1 -> r._3))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","index_build_sec":$indexSec,"queries":${qjson(results)},"queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},"sf":"$sfDir","errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","index_build_sec":$indexSec,"queries":${qjson(results)},"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"gc_sec_run1":$gc1,"gc_sec_run2":$gc2,"sf":"$sfDir","errors":$errJson}"""
     // Also persist to a file: a tail-capture of stdout can truncate the
     // (long) summary line mid-JSON (BENCH_r02 "parsed": null); the file
     // is immune to log interleaving and capture windows.

