@@ -15,6 +15,10 @@ import graft.functions.{DotProductFloat, RollingMinHash, SimHash}
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: the as-of join's planner strategy
+    // (AsOfJoin logical node → AsOfJoinExec). Strategies injected here
+    // run before Spark's built-ins but match only the custom node.
+    ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectFunction(
       (
         FunctionIdentifier("graft_dot_f"),

@@ -480,5 +480,64 @@ object Events {
         )
         .orderBy("c_mktsegment")
     },
+
+    // ------------------------------------------------------------------
+    // Native as-of join (graft.plans.AsOfJoinExec): every purchase
+    // matched to the user's latest click at-or-before it, within a
+    // 1-hour tolerance. q57 answers a similar question by windowing
+    // over the UNION of both streams — correct, but the window shuffles
+    // and sorts click+purchase rows together and drags every purchase
+    // column through the frame. The custom operator plans each side as
+    // its own exchange+sort (sort-merge-join shape) and merges in one
+    // forward pass with O(1) state — at 100 TB the win is that neither
+    // stream's payload columns ever enter a window buffer, and a
+    // bucketed at-rest layout on user_id would elide both exchanges.
+    // The oracle is the composed ANSI window form — the two
+    // constructions must agree row-for-row; output projects the matched
+    // click's TIMESTAMP (not an id), so exact-duplicate click rows —
+    // which the events table contains — cannot make tie-breaking
+    // observable.
+    QueryDef(
+      "q109_asof_join_native",
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        w AS (
+          SELECT user_id, event_id, event_type, t,
+                 max(CASE WHEN event_type = 'click' THEN t END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_t
+          FROM ev)
+        SELECT user_id, event_id AS purchase_event_id, t AS t_purchase_us,
+               CASE WHEN t - last_click_t <= $HourUs THEN last_click_t END AS t_click_us,
+               CASE WHEN t - last_click_t <= $HourUs THEN t - last_click_t END AS gap_us
+        FROM w
+        WHERE event_type = 'purchase'
+        ORDER BY user_id, purchase_event_id, t_purchase_us
+      """),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "t")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("t").as("c_t"))
+      graft.plans.AsOfJoin.join(
+          purchases, clicks,
+          leftBy = Seq("user_id"), rightBy = Seq("c_user"),
+          leftOn = "t", rightOn = "c_t",
+          toleranceUs = Some(HourUs))
+        .select(
+          col("user_id"),
+          col("event_id").as("purchase_event_id"),
+          col("t").as("t_purchase_us"),
+          col("c_t").as("t_click_us"),
+          (col("t") - col("c_t")).as("gap_us"),
+        )
+        .orderBy("user_id", "purchase_event_id", "t_purchase_us")
+    },
   )
 }
