@@ -119,6 +119,15 @@ object TextOps {
   private val ChunkTokens = 64
   private val ChunkStride = 48
 
+  /** q107: span length, in tokens, for exact-substring duplicate
+    * detection (the Lee et al. '22 "Deduplicating Training Data"
+    * ExactSubstr family, at token granularity). Long enough that two
+    * documents sharing a window is evidence of copied text rather than
+    * chance n-gram collision; production uses 50 tokens over a BPE
+    * stream — the knob, not the plan shape.
+    */
+  private val SpanTokens = 12
+
   /** q95's scrub pattern: email addresses, SSN-shaped digit groups,
     * and (so the operator is exercised on the synthetic corpus, whose
     * word-salad text contains neither) the standalone token `a`. The
@@ -266,8 +275,36 @@ object TextOps {
     lshClusterLabels(s, dir) // runs the label fixpoint once per corpus
     termFrequencies(s, dir)
     chunkTable(s, dir)
+    spanWindows(s, dir)
     ()
   }
+
+  /** Positioned span-window table (doc_id, n_tokens, p, h): the 60-bit
+    * hash of every [[SpanTokens]]-token window at 1-based position `p`.
+    * Unlike [[shingleHashes]] (distinct shingles, positions dropped)
+    * the POSITION is the payload — exact-substring dedup needs to know
+    * where in the document a duplicated span sits to merge coverage
+    * intervals. Snapshotted like the shingle tables: q107 reads it from
+    * two plan branches (duplicate-digest filter + join-back), and the
+    * at-rest form means one corpus-text scan total, paid at ingest.
+    */
+  private def spanWindows(s: SparkSession, dir: String): DataFrame =
+    snapshot(s, dir, s"span-windows-k$SpanTokens") {
+      tbl(s, dir, "documents")
+        .repartition(col("doc_id")) // single-file corpus → fan out the hash work
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .filter(col("n_tokens") >= SpanTokens)
+        .select(
+          col("doc_id"), col("n_tokens"),
+          posexplode(shingles(col("t"), SpanTokens)).as(Seq("p0", "sh")),
+        )
+        .select(
+          col("doc_id"), col("n_tokens"),
+          (col("p0") + 1).cast("long").as("p"),
+          stringHash60(col("sh")).as("h"),
+        )
+    }
 
   /** The at-rest exact-dedup digest index q85/q102 probe: distinct md5
     * of every even-doc_id document (the corpus-parity split that models
@@ -592,7 +629,8 @@ object TextOps {
     boilerplateFracDef :+ decontamNgramDef :+ patternScrubDef :+
     tokenBudgetDef :+ sequencePackingDef :+ lshSurvivorsDef :+
     normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
-    contextChunksDef :+ chunkDedupDef :+ curationFunnelDef
+    contextChunksDef :+ chunkDedupDef :+ curationFunnelDef :+
+    duplicateSpansDef :+ unigramRarityDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -1971,5 +2009,152 @@ object TextOps {
         count(when(col("mixed"), 1)).as("n_mixed"),
       )
       .orderBy("source")
+  }
+
+  /** q107 — exact-substring duplicate spans (Lee et al. '22 ExactSubstr
+    * dedup at token granularity): for every document, how many of its
+    * [[SpanTokens]]-token windows also occur verbatim in ANOTHER
+    * document, and how many of its token positions those shared
+    * windows cover once overlapping windows are merged into maximal
+    * spans (gaps-and-islands over window start positions). Chunk dedup
+    * (q104) sees only fixed chunk boundaries; this sees copied text at
+    * ANY offset — the signal behind "remove the duplicated substring,
+    * keep the rest of the document".
+    *
+    * Scale shape: the positioned window table is the at-rest
+    * [[spanWindows]] snapshot (one corpus-text scan, paid at ingest);
+    * the duplicate-digest filter is a map-side-partial groupBy on the
+    * 60-bit hash (8-byte shuffle keys, never window text), and the
+    * join back is hash-keyed and AQE-skew-splittable — a boilerplate
+    * span shared by every document skews a KEY, not a window buffer.
+    * The islands window partitions by doc_id and is bounded by a
+    * single document's window count, never the corpus. Within-doc
+    * repeats do NOT count (countDistinct(doc_id) >= 2) — intra-doc
+    * repetition is q81's signal; this is cross-document copying.
+    */
+  private lazy val duplicateSpansDef: QueryDef = QueryDef(
+    "q107_duplicate_spans",
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      ld AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks WHERE len(t) >= $SpanTokens),
+      uw AS (SELECT doc_id, n_tokens,
+                    unnest(list_transform(range(1, n_tokens - ${SpanTokens - 2}),
+                      i -> struct_pack(p := i, h := ${duckHash(s"concat_ws(' ', ${(0 until SpanTokens).map(o => s"t[i + $o]").mkString(", ")})")}))) AS u
+             FROM ld),
+      wins AS (SELECT doc_id, n_tokens, u.p AS p, u.h AS h FROM uw),
+      dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      dw AS (SELECT doc_id, n_tokens, p FROM wins JOIN dup USING (h)),
+      isl AS (SELECT doc_id, n_tokens, p,
+                     CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                            OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + $SpanTokens
+                          THEN 1 ELSE 0 END AS is_new
+              FROM dw),
+      isl2 AS (SELECT doc_id, n_tokens, p,
+                      sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM isl),
+      cov AS (SELECT doc_id, n_tokens, island, count(*) AS nw,
+                     max(p) - min(p) + $SpanTokens AS cov_len
+              FROM isl2 GROUP BY doc_id, n_tokens, island)
+      SELECT doc_id, n_tokens,
+             CAST(sum(nw) AS BIGINT) AS dup_windows,
+             CAST(sum(cov_len) AS BIGINT) AS dup_tokens,
+             round(CAST(sum(cov_len) AS DOUBLE) / n_tokens, 4) AS dup_frac
+      FROM cov GROUP BY doc_id, n_tokens
+      ORDER BY doc_id
+    """),
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wins = spanWindows(s, dir)
+    val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val dw = wins.join(dup, "h").select("doc_id", "n_tokens", "p")
+    val byPos = Window.partitionBy("doc_id").orderBy("p")
+    val prev = lag(col("p"), 1).over(byPos)
+    // A window at p covers tokens [p, p+K-1]; the next window extends
+    // the same island iff its start is within prev coverage + 1.
+    val isNew = when(prev.isNull || col("p") > prev + SpanTokens, 1).otherwise(0)
+    dw.withColumn("is_new", isNew)
+      .withColumn("island", sum(col("is_new"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "n_tokens", "island")
+      .agg(
+        count(lit(1)).as("nw"),
+        (max(col("p")) - min(col("p")) + SpanTokens).as("cov_len"),
+      )
+      .groupBy("doc_id", "n_tokens")
+      .agg(sum("nw").as("dup_windows"), sum("cov_len").as("dup_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("dup_windows"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4).as("dup_frac"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** q108 — corpus-frequency rarity score (the CCNet-style "score each
+    * document under a corpus language model" shape, unigram order):
+    * every term gets a rarity percentile from the corpus unigram
+    * counts, and a document's score is the token-count-weighted mean of
+    * its terms' percentiles — high = dominated by rare vocabulary, low
+    * = dominated by the corpus head. Deliberately NOT -log2 p(token):
+    * libm transcendentals are engine-specific in the last ulp (the q82
+    * rational-idf note). And deliberately summed in INTEGER space —
+    * sum(c·(rank−1)) as BIGINT, ONE double division at the end — not as
+    * sum over per-term double percentiles: float accumulation is
+    * order-dependent, and the two engines' different aggregation orders
+    * landed one document a last-ulp away across a round-to-4-decimals
+    * boundary (0.4312 vs 0.4313) in the first formulation. Exact
+    * integers + one correctly-rounded division is bit-identical by
+    * IEEE, which is what a hash-compared score needs.
+    *
+    * Scale shape: reads the at-rest [[termFrequencies]] snapshot —
+    * corpus TEXT is scanned zero times in this plan. Corpus counts are
+    * a map-side-partial groupBy over tf; the percentile window runs
+    * over the VOCABULARY table (one row per distinct term — snapshot-
+    * scale, not corpus-scale; a web-scale open vocabulary would bucket
+    * by count instead of a global window, same results), and the join
+    * back to tf is term-keyed with AQE skew handling for stopwords.
+    */
+  private lazy val unigramRarityDef: QueryDef = QueryDef(
+    "q108_unigram_rarity",
+    Some("""
+      WITH uni AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS c FROM uni GROUP BY doc_id, term),
+      ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY term),
+      rk AS (SELECT term, rank() OVER (ORDER BY ct DESC) - 1 AS r FROM ct),
+      nt AS (SELECT count(*) AS n_terms FROM ct),
+      d AS (SELECT tf.doc_id AS doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(c * r) AS BIGINT) AS num
+            FROM tf JOIN rk USING (term) GROUP BY tf.doc_id)
+      SELECT doc_id, n_tokens,
+             round(CAST(num AS DOUBLE) /
+                   (n_tokens * greatest((SELECT n_terms FROM nt) - 1, 1)), 4)
+               AS rarity_score
+      FROM d ORDER BY doc_id
+    """),
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(s, dir)
+    val ct = tf.groupBy("term").agg(sum("c").as("ct"))
+    // Ties share a rank (rank() over the count only), so equal-
+    // frequency terms are interchangeable — rank is order-key-stable,
+    // not tie-order-dependent. rank−1 ∈ [0, n_terms−1]; the weighted
+    // mean of (rank−1)/(n_terms−1) is computed as integer numerator /
+    // integer denominator.
+    val rk = ct.select(
+      col("term"),
+      (rank().over(Window.orderBy(desc("ct"))) - 1).cast("long").as("r"))
+    val nTerms = ct.groupBy().agg(count(lit(1)).as("n_terms"))
+    tf.join(rk, "term")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("r")).as("num"))
+      .crossJoin(broadcast(nTerms)) // 1-row vocabulary count
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("num").cast("double") /
+          (col("n_tokens") * greatest(col("n_terms") - 1, lit(1))), 4)
+          .as("rarity_score"),
+      )
+      .orderBy("doc_id")
   }
 }

@@ -338,4 +338,29 @@ class CurationQualitySpec extends SparkTestBase {
     assert(out("srcZ") == ((2L, 0L, 0L, 0L)), s"srcZ: ${out("srcZ")}")
     assert(funnel()("src0")._4 == mixed, "hash-based mixing must be deterministic")
   }
+
+  /** q108 rarity scoring must order documents by how head-heavy their
+    * vocabulary is: a doc of pure corpus-head tokens scores exactly 0
+    * (rank−1 = 0 for the most frequent term), a doc of tokens that
+    * appear nowhere else scores highest, and a half-and-half doc lands
+    * strictly between. Also pins determinism across runs — the score
+    * is integer arithmetic plus one division, so repeated evaluation
+    * must be bit-identical.
+    */
+  test("q108 orders docs by vocabulary rarity; head-only docs score zero") {
+    val common = Seq.fill(30)("the")
+    val rare = (0 until 30).map(i => s"r$i")
+    val mix = Seq.fill(15)("the") ++ (0 until 15).map(i => s"m$i")
+    val dir = writeDocs(Seq(
+      (0L, common.mkString(" "), "srcC"),
+      (1L, rare.mkString(" "), "srcR"),
+      (2L, mix.mkString(" "), "srcM"),
+    ))
+    def scores() = SparkEntry.queries("q108_unigram_rarity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rarity_score")).toMap
+    val s = scores()
+    assert(s(0L) == 0.0, s"head-only doc must score 0: $s")
+    assert(s(1L) > s(2L) && s(2L) > s(0L), s"rarity ordering violated: $s")
+    assert(scores() == s, "rarity score must be deterministic across evaluations")
+  }
 }

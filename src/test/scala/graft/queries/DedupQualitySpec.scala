@@ -236,4 +236,34 @@ class DedupQualitySpec extends SparkTestBase {
     assert(bySrc.values.map(_._3).sum ==
       bySrc.values.map(_._1).sum - 12L, "every non-planted odd doc must be new")
   }
+
+  /** q107 exact-substring spans, on a corpus built from fully distinct
+    * filler tokens so the ONLY shared 12-token windows are the planted
+    * 14-token span: docs 0 and 1 carry it at different offsets (the
+    * any-offset property chunk dedup lacks), doc 2 carries only its
+    * first 8 tokens (below SpanTokens=12 — must NOT count), doc 3 is
+    * background. A 14-token span yields exactly 14−12+1 = 3 windows,
+    * which must merge to ONE island of 14 covered tokens.
+    */
+  test("q107 finds the planted cross-doc span at any offset, with exact merged coverage") {
+    def toks(prefix: String, n: Int): Seq[String] = (0 until n).map(i => s"$prefix$i")
+    val span = (1 to 14).map(i => s"s$i")
+    val docA = toks("f", 20) ++ span ++ toks("g", 20)            // 54 tokens, span at 21
+    val docB = toks("h", 5) ++ span ++ toks("k", 30)             // 49 tokens, span at 6
+    val docC = toks("c", 20) ++ span.take(8) ++ toks("d", 20)    // 8 shared < 12: clean
+    val docD = toks("z", 30)
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_quality").toString
+    Seq(docA, docB, docC, docD).zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" "), "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("q107_duplicate_spans")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_windows"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(rows.keySet == Set(0L, 1L), s"only the two span carriers may appear: $rows")
+    assert(rows(0L) == ((3L, 14L, math.rint(14.0 / 54 * 10000) / 10000)), s"doc 0: ${rows(0L)}")
+    assert(rows(1L) == ((3L, 14L, math.rint(14.0 / 49 * 10000) / 10000)), s"doc 1: ${rows(1L)}")
+  }
 }

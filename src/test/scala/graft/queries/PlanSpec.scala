@@ -200,7 +200,10 @@ class PlanSpec extends SparkTestBase {
     val expected = Map(
       "q81_repetition_signals" -> 1, "q82_tfidf_topterms" -> 0,
       "q85_incremental_dedup" -> 1, "q97_token_budget" -> 1,
-      "q102_bloom_dedup" -> 1, "q104_chunk_dedup" -> 0)
+      "q102_bloom_dedup" -> 1, "q104_chunk_dedup" -> 0,
+      // q107 reads the positioned span-window snapshot, q108 the tf
+      // snapshot — corpus text is an ingest-time cost for both.
+      "q107_duplicate_spans" -> 0, "q108_unigram_rarity" -> 0)
     for ((q, want) <- expected.toSeq.sortBy(_._1)) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val n = p.linesIterator.count(l =>
@@ -222,6 +225,28 @@ class PlanSpec extends SparkTestBase {
       l.contains("row_number()") || l.contains("windowspecdefinition")).toSeq
     windowArgs.foreach(w =>
       assert(w.contains("doc_id"), s"q82 window not partitioned by doc_id: $w"))
+  }
+
+  test("q107: span-dedup exchanges carry the 60-bit hash, never window text") {
+    val p = plan("q107_duplicate_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in q107:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected hash-keyed exchanges in q107:\n$p")
+    exchanges.foreach(e =>
+      assert(!e.contains("sh#") && !e.contains("text#"),
+        s"window text shuffled in q107: $e"))
+  }
+
+  test("q109: the as-of join runs the native operator, not a window over a union") {
+    val p = plan("q109_asof_join_native")
+    assert(p.contains("AsOfJoin"), s"native as-of operator missing:\n$p")
+    assert(!p.contains("Window"), s"q109 fell back to the window composition:\n$p")
+    assert(!p.contains("Union"), s"q109 unions the two streams:\n$p")
+    // Each side's event_type filter reaches its parquet scan.
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.count(_.contains("event_type")) == 2,
+      s"event_type filters not pushed on both sides:\n$p")
   }
 
   test("no declared query plans a CartesianProduct") {
