@@ -66,6 +66,23 @@ object Similarity {
     */
   private val SampleCap = 10
 
+  /** Product-quantization geometry (q110): the 64-dim embedding is cut
+    * into [[PqSubs]] subspaces of [[PqSubDim]] dims, each quantized to
+    * [[PqKsub]] centroids by the same fixed-iteration Lloyd machinery
+    * as the IVF coarse quantizer — but under SQUARED L2 (the PQ
+    * metric; subvector norms vary, so cosine is the wrong similarity
+    * below full-vector granularity). A vector's code is 4×4 bits: the
+    * 256-byte float vector compresses 128× — THE reason PQ is the
+    * 100 TB embedding-search path (Jégou et al., TPAMI'11: codes fit
+    * in memory where raw vectors cannot; search reads codes plus one
+    * tiny distance table per query). Declared above `defs` (strict-val
+    * init order, see SampleCap).
+    */
+  private val PqSubs = 4
+  private val PqSubDim = 16
+  private val PqKsub = 16
+  private val PqIters = 2
+
   /** nlist = ⌈√N⌉ capped: cells stay ~√N-sized as the corpus grows. */
   private def nlistFor(n: Long): Int =
     math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong, MaxNList.toLong)).toInt
@@ -237,6 +254,7 @@ object Similarity {
     * q71/q73/q88/q89. */
   private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
     assignedVectors(s, dir)
+    pqCodes(s, dir) // forces the pq-codebooks snapshot too
     ()
   }
 
@@ -747,7 +765,7 @@ object Similarity {
         )
         .orderBy("doc_id")
     },
-  ) :+ clusterSampleDef
+  ) :+ clusterSampleDef :+ pqAnnDef
 
   /** q96 — cluster-balanced subsampling over the IVF assignment (the
     * diversity-sampling step of an embedding-curation pipeline, cf.
@@ -797,5 +815,222 @@ object Similarity {
         sum(when(col("rk") <= SampleCap, col("vec_id"))).as("kept_vec_sum"),
       )
       .orderBy("cluster")
+  }
+
+  // -------------------------------------------------------------------
+  // Product quantization (q110).
+
+  /** Subvector view of a (vec_id, embedding) frame: one row per
+    * (vec_id, sub) with the [[PqSubDim]]-dim float slice. Map-side
+    * explode — the PqSubs-way fanout carries 1/PqSubs of the vector
+    * each, so total bytes are unchanged.
+    */
+  private def pqSubVectors(v: DataFrame): DataFrame =
+    v.select(
+      col("vec_id"),
+      col("embedding"),
+      explode(sequence(lit(0), lit(PqSubs - 1))).as("sub"),
+    ).select(
+      col("vec_id"), col("sub"),
+      slice(col("embedding"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("sv"),
+    )
+
+  /** Nearest-codebook-entry assignment under squared L2, per subspace:
+    * argmin ‖x−c‖² = argmax 2·x·c − ‖c‖², evaluated map-side against
+    * the broadcast codebook and collapsed by the same aggregate-argmax
+    * as [[assign]] (partial aggregation → one row per (vec_id, sub)
+    * before the shuffle). Tie → smallest code id, mirroring the
+    * oracle's row_number ordering.
+    */
+  private def pqAssign(subVecs: DataFrame, cb: DataFrame): DataFrame =
+    subVecs.join(broadcast(cb), "sub")
+      .select(
+        col("vec_id"), col("sub"),
+        struct(
+          (lit(2.0) * dotBuiltin(col("sv"), col("c_emb")) - col("c_nrm2")).as("score"),
+          (-col("cid")).as("ncid"),
+        ).as("sc"),
+      )
+      .groupBy("vec_id", "sub")
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("sub"), (-col("best.ncid")).as("code"))
+
+  /** One per-subspace Lloyd step under L2 — identical exact-DECIMAL
+    * element-wise mean as [[lloydStep]], keyed by (sub, cid); empty
+    * entries keep their previous centroid.
+    */
+  private def pqLloydStep(sampleSubVecs: DataFrame, cb: DataFrame): DataFrame = {
+    val means = pqAssign(sampleSubVecs, cb)
+      .join(sampleSubVecs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code").as("cid"), posexplode(col("sv")))
+      .groupBy("sub", "cid", "pos")
+      .agg((sum(col("col").cast("double").cast("decimal(38,15)")).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy("sub", "cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mv")))),
+        x => x.getField("mv")).as("m_emb"))
+    cb.select(col("sub"), col("cid"), col("c_emb").as("prev_emb"))
+      .join(means, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"), coalesce(col("m_emb"), col("prev_emb")).as("c_emb"))
+      .withColumn("c_nrm2", dotBuiltin(col("c_emb"), col("c_emb")))
+  }
+
+  /** Trained PQ codebooks (sub, cid, c_emb, c_nrm2): first-PqKsub
+    * seeds per subspace refined with [[PqIters]] Lloyd steps over the
+    * deterministic sample (~64·PqKsub vectors — training cost bounded
+    * by the codebook, not the corpus). PqSubs·PqKsub = 64 rows: always
+    * broadcastable.
+    */
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    graft.util.Snapshots(s, dir, "pq-codebooks") {
+      val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val n = v.count() // parquet footer count
+      val smod = math.max(1L, n / (64L * PqKsub))
+      val sv = pqSubVectors(v)
+      var cb = sv.filter(col("vec_id") < PqKsub)
+        .select(
+          col("sub"), col("vec_id").as("cid"),
+          transform(col("sv"), _.cast("double")).as("c_emb"),
+        )
+        .withColumn("c_nrm2", dotBuiltin(col("c_emb"), col("c_emb")))
+      val sample = sv.filter(col("vec_id") % smod === 0)
+      for (_ <- 1 to PqIters) cb = pqLloydStep(sample, cb)
+      cb
+    }
+
+  /** The at-rest PQ code table (vec_id, codes[PqSubs]) — the artifact
+    * a PQ deployment persists instead of raw vectors (4 small ints vs
+    * 64 floats/row here; bit-packed in production). Search never
+    * touches `embedding` again: ADC reads THIS table plus a per-query
+    * distance table.
+    */
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.util.Snapshots(s, dir, "pq-codes") {
+      val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      pqAssign(pqSubVectors(v), pqCodebooks(s, dir))
+        .groupBy("vec_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("sub"), col("code")))),
+          x => x.getField("code")).as("codes"))
+    }
+
+  /** DuckDB twin of the PQ construction: subvector CTE, L2 Lloyd
+    * training, full-corpus encoding. Same derivation literals spliced
+    * into both engines.
+    */
+  private def duckPqLloydCte(i: Int): String =
+    s"""a$i AS (SELECT vec_id, sub, sv, cid FROM (
+          SELECT s.vec_id, s.sub, s.sv, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY 2 * list_dot_product(s.sv, c.c_emb) - c.c_nrm2 DESC, c.cid) AS rk
+          FROM samp s JOIN c${i - 1} c ON s.sub = c.sub) WHERE rk = 1),
+        m$i AS (SELECT sub, cid, pos,
+                       CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS mv
+                 FROM (SELECT sub, cid, unnest(sv) AS val,
+                              unnest(range(len(sv))) AS pos FROM a$i)
+                 GROUP BY sub, cid, pos),
+        e$i AS (SELECT sub, cid, list(mv ORDER BY pos) AS c_emb FROM m$i GROUP BY sub, cid),
+        c$i AS (SELECT p.sub, p.cid, COALESCE(e.c_emb, p.c_emb) AS c_emb,
+                       list_dot_product(COALESCE(e.c_emb, p.c_emb),
+                                        COALESCE(e.c_emb, p.c_emb)) AS c_nrm2
+                 FROM c${i - 1} p LEFT JOIN e$i e ON p.sub = e.sub AND p.cid = e.cid)"""
+
+  private lazy val duckPqCte: String = {
+    val subsList = (0 until PqSubs).mkString("[", ", ", "]")
+    val lloyd = (1 to PqIters).map(duckPqLloydCte).mkString(",\n        ")
+    s"""prm AS (SELECT GREATEST(1, count(*) // (64 * $PqKsub)) AS smod FROM embeddings),
+        sv AS (SELECT vec_id, sub,
+                      list_transform(embedding[sub*$PqSubDim+1 : sub*$PqSubDim+$PqSubDim],
+                                     x -> CAST(x AS DOUBLE)) AS sv
+               FROM embeddings, (SELECT unnest($subsList) AS sub) subs),
+        c0 AS (SELECT sub, vec_id AS cid, sv AS c_emb, list_dot_product(sv, sv) AS c_nrm2
+               FROM sv WHERE vec_id < $PqKsub),
+        samp AS (SELECT s.* FROM sv s WHERE vec_id % (SELECT smod FROM prm) = 0),
+        $lloyd,
+        codes AS (SELECT vec_id, sub, cid AS code FROM (
+            SELECT s.vec_id, s.sub, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY 2 * list_dot_product(s.sv, c.c_emb) - c.c_nrm2 DESC, c.cid) AS rk
+            FROM sv s JOIN c$PqIters c ON s.sub = c.sub) WHERE rk = 1)"""
+  }
+
+  /** q110 — PQ + ADC top-k search (asymmetric distance computation,
+    * Jégou et al., TPAMI'11): queries stay full-precision, the corpus
+    * is its 4-byte code table. Per query: one tiny distance table
+    * (PqSubs × PqKsub squared L2 distances to every codebook entry),
+    * broadcast; per corpus row: PqSubs array lookups summed in fixed
+    * left-to-right order (zip_with + aggregate — whole-stage codegen,
+    * no UDF, no shuffle until the top-k window over the already-scored
+    * rows, the same final shape as q68). At 100 TB the scan side reads
+    * ONLY the code table — the float vectors exist just at ingest
+    * (training/encoding) and on the query side; that memory shape, not
+    * speed on 500 rows, is why PQ exists. Both engines run the
+    * identical fixed-iteration training, encoding, and ((d0+d1)+d2)+d3
+    * summation tree, so ranks and rounded distances hash-match.
+    */
+  private lazy val pqAnnDef: QueryDef = QueryDef(
+    "q110_pq_ann",
+    Some(s"""
+      WITH $duckPqCte,
+      qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+                    (list_dot_product(s.sv, s.sv)
+                     - 2 * list_dot_product(s.sv, c.c_emb) + c.c_nrm2) AS dist
+             FROM sv s JOIN c$PqIters c ON s.sub = c.sub WHERE s.vec_id < 10),
+      sc AS (SELECT q.query_id, k.vec_id AS neighbor_id, k.sub, q.dist
+             FROM codes k JOIN qd q ON k.sub = q.sub AND k.code = q.code
+             WHERE k.vec_id != q.query_id),
+      adc AS (SELECT query_id, neighbor_id,
+                     max(CASE WHEN sub = 0 THEN dist END)
+                   + max(CASE WHEN sub = 1 THEN dist END)
+                   + max(CASE WHEN sub = 2 THEN dist END)
+                   + max(CASE WHEN sub = 3 THEN dist END) AS adcd
+              FROM sc GROUP BY query_id, neighbor_id),
+      r AS (SELECT query_id, neighbor_id, adcd,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adcd ASC, neighbor_id) AS rank
+            FROM adc)
+      SELECT query_id, neighbor_id, round(adcd, 4) AS adc_dist, rank
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank
+    """),
+  ) { (s, dir) =>
+    val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cb = pqCodebooks(s, dir)
+    val codes = pqCodes(s, dir)
+    // Distance tables: query subvectors × broadcast codebook → nested
+    // [sub][code] arrays, one row per query (10 × 4 × 16 scored pairs).
+    val qsv = pqSubVectors(v.filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "query_id")
+    val dtab = qsv.join(broadcast(cb), "sub")
+      .select(
+        col("query_id"), col("sub"), col("cid").as("code"),
+        (dotBuiltin(col("sv"), col("sv"))
+          - lit(2.0) * dotBuiltin(col("sv"), col("c_emb")) + col("c_nrm2")).as("dist"),
+      )
+      .groupBy("query_id", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("dist")))),
+        x => x.getField("dist")).as("dsub"))
+      .groupBy("query_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("dsub")))),
+        x => x.getField("dsub")).as("dtab"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
+    codes.crossJoin(broadcast(dtab)) // query-set broadcast, q68's shape
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), col("dtab"), (c, dt) => element_at(dt, (c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("adc"),
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc_dist"), col("rank"),
+      )
+      .orderBy("query_id", "rank")
   }
 }

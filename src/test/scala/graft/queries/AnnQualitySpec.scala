@@ -170,4 +170,25 @@ class AnnQualitySpec extends SparkTestBase {
       s"training did not help: trained=$trained untrained=$untrained")
     assert(trained >= 0.5, s"trained recall $trained still poor")
   }
+
+  /** PQ/ADC on the separable planted corpus: subspace 0 carries every
+    * cluster's hot dimension (dims 0–7), so after per-subspace Lloyd
+    * training the asymmetric distance between same-cluster vectors is
+    * noise-sized while any cross-cluster distance includes the ~2.0
+    * separation of orthogonal unit directions. Every cluster has ≥ 7
+    * non-query members, so all five ADC neighbors of every query must
+    * come from the query's own planted cluster — quantized search must
+    * not leak across separable clusters.
+    */
+  test("PQ/ADC top-5 stays inside the planted cluster on separable data") {
+    val rows = SparkEntry.queries("q110_pq_ann")(spark, plantedDir)
+      .select("query_id", "neighbor_id").collect()
+    assert(rows.length == 50, s"expected 10 queries x top-5, got ${rows.length}")
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(plantedClusterOf(n) == plantedClusterOf(q),
+        s"query $q (cluster ${plantedClusterOf(q)}) matched " +
+          s"neighbor $n (cluster ${plantedClusterOf(n)})")
+    }
+  }
 }

@@ -249,6 +249,18 @@ class PlanSpec extends SparkTestBase {
       s"event_type filters not pushed on both sides:\n$p")
   }
 
+  test("q110: ADC search scans the code table; raw vectors only on the query side") {
+    val p = SparkEntry.queries("q110_pq_ann")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The corpus-side scan is the at-rest PQ code table...
+    assert(p.contains("pq-codes"), s"ADC does not read the code snapshot:\n$p")
+    // ...and the only scan that decodes the float vectors is the
+    // 10-row query side (one embeddings scan in the whole plan).
+    val vecScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("embeddings.parquet"))
+    assert(vecScans == 1, s"expected 1 embeddings scan (query side), saw $vecScans:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
