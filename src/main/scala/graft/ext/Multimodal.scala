@@ -6,30 +6,174 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-wise per partition.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape (one partition streamed as an iterator, constant memory).
-  * The codec itself is a STUB: no image/audio libraries exist in this
-  * container, so `decodeStub` derives deterministic fake dimensions
-  * from the payload bytes. Swapping in a real codec (JavaCV, TwelveMonkeys,
-  * javax.imageio) changes ONLY the function body — the plumbing,
-  * including the per-partition reuse pattern a heavyweight decoder
-  * needs (init once per partition, not per row), stays identical.
+  * The Spark-side contract — schema, partitioning, batch shape (one
+  * partition streamed as an iterator, constant memory) — is real and
+  * tested, and so is the codec for the two container formats a pure
+  * JVM can parse without any codec library:
+  *
+  *   - **WAV (RIFF/PCM)**: chunk walk, fmt/data parse, real sample
+  *     rate / channel / frame-count / duration extraction, RMS level
+  *     over the decoded PCM16 samples.
+  *   - **BMP (Windows DIB, 24bpp uncompressed)**: header parse, real
+  *     width/height/bpp, mean luminance over the decoded BGR pixels
+  *     (bottom-up row order, 4-byte row padding), and a REAL
+  *     nearest-neighbor resize that re-encodes a valid BMP.
+  *
+  * Compressed formats (JPEG/PNG/H.264/MP3) still fall back to
+  * [[decodeStub]] — no codec libraries exist in this container, and
+  * faking a DCT pipeline would be worse than saying so. Swapping the
+  * fallback for JavaCV/TwelveMonkeys/javax.imageio changes only the
+  * [[decode]] dispatcher's last arm; the per-partition contract
+  * (heavy init once per partition, rows streamed) stays identical.
   */
 object Multimodal {
 
-  /** Typed metadata row produced by feature extraction. */
-  case class MediaFeature(
-      doc_id: Long,
-      n_bytes: Int,
-      width: Int,   // stub-decoded
-      height: Int,  // stub-decoded
-      frame_count: Int,
-      digest: String,
+  /** Decoded media description — the union of what the real parsers
+    * and the stub produce. `format` ∈ wav | bmp | unknown;
+    * `mean_level` is RMS ∈ [0,1] for audio, mean luminance ∈ [0,255]
+    * for images, −1 for unknown payloads.
+    */
+  final case class MediaInfo(
+      format: String,
+      width: Int,
+      height: Int,
+      frameCount: Int,
+      sampleRate: Int,
+      durationMs: Long,
+      meanLevel: Double,
   )
 
-  /** STUB decode: deterministic pseudo-dimensions from content bytes.
-    * A real implementation would hand `payload` to a codec; marked
-    * explicitly so it can't be mistaken for one.
+  // -------------------------------------------------------------------
+  // Real codecs (pure JVM byte parsing — no libraries).
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** RIFF/WAVE parser: walks chunks (word-aligned per the RIFF spec),
+    * reads PCM16 geometry from `fmt `, frames from `data`, and decodes
+    * the samples for a real RMS level. Returns None for anything that
+    * is not a well-formed PCM16 WAV.
+    */
+  def decodeWav(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var channels, rate, bits, blockAlign = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = le16(b, off + 8)
+          if (audioFormat != 1) return None // PCM only
+          channels = le16(b, off + 10)
+          rate = le32(b, off + 12)
+          blockAlign = le16(b, off + 20)
+          bits = le16(b, off + 22)
+        case "data" =>
+          dataOff = off + 8
+          dataLen = size
+        case _ => () // LIST/INFO/etc: skip
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0 ||
+      blockAlign != channels * 2) return None
+    val frames = dataLen / blockAlign
+    // RMS over normalized PCM16 samples (all channels pooled).
+    var sumSq = 0.0
+    var i = dataOff
+    val end = dataOff + frames * blockAlign
+    while (i + 1 < end) {
+      val s = (le16(b, i) << 16) >> 16 // sign-extend
+      val x = s / 32768.0
+      sumSq += x * x
+      i += 2
+    }
+    val nSamples = frames * channels
+    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+    Some(MediaInfo("wav", 0, 0, frames, rate,
+      if (rate == 0) 0L else frames * 1000L / rate, rms))
+  }
+
+  /** BMP parser (BITMAPINFOHEADER, 24bpp, uncompressed): real
+    * dimensions plus mean luminance (ITU-R 601 weights) over the
+    * decoded pixels. Handles bottom-up and top-down rows and the
+    * 4-byte row padding. Returns None for other BMP variants.
+    */
+  def decodeBmp(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10)
+    val width = le32(b, 18)
+    val heightRaw = le32(b, 22)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    val height = math.abs(heightRaw)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * height > b.length) return None
+    var lum = 0.0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = dataOff + y * rowSize
+      while (x < width) {
+        val p = row + x * 3
+        val bl = b(p) & 0xff; val g = b(p + 1) & 0xff; val r = b(p + 2) & 0xff
+        lum += 0.299 * r + 0.587 * g + 0.114 * bl
+        x += 1
+      }
+      y += 1
+    }
+    Some(MediaInfo("bmp", width, height, 1, 0, 0L,
+      lum / (width.toLong * height)))
+  }
+
+  /** Encode a 24bpp bottom-up BMP from a BGR pixel accessor — used by
+    * the real resize and by tests to synthesize fixtures.
+    */
+  def encodeBmp(width: Int, height: Int, bgr: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * height
+    val out = new Array[Byte](size)
+    def w16(off: Int, v: Int): Unit = { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, size); w32(10, 54)       // file size, pixel-data offset
+    w32(14, 40)                     // BITMAPINFOHEADER
+    w32(18, width); w32(22, height) // bottom-up (positive height)
+    w16(26, 1); w16(28, 24)         // planes, bpp
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = 54 + y * rowSize
+      while (x < width) {
+        val (bl, g, r) = bgr(x, y)
+        val p = row + x * 3
+        out(p) = bl.toByte; out(p + 1) = g.toByte; out(p + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** STUB decode for formats a bare JVM cannot parse (JPEG/PNG/video):
+    * deterministic pseudo-dimensions from content bytes. Explicitly a
+    * stub so it can't be mistaken for a codec; a real codec replaces
+    * only this arm of [[decode]].
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(payload)
@@ -39,10 +183,32 @@ object Multimodal {
     (width, height, frames)
   }
 
-  /** Batch feature extraction over a binary column: mapPartitions so a
-    * real codec initializes once per partition and the rows stream
-    * through it — the Scala analog of mapInPandas' batched contract.
-    * Input schema: (doc_id long, payload binary).
+  /** Format-sniffing decode: real WAV/BMP parsing, stub otherwise. */
+  def decode(payload: Array[Byte]): MediaInfo =
+    decodeWav(payload).orElse(decodeBmp(payload)).getOrElse {
+      val (w, h, f) = decodeStub(payload)
+      MediaInfo("unknown", w, h, f, 0, 0L, -1.0)
+    }
+
+  /** Typed metadata row produced by feature extraction. */
+  case class MediaFeature(
+      doc_id: Long,
+      n_bytes: Int,
+      format: String,
+      width: Int,
+      height: Int,
+      frame_count: Int,
+      sample_rate: Int,
+      duration_ms: Long,
+      mean_level: Double,
+      digest: String,
+  )
+
+  /** Batch feature extraction over a binary column: mapPartitions so
+    * per-partition state (here the digest; a heavyweight codec in the
+    * JPEG case) initializes once and the rows stream through it — the
+    * Scala analog of mapInPandas' batched contract. Input schema:
+    * (doc_id long, payload binary).
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -54,16 +220,18 @@ object Multimodal {
         // Heavy codec init would happen HERE, once per partition.
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, payload) =>
-          val (w, h, f) = decodeStub(payload)
+          val info = decode(payload)
           md.reset()
           val digest = md.digest(payload).map("%02x".format(_)).mkString.take(16)
-          MediaFeature(id, payload.length, w, h, f, digest)
+          MediaFeature(id, payload.length, info.format, info.width,
+            info.height, info.frameCount, info.sampleRate, info.durationMs,
+            info.meanLevel, digest)
         }
       }
   }
 
-  /** Resized-media row: payload replaced by the (stub) re-encoded
-    * bytes; real dims recorded so downstream filters don't re-decode.
+  /** Resized-media row: payload replaced by the re-encoded bytes; dims
+    * recorded so downstream filters don't re-decode.
     */
   case class ResizedMedia(
       doc_id: Long,
@@ -72,9 +240,28 @@ object Multimodal {
       height: Int,
   )
 
-  /** STUB resize/re-encode: deterministic surrogate payload whose
-    * content depends on (payload, target dims) — a real implementation
-    * hands the bytes to a codec and re-encodes. Explicitly a stub.
+  /** REAL resize for decodable BMPs: nearest-neighbor resample of the
+    * decoded pixels, re-encoded as a valid 24bpp BMP (round-trips
+    * through [[decodeBmp]]). Bottom-up/top-down source rows are
+    * normalized to bottom-up output.
+    */
+  def resizeBmp(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeBmp(payload).map { info =>
+      val srcW = info.width
+      val srcRow = ((srcW * 3 + 3) / 4) * 4
+      val dataOff = le32(payload, 10)
+      val topDown = le32(payload, 22) < 0
+      encodeBmp(w, h, { (x, y) =>
+        val sx = math.min(srcW - 1, x * srcW / w)
+        val syBottomUp = math.min(info.height - 1, y * info.height / h)
+        val sy = if (topDown) info.height - 1 - syBottomUp else syBottomUp
+        val p = dataOff + sy * srcRow + sx * 3
+        (payload(p) & 0xff, payload(p + 1) & 0xff, payload(p + 2) & 0xff)
+      })
+    }
+
+  /** STUB resize for payloads the JVM can't re-encode (deterministic
+    * surrogate bytes) — the documented fallback arm of [[resize]].
     */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -87,6 +274,7 @@ object Multimodal {
     * extractFeatures (codec init once per partition, constant memory);
     * the output is again a (doc_id, payload, meta) media table, so
     * resize stages compose/pipeline like any other DataFrame transform.
+    * BMPs are really resampled; other payloads get the stub surrogate.
     */
   def resize(media: DataFrame, width: Int, height: Int): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
@@ -97,7 +285,9 @@ object Multimodal {
       .mapPartitions { rows =>
         // Heavy codec init would happen HERE, once per partition.
         rows.map { case (id, payload) =>
-          ResizedMedia(id, resizeStub(payload, width, height), width, height)
+          val out = resizeBmp(payload, width, height)
+            .getOrElse(resizeStub(payload, width, height))
+          ResizedMedia(id, out, width, height)
         }
       }
   }
@@ -107,12 +297,13 @@ object Multimodal {
     */
   case class SampledFrame(doc_id: Long, frame_idx: Int, frame_digest: String)
 
-  /** Frame sampling for video-shaped payloads: every `everyN`-th frame
-    * index in [0, frame_count) becomes one output row — the
+  /** Frame sampling for frame-addressable payloads: every `everyN`-th
+    * frame index in [0, frame_count) becomes one output row — the
     * table-generating (explode) shape of multimodal processing. Frame
-    * count comes from the (stub) decode; the per-row fan-out is done
-    * with a plain iterator flatMap inside mapPartitions, so a 10k-frame
-    * video streams its samples without materializing them.
+    * count is the real one for WAV (PCM frames), the stub's for
+    * unknown payloads; the per-row fan-out is a plain iterator flatMap
+    * inside mapPartitions, so a 10k-frame payload streams its samples
+    * without materializing them.
     */
   def sampleFrames(media: DataFrame, everyN: Int): Dataset[SampledFrame] = {
     require(everyN > 0, "everyN must be positive")
@@ -124,7 +315,7 @@ object Multimodal {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, payload) =>
-          val (_, _, frames) = decodeStub(payload)
+          val frames = decode(payload).frameCount
           (0 until frames by everyN).iterator.map { idx =>
             md.reset()
             md.update(payload)
@@ -141,4 +332,27 @@ object Multimodal {
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Encode a PCM16 WAV from raw samples — test-fixture twin of
+    * [[encodeBmp]].
+    */
+  def encodeWav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w16(off: Int, v: Int): Unit = { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def tagW(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    tagW(0, "RIFF"); w32(4, 36 + dataLen); tagW(8, "WAVE")
+    tagW(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, channels)
+    w32(24, rate); w32(28, rate * channels * 2); w16(32, channels * 2); w16(34, 16)
+    tagW(36, "data"); w32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { w16(44 + i * 2, samples(i)); i += 1 }
+    out
+  }
 }

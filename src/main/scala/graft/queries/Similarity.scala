@@ -728,11 +728,15 @@ object Similarity {
     // ------------------------------------------------------------------
     // Multimodal batch decode on the declared path: binary payloads
     // stream through mapPartitions with per-partition codec init (the
-    // Scala analog of mapInPandas' batched contract); the decode step
-    // is the labeled stub (no codec libs in this container), the
-    // plumbing — schema, batching, partitioning — is real. Not
-    // SQL-expressible (imperative per-partition codec) → rows-only
-    // check; MultimodalSpec pins the stub's deterministic values.
+    // Scala analog of mapInPandas' batched contract). The decode
+    // dispatcher sniffs the format: WAV (RIFF/PCM) and BMP payloads
+    // get a REAL pure-JVM parse — geometry, duration, RMS/luminance
+    // over actual decoded samples/pixels — while compressed formats
+    // (no codec libs in this container) fall back to the labeled stub.
+    // This corpus's payloads are document text, so these rows exercise
+    // the fallback arm; MultimodalSpec drives the real arms with
+    // synthesized WAV/BMP fixtures. Not SQL-expressible (imperative
+    // per-partition codec) → rows-only check.
     QueryDef("q90_multimodal_features", None) { (s, dir) =>
       val media = graft.ext.Multimodal.mediaFromDocuments(tbl(s, dir, "documents"))
       graft.ext.Multimodal.extractFeatures(media).toDF().orderBy("doc_id")

@@ -61,4 +61,86 @@ class MultimodalSpec extends SparkTestBase {
     assert(s1.map(_.frame_idx).toSeq == (0 until frameCounts(1L) by n).toSeq)
     assert(s1.map(_.frame_digest).distinct.length == s1.length)
   }
+
+  test("real WAV decode: geometry, duration, RMS over actual PCM samples") {
+    // 8 kHz mono, 2000 frames (250 ms) of a full-scale square wave:
+    // RMS of ±A is exactly A = 16384/32768 = 0.5.
+    val square = Array.tabulate[Short](2000)(i =>
+      if ((i / 10) % 2 == 0) 16384 else -16384)
+    val wav = Multimodal.encodeWav(8000, 1, square)
+    val silent = Multimodal.encodeWav(44100, 2, new Array[Short](882)) // 10 ms stereo
+    val feats = Multimodal.extractFeatures(
+      Seq((1L, wav), (2L, silent)).toDF("doc_id", "payload"))
+      .collect().sortBy(_.doc_id)
+    val f1 = feats(0)
+    assert(f1.format == "wav" && f1.sample_rate == 8000 && f1.frame_count == 2000
+      && f1.duration_ms == 250, s"$f1")
+    assert(f1.mean_level == 0.5, s"square-wave RMS must be exactly 0.5: ${f1.mean_level}")
+    val f2 = feats(1)
+    assert(f2.format == "wav" && f2.sample_rate == 44100 && f2.frame_count == 441
+      && f2.duration_ms == 10 && f2.mean_level == 0.0, s"$f2")
+  }
+
+  test("real BMP decode: dims, padded rows, exact mean luminance") {
+    // 6x4, left half pure white, right half pure black → mean 127.5
+    // (width 6 → row stride 20 bytes, so the 2-byte padding is exercised).
+    val bmp = Multimodal.encodeBmp(6, 4,
+      (x, _) => if (x < 3) (255, 255, 255) else (0, 0, 0))
+    val feats = Multimodal.extractFeatures(Seq((1L, bmp)).toDF("doc_id", "payload"))
+      .collect()
+    val f = feats(0)
+    assert(f.format == "bmp" && f.width == 6 && f.height == 4 && f.frame_count == 1, s"$f")
+    assert(f.mean_level == 127.5, s"half-white/half-black mean must be 127.5: ${f.mean_level}")
+  }
+
+  test("real BMP resize: resampled payload re-decodes at target dims with preserved content") {
+    // Solid color resize: every sampled pixel identical, so luminance
+    // must survive the resample exactly.
+    val solid = Multimodal.encodeBmp(8, 8, (_, _) => (30, 60, 200)) // BGR
+    val resized = Multimodal.resize(Seq((1L, solid)).toDF("doc_id", "payload"), 3, 5)
+      .collect()(0)
+    val out = Multimodal.decodeBmp(resized.payload)
+    assert(out.isDefined && out.get.width == 3 && out.get.height == 5, s"$out")
+    // Same color, different pixel count → same mean up to summation
+    // rounding (the sums accumulate over 64 vs 15 pixels).
+    assert(math.abs(out.get.meanLevel - Multimodal.decodeBmp(solid).get.meanLevel) < 1e-9)
+    // A non-uniform image resized 2x down keeps the spatial layout:
+    // left-white/right-black stays half-and-half under nearest-neighbor.
+    val halves = Multimodal.encodeBmp(8, 4,
+      (x, _) => if (x < 4) (255, 255, 255) else (0, 0, 0))
+    val down = Multimodal.resize(Seq((1L, halves)).toDF("doc_id", "payload"), 4, 2)
+      .collect()(0)
+    assert(Multimodal.decodeBmp(down.payload).get.meanLevel == 127.5)
+  }
+
+  test("malformed and foreign payloads fall back to the stub, never throw") {
+    val truncatedWav = Multimodal.encodeWav(8000, 1, Array.tabulate[Short](100)(_.toShort))
+      .take(30) // cut inside the header
+    val lyingBmp = "BMnot really a bitmap".getBytes("US-ASCII")
+    val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "fake jpeg".getBytes("US-ASCII")
+    val feats = Multimodal.extractFeatures(
+      Seq((1L, truncatedWav), (2L, lyingBmp), (3L, jpegish))
+        .toDF("doc_id", "payload"))
+      .collect().sortBy(_.doc_id)
+    assert(feats.forall(_.format == "unknown"), feats.map(_.format).toSeq)
+    assert(feats.forall(f => f.mean_level == -1.0 && f.width >= 64))
+  }
+
+  test("WAV chunk walk skips foreign chunks and honors word alignment") {
+    // Insert an odd-sized LIST chunk between fmt and data; the parser
+    // must skip it (with pad byte) and still find the data chunk.
+    val base = Multimodal.encodeWav(16000, 1, Array.tabulate[Short](160)(_.toShort))
+    val fmtEnd = 36 // RIFF(12) + fmt(8+16)
+    val listPayload = "INFOx".getBytes("US-ASCII") // odd size 5 → 1 pad byte
+    val chunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ listPayload ++ Array[Byte](0)
+    val spliced = base.take(fmtEnd) ++ chunk ++ base.drop(fmtEnd)
+    // Patch the RIFF size field (bytes 4..7, little-endian).
+    val riffSize = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = (riffSize >> (8 * i)).toByte
+    val info = Multimodal.decodeWav(spliced)
+    assert(info.isDefined && info.get.sampleRate == 16000
+      && info.get.frameCount == 160, s"$info")
+  }
 }
