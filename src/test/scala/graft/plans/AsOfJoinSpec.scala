@@ -127,4 +127,46 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(plan.contains("AsOfJoin"), plan)
     assert(!plan.contains("Window"), plan) // native, not the composition
   }
+
+  /** The operator's headline at-rest claim, proven rather than stated:
+    * when both sides are bucketed on their keys with the same bucket
+    * count, the scans' HashPartitioning already satisfies the declared
+    * ClusteredDistribution, so EnsureRequirements inserts NO exchange
+    * on either side — only the (key, on) sorts. On a plain parquet
+    * input the same plan carries two exchanges; that pair is exactly
+    * what a 100 TB deployment pre-pays at ingest by bucketing.
+    */
+  test("bucketed inputs elide both exchanges; plain inputs pay two") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_asof_bkt").toString
+    def bucketed(df: org.apache.spark.sql.DataFrame, table: String, key: String) = {
+      df.write.mode("overwrite")
+        .option("path", s"$warehouse/$table")
+        .bucketBy(4, key).sortBy(key)
+        .saveAsTable(table)
+      spark.table(table)
+    }
+    val l = bucketed(leftDf((0 until 64).map(i =>
+      (Some((i % 8).toLong), Some(i.toLong), i.toLong))), "asof_left_b", "k")
+    val r = bucketed(rightDf((0 until 64).map(i =>
+      (Some((i % 8).toLong), Some(i.toLong), s"p$i"))), "asof_right_b", "rk")
+
+    val bucketedPlan = native(l, r, None).queryExecution.executedPlan.toString
+    assert(bucketedPlan.contains("AsOfJoin"), bucketedPlan)
+    assert(!bucketedPlan.contains("Exchange"),
+      s"bucketed as-of must not shuffle either side:\n$bucketedPlan")
+
+    val plainPlan = native(
+      leftDf(Seq((Some(1L), Some(1L), 1L))),
+      rightDf(Seq((Some(1L), Some(1L), "p"))), None)
+      .queryExecution.executedPlan.toString
+    assert(plainPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"plain inputs should exchange both sides:\n$plainPlan")
+
+    // And the bucketed plan still computes the right answer.
+    val got = native(l, r, None).select("lid", "rt").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // Left row i (key i%8, t=i) matches the latest right row with the
+    // same key and rt <= i — which is right row i itself (rt=i).
+    assert(got(63L) == 63L && got(7L) == 7L && got(8L) == 8L, s"$got")
+  }
 }
