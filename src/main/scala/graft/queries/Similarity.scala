@@ -769,7 +769,7 @@ object Similarity {
         )
         .orderBy("doc_id")
     },
-  ) :+ clusterSampleDef :+ pqAnnDef
+  ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef
 
   /** q96 — cluster-balanced subsampling over the IVF assignment (the
     * diversity-sampling step of an embedding-curation pipeline, cf.
@@ -921,42 +921,45 @@ object Similarity {
 
   /** DuckDB twin of the PQ construction: subvector CTE, L2 Lloyd
     * training, full-corpus encoding. Same derivation literals spliced
-    * into both engines.
+    * into both engines. `px` prefixes every CTE name so the block can
+    * compose with [[duckAssignedCte]] (whose c0/samp/a_i/m_i/c_i names
+    * it would otherwise collide with) in the q111 IVF-PQ oracle; the
+    * default "" keeps q110's generated SQL unchanged.
     */
-  private def duckPqLloydCte(i: Int): String =
-    s"""a$i AS (SELECT vec_id, sub, sv, cid FROM (
+  private def duckPqLloydCte(i: Int, px: String = ""): String =
+    s"""${px}a$i AS (SELECT vec_id, sub, sv, cid FROM (
           SELECT s.vec_id, s.sub, s.sv, c.cid,
                  row_number() OVER (PARTITION BY s.vec_id, s.sub
                    ORDER BY 2 * list_dot_product(s.sv, c.c_emb) - c.c_nrm2 DESC, c.cid) AS rk
-          FROM samp s JOIN c${i - 1} c ON s.sub = c.sub) WHERE rk = 1),
-        m$i AS (SELECT sub, cid, pos,
+          FROM ${px}samp s JOIN ${px}c${i - 1} c ON s.sub = c.sub) WHERE rk = 1),
+        ${px}m$i AS (SELECT sub, cid, pos,
                        CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS mv
                  FROM (SELECT sub, cid, unnest(sv) AS val,
-                              unnest(range(len(sv))) AS pos FROM a$i)
+                              unnest(range(len(sv))) AS pos FROM ${px}a$i)
                  GROUP BY sub, cid, pos),
-        e$i AS (SELECT sub, cid, list(mv ORDER BY pos) AS c_emb FROM m$i GROUP BY sub, cid),
-        c$i AS (SELECT p.sub, p.cid, COALESCE(e.c_emb, p.c_emb) AS c_emb,
+        ${px}e$i AS (SELECT sub, cid, list(mv ORDER BY pos) AS c_emb FROM ${px}m$i GROUP BY sub, cid),
+        ${px}c$i AS (SELECT p.sub, p.cid, COALESCE(e.c_emb, p.c_emb) AS c_emb,
                        list_dot_product(COALESCE(e.c_emb, p.c_emb),
                                         COALESCE(e.c_emb, p.c_emb)) AS c_nrm2
-                 FROM c${i - 1} p LEFT JOIN e$i e ON p.sub = e.sub AND p.cid = e.cid)"""
+                 FROM ${px}c${i - 1} p LEFT JOIN ${px}e$i e ON p.sub = e.sub AND p.cid = e.cid)"""
 
-  private lazy val duckPqCte: String = {
+  private def duckPqCte(px: String = ""): String = {
     val subsList = (0 until PqSubs).mkString("[", ", ", "]")
-    val lloyd = (1 to PqIters).map(duckPqLloydCte).mkString(",\n        ")
-    s"""prm AS (SELECT GREATEST(1, count(*) // (64 * $PqKsub)) AS smod FROM embeddings),
-        sv AS (SELECT vec_id, sub,
+    val lloyd = (1 to PqIters).map(duckPqLloydCte(_, px)).mkString(",\n        ")
+    s"""${px}prm AS (SELECT GREATEST(1, count(*) // (64 * $PqKsub)) AS smod FROM embeddings),
+        ${px}sv AS (SELECT vec_id, sub,
                       list_transform(embedding[sub*$PqSubDim+1 : sub*$PqSubDim+$PqSubDim],
                                      x -> CAST(x AS DOUBLE)) AS sv
                FROM embeddings, (SELECT unnest($subsList) AS sub) subs),
-        c0 AS (SELECT sub, vec_id AS cid, sv AS c_emb, list_dot_product(sv, sv) AS c_nrm2
-               FROM sv WHERE vec_id < $PqKsub),
-        samp AS (SELECT s.* FROM sv s WHERE vec_id % (SELECT smod FROM prm) = 0),
+        ${px}c0 AS (SELECT sub, vec_id AS cid, sv AS c_emb, list_dot_product(sv, sv) AS c_nrm2
+               FROM ${px}sv WHERE vec_id < $PqKsub),
+        ${px}samp AS (SELECT s.* FROM ${px}sv s WHERE vec_id % (SELECT smod FROM ${px}prm) = 0),
         $lloyd,
-        codes AS (SELECT vec_id, sub, cid AS code FROM (
+        ${px}codes AS (SELECT vec_id, sub, cid AS code FROM (
             SELECT s.vec_id, s.sub, c.cid,
                    row_number() OVER (PARTITION BY s.vec_id, s.sub
                      ORDER BY 2 * list_dot_product(s.sv, c.c_emb) - c.c_nrm2 DESC, c.cid) AS rk
-            FROM sv s JOIN c$PqIters c ON s.sub = c.sub) WHERE rk = 1)"""
+            FROM ${px}sv s JOIN ${px}c$PqIters c ON s.sub = c.sub) WHERE rk = 1)"""
   }
 
   /** q110 — PQ + ADC top-k search (asymmetric distance computation,
@@ -976,7 +979,7 @@ object Similarity {
   private lazy val pqAnnDef: QueryDef = QueryDef(
     "q110_pq_ann",
     Some(s"""
-      WITH $duckPqCte,
+      WITH ${duckPqCte()},
       qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
                     (list_dot_product(s.sv, s.sv)
                      - 2 * list_dot_product(s.sv, c.c_emb) + c.c_nrm2) AS dist
@@ -999,14 +1002,36 @@ object Similarity {
       ORDER BY query_id, rank
     """),
   ) { (s, dir) =>
+    val codes = pqCodes(s, dir)
+    val dtab = pqDistanceTables(s, dir)
+    val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
+    codes.crossJoin(broadcast(dtab)) // query-set broadcast, q68's shape
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        adcDistance(col("codes"), col("dtab")).as("adc"),
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc_dist"), col("rank"),
+      )
+      .orderBy("query_id", "rank")
+  }
+
+  /** Distance tables for the query set (vec_id < 10): query subvectors
+    * × broadcast codebook → nested [sub][code] arrays, one row per
+    * query (10 × 4 × 16 scored pairs). Shared by q110 (global ADC) and
+    * q111 (IVF-pruned ADC) — the tables depend only on the query and
+    * the codebooks, never on the corpus side.
+    */
+  private def pqDistanceTables(s: SparkSession, dir: String): DataFrame = {
     val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val cb = pqCodebooks(s, dir)
-    val codes = pqCodes(s, dir)
-    // Distance tables: query subvectors × broadcast codebook → nested
-    // [sub][code] arrays, one row per query (10 × 4 × 16 scored pairs).
     val qsv = pqSubVectors(v.filter(col("vec_id") < 10))
       .withColumnRenamed("vec_id", "query_id")
-    val dtab = qsv.join(broadcast(cb), "sub")
+    qsv.join(broadcast(cb), "sub")
       .select(
         col("query_id"), col("sub"), col("cid").as("code"),
         (dotBuiltin(col("sv"), col("sv"))
@@ -1020,14 +1045,103 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("dsub")))),
         x => x.getField("dsub")).as("dtab"))
+  }
+
+  /** ADC score of a code row against a query's distance table: PqSubs
+    * array lookups summed left-to-right (0 + d0 is IEEE-exact, so the
+    * tree equals the oracle's (d0+d1)+d2+d3) — whole-stage codegen, no
+    * UDF.
+    */
+  private def adcDistance(codes: Column, dtab: Column): Column =
+    aggregate(
+      zip_with(codes, dtab, (c, dt) => element_at(dt, (c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** q111 — IVF-PQ search (IVFADC, Jégou et al., TPAMI'11 §III, here
+    * without residual re-encoding, i.e. FAISS's by_residual=false
+    * layout): the coarse IVF quantizer prunes WHICH rows are scored
+    * (nprobe=2 nearest cells, q88's probe selection) and PQ/ADC decides
+    * HOW each candidate is scored (4 array lookups against the query's
+    * distance table, q110's scorer). This is THE standard 100 TB
+    * vector-search layout: the corpus-side inputs are two at-rest
+    * artifacts — the (vec_id, cluster) assignment and the (vec_id,
+    * codes) table, both a few bytes per row, joined on vec_id (a
+    * co-bucketed layout elides that exchange at rest) — and the raw
+    * float vectors are read ONLY for the 10-row query set. Per query
+    * the scored row count is ~2N/nlist ≈ 2√N, each at O(PqSubs) cost,
+    * vs q110's full-corpus ADC scan and q68's full-corpus float scan.
+    * Both engines run the identical derived-nlist IVF training, PQ
+    * training/encoding, probe selection, and ADC summation tree, so
+    * ranks and rounded distances hash-match.
+    */
+  private lazy val ivfPqDef: QueryDef = QueryDef(
+    "q111_ivfpq_ann",
+    Some(s"""
+      WITH $duckAssignedCte,
+      $duckCellMeansCte,
+      ${duckPqCte("pq")},
+      q AS (SELECT * FROM av WHERE vec_id < 10),
+      probes AS (
+        SELECT query_id, cid FROM (
+          SELECT q.vec_id AS query_id, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckCosCent("q", "c")} DESC, c.cid) AS crk
+          FROM q CROSS JOIN cm c) WHERE crk <= 2),
+      qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+                    (list_dot_product(s.sv, s.sv)
+                     - 2 * list_dot_product(s.sv, c.c_emb) + c.c_nrm2) AS dist
+             FROM pqsv s JOIN pqc$PqIters c ON s.sub = c.sub WHERE s.vec_id < 10),
+      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+               FROM probes p JOIN av a ON a.cluster = p.cid
+               WHERE a.vec_id != p.query_id),
+      sc AS (SELECT c.query_id, c.neighbor_id, k.sub, d.dist
+             FROM cand c
+               JOIN pqcodes k ON k.vec_id = c.neighbor_id
+               JOIN qd d ON d.query_id = c.query_id
+                        AND d.sub = k.sub AND d.code = k.code),
+      adc AS (SELECT query_id, neighbor_id,
+                     max(CASE WHEN sub = 0 THEN dist END)
+                   + max(CASE WHEN sub = 1 THEN dist END)
+                   + max(CASE WHEN sub = 2 THEN dist END)
+                   + max(CASE WHEN sub = 3 THEN dist END) AS adcd
+              FROM sc GROUP BY query_id, neighbor_id),
+      r AS (SELECT query_id, neighbor_id, adcd,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adcd ASC, neighbor_id) AS rank
+            FROM adc)
+      SELECT query_id, neighbor_id, round(adcd, 4) AS adc_dist, rank
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank
+    """),
+  ) { (s, dir) =>
+    val assigned = assignedVectors(s, dir)
+    val cm = cellMeans(assigned)
+    val codes = pqCodes(s, dir)
+    val dtab = pqDistanceTables(s, dir)
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+      )
+    val cw = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cid"))
+    val probes = q.crossJoin(broadcast(cm))
+      .withColumn("csim", cosine(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= 2)
+      .select("query_id", "cid")
+    // Corpus side reads the two at-rest artifacts only: code table ⋈
+    // cluster map on vec_id (co-keyed — bucketed at rest this is
+    // exchange-free), then the tiny probe list and distance tables
+    // broadcast onto it; raw embeddings never appear on this side.
     val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
-    codes.crossJoin(broadcast(dtab)) // query-set broadcast, q68's shape
-      .filter(col("vec_id") =!= col("query_id"))
+    codes.join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .join(broadcast(probes),
+        col("cluster") === col("cid") && col("query_id") =!= col("vec_id"))
+      .join(broadcast(dtab), "query_id")
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), col("dtab"), (c, dt) => element_at(dt, (c + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x).as("adc"),
+        adcDistance(col("codes"), col("dtab")).as("adc"),
       )
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)

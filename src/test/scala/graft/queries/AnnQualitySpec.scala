@@ -191,4 +191,24 @@ class AnnQualitySpec extends SparkTestBase {
           s"neighbor $n (cluster ${plantedClusterOf(n)})")
     }
   }
+
+  /** IVF-PQ vs global PQ on the separable corpus: every q110 ADC top-5
+    * neighbor lies in the query's own planted cluster (test above), the
+    * IVF assignment is perfect (recall tests above), and the query's
+    * own cell is always its nearest probe — so restricting ADC scoring
+    * to the two probed cells must reproduce q110's result EXACTLY
+    * (ids, ranks, and rounded distances). Cell pruning on well-separated
+    * data costs nothing; only the scored-row count shrinks.
+    */
+  test("IVF-PQ top-5 equals global PQ/ADC top-5 on separable data") {
+    def rows(name: String): Seq[(Long, Long, Double, Int)] =
+      SparkEntry.queries(name)(spark, plantedDir)
+        .select("query_id", "neighbor_id", "adc_dist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sorted
+    val global = rows("q110_pq_ann")
+    val pruned = rows("q111_ivfpq_ann")
+    assert(pruned == global,
+      s"IVF-PQ diverged from global ADC on separable clusters")
+  }
 }
