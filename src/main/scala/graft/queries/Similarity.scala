@@ -255,8 +255,52 @@ object Similarity {
   private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
     assignedVectors(s, dir)
     pqCodes(s, dir) // forces the pq-codebooks snapshot too
+    halfIndexAssigned(s, dir) // q112's frozen index (forces centroids too)
     ()
   }
+
+  /** Frozen IVF quantizer for q112's incremental-ingest scenario:
+    * centroids trained on the FIRST HALF of the corpus only (vec_id <
+    * N/2 — the "yesterday's snapshot" side; new ids arrive later, so a
+    * dense id prefix is the natural at-rest half). Same derived-nlist /
+    * sample-modulus / fixed-iteration Lloyd construction as
+    * [[assignedVectors]], with every size derived from the half-corpus
+    * count. Snapshotted: this is the artifact an ANN deployment has on
+    * disk when a new batch arrives.
+    */
+  private[graft] def halfIndexCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.util.Snapshots(s, dir, "ivf-half-centroids") {
+      val v = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", l2Norm(col("embedding")))
+      val half = v.count() / 2 // parquet footer count; no data scan
+      val vi = v.filter(col("vec_id") < half)
+      val nlist = nlistFor(half)
+      val smod = sampleModFor(half, nlist)
+      var cents = vi.filter(col("vec_id") < nlist)
+        .select(
+          col("vec_id").as("cid"),
+          transform(col("embedding"), _.cast("double")).as("c_emb"),
+          col("nrm").as("c_nrm"),
+        )
+      val sample = vi.filter(col("vec_id") % smod === 0)
+      for (_ <- 1 to LloydIters) cents = lloydStep(sample, cents)
+      cents
+    }
+
+  /** The at-rest (vec_id, cluster) assignment of the first-half corpus
+    * under the frozen quantizer — what q112 reads for its "existing
+    * occupancy" side without touching any vector.
+    */
+  private[graft] def halfIndexAssigned(s: SparkSession, dir: String): DataFrame =
+    graft.util.Snapshots(s, dir, "ivf-half-assigned") {
+      val v = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", l2Norm(col("embedding")))
+      val half = v.count() / 2
+      assign(v.filter(col("vec_id") < half), halfIndexCentroids(s, dir))
+        .select("vec_id", "cluster")
+    }
 
   /** Recall@3 of cell-pruned search vs brute force over the same
     * assignment — shared by q73 and the quality specs (which compare
@@ -769,7 +813,7 @@ object Similarity {
         )
         .orderBy("doc_id")
     },
-  ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef
+  ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef :+ incrementalAnnDef
 
   /** q96 — cluster-balanced subsampling over the IVF assignment (the
     * diversity-sampling step of an embedding-curation pipeline, cf.
@@ -1150,5 +1194,83 @@ object Similarity {
         round(col("adc"), 4).as("adc_dist"), col("rank"),
       )
       .orderBy("query_id", "rank")
+  }
+
+  /** q112 — incremental ANN ingest against a FROZEN quantizer: the
+    * "add" path of an IVF deployment (FAISS `IndexIVF.add`), completing
+    * the incremental triple next to q85 (exact dedup vs at-rest digest
+    * index) and q92 (near-dup vs at-rest band index). The corpus is
+    * split at N/2 — first half is yesterday's indexed snapshot, second
+    * half the arriving batch. The snapshot side contributes two at-rest
+    * artifacts (trained centroids + (vec_id, cluster) assignment, built
+    * at ingest in prepareIndexes); the query's LIVE work is only the
+    * batch: score it against the broadcast centroid table (map-side,
+    * aggregate-argmax — the batch never re-clusters the history), then
+    * report per-cell occupancy before/after and the new-mass fraction,
+    * the retrain-trigger signal an index-maintenance job watches (a
+    * cell whose frac_new runs hot is where the frozen quantizer has
+    * drifted from the data). Batch cost is O(batch × nlist) score
+    * pairs; history cost is a columnar scan of an 8-byte-keyed table.
+    */
+  private lazy val incrementalAnnDef: QueryDef = QueryDef(
+    "q112_incremental_ann_ingest",
+    Some(s"""
+      WITH prm AS (
+        SELECT half,
+               CAST(LEAST(CEIL(SQRT(half)), $MaxNList) AS BIGINT) AS nlist,
+               GREATEST(1, half //
+                 (64 * CAST(LEAST(CEIL(SQRT(half)), $MaxNList) AS BIGINT))) AS smod
+        FROM (SELECT count(*) // 2 AS half FROM embeddings)),
+      v AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      vi AS (SELECT * FROM v WHERE vec_id < (SELECT half FROM prm)),
+      vb AS (SELECT * FROM v WHERE vec_id >= (SELECT half FROM prm)),
+      c0 AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb,
+               nrm AS c_nrm
+        FROM vi WHERE vec_id < (SELECT nlist FROM prm)),
+      samp AS (SELECT * FROM vi WHERE vec_id % (SELECT smod FROM prm) = 0),
+      ${(1 to LloydIters).map(duckLloydCte).mkString(",\n      ")},
+      ${duckAssignCte("vi", s"c$LloydIters", "avi")},
+      ${duckAssignCte("vb", s"c$LloydIters", "avb")},
+      ni AS (SELECT cid, count(*) AS n FROM avi GROUP BY cid),
+      nb AS (SELECT cid, count(*) AS n FROM avb GROUP BY cid)
+      SELECT c.cid AS cluster,
+             COALESCE(ni.n, 0) AS n_index,
+             COALESCE(nb.n, 0) AS n_new,
+             COALESCE(ni.n, 0) + COALESCE(nb.n, 0) AS n_total,
+             CASE WHEN COALESCE(ni.n, 0) + COALESCE(nb.n, 0) = 0 THEN NULL
+                  ELSE round(COALESCE(nb.n, 0) * 1.0 /
+                             (COALESCE(ni.n, 0) + COALESCE(nb.n, 0)), 4)
+             END AS frac_new
+      FROM c$LloydIters c
+        LEFT JOIN ni ON c.cid = ni.cid
+        LEFT JOIN nb ON c.cid = nb.cid
+      ORDER BY cluster
+    """),
+  ) { (s, dir) =>
+    val cents = halfIndexCentroids(s, dir)
+    val nIdx = halfIndexAssigned(s, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("n_index"))
+    val v = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val half = v.count() / 2
+    val nNew = assign(v.filter(col("vec_id") >= half), cents)
+      .groupBy("cluster").agg(count(lit(1)).as("n_new"))
+    cents.select(col("cid").as("cluster"))
+      .join(nIdx, Seq("cluster"), "left")
+      .join(nNew, Seq("cluster"), "left")
+      .select(
+        col("cluster"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_index"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_total"),
+      )
+      .withColumn("frac_new",
+        when(col("n_total") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_new") * 1.0 / col("n_total"), 4)))
+      .orderBy("cluster")
   }
 }

@@ -211,4 +211,22 @@ class AnnQualitySpec extends SparkTestBase {
     assert(pruned == global,
       s"IVF-PQ diverged from global ADC on separable clusters")
   }
+
+  /** Incremental ingest conservation on the planted corpus (N = 64,
+    * half = 32): the frozen quantizer must account for EVERY vector —
+    * 32 index members and 32 batch members across the derived
+    * nlist = ⌈√32⌉ = 6 cells, no row lost or double-assigned, and
+    * frac_new must be a valid fraction wherever a cell is non-empty.
+    */
+  test("incremental ANN ingest conserves both the index and the batch") {
+    val rows = SparkEntry.queries("q112_incremental_ann_ingest")(spark, plantedDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 6, s"expected 6 derived cells, got ${rows.length}")
+    assert(rows.map(_._2).sum == 32, "index members must sum to the first half")
+    assert(rows.map(_._3).sum == 32, "batch members must sum to the second half")
+    rows.foreach { case (c, ni, nn, nt) =>
+      assert(nt == ni + nn, s"cell $c totals don't add up")
+    }
+  }
 }
