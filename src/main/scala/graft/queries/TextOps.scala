@@ -630,7 +630,7 @@ object TextOps {
     tokenBudgetDef :+ sequencePackingDef :+ lshSurvivorsDef :+
     normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
     contextChunksDef :+ chunkDedupDef :+ curationFunnelDef :+
-    duplicateSpansDef :+ unigramRarityDef
+    duplicateSpansDef :+ unigramRarityDef :+ modelQualityDef
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -2154,6 +2154,101 @@ object TextOps {
         round(col("num").cast("double") /
           (col("n_tokens") * greatest(col("n_terms") - 1, lit(1))), 4)
           .as("rarity_score"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** q113 — model-based quality filtering: a linear classifier over
+    * per-document features, z-score-standardized against IN-PLAN corpus
+    * statistics (the fastText/CCNet-shaped "model filter" stage of a
+    * curation pipeline, with the trained weights shipped as literals —
+    * same posture as q84's SRP hyperplanes; training happens offline,
+    * the engine applies the model). Determinism across engines is by
+    * construction: the features are INTEGERS (token/distinct/char
+    * counts), so the corpus sums and sums-of-squares are exact BIGINTs,
+    * and every derived double (mean, variance, z, logit) is the same
+    * fixed sequence of IEEE operations on identical integer inputs —
+    * no order-dependent float accumulation anywhere (the q108 lesson).
+    * Scale shape: one corpus scan for features, a 1-row stats aggregate
+    * broadcast back (map-side partial aggregation; the "second pass"
+    * re-reads a snapshot-sized frame, not text), then an
+    * embarrassingly parallel score+gate. The logit (not a sigmoid) is
+    * the score: monotone-equivalent for thresholding, and free of
+    * transcendental functions whose last-ULP behavior differs across
+    * libm implementations.
+    */
+  private lazy val modelQualityDef: QueryDef = QueryDef(
+    "q113_model_quality_filter",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+               n_chars
+        FROM documents),
+      st AS (
+        SELECT count(*) AS n,
+               CAST(sum(n_tokens) AS BIGINT) AS s_t,
+               CAST(sum(n_tokens * n_tokens) AS BIGINT) AS q_t,
+               CAST(sum(n_distinct) AS BIGINT) AS s_d,
+               CAST(sum(n_distinct * n_distinct) AS BIGINT) AS q_d,
+               CAST(sum(n_chars) AS BIGINT) AS s_c,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS q_c
+        FROM f),
+      scored AS (
+        SELECT doc_id,
+               -0.1
+               + 0.9 * ((n_tokens - CAST(s_t AS DOUBLE) / n)
+                        / sqrt(CAST(q_t AS DOUBLE) / n
+                               - (CAST(s_t AS DOUBLE) / n) * (CAST(s_t AS DOUBLE) / n)))
+               + 0.7 * ((n_distinct - CAST(s_d AS DOUBLE) / n)
+                        / sqrt(CAST(q_d AS DOUBLE) / n
+                               - (CAST(s_d AS DOUBLE) / n) * (CAST(s_d AS DOUBLE) / n)))
+               - 0.4 * ((n_chars - CAST(s_c AS DOUBLE) / n)
+                        / sqrt(CAST(q_c AS DOUBLE) / n
+                               - (CAST(s_c AS DOUBLE) / n) * (CAST(s_c AS DOUBLE) / n)))
+                 AS logit
+        FROM f, st)
+      SELECT doc_id, round(logit, 4) AS logit,
+             CASE WHEN logit > 0 THEN 1 ELSE 0 END AS kept
+      FROM scored
+      ORDER BY doc_id
+    """),
+  ) { (s, dir) =>
+    val toks = tokens(col("text"))
+    val f = tbl(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      col("n_chars"),
+    )
+    val st = f.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum("n_tokens").as("s_t"),
+      sum(col("n_tokens") * col("n_tokens")).as("q_t"),
+      sum("n_distinct").as("s_d"),
+      sum(col("n_distinct") * col("n_distinct")).as("q_d"),
+      sum("n_chars").as("s_c"),
+      sum(col("n_chars") * col("n_chars")).as("q_c"),
+    )
+    // z(x) mirrors the oracle's operation sequence exactly: mean and
+    // variance as single IEEE divisions/subtractions of exact integers.
+    def z(x: Column, sCol: Column, qCol: Column): Column = {
+      val m = sCol.cast("double") / col("n")
+      (x - m) / sqrt(qCol.cast("double") / col("n") - m * m)
+    }
+    f.crossJoin(broadcast(st)) // 1-row corpus statistics
+      .select(
+        col("doc_id"),
+        (lit(-0.1)
+          + lit(0.9) * z(col("n_tokens"), col("s_t"), col("q_t"))
+          + lit(0.7) * z(col("n_distinct"), col("s_d"), col("q_d"))
+          - lit(0.4) * z(col("n_chars"), col("s_c"), col("q_c"))).as("logit"),
+      )
+      .select(
+        col("doc_id"),
+        round(col("logit"), 4).as("logit"),
+        when(col("logit") > 0, 1).otherwise(0).as("kept"),
       )
       .orderBy("doc_id")
   }

@@ -363,4 +363,36 @@ class CurationQualitySpec extends SparkTestBase {
     assert(s(1L) > s(2L) && s(2L) > s(0L), s"rarity ordering violated: $s")
     assert(scores() == s, "rarity score must be deterministic across evaluations")
   }
+
+  // -------------------------------------------------------------------
+  test("q113 model filter ranks degenerate docs strictly below diverse docs") {
+    // 20 diverse docs (30–50 tokens from a 14-word vocabulary) and 2
+    // degenerate docs: one long token repeated 40 times — near-average
+    // token count (z_t ≈ 0), floor-level distinct count (z_d ≪ 0),
+    // inflated char mass (z_c ≫ 0). Under the shipped weights every
+    // degenerate logit must fall strictly below every diverse logit and
+    // under the keep threshold; the gap (≥ ~2 σ-weighted units) dwarfs
+    // any rng wiggle in the diverse docs' features.
+    val diverse = (0L until 20L).map(i =>
+      (i, sentence(vocabA, 30 + rng.nextInt(21)), s"src${i % 3}"))
+    val junkWord = "zzzzzzzzzz"
+    val junk = Seq(
+      (30L, Seq.fill(40)(junkWord).mkString(" "), "srcJ"),
+      (31L, Seq.fill(40)(junkWord).mkString(" "), "srcJ"))
+    val dir = writeDocs(diverse ++ junk)
+
+    val rows = SparkEntry.queries("q113_model_quality_filter")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("logit"), r.getAs[Int]("kept")))
+    val (junkRows, divRows) = rows.partition(_._1 >= 30L)
+    assert(junkRows.length == 2 && divRows.length == 20)
+    junkRows.foreach { case (id, logit, kept) =>
+      assert(kept == 0 && logit < 0, s"degenerate doc $id kept: logit=$logit")
+    }
+    val worstDiverse = divRows.map(_._2).min
+    junkRows.foreach { case (id, logit, _) =>
+      assert(logit < worstDiverse,
+        s"degenerate doc $id ($logit) not below worst diverse ($worstDiverse)")
+    }
+  }
 }
