@@ -181,8 +181,8 @@ object Similarity {
     * null sim sorts low in both engines) mirror the oracle's
     * row_number ordering exactly.
     */
-  private def assign(vs: DataFrame, cents: DataFrame): DataFrame = {
-    val best = vs.crossJoin(broadcast(cents))
+  private def bestCluster(vs: DataFrame, cents: DataFrame): DataFrame =
+    vs.crossJoin(broadcast(cents))
       .select(
         col("vec_id"),
         struct(
@@ -193,8 +193,9 @@ object Similarity {
       .groupBy("vec_id")
       .agg(max(col("sc")).as("best"))
       .select(col("vec_id"), (-col("best.ncid")).as("cluster"))
-    vs.join(best, "vec_id")
-  }
+
+  private def assign(vs: DataFrame, cents: DataFrame): DataFrame =
+    vs.join(bestCluster(vs, cents), "vec_id")
 
   /** One Lloyd step (Spark twin of [[duckLloydCte]]): per-cell
     * element-wise mean via posexplode + DECIMAL(38,15) sums (exact →
@@ -1256,7 +1257,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", l2Norm(col("embedding")))
     val half = v.count() / 2
-    val nNew = assign(v.filter(col("vec_id") >= half), cents)
+    // bestCluster, not assign: the counts need only the winning cell
+    // per batch vector, so the batch is scanned ONCE (assign's join
+    // back to the payload would plan a second scan).
+    val nNew = bestCluster(v.filter(col("vec_id") >= half), cents)
       .groupBy("cluster").agg(count(lit(1)).as("n_new"))
     cents.select(col("cid").as("cluster"))
       .join(nIdx, Seq("cluster"), "left")

@@ -2169,13 +2169,15 @@ object TextOps {
     * and every derived double (mean, variance, z, logit) is the same
     * fixed sequence of IEEE operations on identical integer inputs —
     * no order-dependent float accumulation anywhere (the q108 lesson).
-    * Scale shape: one corpus scan for features, a 1-row stats aggregate
-    * broadcast back (map-side partial aggregation; the "second pass"
-    * re-reads a snapshot-sized frame, not text), then an
-    * embarrassingly parallel score+gate. The logit (not a sigmoid) is
-    * the score: monotone-equivalent for thresholding, and free of
-    * transcendental functions whose last-ULP behavior differs across
-    * libm implementations.
+    * Scale shape: the token features come from the per-corpus tf
+    * snapshot (q82/q108's at-rest artifact) joined to a text-FREE
+    * pruned documents scan, so corpus text is read zero times in-plan
+    * — both the stats branch and the score branch re-read only compact
+    * columnar frames. The 1-row stats aggregate broadcasts back onto
+    * the features for an embarrassingly parallel score+gate. The logit
+    * (not a sigmoid) is the score: monotone-equivalent for
+    * thresholding, and free of transcendental functions whose
+    * last-ULP behavior differs across libm implementations.
     */
   private lazy val modelQualityDef: QueryDef = QueryDef(
     "q113_model_quality_filter",
@@ -2215,13 +2217,14 @@ object TextOps {
       ORDER BY doc_id
     """),
   ) { (s, dir) =>
-    val toks = tokens(col("text"))
-    val f = tbl(s, dir, "documents").select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
-      col("n_chars"),
-    )
+    // tf has one row per (doc, term) with its count, so sum(c) is the
+    // token count and the row count is the distinct count — identical
+    // to size(tokens)/size(array_distinct(tokens)) since split() always
+    // yields >= 1 element. The documents scan prunes to 2 columns.
+    val f = termFrequencies(s, dir)
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+      .join(tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
     val st = f.groupBy().agg(
       count(lit(1)).as("n"),
       sum("n_tokens").as("s_t"),

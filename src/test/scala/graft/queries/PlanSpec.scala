@@ -201,9 +201,11 @@ class PlanSpec extends SparkTestBase {
       "q81_repetition_signals" -> 1, "q82_tfidf_topterms" -> 0,
       "q85_incremental_dedup" -> 1, "q97_token_budget" -> 1,
       "q102_bloom_dedup" -> 1, "q104_chunk_dedup" -> 0,
-      // q107 reads the positioned span-window snapshot, q108 the tf
-      // snapshot — corpus text is an ingest-time cost for both.
-      "q107_duplicate_spans" -> 0, "q108_unigram_rarity" -> 0)
+      // q107 reads the positioned span-window snapshot, q108 and q113
+      // the tf snapshot — corpus text is an ingest-time cost for all
+      // three (q113's documents scan prunes to doc_id/n_chars).
+      "q107_duplicate_spans" -> 0, "q108_unigram_rarity" -> 0,
+      "q113_model_quality_filter" -> 0)
     for ((q, want) <- expected.toSeq.sortBy(_._1)) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val n = p.linesIterator.count(l =>
@@ -259,6 +261,39 @@ class PlanSpec extends SparkTestBase {
     val vecScans = p.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("embeddings.parquet"))
     assert(vecScans == 1, s"expected 1 embeddings scan (query side), saw $vecScans:\n$p")
+  }
+
+  test("q111: IVF-PQ scans the code table and cluster map; raw vectors only on the query side") {
+    val p = SparkEntry.queries("q111_ivfpq_ann")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Corpus side = the two at-rest artifacts (codes + assignment)...
+    assert(p.contains("pq-codes"), s"IVF-PQ does not read the code snapshot:\n$p")
+    assert(p.contains("ivf-assigned"), s"IVF-PQ does not read the cluster map:\n$p")
+    // ...and raw float vectors appear only in the 10-row query-side
+    // scans (distance tables): every embeddings scan must carry the
+    // pushed vec_id < 10 filter — none may read the whole corpus.
+    val vecScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("embeddings.parquet")).toSeq
+    assert(vecScans.nonEmpty, s"expected query-side embeddings scans:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("LessThan(vec_id,10)")),
+      s"query-side vec_id filter not pushed to the scan:\n$p")
+  }
+
+  test("q112: incremental ingest scores only the batch; history comes from snapshots") {
+    val p = SparkEntry.queries("q112_incremental_ann_ingest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The frozen quantizer and the index occupancy are at-rest reads.
+    assert(p.contains("ivf-half-centroids"), s"frozen centroids not read from snapshot:\n$p")
+    assert(p.contains("ivf-half-assigned"), s"index assignment not read from snapshot:\n$p")
+    // The only raw-vector work is the arriving batch: one embeddings
+    // scan, with the vec_id >= half split pushed into it.
+    val vecScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("embeddings.parquet"))
+    assert(vecScans == 1, s"expected 1 embeddings scan (the batch), saw $vecScans:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(vec_id")),
+      s"batch split not pushed to the scan:\n$p")
   }
 
   test("no declared query plans a CartesianProduct") {
