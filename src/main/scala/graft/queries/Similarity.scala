@@ -66,6 +66,13 @@ object Similarity {
     */
   private val SampleCap = 10
 
+  /** Held-out benchmark size for q114 — the first [[BenchVecs]] vec_ids
+    * stand in for the benchmark's embedding set (same id-prefix
+    * convention as the ANN query sets). Above `defs`: init order, see
+    * [[SampleCap]].
+    */
+  private val BenchVecs = 50
+
   /** Product-quantization geometry (q110): the 64-dim embedding is cut
     * into [[PqSubs]] subspaces of [[PqSubDim]] dims, each quantized to
     * [[PqKsub]] centroids by the same fixed-iteration Lloyd machinery
@@ -814,7 +821,8 @@ object Similarity {
         )
         .orderBy("doc_id")
     },
-  ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef :+ incrementalAnnDef
+  ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef :+ incrementalAnnDef :+
+    semanticDecontamDef
 
   /** q96 — cluster-balanced subsampling over the IVF assignment (the
     * diversity-sampling step of an embedding-curation pipeline, cf.
@@ -1195,6 +1203,56 @@ object Similarity {
         round(col("adc"), 4).as("adc_dist"), col("rank"),
       )
       .orderBy("query_id", "rank")
+  }
+
+  /** q114 — semantic decontamination: the embedding-space complement of
+    * q94's n-gram decontamination (both run in real curation pipelines;
+    * paraphrased benchmark leakage that shares no 4-gram still lands at
+    * high cosine). Every training vector is scored by its MAX cosine
+    * against the held-out benchmark embedding set and gated at the
+    * near-dup threshold. Scale shape: benchmark sets are SMALL by
+    * construction (like q94's shingle set), so the bench side
+    * broadcasts and the scan is one map-side pass over the corpus —
+    * per-partition partial max collapses the |bench| scored rows per
+    * vector to one before the only shuffle (the vec_id agg).
+    * Determinism: each cosine is a fixed-order dot product and max()
+    * is order-independent — no FP accumulation across rows.
+    */
+  private lazy val semanticDecontamDef: QueryDef = QueryDef(
+    "q114_semantic_decontam",
+    Some(s"""
+      WITH v AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      b AS (SELECT embedding, nrm FROM v WHERE vec_id < $BenchVecs),
+      sc AS (
+        SELECT t.vec_id, max(${duckCos("t", "b")}) AS mc
+        FROM v t CROSS JOIN b
+        WHERE t.vec_id >= $BenchVecs
+        GROUP BY t.vec_id)
+      SELECT vec_id, round(mc, 4) AS max_benchmark_cos,
+             CASE WHEN mc >= $TauNearDup THEN 1 ELSE 0 END AS contaminated
+      FROM sc
+      ORDER BY vec_id
+    """),
+  ) { (s, dir) =>
+    val v = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val bench = v.filter(col("vec_id") < BenchVecs)
+      .select(col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    v.filter(col("vec_id") >= BenchVecs)
+      .crossJoin(broadcast(bench))
+      .select(
+        col("vec_id"),
+        cosine(col("embedding"), col("b_emb"), col("nrm"), col("b_nrm")).as("cos"),
+      )
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("mc"))
+      .select(
+        col("vec_id"),
+        round(col("mc"), 4).as("max_benchmark_cos"),
+        when(col("mc") >= TauNearDup, 1).otherwise(0).as("contaminated"),
+      )
+      .orderBy("vec_id")
   }
 
   /** q112 — incremental ANN ingest against a FROZEN quantizer: the

@@ -212,6 +212,34 @@ class AnnQualitySpec extends SparkTestBase {
       s"IVF-PQ diverged from global ADC on separable clusters")
   }
 
+  /** Semantic decontamination on a purpose-built corpus: the benchmark
+    * set (ids 0–49, clusters 0–7) is followed by 10 paraphrase-shaped
+    * train vectors sharing the benchmark's directions (must flag at
+    * cosine ≈ 1) and 10 clean train vectors on directions the benchmark
+    * never uses (dims 8–11; cross-direction cosine is noise-sized,
+    * far under τ — must pass).
+    */
+  test("semantic decontam flags benchmark-direction vectors and passes novel directions") {
+    val rng = new Random(41)
+    val dir = Files.createTempDirectory("graft_semantic_decontam").toString
+    val rows =
+      (0 until 50).map(i => (i.toLong, noisyBasis(rng, i % 8))) ++
+        (50 until 60).map(i => (i.toLong, noisyBasis(rng, i % 8))) ++
+        (60 until 70).map(i => (i.toLong, noisyBasis(rng, 8 + i % 4)))
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val res = SparkEntry.queries("q114_semantic_decontam")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(res.length == 20)
+    res.filter(_._1 < 60).foreach { case (id, cos, flag) =>
+      assert(flag == 1 && cos > 0.9, s"benchmark-direction vec $id not flagged (cos=$cos)")
+    }
+    res.filter(_._1 >= 60).foreach { case (id, cos, flag) =>
+      assert(flag == 0 && cos < 0.25, s"novel-direction vec $id flagged (cos=$cos)")
+    }
+  }
+
   /** Incremental ingest conservation on the planted corpus (N = 64,
     * half = 32): the frozen quantizer must account for EVERY vector —
     * 32 index members and 32 batch members across the derived
