@@ -44,8 +44,18 @@ object SparkEntry {
     * on first use.
     */
   def prepareIndexes(spark: SparkSession, sfDir: String): Unit = {
-    _root_.graft.queries.TextOps.prebuildIndexes(spark, sfDir)
-    _root_.graft.queries.Similarity.prebuildIndexes(spark, sfDir)
-    _root_.graft.queries.Relational.prebuildIndexes(spark, sfDir)
+    // The three modules build disjoint artifact sets — run them
+    // concurrently (each fans out its own independent chains too).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(Seq(
+        Future(_root_.graft.queries.TextOps.prebuildIndexes(spark, sfDir)),
+        Future(_root_.graft.queries.Similarity.prebuildIndexes(spark, sfDir)),
+        Future(_root_.graft.queries.Relational.prebuildIndexes(spark, sfDir)),
+      )),
+      Duration.Inf)
+    ()
   }
 }

@@ -188,7 +188,7 @@ object Similarity {
     * null sim sorts low in both engines) mirror the oracle's
     * row_number ordering exactly.
     */
-  private def bestCluster(vs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def bestCluster(vs: DataFrame, cents: DataFrame): DataFrame =
     vs.crossJoin(broadcast(cents))
       .select(
         col("vec_id"),
@@ -261,9 +261,18 @@ object Similarity {
     * reported, so q69 doesn't absorb the build it shares with
     * q71/q73/q88/q89. */
   private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
-    assignedVectors(s, dir)
-    pqCodes(s, dir) // forces the pq-codebooks snapshot too
-    halfIndexAssigned(s, dir) // q112's frozen index (forces centroids too)
+    // Three independent training chains, built concurrently (same
+    // rationale as TextOps.prebuildIndexes — the Lloyd jobs are small
+    // and underfill the scheduler).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chains: Seq[() => Any] = Seq(
+      () => assignedVectors(s, dir),
+      () => pqCodes(s, dir), // forces the pq-codebooks snapshot too
+      () => halfIndexAssigned(s, dir), // q112's frozen index (forces centroids too)
+    )
+    Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
     ()
   }
 

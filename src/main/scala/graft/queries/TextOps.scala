@@ -266,16 +266,27 @@ object TextOps {
     * measure query evaluation rather than whichever query alphabetically
     * first touched a shared snapshot. */
   private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
-    shingleHashes(s, dir, 3)
-    shingleHashes(s, dir, 4)
-    minhashBands(s, dir) // forces the minhash-sigs snapshot
-    simhash60Sigs(s, dir)
-    shingleDf(s, dir, 4)
-    digestIndex(s, dir)
-    lshClusterLabels(s, dir) // runs the label fixpoint once per corpus
-    termFrequencies(s, dir)
-    chunkTable(s, dir)
-    spanWindows(s, dir)
+    // Independent artifact chains build CONCURRENTLY (Spark schedules
+    // jobs from multiple threads in one session; each chain's snapshots
+    // are distinct keys, and same-key races are serialized inside
+    // Snapshots.computeIfAbsent). The builds are individually small
+    // jobs that underfill local[32] — overlapping them cuts the
+    // ingest-phase wall clock roughly in half. Dependent artifacts
+    // stay ordered WITHIN a chain (shingles k3 → minhash sigs → label
+    // fixpoint; shingles k4 → shingle df).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chains: Seq[() => Any] = Seq(
+      () => { shingleHashes(s, dir, 3); minhashBands(s, dir); lshClusterLabels(s, dir) },
+      () => { shingleHashes(s, dir, 4); shingleDf(s, dir, 4) },
+      () => simhash60Sigs(s, dir),
+      () => digestIndex(s, dir),
+      () => termFrequencies(s, dir),
+      () => chunkTable(s, dir),
+      () => spanWindows(s, dir),
+    )
+    Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
     ()
   }
 

@@ -63,14 +63,21 @@ object Tables {
   * the filesystem's mtime resolution.
   */
 object Snapshots {
-  private val paths = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate:
+  // prepareIndexes builds independent artifact chains on parallel
+  // threads, and getOrElseUpdate may evaluate the builder twice for a
+  // racing key — two overwrite-writes to the SAME parquet path.
+  // computeIfAbsent runs the builder exactly once per key and blocks
+  // same-key callers until the artifact exists.
+  private val paths =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]
 
   def apply(spark: SparkSession, dir: String, name: String,
       partitionBy: Seq[String] = Nil)(
       build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
-    val path = paths.getOrElseUpdate(
-      (dir, name, fp), {
+    val path = paths.computeIfAbsent(
+      (dir, name, fp), { _ =>
         // md5 of the corpus dir, not hashCode: hashCode collisions
         // between two corpus dirs would silently serve wrong-corpus
         // artifacts (and abs(Int.MinValue) is negative).
@@ -97,8 +104,8 @@ object Snapshots {
   def bucketedTable(spark: SparkSession, dir: String, name: String,
       key: String, buckets: Int)(build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
-    val table = paths.getOrElseUpdate(
-      (dir, s"bkt-$name", fp), {
+    val table = paths.computeIfAbsent(
+      (dir, s"bkt-$name", fp), { _ =>
         val dirKey = md5Hex(dir).take(12)
         val t = s"graft_snap_${dirKey}_${fp}_${name.replaceAll("[^A-Za-z0-9]", "_")}"
         val out =
