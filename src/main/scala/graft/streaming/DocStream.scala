@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -56,6 +56,7 @@ object DocStream {
   private[streaming] def curateBatch(
       batch: DataFrame, batchId: Long,
       curatedDir: String, indexDir: String): Unit = {
+    import StagedCommit._
     val spark = batch.sparkSession
     val fs = new Path(curatedDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,7 +70,7 @@ object DocStream {
 
     val gated = TextPipeline.gate(batch)
     val unique = TextPipeline.dedup(gated).withColumn("h", md5(col("text")))
-    val fresh = unique.join(readIndex(spark, indexDir), Seq("h"), "left_anti")
+    val fresh = unique.join(readDigestIndex(spark, indexDir), Seq("h"), "left_anti")
       .localCheckpoint() // evaluate the probe before the appends below change what it reads
     val curStage = s"$curatedDir/.staging-$batchId"
     val idxStage = s"$indexDir/.staging-$batchId"
@@ -78,58 +79,6 @@ object DocStream {
     publishStaged(fs, curStage, curatedDir, batchId)
     publishStaged(fs, idxStage, indexDir, batchId)
     fs.mkdirs(marker) // the commit point: marker present ⇔ both tables hold the batch
-  }
-
-  private def commitMarker(indexDir: String, batchId: Long): Path =
-    new Path(s"$indexDir/_commits/$batchId")
-
-  /** Live data files carry their batchId as a name prefix so a replay
-    * can identify (and remove) exactly its own partial publish.
-    */
-  private def deleteStamped(fs: FileSystem, dir: String, batchId: Long): Unit = {
-    val d = new Path(dir)
-    if (fs.exists(d))
-      fs.listStatus(d)
-        .filter(_.getPath.getName.startsWith(s"batch-$batchId-"))
-        .foreach(st => fs.delete(st.getPath, false))
-  }
-
-  /** Move staged part files into the live dir under batch-stamped
-    * names, then drop the staging dir. Per-file renames are atomic;
-    * atomicity of the WHOLE publish is the commit marker's job.
-    */
-  private def publishStaged(
-      fs: FileSystem, stageDir: String, liveDir: String, batchId: Long): Unit = {
-    val stage = new Path(stageDir)
-    fs.listStatus(stage)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      .foreach { st =>
-        val dst = new Path(liveDir, s"batch-$batchId-${st.getPath.getName}")
-        if (!fs.rename(st.getPath, dst))
-          throw new java.io.IOException(s"publish rename failed: ${st.getPath} -> $dst")
-      }
-    fs.delete(stage, true)
-  }
-
-  /** The digest index, or an empty frame before the first batch lands.
-    * Digests are distinct-ed on read: a replayed/torn append may hold
-    * duplicates, which must not multiply anti-join probes downstream.
-    * Only visible (non-hidden) files count — `_commits` markers and
-    * `.staging-*` dirs are bookkeeping, not data.
-    */
-  private def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val p = new Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData)
-      spark.read.parquet(indexDir).select("h").distinct()
-    else {
-      import spark.implicits._
-      Seq.empty[String].toDF("h")
-    }
   }
 
   /** Watch `srcDir` for document parquet drops and run the curation
