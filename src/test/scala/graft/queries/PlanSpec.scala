@@ -296,6 +296,18 @@ class PlanSpec extends SparkTestBase {
       s"batch split not pushed to the scan:\n$p")
   }
 
+  test("q30: top-k rank filter plans partial + final WindowGroupLimit") {
+    // Spark's InferWindowGroupLimit rewrites `row_number() <= k` into a
+    // WindowGroupLimit pair — a map-side partial that keeps only k rows
+    // per key per partition BEFORE the window's shuffle, then a final
+    // one after. At 100 TB that's the difference between shuffling k
+    // rows per key and shuffling the whole table; this pin fails if a
+    // plan change (or a conf regression) ever drops the rewrite.
+    val p = plan("q30_window_topk")
+    val n = p.linesIterator.count(_.trim.matches("\\(\\d+\\) WindowGroupLimit.*"))
+    assert(n >= 2, s"expected partial+final WindowGroupLimit in q30, saw $n:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
