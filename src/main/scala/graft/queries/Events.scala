@@ -20,6 +20,10 @@ object Events {
 
   private val HourUs = 3600L * 1000000L
   private val HalfHourUs = 1800L * 1000000L
+  private val MinuteUs = 60L * 1000000L
+
+  /** Trailing-baseline length (minutes) for q115's anomaly frame. */
+  private val BaselineMinutes = 30
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -538,6 +542,78 @@ object Events {
           (col("t") - col("c_t")).as("gap_us"),
         )
         .orderBy("user_id", "purchase_event_id", "t_purchase_us")
+    },
+
+    // ------------------------------------------------------------------
+    // Windowed anomaly detection — the pipeline-monitoring shape: each
+    // (event_type, minute) count is z-scored against its own trailing
+    // 30-minute baseline, spikes gated at z > 3. Determinism follows
+    // q113's recipe: the frame statistics are EXACT integer sums
+    // (sum, sum-of-squares, count over a ROWS frame — identical frame
+    // semantics in both engines under the total (type, minute) order),
+    // and mean/variance/z are the same fixed IEEE operation sequence on
+    // those integers; rows without a full baseline or with a degenerate
+    // (zero-variance) frame are filtered, not NULL-juggled. Scale
+    // shape: the heavy reduction (events → per-minute counts) is a
+    // map-side-combined hash aggregate; the frame window then runs over
+    // minutes × types — rows bounded by TIME, not by data volume, so
+    // one task per type holds a day of minutes, never a day of events.
+    QueryDef(
+      "q115_event_anomaly",
+      Some(s"""
+        WITH pm AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % $MinuteUs AS minute_us,
+                 count(*) AS n
+          FROM events
+          GROUP BY event_type, minute_us),
+        fr AS (
+          SELECT event_type, minute_us, n,
+                 CAST(sum(n) OVER w AS BIGINT) AS s,
+                 CAST(sum(n * n) OVER w AS BIGINT) AS q,
+                 count(n) OVER w AS k
+          FROM pm
+          WINDOW w AS (PARTITION BY event_type ORDER BY minute_us
+                       ROWS BETWEEN $BaselineMinutes PRECEDING AND 1 PRECEDING))
+        SELECT event_type, minute_us, n,
+               round((n - CAST(s AS DOUBLE) / k) /
+                     sqrt(CAST(q AS DOUBLE) / k
+                          - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)), 4) AS z,
+               CASE WHEN (n - CAST(s AS DOUBLE) / k) /
+                         sqrt(CAST(q AS DOUBLE) / k
+                              - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)) > 3
+                    THEN 1 ELSE 0 END AS spike
+        FROM fr
+        WHERE k = $BaselineMinutes
+          AND CAST(q AS DOUBLE) / k
+              - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) > 0
+        ORDER BY event_type, minute_us
+      """),
+    ) { (s, dir) =>
+      val pm = Tables.events(s, dir)
+        .groupBy(
+          col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(col("ts")) % MinuteUs).as("minute_us"),
+        )
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("minute_us")
+        .rowsBetween(-BaselineMinutes, -1)
+      val fr = pm.select(
+        col("event_type"), col("minute_us"), col("n"),
+        sum(col("n")).over(w).as("s"),
+        sum(col("n") * col("n")).over(w).as("q"),
+        count(col("n")).over(w).as("k"),
+      )
+      val mean = col("s").cast("double") / col("k")
+      val variance = col("q").cast("double") / col("k") - mean * mean
+      val z = (col("n") - mean) / sqrt(variance)
+      fr.filter(col("k") === BaselineMinutes && variance > 0)
+        .select(
+          col("event_type"), col("minute_us"), col("n"),
+          round(z, 4).as("z"),
+          when(z > 3, 1).otherwise(0).as("spike"),
+        )
+        .orderBy("event_type", "minute_us")
     },
   )
 }
