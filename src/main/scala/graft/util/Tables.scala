@@ -63,21 +63,31 @@ object Tables {
   * the filesystem's mtime resolution.
   */
 object Snapshots {
-  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate:
-  // prepareIndexes builds independent artifact chains on parallel
-  // threads, and getOrElseUpdate may evaluate the builder twice for a
-  // racing key — two overwrite-writes to the SAME parquet path.
-  // computeIfAbsent runs the builder exactly once per key and blocks
-  // same-key callers until the artifact exists.
+  // Concurrency: prepareIndexes builds independent artifact chains on
+  // parallel threads, and artifacts NEST (pq-codes builds pq-codebooks;
+  // the half-index assignment builds its centroids). TrieMap
+  // .getOrElseUpdate may evaluate a racing key's builder twice — two
+  // overwrite-writes to the SAME parquet path — and running the builder
+  // INSIDE ConcurrentHashMap.computeIfAbsent throws IllegalStateException
+  // ("Recursive update") when a nested build touches the map mid-resize.
+  // So computeIfAbsent only allocates a cheap memo cell, and the build
+  // runs in the cell's lazy val: exactly-once per key, same-key callers
+  // block on the cell's monitor, nested different-key builds never
+  // mutate the map while a mapping function is on the stack. The
+  // dependency graph is a DAG, so cell-monitor deadlock cannot occur.
+  private final class Cell(build: () => String) {
+    lazy val value: String = build()
+  }
   private val paths =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Cell]
 
   def apply(spark: SparkSession, dir: String, name: String,
       partitionBy: Seq[String] = Nil)(
       build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
-    val path = paths.computeIfAbsent(
-      (dir, name, fp), { _ =>
+    val cell = paths.computeIfAbsent(
+      (dir, name, fp),
+      _ => new Cell(() => {
         // md5 of the corpus dir, not hashCode: hashCode collisions
         // between two corpus dirs would silently serve wrong-corpus
         // artifacts (and abs(Int.MinValue) is negative).
@@ -88,9 +98,9 @@ object Snapshots {
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
           .parquet(out)
         out
-      },
+      }),
     )
-    spark.read.parquet(path)
+    spark.read.parquet(cell.value)
   }
 
   /** Bucketed-table variant: materialize the artifact as a catalog
@@ -104,8 +114,9 @@ object Snapshots {
   def bucketedTable(spark: SparkSession, dir: String, name: String,
       key: String, buckets: Int)(build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
-    val table = paths.computeIfAbsent(
-      (dir, s"bkt-$name", fp), { _ =>
+    val cell = paths.computeIfAbsent(
+      (dir, s"bkt-$name", fp),
+      _ => new Cell(() => {
         val dirKey = md5Hex(dir).take(12)
         val t = s"graft_snap_${dirKey}_${fp}_${name.replaceAll("[^A-Za-z0-9]", "_")}"
         val out =
@@ -115,9 +126,9 @@ object Snapshots {
           .bucketBy(buckets, key).sortBy(key)
           .saveAsTable(t)
         t
-      },
+      }),
     )
-    spark.table(table)
+    spark.table(cell.value)
   }
 
   /** Content fingerprint of the corpus dir: md5 over the sorted
