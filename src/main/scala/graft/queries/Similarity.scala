@@ -831,7 +831,7 @@ object Similarity {
         .orderBy("doc_id")
     },
   ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef :+ incrementalAnnDef :+
-    semanticDecontamDef
+    semanticDecontamDef :+ clusterProfileDef
 
   /** q96 — cluster-balanced subsampling over the IVF assignment (the
     * diversity-sampling step of an embedding-curation pipeline, cf.
@@ -1262,6 +1262,75 @@ object Similarity {
         when(col("mc") >= TauNearDup, 1).otherwise(0).as("contaminated"),
       )
       .orderBy("vec_id")
+  }
+
+  /** q116 — cluster-level corpus profiling: join the at-rest IVF
+    * assignment to document metadata (vec_id = doc_id for the embedded
+    * subset of the corpus) and report, per embedding cluster, the
+    * population, language spread, dominant language with its share,
+    * and mean document size — the cluster-statistics table a
+    * DataComp/SemDeDup-style curation loop reads to decide which
+    * clusters to prune, re-balance, or re-embed. Shape: the assignment
+    * snapshot joins a text-FREE pruned documents scan on an 8-byte id;
+    * the per-(cluster, lang) aggregate is map-side-partial; the
+    * dominant-language rank window is partitioned by cluster and its
+    * input is one row per (cluster, lang) — bounded by languages, not
+    * documents. Determinism: counts are exact integers; the mean is a
+    * single IEEE division; the dominant-language tie breaks on the
+    * smaller lang string in both engines.
+    */
+  private lazy val clusterProfileDef: QueryDef = QueryDef(
+    "q116_cluster_profile",
+    Some(s"""
+      WITH $duckAssignedCte,
+      j AS (
+        SELECT a.cluster, d.lang, d.n_chars
+        FROM av a JOIN documents d ON d.doc_id = a.vec_id),
+      cl AS (
+        SELECT cluster, lang, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM j GROUP BY cluster, lang),
+      r AS (
+        SELECT cluster, lang, n,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY n DESC, lang) AS rk
+        FROM cl),
+      tot AS (
+        SELECT cluster, CAST(sum(n) AS BIGINT) AS n_docs,
+               count(*) AS n_langs,
+               CAST(sum(chars) AS BIGINT) AS chars
+        FROM cl GROUP BY cluster)
+      SELECT t.cluster, t.n_docs, t.n_langs,
+             r.lang AS top_lang,
+             round(r.n * 1.0 / t.n_docs, 4) AS top_lang_frac,
+             round(CAST(t.chars AS DOUBLE) / t.n_docs, 2) AS avg_chars
+      FROM tot t JOIN r ON r.cluster = t.cluster AND r.rk = 1
+      ORDER BY t.cluster
+    """),
+  ) { (s, dir) =>
+    val a = assignedVectors(s, dir).select(col("vec_id"), col("cluster"))
+    val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val cl = a.join(d, col("doc_id") === col("vec_id"))
+      .groupBy("cluster", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    val byCluster = Window.partitionBy("cluster").orderBy(desc("n"), asc("lang"))
+    val top = cl
+      .withColumn("rk", row_number().over(byCluster))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("lang").as("top_lang"), col("n").as("top_n"))
+    val tot = cl.groupBy("cluster")
+      .agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum("chars").as("chars"),
+      )
+    tot.join(top, "cluster")
+      .select(
+        col("cluster"), col("n_docs"), col("n_langs"), col("top_lang"),
+        round(col("top_n") * 1.0 / col("n_docs"), 4).as("top_lang_frac"),
+        round(col("chars").cast("double") / col("n_docs"), 2).as("avg_chars"),
+      )
+      .orderBy("cluster")
   }
 
   /** q112 — incremental ANN ingest against a FROZEN quantizer: the

@@ -36,14 +36,15 @@ class AnnQualitySpec extends SparkTestBase {
     * round-robin across clusters.
     */
   private val Clusters = 8
-  private lazy val plantedDir: String = {
+  private lazy val plantedRows: Seq[(Long, Seq[Float])] = {
     val rng = new Random(7)
+    (0 until Clusters).map(c => (c.toLong, noisyBasis(rng, c))) ++
+      Seq((8L, noisyBasis(rng, 0)), (9L, noisyBasis(rng, 1))) ++
+      (10 until 64).map(i => (i.toLong, noisyBasis(rng, (i - 10) % Clusters)))
+  }
+  private lazy val plantedDir: String = {
     val dir = Files.createTempDirectory("graft_ann_quality").toString
-    val rows =
-      (0 until Clusters).map(c => (c.toLong, noisyBasis(rng, c))) ++
-        Seq((8L, noisyBasis(rng, 0)), (9L, noisyBasis(rng, 1))) ++
-        (10 until 64).map(i => (i.toLong, noisyBasis(rng, (i - 10) % Clusters)))
-    rows.toDF("vec_id", "embedding")
+    plantedRows.toDF("vec_id", "embedding")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     dir
   }
@@ -237,6 +238,38 @@ class AnnQualitySpec extends SparkTestBase {
     }
     res.filter(_._1 >= 60).foreach { case (id, cos, flag) =>
       assert(flag == 0 && cos < 0.25, s"novel-direction vec $id flagged (cos=$cos)")
+    }
+  }
+
+  /** Cluster profiling on the planted corpus with a parallel documents
+    * table (doc_id = vec_id): even planted clusters are "en", odd are
+    * "fr", except doc 8 (cluster 0) which is "de" — so every cluster's
+    * dominant language and population are known exactly (the IVF
+    * assignment is perfect on this geometry, proven above).
+    */
+  test("cluster profile reports the planted language mix per cluster") {
+    val dir = Files.createTempDirectory("graft_cluster_profile").toString
+    plantedRows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    plantedRows.map { case (id, _) =>
+      val lang =
+        if (id == 8L) "de" else if (plantedClusterOf(id) % 2 == 0) "en" else "fr"
+      (id, s"text $id", lang, s"src${id % 3}", 100L + id)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("q116_cluster_profile")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(rows.size == Clusters, s"expected $Clusters clusters, got ${rows.size}")
+    val expectedPop = (0L until 64L).groupBy(plantedClusterOf).view.mapValues(_.size.toLong)
+    (0 until Clusters).foreach { c =>
+      val (nDocs, nLangs, topLang) = rows(c.toLong)
+      assert(nDocs == expectedPop(c.toLong), s"cluster $c population $nDocs")
+      val wantTop = if (c % 2 == 0) "en" else "fr"
+      assert(topLang == wantTop, s"cluster $c dominant lang $topLang")
+      assert(nLangs == (if (c == 0) 2L else 1L), s"cluster $c language count $nLangs")
     }
   }
 
