@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract — schema, partitioning, batch shape (one
   * partition streamed as an iterator, constant memory) — is real and
-  * tested, and so is the codec for the two container formats a pure
-  * JVM can parse without any codec library:
+  * tested, and so are the codecs for the three formats a pure JVM can
+  * parse without any codec library:
   *
   *   - **WAV (RIFF/PCM)**: chunk walk, fmt/data parse, real sample
   *     rate / channel / frame-count / duration extraction, RMS level
@@ -18,18 +18,23 @@ import org.apache.spark.sql.functions._
   *     width/height/bpp, mean luminance over the decoded BGR pixels
   *     (bottom-up row order, 4-byte row padding), and a REAL
   *     nearest-neighbor resize that re-encodes a valid BMP.
+  *   - **PNG (non-interlaced 8-bit RGB/RGBA)**: chunk walk with CRC
+  *     layout, zlib inflate via java.util.zip, full scanline-filter
+  *     reconstruction (None/Sub/Up/Average/Paeth), mean luminance over
+  *     the decoded pixels, and a REAL resize that re-encodes a valid
+  *     PNG (Deflater + CRC32).
   *
-  * Compressed formats (JPEG/PNG/H.264/MP3) still fall back to
-  * [[decodeStub]] — no codec libraries exist in this container, and
-  * faking a DCT pipeline would be worse than saying so. Swapping the
-  * fallback for JavaCV/TwelveMonkeys/javax.imageio changes only the
-  * [[decode]] dispatcher's last arm; the per-partition contract
-  * (heavy init once per partition, rows streamed) stays identical.
+  * Transform-coded formats (JPEG/H.264/MP3) still fall back to
+  * [[decodeStub]] — no DCT codec libraries exist in this container,
+  * and faking one would be worse than saying so. Swapping the fallback
+  * for JavaCV/TwelveMonkeys/javax.imageio changes only the [[decode]]
+  * dispatcher's last arm; the per-partition contract (heavy init once
+  * per partition, rows streamed) stays identical.
   */
 object Multimodal {
 
   /** Decoded media description — the union of what the real parsers
-    * and the stub produce. `format` ∈ wav | bmp | unknown;
+    * and the stub produce. `format` ∈ wav | bmp | png | unknown;
     * `mean_level` is RMS ∈ [0,1] for audio, mean luminance ∈ [0,255]
     * for images, −1 for unknown payloads.
     */
@@ -170,7 +175,212 @@ object Multimodal {
     out
   }
 
-  /** STUB decode for formats a bare JVM cannot parse (JPEG/PNG/video):
+  // -------------------------------------------------------------------
+  // PNG (non-interlaced 8-bit RGB/RGBA): a REAL pure-JVM decode — the
+  // zlib stream is java.util.zip.Inflater (in every JDK), and the five
+  // scanline filters (None/Sub/Up/Average/Paeth) are reconstructed per
+  // the PNG spec. Ancillary chunks (tEXt/gAMA/...) are skipped.
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decoded PNG pixels: (width, height, channels, row-major samples —
+    * `channels` bytes per pixel, alpha last when present). None for
+    * anything other than a well-formed non-interlaced 8-bit RGB/RGBA
+    * PNG (palette/16-bit/interlaced variants exist; saying "no" beats
+    * decoding them wrong).
+    */
+  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (b.length < 8 + 25 || (0 until 8).exists(i => (b(i) & 0xff) != PngSig(i)))
+      return None
+    var off = 8
+    var width, height, channels = 0
+    var headerOk = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended && off + 8 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val typ = tag(b, off + 4)
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(b, off + 8)
+          height = be32(b, off + 12)
+          val bitDepth = b(off + 16) & 0xff
+          val colorType = b(off + 17) & 0xff
+          val compression = b(off + 18) & 0xff
+          val filterMethod = b(off + 19) & 0xff
+          val interlace = b(off + 20) & 0xff
+          if (width <= 0 || height <= 0 || bitDepth != 8 ||
+            compression != 0 || filterMethod != 0 || interlace != 0) return None
+          channels = colorType match {
+            case 2 => 3 // RGB
+            case 6 => 4 // RGBA
+            case _ => return None
+          }
+          // Inflated size is h*(1 + w*channels); cap it so a forged
+          // header can't allocate unbounded memory.
+          if (height.toLong * (1L + width.toLong * channels) > (1L << 28)) return None
+          headerOk = true
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunk: skip
+      }
+      off += 12 + len // length + type + data + crc
+    }
+    if (!headerOk || idat.size() == 0) return None
+    val rowBytes = width * channels
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var done = 0
+      while (done < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, done, raw.length - done)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        done += n
+      }
+      if (done != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // Unfilter: each scanline = 1 filter byte + rowBytes, reconstructed
+    // against the PREVIOUS reconstructed row (PNG spec §9).
+    val out = new Array[Byte](height * rowBytes)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (1 + rowBytes)) & 0xff
+      if (f > 4) return None
+      val src = y * (1 + rowBytes) + 1
+      val dst = y * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= channels) out(dst + i - channels) & 0xff else 0
+        val up = if (y > 0) out(dst - rowBytes + i) & 0xff else 0
+        val c = if (y > 0 && i >= channels) out(dst - rowBytes + i - channels) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) >> 1)
+          case 4 => x + paeth(a, up, c)
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((width, height, channels, out))
+  }
+
+  /** PNG → [[MediaInfo]]: real dimensions + mean luminance (ITU-R 601
+    * weights over RGB; alpha ignored).
+    */
+  def decodePng(b: Array[Byte]): Option[MediaInfo] =
+    decodePngPixels(b).map { case (w, h, ch, px) =>
+      var lum = 0.0
+      var p = 0
+      val n = w.toLong * h
+      while (p < px.length) {
+        val r = px(p) & 0xff; val g = px(p + 1) & 0xff; val bl = px(p + 2) & 0xff
+        lum += 0.299 * r + 0.587 * g + 0.114 * bl
+        p += ch
+      }
+      MediaInfo("png", w, h, 1, 0, 0L, lum / n)
+    }
+
+  /** Encode a non-interlaced 8-bit RGB PNG from an RGB accessor, with a
+    * selectable per-row filter (0–4) so tests can exercise every
+    * reconstruction path. Filters are applied over the ORIGINAL bytes
+    * of the current and previous scanline, per the spec.
+    */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int),
+      filter: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && filter >= 0 && filter <= 4)
+    val ch = 3
+    val rowBytes = width * ch
+    val px = new Array[Byte](height * rowBytes)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        val p = y * rowBytes + x * ch
+        px(p) = r.toByte; px(p + 1) = g.toByte; px(p + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    y = 0
+    while (y < height) {
+      raw(y * (1 + rowBytes)) = filter.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val cur = px(y * rowBytes + i) & 0xff
+        val a = if (i >= ch) px(y * rowBytes + i - ch) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * rowBytes + i) & 0xff else 0
+        val c = if (y > 0 && i >= ch) px((y - 1) * rowBytes + i - ch) & 0xff else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - up
+          case 3 => cur - ((a + up) >> 1)
+          case 4 => cur - paeth(a, up, c)
+        }
+        raw(y * (1 + rowBytes) + 1 + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      buf.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def w32(v: Int): Unit = {
+        out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff)
+      }
+      w32(data.length)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      w32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >> 24).toByte; ihdr(1) = (width >> 16).toByte
+    ihdr(2) = (width >> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >> 24).toByte; ihdr(5) = (height >> 16).toByte
+    ihdr(6) = (height >> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type RGB
+    chunk("IHDR", ihdr)
+    chunk("IDAT", deflated)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** STUB decode for formats a bare JVM cannot parse (JPEG/video):
     * deterministic pseudo-dimensions from content bytes. Explicitly a
     * stub so it can't be mistaken for a codec; a real codec replaces
     * only this arm of [[decode]].
@@ -183,12 +393,13 @@ object Multimodal {
     (width, height, frames)
   }
 
-  /** Format-sniffing decode: real WAV/BMP parsing, stub otherwise. */
+  /** Format-sniffing decode: real WAV/BMP/PNG parsing, stub otherwise. */
   def decode(payload: Array[Byte]): MediaInfo =
-    decodeWav(payload).orElse(decodeBmp(payload)).getOrElse {
-      val (w, h, f) = decodeStub(payload)
-      MediaInfo("unknown", w, h, f, 0, 0L, -1.0)
-    }
+    decodeWav(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
+      .getOrElse {
+        val (w, h, f) = decodeStub(payload)
+        MediaInfo("unknown", w, h, f, 0, 0L, -1.0)
+      }
 
   /** Typed metadata row produced by feature extraction. */
   case class MediaFeature(
@@ -260,6 +471,20 @@ object Multimodal {
       })
     }
 
+  /** REAL resize for decodable PNGs: nearest-neighbor resample of the
+    * decoded pixels, re-encoded as a valid RGB PNG (round-trips
+    * through [[decodePng]]). RGBA sources drop alpha on re-encode.
+    */
+  def resizePng(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodePngPixels(payload).map { case (srcW, srcH, ch, px) =>
+      encodePng(w, h, { (x, y) =>
+        val sx = math.min(srcW - 1, x * srcW / w)
+        val sy = math.min(srcH - 1, y * srcH / h)
+        val p = (sy * srcW + sx) * ch
+        (px(p) & 0xff, px(p + 1) & 0xff, px(p + 2) & 0xff)
+      })
+    }
+
   /** STUB resize for payloads the JVM can't re-encode (deterministic
     * surrogate bytes) — the documented fallback arm of [[resize]].
     */
@@ -286,6 +511,7 @@ object Multimodal {
         // Heavy codec init would happen HERE, once per partition.
         rows.map { case (id, payload) =>
           val out = resizeBmp(payload, width, height)
+            .orElse(resizePng(payload, width, height))
             .getOrElse(resizeStub(payload, width, height))
           ResizedMedia(id, out, width, height)
         }
