@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 /** As-of join — the canonical whole-operator semantic Spark's built-in
   * operator set cannot express as a single pass (pandas `merge_asof`,
   * kdb `aj`, QuestDB/DuckDB `ASOF JOIN`): for every left row, attach
-  * the single right row with the greatest `rightOn <= leftOn` within
-  * the same key group, optionally within a tolerance window.
+  * the single right row with the greatest `rightOn <= leftOn`
+  * (backward, the default) or the smallest `rightOn >= leftOn`
+  * (forward) within the same key group, optionally within a tolerance
+  * window.
   *
   * Why a custom plan instead of composition: the composed form (union
   * both streams, running `max(when(is_right, on))` window, re-filter —
@@ -54,6 +56,7 @@ final case class AsOfJoin(
     leftOn: Expression,
     rightOn: Expression,
     toleranceUs: Option[Long],
+    forward: Boolean = false,
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -69,9 +72,14 @@ object AsOfJoin {
     * @param leftOn / rightOn  long-backed ordering columns (bigint or
     *        timestamp; anything else is cast to bigint). For
     *        timestamps the tolerance unit is microseconds.
-    * @param toleranceUs  max allowed `leftOn - rightOn` for a match;
-    *        matches further in the past come back as null (pandas
-    *        `merge_asof(tolerance=...)` semantics).
+    * @param toleranceUs  max allowed gap for a match (leftOn − rightOn
+    *        backward, rightOn − leftOn forward); matches further away
+    *        come back as null (pandas `merge_asof(tolerance=...)`).
+    * @param direction  "backward" (default) attaches the LATEST right
+    *        row with `rightOn <= leftOn`; "forward" attaches the
+    *        EARLIEST right row with `rightOn >= leftOn` (pandas
+    *        `merge_asof(direction=...)`; ties on (key, on) pick the
+    *        first right row in sort order).
     *
     * Requires the graft extensions to be installed on the session
     * (`spark.sql.extensions=graft.plans.GraftSparkExtensions`,
@@ -86,9 +94,12 @@ object AsOfJoin {
       leftOn: String,
       rightOn: String,
       toleranceUs: Option[Long] = None,
+      direction: String = "backward",
   ): DataFrame = {
     require(leftBy.length == rightBy.length, "leftBy/rightBy arity mismatch")
     require(toleranceUs.forall(_ >= 0), "tolerance must be non-negative")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val lPlan = PlanBridge.analyzed(left)
     val rPlan = PlanBridge.analyzed(right)
     val lKeys = leftBy.map(attr(lPlan, _))
@@ -100,7 +111,8 @@ object AsOfJoin {
     val df = PlanBridge.ofRows(
       left.sparkSession,
       AsOfJoin(lPlan, rPlan, lKeys, rKeys,
-        asLong(attr(lPlan, leftOn)), asLong(attr(rPlan, rightOn)), toleranceUs))
+        asLong(attr(lPlan, leftOn)), asLong(attr(rPlan, rightOn)), toleranceUs,
+        forward = direction == "forward"))
     df
   }
 
@@ -121,8 +133,8 @@ object AsOfJoin {
   */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lo, ro, tol) =>
-      AsOfJoinExec(lk, rk, lo, ro, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lo, ro, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lo, ro, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -144,6 +156,7 @@ final case class AsOfJoinExec(
     leftOn: Expression,
     rightOn: Expression,
     toleranceUs: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan,
 ) extends BinaryExecNode {
@@ -182,6 +195,7 @@ final case class AsOfJoinExec(
     val lOnExpr = leftOn
     val rOnExpr = rightOn
     val tol = toleranceUs
+    val fwd = forward
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOutput)
@@ -241,7 +255,15 @@ final case class AsOfJoinExec(
               if (c < 0) rAvail = advanceRight()
               else if (c > 0) done = true
               else if (rOnNull) rAvail = advanceRight() // null on: never a match
-              else if (rOnVal <= lOnVal) {
+              else if (fwd) {
+                // Forward: park the cursor on the FIRST right row with
+                // on >= the left's on. Rows behind it are dead for every
+                // later left row too (left is ascending), so consuming
+                // them is safe; the qualifying row itself is NOT
+                // consumed — it may serve the next left row as well.
+                if (rOnVal < lOnVal) rAvail = advanceRight()
+                else done = true
+              } else if (rOnVal <= lOnVal) {
                 cand = rRow.copy() // keep the LATEST qualifying row
                 candOn = rOnVal
                 rAvail = advanceRight()
@@ -249,10 +271,16 @@ final case class AsOfJoinExec(
             }
           }
           val matched =
-            cand != null && !lOnNull && tol.forall(t => lOnVal - candOn <= t)
+            if (fwd)
+              rAvail && !lOnNull && !rOnNull &&
+                keyOrdering.compare(rKey, lk) == 0 && rOnVal >= lOnVal &&
+                tol.forall(t => rOnVal - lOnVal <= t)
+            else
+              cand != null && !lOnNull && tol.forall(t => lOnVal - candOn <= t)
           if (matched) numMatched += 1
           numOutputRows += 1
-          resultProj(if (matched) joined(l, cand) else joined(l, nullRight))
+          val r = if (!matched) nullRight else if (fwd) rRow else cand
+          resultProj(joined(l, r))
         }
       }
     }

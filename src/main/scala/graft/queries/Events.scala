@@ -545,6 +545,60 @@ object Events {
     },
 
     // ------------------------------------------------------------------
+    // Forward as-of join on the native operator — time-to-conversion:
+    // each click attaches the EARLIEST purchase at-or-after it (within
+    // 1 hour), the mirror image of q109's last-click attribution. Same
+    // native single-pass merge (the forward cursor parks on the first
+    // qualifying right row and is never copied); the oracle is the
+    // composed window-over-union form with purchases ordered AFTER
+    // clicks at equal instants so exact matches stay inside the
+    // FOLLOWING frame. Output projects the matched TIMESTAMP, not an
+    // id, so exact-duplicate purchase rows can't make tie-breaking
+    // observable (q109's rule).
+    QueryDef(
+      "q117_asof_forward",
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        w AS (
+          SELECT user_id, event_id, event_type, t,
+                 min(CASE WHEN event_type = 'purchase' THEN t END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p_t
+          FROM ev)
+        SELECT user_id, event_id AS click_event_id, t AS t_click_us,
+               CASE WHEN next_p_t - t <= $HourUs THEN next_p_t END AS t_purchase_us,
+               CASE WHEN next_p_t - t <= $HourUs THEN next_p_t - t END AS gap_us
+        FROM w
+        WHERE event_type = 'click'
+        ORDER BY user_id, click_event_id, t_click_us
+      """),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "t")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("t").as("p_t"))
+      graft.plans.AsOfJoin.join(
+          clicks, purchases,
+          leftBy = Seq("user_id"), rightBy = Seq("p_user"),
+          leftOn = "t", rightOn = "p_t",
+          toleranceUs = Some(HourUs), direction = "forward")
+        .select(
+          col("user_id"),
+          col("event_id").as("click_event_id"),
+          col("t").as("t_click_us"),
+          col("p_t").as("t_purchase_us"),
+          (col("p_t") - col("t")).as("gap_us"),
+        )
+        .orderBy("user_id", "click_event_id", "t_click_us")
+    },
+
+    // ------------------------------------------------------------------
     // Windowed anomaly detection — the pipeline-monitoring shape: each
     // (event_type, minute) count is z-scored against its own trailing
     // 30-minute baseline, spikes gated at z > 3. Determinism follows

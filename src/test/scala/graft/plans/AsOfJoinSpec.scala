@@ -121,6 +121,76 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  private def nativeFwd(left: DataFrame, right: DataFrame, tol: Option[Long]): DataFrame =
+    AsOfJoin.join(left, right,
+      leftBy = Seq("k"), rightBy = Seq("rk"),
+      leftOn = "t", rightOn = "rt", toleranceUs = tol, direction = "forward")
+
+  /** Composed reference for the FORWARD direction: running min of the
+    * right timestamps over the FOLLOWING frame, right rows ordered
+    * after left at equal instants so an exact match is inside the
+    * frame (mirror image of [[composed]]).
+    */
+  private def composedFwd(left: DataFrame, right: DataFrame, tol: Option[Long]): DataFrame = {
+    val l = left.select(col("k"), col("t"), col("lid"), lit(0).as("side"))
+    val r = right.select(col("rk").as("k"), col("rt").as("t"),
+      lit(null).cast("long").as("lid"), lit(1).as("side"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc_nulls_last, col("side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val inTol = tol.map(tv => col("next_rt") - col("t") <= tv).getOrElse(lit(true))
+    l.unionByName(r)
+      .withColumn("next_rt", min(when(col("side") === 1, col("t"))).over(w))
+      .filter(col("side") === 0)
+      .select(col("k"), col("t"), col("lid"),
+        when(col("t").isNotNull && inTol, col("next_rt")).as("m_rt"))
+  }
+
+  test("forward fixture: earliest at-or-after match, unmatched, null on, null key") {
+    val got = nativeFwd(fixtureLeft, fixtureRight, tol = None)
+      .select("lid", "rt", "payload")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        Option(r.getString(2)))).toSet
+    assert(got === Set(
+      (1L, Some(10L), Some("r10")), // exact match is inclusive
+      (2L, Some(10L), Some("r10")), // t=9 -> next right is 10
+      (3L, Some(5L), Some("r5")),   // t=4 -> next right is 5
+      (4L, None, None),             // null on never matches
+      (5L, None, None),             // key without right rows
+      (6L, None, None),             // null-key series has no rt >= 7
+    ))
+  }
+
+  test("forward tolerance nulls out far-future matches instead of backing off") {
+    val got = nativeFwd(fixtureLeft, fixtureRight, tol = Some(1L))
+      .select("lid", "rt")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // lid=2 (t=9): next right rt=10, gap 1 <= 1 -> match; lid=3 (t=4):
+    // next rt=5, gap 1 -> match; lid=1 exact (gap 0) -> match.
+    assert(got === Set(
+      (1L, Some(10L)), (2L, Some(10L)), (3L, Some(5L)),
+      (4L, None), (5L, None), (6L, None),
+    ))
+  }
+
+  test("forward seeded random equivalence with the composed union+window form") {
+    val rnd = new scala.util.Random(77)
+    def optKey() = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(6).toLong)
+    def optT() = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(500).toLong)
+    val left = leftDf((0 until 400).map(i => (optKey(), optT(), i.toLong)))
+    val right = rightDf((0 until 400).map(i => (optKey(), optT(), s"p$i")))
+    for (tol <- Seq(None, Some(40L), Some(0L))) {
+      val a = nativeFwd(left, right, tol)
+        .select(col("k"), col("t"), col("lid"), col("rt").as("m_rt"))
+        .orderBy(asc_nulls_first("lid")).collect().toSeq
+      val b = composedFwd(left, right, tol)
+        .orderBy(asc_nulls_first("lid")).collect().toSeq
+      assert(a === b, s"tolerance=$tol")
+    }
+  }
+
   test("physical plan runs AsOfJoinExec with one exchange+sort per side") {
     val df = native(fixtureLeft, fixtureRight, None)
     val plan = df.queryExecution.executedPlan.toString
