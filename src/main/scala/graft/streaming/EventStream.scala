@@ -19,6 +19,16 @@ final case class SessionRow(
     user_id: Long, session_start_us: Long, session_end_us: Long,
     n_events: Long, sum_value: Double)
 
+/** Anomaly-monitor state (one per event type): counts of minutes the
+  * watermark has not yet closed, plus the ring of the last
+  * `baselineMinutes` closed counts in event-time order.
+  */
+final case class AnomalyState(open: Map[Long, Long], ring: Vector[Long])
+
+/** Emitted anomaly row — same fields/semantics as q115's output. */
+final case class AnomalyRow(
+    event_type: String, minute_us: Long, n: Long, z: Double, spike: Int)
+
 /** Structured Streaming surface — the incremental twins of the batch
   * event queries in graft.queries.Events (SURVEY.md §2.11: the
   * reference has no streaming; this is the north-star extension).
@@ -161,6 +171,77 @@ object EventStream {
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming twin of q115's windowed anomaly detection: per-minute
+    * event counts z-scored against the trailing [[AnomalyState.ring]]
+    * of the last `baselineMinutes` CLOSED minute counts, spikes gated
+    * at z > 3 — the monitoring query, running against the live stream
+    * instead of the at-rest table. A minute closes when the watermark
+    * passes its end; closed counts enter the ring in event-time order,
+    * so the emitted rows carry exactly the batch query's semantics
+    * (same exact-integer statistics, same full-baseline and
+    * non-degenerate-variance emission rule, same HALF_UP rounding) —
+    * the spec proves row equality against q115 on the same data.
+    * State per event type is O(open minutes in the watermark horizon
+    * + baselineMinutes), never history.
+    */
+  def anomaliesWithState(
+      events: Dataset[StreamEvent], baselineMinutes: Int = 30): Dataset[AnomalyRow] = {
+    val minuteUs = 60L * 1000000L
+    implicit val stEnc: Encoder[AnomalyState] = Encoders.product[AnomalyState]
+    implicit val rowEnc: Encoder[AnomalyRow] = Encoders.product[AnomalyRow]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+    def update(
+        typ: String, rows: Iterator[StreamEvent],
+        state: GroupState[AnomalyState]): Iterator[AnomalyRow] = {
+      var st = state.getOption.getOrElse(AnomalyState(Map.empty, Vector.empty))
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        val m = us - us % minuteUs
+        st = st.copy(open = st.open + (m -> (st.open.getOrElse(m, 0L) + 1L)))
+      }
+      // Close every open minute whose END the watermark has passed, in
+      // event-time order (the ring is an ordered baseline, like the
+      // batch query's ROWS frame over observed minutes).
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closable, stillOpen) = st.open.partition { case (m, _) => m + minuteUs <= wmUs }
+      val out = Seq.newBuilder[AnomalyRow]
+      var ring = st.ring
+      closable.toSeq.sortBy(_._1).foreach { case (m, n) =>
+        if (ring.length >= baselineMinutes) {
+          val base = ring.takeRight(baselineMinutes)
+          val k = baselineMinutes.toLong
+          val s = base.sum
+          val q = base.map(x => x * x).sum
+          val mean = s.toDouble / k
+          val variance = q.toDouble / k - mean * mean
+          if (variance > 0) {
+            val z = (n - mean) / math.sqrt(variance)
+            val zr = BigDecimal(z) // HALF_UP: what Spark's round() does
+              .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            out += AnomalyRow(typ, m, n, zr, if (z > 3) 1 else 0)
+          }
+        }
+        ring = (ring :+ n).takeRight(baselineMinutes)
+      }
+      st = AnomalyState(stillOpen, ring)
+      state.update(st)
+      // Wake when the earliest still-open minute becomes closable (its
+      // end is strictly past the watermark, so the timestamp is valid).
+      if (st.open.nonEmpty)
+        state.setTimeoutTimestamp((st.open.keys.min + minuteUs) / 1000L)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 

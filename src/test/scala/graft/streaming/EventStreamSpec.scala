@@ -183,6 +183,59 @@ class EventStreamSpec extends SparkTestBase {
     assert(emitted.map(_._3).sum == 4) // all batch1 events accounted once
   }
 
+  test("streaming anomaly monitor emits exactly the batch q115 rows on the same data") {
+    implicit val sc = spark.sqlContext
+    // The EventsQualitySpec series: 41 minutes of 'click' at 10 + m%3
+    // events/minute, except minute 40 carries a 100-event spike.
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val minuteUs = 60L * 1000000L
+    def tsOf(us: Long) = { val t = new Timestamp(us / 1000L); t.setNanos((us % 1000000L).toInt * 1000); t }
+    val events = (0 to 40).flatMap { m =>
+      val n = if (m == 40) 100 else 10 + m % 3
+      (0 until n).map { i =>
+        val us = baseUs + m * minuteUs + i * 100000L
+        StreamEvent(tsOf(us), m.toLong, "click", 1.0, m * 1000L + i)
+      }
+    }
+
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.anomaliesWithState(stream.toDS())
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      // Sentinel far in the future: advances the watermark past every
+      // click minute so all of them close and emit.
+      stream.addData(StreamEvent(tsOf(baseUs + 3L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -1L))
+      q.processAllAvailable()
+      stream.addData(StreamEvent(tsOf(baseUs + 4L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -2L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("anomalies")
+      .select("event_type", "minute_us", "n", "z", "spike").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .sortBy(_._2)
+
+    // Batch twin: the SAME rows through the oracle-gated q115 (the
+    // parquet dir carries ts as int64 nanos, the events-table layout).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_anomaly").toString
+    events.map(e => (e.event_id, e.user_id, e.event_type,
+        (e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L) * 1000L, e.value))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q115_event_anomaly")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .sortBy(_._2)
+
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"streamed=${streamed.toSeq}\nbatch=${batch.toSeq}")
+    assert(streamed.count(_._5 == 1) == 1 && streamed.last._5 == 1,
+      "exactly the planted spike must flag")
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
