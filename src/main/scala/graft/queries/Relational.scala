@@ -491,6 +491,55 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q5 (local supplier volume): the classic 6-way join —
+    // fact chain (lineitem ⋈ orders ⋈ customer) with three dimension
+    // hops (supplier → nation → region) plus the locality predicate
+    // c_nationkey = s_nationkey folded into the supplier join. The
+    // three dims broadcast (they are tiny at every scale factor —
+    // nation/region are CONSTANT-sized, supplier grows but stays dim-
+    // scaled), so the fact side shuffles only for the o/c key joins
+    // and the final small aggregate; the date range prunes orders at
+    // the scan. DataFrame-API form — Catalyst picks the join order.
+    QueryDef(
+      "q118_tpch_q5",
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .join(
+          tbl(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(
+          broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(
+          broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →
