@@ -540,6 +540,52 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    // lost to returns in a quarter. The return-flag and date predicates
+    // both push to their scans (lineitem prunes on l_returnflag at the
+    // parquet level, orders on the quarter); the aggregate keys on the
+    // customer so the top-20 is TakeOrderedAndProject over a
+    // customer-sized frame, never a global sort of line items.
+    QueryDef(
+      "q119_tpch_q10",
+      Some("""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(c_acctbal, 2) AS acctbal,
+               n_name
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= CAST('1996-07-01' AS TIMESTAMP)
+          AND o_orderdate < CAST('1996-10-01' AS TIMESTAMP)
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(
+          tbl(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+              && col("o_orderdate") < lit("1996-10-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(
+          col("c_custkey"), col("c_name"), col("revenue"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"),
+        )
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →
