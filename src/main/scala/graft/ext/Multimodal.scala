@@ -73,7 +73,9 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      // Long arithmetic: a forged size near Int.MaxValue would wrap
+      // `off + 8 + size` negative and slip past an Int comparison.
+      if (size < 0 || off.toLong + 8L + size > b.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -209,7 +211,9 @@ object Multimodal {
     var ended = false
     while (!ended && off + 8 <= b.length) {
       val len = be32(b, off)
-      if (len < 0 || off + 12 + len > b.length) return None
+      // Long arithmetic: a forged len near Int.MaxValue would wrap
+      // `off + 12 + len` negative and slip past an Int comparison.
+      if (len < 0 || off.toLong + 12L + len > b.length) return None
       val typ = tag(b, off + 4)
       typ match {
         case "IHDR" =>

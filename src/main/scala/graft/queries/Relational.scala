@@ -56,7 +56,7 @@ object Relational {
       "q20_join_broadcast",
       Some("""
         SELECT p_brand,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -67,7 +67,8 @@ object Relational {
         .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(38,15)")).cast("double"), 2)
             .as("revenue"),
           count(lit(1)).as("n_items"),
         )
@@ -83,7 +84,7 @@ object Relational {
       "q21_join_multi",
       Some("""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
                count(*) AS n_items
         FROM customer
           JOIN orders   ON c_custkey = o_custkey
@@ -103,7 +104,8 @@ object Relational {
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(38,15)")).cast("double"), 2)
             .as("revenue"),
           count(lit(1)).as("n_items"),
         )
@@ -432,7 +434,7 @@ object Relational {
     QueryDef(
       "q46_tpch_q6",
       Some("""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
           AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
@@ -442,7 +444,7 @@ object Relational {
     ) { (s, dir) =>
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql("""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
           AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
@@ -460,7 +462,7 @@ object Relational {
       "q47_tpch_q3",
       Some("""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
         FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -477,7 +479,7 @@ object Relational {
       tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql("""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
         FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -504,7 +506,7 @@ object Relational {
       "q118_tpch_q5",
       Some("""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
         FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -534,7 +536,8 @@ object Relational {
           broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,15)")).cast("double"), 2)
           .as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
     },
@@ -550,7 +553,7 @@ object Relational {
       "q119_tpch_q10",
       Some("""
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
                round(c_acctbal, 2) AS acctbal,
                n_name
         FROM customer
@@ -575,7 +578,8 @@ object Relational {
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,15)")).cast("double"), 2)
           .as("revenue"))
         .select(
           col("c_custkey"), col("c_name"), col("revenue"),

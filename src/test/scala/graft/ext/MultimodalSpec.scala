@@ -198,6 +198,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.forall(f => f.mean_level == -1.0 && f.width >= 64))
   }
 
+  test("forged chunk lengths near Int.MaxValue reject cleanly, never throw") {
+    // A length like 0x7ffffff0 makes `off + 12 + len` wrap negative in
+    // Int arithmetic, slipping past a naive bounds check and crashing
+    // in the subsequent read (ADVICE r5). Both chunk walks must do the
+    // comparison in Long arithmetic and reject.
+    val png = Multimodal.encodePng(4, 4, (_, _) => (10, 20, 30))
+    val forgedPng = png.clone()
+    val idatOff = 8 + 12 + 13 // first chunk after IHDR
+    forgedPng(idatOff) = 0x7f.toByte
+    forgedPng(idatOff + 1) = 0xff.toByte
+    forgedPng(idatOff + 2) = 0xff.toByte
+    forgedPng(idatOff + 3) = 0xf0.toByte
+    assert(Multimodal.decodePng(forgedPng).isEmpty)
+    assert(Multimodal.decode(forgedPng).format == "unknown")
+    val wav = Multimodal.encodeWav(8000, 1, Array.tabulate[Short](100)(_.toShort))
+    val forgedWav = wav.clone()
+    // fmt chunk size field lives at offset 16 (RIFF 12 + id 4).
+    forgedWav(16) = 0xf0.toByte
+    forgedWav(17) = 0xff.toByte
+    forgedWav(18) = 0xff.toByte
+    forgedWav(19) = 0x7f.toByte
+    assert(Multimodal.decodeWav(forgedWav).isEmpty)
+    assert(Multimodal.decode(forgedWav).format == "unknown")
+  }
+
   test("WAV chunk walk skips foreign chunks and honors word alignment") {
     // Insert an odd-sized LIST chunk between fmt and data; the parser
     // must skip it (with pad byte) and still find the data chunk.
