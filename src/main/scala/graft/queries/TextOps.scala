@@ -621,11 +621,58 @@ object TextOps {
     // over 16-byte windows via the native RollingMinHash expression —
     // one O(bytes) pass per document, no shingle table materialized.
     // Equal fingerprints are near-dup candidates (shared minimizing
-    // window). Not ANSI-SQL-expressible (the O(1) rolling update needs
-    // a loop) → no oracle; the driver records a rows-only check, and
-    // RollingMinHashSpec fuzz-verifies the expression against a
-    // brute-force reference.
-    QueryDef("q75_rolling_fingerprint", None) { (s, dir) =>
+    // window). The O(1) rolling update itself needs a loop, but the
+    // VALUE it computes is plain modular arithmetic, so the oracle
+    // re-derives every window hash from scratch (O(bytes·k) — fine for
+    // an oracle): bytes come from hex(encode(text)) nibble lookups,
+    // B^p mod M from a recursive CTE, each window hash is
+    // Σ v[s+j]·B^(w−1−j) mod M, and the fingerprint is the min. Empty
+    // text → 0 and null text → null mirror the expression contract.
+    // RollingMinHashSpec additionally fuzz-verifies the O(1) update
+    // against a brute-force reference.
+    QueryDef(
+      "q75_rolling_fingerprint",
+      Some("""
+        WITH RECURSIVE pw(p, bp) AS (
+          SELECT 0, CAST(1 AS BIGINT)
+          UNION ALL
+          SELECT p + 1, (bp * 131) % 1000000007 FROM pw WHERE p < 15
+        ),
+        doc AS (
+          SELECT doc_id, upper(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        byt AS (
+          SELECT d.doc_id, g.i,
+                 CAST((strpos('0123456789ABCDEF', substr(d.hx, CAST(2 * g.i + 1 AS INT), 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF', substr(d.hx, CAST(2 * g.i + 2 AS INT), 1)) - 1) AS BIGINT) AS v
+          FROM doc d, LATERAL (SELECT unnest(range(d.n)) AS i) g
+          WHERE d.n > 0
+        ),
+        starts AS (
+          SELECT doc_id, LEAST(16, n) AS w, g.s
+          FROM doc, LATERAL (SELECT unnest(range(n - LEAST(16, n) + 1)) AS s) g
+          WHERE n > 0
+        ),
+        win AS (
+          SELECT st.doc_id, st.s, sum(b.v * pw.bp) % 1000000007 AS h
+          FROM starts st
+          JOIN byt b ON b.doc_id = st.doc_id AND b.i >= st.s AND b.i < st.s + st.w
+          JOIN pw ON pw.p = st.w - 1 - (b.i - st.s)
+          GROUP BY st.doc_id, st.s
+        ),
+        fp AS (
+          SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint FROM win GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.hx IS NULL THEN NULL
+                    WHEN d.n = 0 THEN CAST(0 AS BIGINT)
+                    ELSE fp.fingerprint END AS fingerprint
+        FROM doc d LEFT JOIN fp USING (doc_id)
+        ORDER BY doc_id
+      """),
+    ) { (s, dir) =>
       tbl(s, dir, "documents")
         .select(
           col("doc_id"),
