@@ -72,6 +72,38 @@ class PlanSpec extends SparkTestBase {
       l.contains("PushedFilters") && l.contains("c_mktsegment")), p)
   }
 
+  test("q120 (TPC-H Q1): date filter pushed; scan pruned to the seven referenced columns") {
+    val p = plan("q120_tpch_q1")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_tax"), readSchema)
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"column pruning regressed: $readSchema")
+  }
+
+  test("q121 (TPC-H Q18): the HAVING reuses ONE lineitem aggregate, no second scan") {
+    val p = plan("q121_tpch_q18")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 1,
+      s"the literal IN-subquery transcription would scan lineitem twice; saw $liScans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q122 (TPC-H Q21): both correlated EXISTS fold into ONE scan + ONE fact shuffle") {
+    val p = plan("q122_tpch_q21")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 1,
+      s"the literal EXISTS transcription plans three lineitem scans; saw $liScans:\n$p")
+    assert(p.contains("Window"), s"expected window-aggregate reformulation:\n$p")
+    // One hash exchange for the fact side (join key = window key, so the
+    // windows reuse it) and one for the final tiny s_name aggregate.
+    val exchanges = p.linesIterator.count(_.trim.matches(raw"\(\d+\) Exchange.*"))
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges (fact + final agg), saw $exchanges:\n$p")
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
