@@ -140,6 +140,20 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // file is best-effort; stdout is the contract
     println(json)
+    // The driver archives a 2000-char TAIL of stdout, which loses the
+    // FRONT of the long line above (the r5 artifact ended inside the GC
+    // map and the headline total survived only in the file). So the
+    // very last line is a compact summary — short enough to always fit
+    // a tail capture whole — carrying the headline metrics.
+    val sorted = results.map(_._2).sorted
+    val median =
+      if (sorted.isEmpty) 0.0
+      else (sorted((sorted.size - 1) / 2) + sorted(sorted.size / 2)) / 2
+    val maxQ = if (results.isEmpty) "null" else {
+      val (n, v) = results.maxBy(_._2); s"""{"name":"$n","sec":$v}"""
+    }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"sf":"$sfDir","errors":$errJson}""")
     spark.stop()
   }
 }
