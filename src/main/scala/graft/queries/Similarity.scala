@@ -59,6 +59,22 @@ object Similarity {
     */
   private val TauNearDup = 0.25
 
+  /** Hot-cell cap for the SemDeDup pairwise stage (q71/q89). Real
+    * embedding distributions are skewed — a hot-spot direction can pull
+    * far more than the ~√N expected members into one cell, and in-cell
+    * pairwise is O(cell²) — so cells larger than HotCellFactor·nlist
+    * (≈ 8√N) salt their members into ⌈cell_n/cap⌉ sub-buckets by
+    * vec_id and compare only within a sub-bucket. Per-cell pair work is
+    * then ≤ cell_n·cap, so the global O(N^1.5) bound holds even if the
+    * whole corpus lands in ONE cell. The trade is recall on pairs split
+    * across sub-buckets — the cap only engages on cells 8× over the
+    * expected size, where the published flat construction has already
+    * degraded to near-quadratic. vec_id-modulo (not hash) keeps the
+    * salting oracle-expressible. Declared above `defs`: init order,
+    * see [[SampleCap]].
+    */
+  private val HotCellFactor = 8
+
   /** Per-cell cap for q96's balanced sample. Declared above `defs`:
     * the strict `defs` val forces the lazy QueryDefs at object
     * construction, so an oracle-interpolated constant declared below
@@ -176,6 +192,18 @@ object Similarity {
         av AS (SELECT vec_id, embedding, nrm, cid AS cluster FROM avr)"""
   }
 
+  /** Oracle twin of the hot-cell sub-bucketing (see [[HotCellFactor]]):
+    * `avs` = `av` plus the per-cell salt column. Requires
+    * [[duckAssignedCte]] (for `av` and `prm`) earlier in the WITH list.
+    */
+  private val duckSubBucketCte: String =
+    s"""cellsz AS (SELECT cluster, count(*) AS cell_n FROM av GROUP BY cluster),
+        avs AS (
+          SELECT av.vec_id, av.embedding, av.nrm, av.cluster,
+                 av.vec_id % GREATEST(1, CAST(CEIL(CAST(cell_n AS DOUBLE) /
+                   ($HotCellFactor * (SELECT nlist FROM prm))) AS BIGINT)) AS sub
+          FROM av JOIN cellsz ON av.cluster = cellsz.cluster)"""
+
   // -------------------------------------------------------------------
   // Spark-side construction.
 
@@ -254,6 +282,34 @@ object Similarity {
       for (_ <- 1 to iters) cents = lloydStep(sample, cents)
       assign(v, cents).select("vec_id", "embedding", "nrm", "cluster")
     }
+
+  /** Same-cell candidate pairs (cluster, d1 < d2, cos) for the SemDeDup
+    * pairwise stage, with the hot-cell cap engaged: members of a cell
+    * larger than HotCellFactor·nlist are salted into ⌈cell_n/cap⌉
+    * vec_id-modulo sub-buckets and pairs form only within a sub-bucket
+    * (see [[HotCellFactor]]; AnnQualitySpec pins the bound on a
+    * deliberately skewed corpus). The cell-size frame is nlist rows —
+    * broadcast. On non-pathological data every cell is under the cap,
+    * nsub = 1, and the output is exactly the uncapped pair set.
+    */
+  private[graft] def cellPairs(s: SparkSession, dir: String): DataFrame = {
+    val av = assignedVectors(s, dir)
+    val n = tbl(s, dir, "embeddings").count() // row-group metadata; no data scan
+    val cap = HotCellFactor.toDouble * nlistFor(n)
+    val sizes = av.groupBy("cluster").agg(count(lit(1)).as("cell_n"))
+    val sb = av
+      .join(broadcast(sizes), Seq("cluster"))
+      .withColumn("sub", col("vec_id") %
+        greatest(lit(1L), ceil(col("cell_n").cast("double") / cap).cast("bigint")))
+    val a = sb.select(col("cluster"), col("sub"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = sb.select(col("cluster"), col("sub"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, Seq("cluster", "sub"))
+      .filter(col("d1") < col("d2"))
+      .select(col("cluster"), col("d1"), col("d2"),
+        cosine(col("e1"), col("e2"), col("n1"), col("n2")).as("cos"))
+  }
 
   /** Force-build this module's per-corpus index artifact (the trained
     * IVF assignment). Quantizer training + assignment is ingest-time
@@ -517,14 +573,17 @@ object Similarity {
     // member per near-dup group; "lowest id" makes the choice a pure
     // function of the corpus, so the output is reproducible and
     // oracle-checkable). Pair work is bounded per cell exactly as in
-    // q71: nlist ∝ √N keeps it O(N^1.5), never O(N²).
+    // q71: nlist ∝ √N keeps it O(N^1.5) and the hot-cell sub-bucket
+    // cap (cellPairs/HotCellFactor) holds that bound under skew.
     QueryDef(
       "q89_embedding_dedup_materialize",
       Some(s"""
         WITH $duckAssignedCte,
+        $duckSubBucketCte,
         dropped AS (
           SELECT DISTINCT b.vec_id
-          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          FROM avs a JOIN avs b ON a.cluster = b.cluster AND a.sub = b.sub
+                                AND a.vec_id < b.vec_id
           WHERE ${duckCos("a", "b")} >= $TauNearDup)
         SELECT vec_id, cluster
         FROM av
@@ -532,15 +591,8 @@ object Similarity {
         ORDER BY vec_id
       """),
     ) { (s, dir) =>
-      val a = assignedVectors(s, dir)
-        .select(col("cluster"), col("vec_id").as("d1"),
-          col("embedding").as("e1"), col("nrm").as("n1"))
-      val b = assignedVectors(s, dir)
-        .select(col("cluster"), col("vec_id").as("d2"),
-          col("embedding").as("e2"), col("nrm").as("n2"))
-      val dropped = a.join(b, Seq("cluster"))
-        .filter(col("d1") < col("d2"))
-        .filter(cosine(col("e1"), col("e2"), col("n1"), col("n2")) >= TauNearDup)
+      val dropped = cellPairs(s, dir)
+        .filter(col("cos") >= TauNearDup)
         .select(col("d2").as("vec_id"))
         .distinct()
       assignedVectors(s, dir)
@@ -695,19 +747,23 @@ object Similarity {
     // cluster the embedding space, then compare only within cells):
     // pairwise cosine is computed ONLY inside each derived IVF cell
     // (nlist ∝ √N keeps cells ~√N-sized → O(N^1.5) total pair work,
-    // never O(N²)), the production cos ≥ τ threshold filters BEFORE
-    // any ranking, and the per-cell top-3 report runs as two-phase
-    // top-k: a (cluster, hash-bucket) pre-rank caps every bucket at 3,
-    // so the final per-cluster rank sees ≤ 3·buckets rows and the
-    // heavy sort's parallelism is cluster×bucket, not capped at nlist.
+    // never O(N²), and the hot-cell sub-bucket cap holds that bound
+    // even under pathological skew — see cellPairs/HotCellFactor), the
+    // production cos ≥ τ threshold filters BEFORE any ranking, and the
+    // per-cell top-3 report runs as two-phase top-k: a (cluster,
+    // hash-bucket) pre-rank caps every bucket at 3, so the final
+    // per-cluster rank sees ≤ 3·buckets rows and the heavy sort's
+    // parallelism is cluster×bucket, not capped at nlist.
     QueryDef(
       "q71_embedding_neardup",
       Some(s"""
         WITH $duckAssignedCte,
+        $duckSubBucketCte,
         cand AS (
           SELECT a.cluster, a.vec_id AS d1, b.vec_id AS d2,
                  ${duckCos("a", "b")} AS cos
-          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+          FROM avs a JOIN avs b ON a.cluster = b.cluster AND a.sub = b.sub
+                                AND a.vec_id < b.vec_id),
         pairs AS (
           SELECT cluster, d1, d2, cos,
                  row_number() OVER (
@@ -718,18 +774,7 @@ object Similarity {
         ORDER BY cluster, rank
       """),
     ) { (s, dir) =>
-      val a = assignedVectors(s, dir)
-        .select(col("cluster"), col("vec_id").as("d1"),
-          col("embedding").as("e1"), col("nrm").as("n1"))
-      val b = assignedVectors(s, dir)
-        .select(col("cluster"), col("vec_id").as("d2"),
-          col("embedding").as("e2"), col("nrm").as("n2"))
-      val cand = a.join(b, Seq("cluster"))
-        .filter(col("d1") < col("d2"))
-        .select(
-          col("cluster"), col("d1"), col("d2"),
-          cosine(col("e1"), col("e2"), col("n1"), col("n2")).as("cos"),
-        )
+      val cand = cellPairs(s, dir)
         .filter(col("cos") >= TauNearDup) // τ BEFORE the sort: sub-threshold pairs never shuffle
       val wPre = Window
         .partitionBy(col("cluster"), pmod(hash(col("d1"), col("d2")), lit(16)))

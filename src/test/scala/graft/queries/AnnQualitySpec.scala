@@ -145,6 +145,43 @@ class AnnQualitySpec extends SparkTestBase {
     assert(ratio < 12.0, s"pair growth $ratio looks quadratic ($small -> $big)")
   }
 
+  test("hot-cell skew: the sub-bucket cap bounds in-cell pair work (VERDICT r5 #4)") {
+    // 400 vectors, nlist = 20, cap = 8·20 = 160. Seeds: id 0 is the
+    // hot direction, ids 1..19 are distinct basis directions — so the
+    // trained centroids stay separated and ids {0} ∪ {20..399} (381
+    // vectors, 2.4× the cap) all land in ONE cell. Uncapped, that cell
+    // alone is ~72k pairs and grows O(cell²) with the hot-spot.
+    val rng = new Random(37)
+    val n = 400
+    val dir = Files.createTempDirectory("graft_ann_hotcell").toString
+    ((0 until 20).map(i => (i.toLong, noisyBasis(rng, i))) ++
+      (20 until n).map(i => (i.toLong, noisyBasis(rng, 0))))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    val cap = 8L * math.ceil(math.sqrt(n.toDouble)).toLong
+    val cellSizes = Similarity.assignedVectors(spark, dir)
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(cellSizes.max > 2 * cap,
+      s"corpus failed to produce a hot cell: max=${cellSizes.max} cap=$cap")
+
+    val capped = Similarity.cellPairs(spark, dir).count()
+    val uncapped = cellSizes.map(m => m * (m - 1) / 2).sum
+    assert(capped <= n.toLong * cap,
+      s"pair work $capped exceeds the n·cap bound ${n.toLong * cap}")
+    assert(capped < uncapped * 0.6,
+      s"cap did not engage: capped=$capped uncapped=$uncapped")
+
+    // The capped query surface stays well-defined end-to-end: q71
+    // still reports in-cell near-dups, and q89 keeps one survivor per
+    // (cell, sub-bucket) group — a handful, not one per vector.
+    assert(SparkEntry.queries("q71_embedding_neardup")(spark, dir).collect().nonEmpty)
+    val kept = SparkEntry.queries("q89_embedding_dedup_materialize")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(kept.contains(0L), "the lowest-id blob member must survive")
+    assert(kept.length <= 30, s"expected ~22 survivors (19 singletons + ~3 sub-buckets), got ${kept.length}")
+  }
+
   test("Lloyd-trained quantizer beats untrained first-N seeding on pathological seeds") {
     // 100 vectors, nlist = 10: ids 0..9 (ALL the seeds, and the query
     // set) form one tight cluster; ids 10..99 are nine other tight
