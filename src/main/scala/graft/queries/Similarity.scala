@@ -841,11 +841,36 @@ object Similarity {
     // (no codec libs in this container) fall back to the labeled stub.
     // This corpus's payloads are document text, so these rows exercise
     // the fallback arm; MultimodalSpec drives the real arms with
-    // synthesized WAV/BMP fixtures. Not SQL-expressible (imperative
-    // per-partition codec) → rows-only check.
-    QueryDef("q90_multimodal_features", None) { (s, dir) =>
+    // synthesized WAV/BMP/PNG/JPEG fixtures. The decode itself is not
+    // SQL-expressible, but its OUTPUT on this corpus is: printable text
+    // can never satisfy the binary header checks (WAV needs a 0x00 in
+    // the PCM format field, BMP a 0x18 bpp byte, PNG a 0x89 magic), so
+    // every row deterministically takes the stub arm with format
+    // 'unknown', zero audio geometry, and mean_level −1 — and n_bytes/
+    // digest are pure byte metadata. The driver-visible projection is
+    // exactly that hash-stable subset (the stub's pseudo-dims stay out:
+    // they are JVM-hash artifacts, spec-covered, not content). A broken
+    // dispatcher — a codec arm throwing on foreign bytes, or text
+    // misclassified as media — now fails the hash, not just rows>0.
+    QueryDef(
+      "q90_multimodal_features",
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               'unknown' AS format,
+               0 AS sample_rate,
+               CAST(0 AS BIGINT) AS duration_ms,
+               -1.0 AS mean_level,
+               substr(md5(text), 1, 16) AS digest
+        FROM documents
+        ORDER BY doc_id
+      """),
+    ) { (s, dir) =>
       val media = graft.ext.Multimodal.mediaFromDocuments(tbl(s, dir, "documents"))
-      graft.ext.Multimodal.extractFeatures(media).toDF().orderBy("doc_id")
+      graft.ext.Multimodal.extractFeatures(media).toDF()
+        .select("doc_id", "n_bytes", "format", "sample_rate", "duration_ms",
+          "mean_level", "digest")
+        .orderBy("doc_id")
     },
 
     // ------------------------------------------------------------------
