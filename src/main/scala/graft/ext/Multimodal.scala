@@ -23,18 +23,22 @@ import org.apache.spark.sql.functions._
   *     reconstruction (None/Sub/Up/Average/Paeth), mean luminance over
   *     the decoded pixels, and a REAL resize that re-encodes a valid
   *     PNG (Deflater + CRC32).
+  *   - **JPEG (baseline/progressive, via `javax.imageio` — in every
+  *     JDK, no external library)**: SOI-magic-gated full DCT decode,
+  *     real dimensions, mean luminance over the decoded pixels, and a
+  *     REAL resize that re-encodes through the JDK's JPEG writer.
   *
-  * Transform-coded formats (JPEG/H.264/MP3) still fall back to
-  * [[decodeStub]] — no DCT codec libraries exist in this container,
-  * and faking one would be worse than saying so. Swapping the fallback
-  * for JavaCV/TwelveMonkeys/javax.imageio changes only the [[decode]]
-  * dispatcher's last arm; the per-partition contract (heavy init once
-  * per partition, rows streamed) stays identical.
+  * Remaining transform-coded formats (H.264/MP3) fall back to
+  * [[decodeStub]] — no video/audio codec exists in the bare JDK, and
+  * faking one would be worse than saying so. Swapping the fallback for
+  * JavaCV/FFmpeg changes only the [[decode]] dispatcher's last arm;
+  * the per-partition contract (heavy init once per partition, rows
+  * streamed) stays identical.
   */
 object Multimodal {
 
   /** Decoded media description — the union of what the real parsers
-    * and the stub produce. `format` ∈ wav | bmp | png | unknown;
+    * and the stub produce. `format` ∈ wav | bmp | png | jpeg | unknown;
     * `mean_level` is RMS ∈ [0,1] for audio, mean luminance ∈ [0,255]
     * for images, −1 for unknown payloads.
     */
@@ -304,6 +308,62 @@ object Multimodal {
       MediaInfo("png", w, h, 1, 0, 0L, lum / n)
     }
 
+  /** JPEG → [[MediaInfo]] via `javax.imageio` (part of every JDK —
+    * no external library): full DCT decode, real dimensions, mean
+    * luminance (ITU-R 601, same weights as the BMP/PNG arms). Gated on
+    * the SOI magic (FF D8 FF) so only JPEG bytes ever reach ImageIO —
+    * the dispatcher's other arms stay pure byte parsers and ImageIO
+    * never sees (and never mis-sniffs) foreign payloads. Any ImageIO
+    * failure (truncated entropy stream, unsupported variant) returns
+    * None, preserving the never-throw contract.
+    */
+  def decodeJpeg(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8 ||
+      (b(2) & 0xff) != 0xff) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var lum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+            lum += 0.299 * r + 0.587 * g + 0.114 * bl
+            x += 1
+          }
+          y += 1
+        }
+        Some(MediaInfo("jpeg", w, h, 1, 0, 0L, lum / (w.toLong * h)))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Encode a JPEG from an RGB accessor through the JDK's writer —
+    * used by the real resize and by tests to synthesize fixtures.
+    */
+  def encodeJpeg(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** Encode a non-interlaced 8-bit RGB PNG from an RGB accessor, with a
     * selectable per-row filter (0–4) so tests can exercise every
     * reconstruction path. Filters are applied over the ORIGINAL bytes
@@ -397,9 +457,14 @@ object Multimodal {
     (width, height, frames)
   }
 
-  /** Format-sniffing decode: real WAV/BMP/PNG parsing, stub otherwise. */
+  /** Format-sniffing decode: real WAV/BMP/PNG/JPEG parsing, stub
+    * otherwise. The three pure byte parsers run first (cheap header
+    * checks); the ImageIO arm is SOI-gated so it only ever sees JPEG
+    * bytes.
+    */
   def decode(payload: Array[Byte]): MediaInfo =
     decodeWav(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
+      .orElse(decodeJpeg(payload))
       .getOrElse {
         val (w, h, f) = decodeStub(payload)
         MediaInfo("unknown", w, h, f, 0, 0L, -1.0)
@@ -489,6 +554,26 @@ object Multimodal {
       })
     }
 
+  /** REAL resize for JPEGs: nearest-neighbor resample of the ImageIO
+    * decode, re-encoded through the JDK's JPEG writer (round-trips
+    * through [[decodeJpeg]]). SOI-gated like the decode arm.
+    */
+  def resizeJpeg(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
+      (payload(1) & 0xff) != 0xd8 || (payload(2) & 0xff) != 0xff) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .filter(img => img.getWidth > 0 && img.getHeight > 0)
+        .map { img =>
+          val srcW = img.getWidth; val srcH = img.getHeight
+          encodeJpeg(w, h, { (x, y) =>
+            val rgb = img.getRGB(
+              math.min(srcW - 1, x * srcW / w), math.min(srcH - 1, y * srcH / h))
+            ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          })
+        }
+    } catch { case _: Throwable => None }
+
   /** STUB resize for payloads the JVM can't re-encode (deterministic
     * surrogate bytes) — the documented fallback arm of [[resize]].
     */
@@ -503,7 +588,8 @@ object Multimodal {
     * extractFeatures (codec init once per partition, constant memory);
     * the output is again a (doc_id, payload, meta) media table, so
     * resize stages compose/pipeline like any other DataFrame transform.
-    * BMPs are really resampled; other payloads get the stub surrogate.
+    * BMP/PNG/JPEG payloads are really resampled and re-encoded; other
+    * payloads get the stub surrogate.
     */
   def resize(media: DataFrame, width: Int, height: Int): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
@@ -516,6 +602,7 @@ object Multimodal {
         rows.map { case (id, payload) =>
           val out = resizeBmp(payload, width, height)
             .orElse(resizePng(payload, width, height))
+            .orElse(resizeJpeg(payload, width, height))
             .getOrElse(resizeStub(payload, width, height))
           ResizedMedia(id, out, width, height)
         }

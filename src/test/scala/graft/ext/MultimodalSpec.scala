@@ -198,6 +198,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.forall(f => f.mean_level == -1.0 && f.width >= 64))
   }
 
+  test("real JPEG decode: dims exact, luminance within lossy tolerance") {
+    // Solid colors survive DCT quantization almost exactly; tolerance
+    // covers the chroma-subsampled round-off.
+    val solid = Multimodal.encodeJpeg(24, 16, (_, _) => (200, 60, 30))
+    val info = Multimodal.decode(solid)
+    assert(info.format == "jpeg" && info.width == 24 && info.height == 16, s"$info")
+    val expected = 0.299 * 200 + 0.587 * 60 + 0.114 * 30
+    assert(math.abs(info.meanLevel - expected) < 3.0,
+      s"mean ${info.meanLevel} vs expected $expected")
+    // A gradient (every block different) still reports exact geometry
+    // and a mid-range mean.
+    val grad = Multimodal.encodeJpeg(32, 32, (x, y) => (x * 8, y * 8, (x + y) * 4))
+    val g = Multimodal.decodeJpeg(grad)
+    assert(g.isDefined && g.get.width == 32 && g.get.height == 32, s"$g")
+    assert(g.get.meanLevel > 50 && g.get.meanLevel < 200, s"$g")
+    // And the feature-extraction plumbing reports it as a real jpeg.
+    val f = Multimodal.extractFeatures(Seq((1L, solid)).toDF("doc_id", "payload"))
+      .collect()(0)
+    assert(f.format == "jpeg" && f.width == 24 && f.height == 16, s"$f")
+  }
+
+  test("real JPEG resize: resampled payload re-decodes as a valid JPEG at target dims") {
+    val solid = Multimodal.encodeJpeg(8, 8, (_, _) => (120, 120, 120))
+    val resized = Multimodal.resize(Seq((1L, solid)).toDF("doc_id", "payload"), 3, 5)
+      .collect()(0)
+    val out = Multimodal.decodeJpeg(resized.payload)
+    assert(out.isDefined && out.get.width == 3 && out.get.height == 5, s"$out")
+    assert(math.abs(out.get.meanLevel - Multimodal.decodeJpeg(solid).get.meanLevel) < 3.0)
+  }
+
+  test("malformed JPEGs reject cleanly: truncated entropy stream falls to the stub") {
+    val solid = Multimodal.encodeJpeg(24, 16, (_, _) => (10, 200, 10))
+    // Cut inside the header segments — ImageIO must fail, not throw out.
+    assert(Multimodal.decodeJpeg(solid.take(8)).isEmpty)
+    assert(Multimodal.decode(solid.take(8)).format == "unknown")
+    // SOI magic alone with garbage after it (already covered by the
+    // foreign-payload test, re-pinned here against the REAL arm).
+    val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "not entropy-coded data".getBytes("US-ASCII")
+    assert(Multimodal.decodeJpeg(jpegish).isEmpty)
+  }
+
   test("forged chunk lengths near Int.MaxValue reject cleanly, never throw") {
     // A length like 0x7ffffff0 makes `off + 12 + len` wrap negative in
     // Int arithmetic, slipping past a naive bounds check and crashing
