@@ -25,6 +25,21 @@ final case class SessionRow(
   */
 final case class AnomalyState(open: Map[Long, Long], ring: Vector[Long])
 
+/** A purchase buffered until the watermark passes its event time. */
+final case class PendingPurchase(event_id: Long, t: Long)
+
+/** Streaming as-of join state (one per user): click timestamps still
+  * able to match a future purchase, plus purchases awaiting emission.
+  */
+final case class AsOfBuf(clicks: Vector[Long], pend: Vector[PendingPurchase])
+
+/** Emitted attribution row — same fields/semantics as q109's output
+  * (click fields null when nothing within tolerance).
+  */
+final case class AsOfRow(
+    user_id: Long, purchase_event_id: Long, t_purchase_us: Long,
+    t_click_us: Option[Long], gap_us: Option[Long])
+
 /** Emitted anomaly row — same fields/semantics as q115's output. */
 final case class AnomalyRow(
     event_type: String, minute_us: Long, n: Long, z: Double, spike: Int)
@@ -242,6 +257,84 @@ object EventStream {
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming as-of join — the incremental twin of q109's native
+    * batch operator: every purchase attaches the LATEST click at-or-
+    * before it for the same user, within `toleranceUs` (null when none;
+    * exactly q109's output contract, proven row-equal by the spec).
+    *
+    * Event-time correctness under out-of-order arrival comes from the
+    * watermark, not arrival order: a purchase is held until the
+    * watermark passes its timestamp — at which point every click that
+    * could precede it has, by the watermark contract, arrived — and
+    * only then matched and emitted. Clicks buffer under the same rule
+    * and are pruned to the provably-still-useful set: any future
+    * purchase carries t > watermark, so (a) a click superseded by a
+    * LATER click at-or-under the watermark can never be the latest
+    * again, and (b) a click at-or-under watermark − tolerance is out
+    * of range forever. Steady-state per-key state is therefore ONE
+    * matured click plus the in-horizon tail — O(events in the
+    * watermark horizon), never history, which is what lets the join
+    * run indefinitely at 100 TB/day. Event-time timeouts flush pending
+    * purchases (and expire the last click) when a key goes quiet.
+    */
+  def asOfJoinWithState(
+      events: Dataset[StreamEvent],
+      toleranceUs: Long = 3600L * 1000000L): Dataset[AsOfRow] = {
+    implicit val bufEnc: Encoder[AsOfBuf] = Encoders.product[AsOfBuf]
+    implicit val rowEnc: Encoder[AsOfRow] = Encoders.product[AsOfRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+    def update(
+        user: Long, rows: Iterator[StreamEvent],
+        state: GroupState[AsOfBuf]): Iterator[AsOfRow] = {
+      var st = state.getOption.getOrElse(AsOfBuf(Vector.empty, Vector.empty))
+      if (!state.hasTimedOut) rows.foreach { e =>
+        val us = micros(e.ts)
+        if (e.event_type == "click") st = st.copy(clicks = st.clicks :+ us)
+        else if (e.event_type == "purchase")
+          st = st.copy(pend = st.pend :+ PendingPurchase(e.event_id, us))
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // Duplicate click timestamps are indistinguishable downstream
+      // (q109 projects the matched TIMESTAMP, not an id) — dedup them.
+      val clicks = st.clicks.distinct.sorted
+      val (matured, stay) = st.pend.partition(_.t <= wmUs)
+      val out = matured.sortBy(p => (p.t, p.event_id)).map { p =>
+        val m = clicks.takeWhile(_ <= p.t).lastOption.filter(c => p.t - c <= toleranceUs)
+        AsOfRow(user, p.event_id, p.t, m, m.map(p.t - _))
+      }
+      val lastMatured = clicks.filter(_ <= wmUs).lastOption
+      val kept = clicks.filter(c =>
+        c > wmUs || (lastMatured.contains(c) && c > wmUs - toleranceUs))
+      st = AsOfBuf(kept, stay)
+      if (st.clicks.isEmpty && st.pend.isEmpty) state.remove()
+      else {
+        state.update(st)
+        // Wake when the earliest pending purchase matures, or when the
+        // newest click ages past the tolerance horizon (state GC) —
+        // both are strictly past the current watermark by construction.
+        val wakeUs = (st.pend.map(_.t) ++
+          st.clicks.lastOption.map(_ + toleranceUs)).min
+        state.setTimeoutTimestamp(wakeUs / 1000L + 1L)
+      }
+      out.iterator
+    }
+
+    events
+      // Note: Catalyst pushes the type filter below the watermark node
+      // (it doesn't reference ts), so only click/purchase rows advance
+      // this operator's event-time clock — a stretch of traffic with
+      // neither type holds maturation at the last click/purchase time,
+      // which is the conservative (never-wrong) behavior.
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 

@@ -236,6 +236,118 @@ class EventStreamSpec extends SparkTestBase {
       "exactly the planted spike must flag")
   }
 
+  // -------------------------------------------------------------------
+  // Streaming as-of join.
+
+  /** Clicks/purchases over 3 users in one hour: interleaved matches,
+    * an out-of-tolerance purchase, a purchase with no prior click, and
+    * duplicate click timestamps — the q109 edge set.
+    */
+  private def asOfEvents: Seq[StreamEvent] = {
+    def tsOf(us: Long) = {
+      val x = new Timestamp(us / 1000L); x.setNanos((us % 1000000L).toInt * 1000); x
+    }
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z
+    val min = 60L * 1000000L
+    Seq(
+      StreamEvent(tsOf(base + 1 * min), 1, "click", 1.0, 101),
+      StreamEvent(tsOf(base + 5 * min), 1, "purchase", 9.0, 102), // → click@1
+      StreamEvent(tsOf(base + 6 * min), 1, "click", 1.0, 103),
+      StreamEvent(tsOf(base + 6 * min), 1, "click", 1.0, 104), // dup ts
+      StreamEvent(tsOf(base + 7 * min), 1, "purchase", 9.0, 105), // → click@6
+      StreamEvent(tsOf(base + 2 * min), 2, "purchase", 9.0, 201), // no prior click
+      StreamEvent(tsOf(base + 3 * min), 2, "click", 1.0, 202),
+      StreamEvent(tsOf(base + 3 * min), 2, "purchase", 9.0, 203), // exact-tie → click@3
+      StreamEvent(tsOf(base + 10 * min), 3, "click", 1.0, 301),
+      StreamEvent(tsOf(base + 55 * min), 3, "purchase", 9.0, 302), // 45min gap ≤ 10min tol? no
+    )
+  }
+
+  private val asOfSentinels = {
+    def tsOf(us: Long) = {
+      val x = new Timestamp(us / 1000L); x.setNanos((us % 1000000L).toInt * 1000); x
+    }
+    val base = 1704067200000000L
+    // Clicks for a user that never purchases: they advance the
+    // watermark through any plan shape (Catalyst may push the type
+    // filter below the watermark node) and join nothing.
+    Seq(
+      StreamEvent(tsOf(base + 3L * 24 * 3600 * 1000000L), -1L, "click", 0.0, -1L),
+      StreamEvent(tsOf(base + 4L * 24 * 3600 * 1000000L), -1L, "click", 0.0, -2L),
+    )
+  }
+
+  private def runAsOf(batches: Seq[Seq[StreamEvent]],
+      toleranceUs: Long, name: String): Seq[(Long, Long, Long, Option[Long], Option[Long])] = {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.asOfJoinWithState(stream.toDS(), toleranceUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      asOfSentinels.foreach { s => stream.addData(s); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(x => (x._1, x._2)).toSeq
+  }
+
+  test("streaming as-of join emits exactly the batch q109 rows on the same data") {
+    val tolUs = 10L * 60 * 1000000L
+    val streamed = runAsOf(Seq(asOfEvents), tolUs, "asof_allatonce")
+
+    // Expected per the q109 contract (latest click at-or-before,
+    // within tolerance, null otherwise).
+    val base = 1704067200000000L
+    val min = 60L * 1000000L
+    assert(streamed == Seq(
+      (1L, 102L, base + 5 * min, Some(base + 1 * min), Some(4 * min)),
+      (1L, 105L, base + 7 * min, Some(base + 6 * min), Some(1 * min)),
+      (2L, 201L, base + 2 * min, None, None),
+      (2L, 203L, base + 3 * min, Some(base + 3 * min), Some(0L)),
+      (3L, 302L, base + 55 * min, None, None),
+    ), s"got $streamed")
+
+    // And row-for-row against the oracle-gated batch operator on the
+    // same rows written as an events corpus (q109 uses the 1h
+    // tolerance, so re-run the stream at 1h for the comparison).
+    val streamed1h = runAsOf(Seq(asOfEvents), 3600L * 1000000L, "asof_1h")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_asof").toString
+    asOfEvents.map(e => (e.event_id, e.user_id, e.event_type,
+        (e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L) * 1000L, e.value))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q109_asof_join_native")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(streamed1h == batch, s"streamed=$streamed1h\nbatch=$batch")
+  }
+
+  test("torn replay: late out-of-order clicks within the watermark converge to the all-at-once result") {
+    val tolUs = 10L * 60 * 1000000L
+    val allAtOnce = runAsOf(Seq(asOfEvents), tolUs, "asof_whole")
+    // Adversarial drop: every purchase arrives FIRST, then the clicks
+    // land in a later micro-batch, newest first — the watermark (1h
+    // behind max event time) hasn't passed any purchase yet, so
+    // nothing may emit unmatched in between.
+    val purchasesFirst = Seq(
+      asOfEvents.filter(_.event_type == "purchase"),
+      asOfEvents.filter(_.event_type == "click").reverse,
+    )
+    assert(runAsOf(purchasesFirst, tolUs, "asof_torn") == allAtOnce,
+      "batch-boundary placement must not change the joined output")
+    // One event per micro-batch, shuffled deterministically: same rows.
+    val oneByOne = new scala.util.Random(5).shuffle(asOfEvents).map(Seq(_))
+    assert(runAsOf(oneByOne, tolUs, "asof_dribble") == allAtOnce,
+      "per-event replay must converge to the same joined output")
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
