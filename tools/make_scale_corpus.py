@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Derived scaling corpora (dev tool; the Scala library has no Python
+dependency). Replicates the sf0.1 tables k times:
+
+- documents: per-replica word suffixes (regexp: every non-space token
+  gets 'r<i>') so replicas are shingle-DISJOINT — each replica is an
+  independent copy of the sf0.1 near-dup workload; candidate structure
+  scales linearly and nothing degenerates into one giant dup cluster.
+  Replica 0 keeps the original text.
+- embeddings: offset vec_ids (same direction set repeated — the
+  documented round-3..5 methodology, comparable across rounds).
+- events: offset event/user ids, timestamps preserved (per-user stream
+  structure intact; per-minute count mass grows k×).
+
+Usage: python3 tools/make_scale_corpus.py <outDir> <k> [table ...]
+"""
+import os
+import sys
+
+import duckdb
+
+SF = "/root/testdata/sf0.1"
+
+
+def main(out, k, tables):
+    con = duckdb.connect()
+    for t in tables:
+        os.makedirs(f"{out}/{t}.parquet", exist_ok=True)
+        for i in range(k):
+            if t == "documents":
+                text = ("text" if i == 0 else
+                        f"regexp_replace(text, '(\\S+)', '\\1r{i}', 'g')")
+                sel = (f"SELECT doc_id + {i * 5000} AS doc_id, {text} AS text,"
+                       f" lang, source, n_chars"
+                       f" FROM read_parquet('{SF}/documents.parquet')")
+            elif t == "embeddings":
+                sel = (f"SELECT vec_id + {i * 2000} AS vec_id, embedding, label"
+                       f" FROM read_parquet('{SF}/embeddings.parquet')")
+            elif t == "events":
+                # The driver layout stores ts as int64 NANOS (Tables.events
+                # does `ts div 1000` → timestamp_micros); duckdb reads it as
+                # TIMESTAMP, so convert back on write.
+                sel = (f"SELECT event_id + {i * 100000} AS event_id, epoch_ns(ts) AS ts,"
+                       f" user_id + {i * 1500} AS user_id, event_type, value, props"
+                       f" FROM read_parquet('{SF}/events.parquet')")
+            else:
+                raise SystemExit(f"unknown table {t}")
+            con.sql(f"COPY ({sel}) TO '{out}/{t}.parquet/part-{i:03d}.parquet'"
+                    f" (FORMAT PARQUET)")
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet/*.parquet')"
+        ).fetchone()[0]
+        print(f"{out}/{t}.parquet: {n} rows ({k} replicas)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]),
+         sys.argv[3:] or ["documents", "embeddings", "events"])
