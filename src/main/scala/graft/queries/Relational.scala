@@ -750,6 +750,160 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q4 (order-priority checking): EXISTS with a correlated
+    // inequality — a semi join that carries a non-equi condition
+    // (l_shipdate vs the outer row's o_orderdate) on top of the
+    // orderkey equality. "Late" adapts to shipped >60 days after order
+    // date (no commitdate/receiptdate in this corpus). The date range
+    // prunes orders at the scan; the semi join shuffles only join-key
+    // + condition columns and the aggregate is a handful of groups.
+    QueryDef(
+      "q123_tpch_q4",
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= CAST('1996-07-01' AS TIMESTAMP)
+          AND o_orderdate < CAST('1996-10-01' AS TIMESTAMP)
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(
+          tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q14 (promotion effect): ratio of conditional sums — the
+    // CASE lives INSIDE the aggregate, so one joined pass computes both
+    // numerator and denominator; no second scan, no self-join. The
+    // month filter pushes to the lineitem scan; part broadcasts. Both
+    // sums run in exact DECIMAL before the (deterministic) double
+    // division.
+    QueryDef(
+      "q124_tpch_q14",
+      Some("""
+        SELECT round(
+                 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                     AS DECIMAL(38,15))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(38,15))) AS DOUBLE), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= CAST('1996-09-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1996-10-01' AS TIMESTAMP)
+      """),
+    ) { (s, dir) =>
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(38,15)")
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(38,15)"))).cast("double")
+            / sum(rev).cast("double"), 4).as("promo_revenue_pct"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q19 (discounted revenue, disjunctive predicate): an OR of
+    // three conjunctive brackets spanning BOTH join sides. The
+    // part-side disjunction (brand × size) is a single-source predicate,
+    // so it pushes into the part parquet scan as an Or filter
+    // (PlanSpec pins it); the mixed l_quantity terms evaluate post-join.
+    // The join stays a broadcast hash join — the disjunction is a
+    // filter, never a join condition, so no nested-loop degeneration.
+    QueryDef(
+      "q125_tpch_q19",
+      Some("""
+        SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
+      """),
+    ) { (s, dir) =>
+      def bracket(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(1, sizeHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .filter(bracket("Brand#12", 15, 1, 11)
+          || bracket("Brand#23", 25, 10, 20)
+          || bracket("Brand#34", 35, 20, 30))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(38,15)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q22 (global sales opportunity): a scalar subquery (the
+    // corpus-wide positive-balance average) feeding a filter, plus an
+    // anti join against recent orders. The scalar rides in as a
+    // broadcast 1-row frame (the IVF-centroid pattern — map-side only);
+    // the anti join shuffles only c_custkey/o_custkey. "No orders"
+    // adapts to "no orders since 1999" (every customer in this corpus
+    // has SOME order); grouping keys on c_nationkey (no phone column).
+    // The average divides exact-DECIMAL sum by count — deterministic —
+    // so the threshold row-membership can't flip between engines.
+    QueryDef(
+      "q126_tpch_q22",
+      Some("""
+        WITH pos AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,15))) AS DOUBLE)
+                   / count(*) AS avgbal
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey AS nation, count(*) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,15))) AS DOUBLE), 2)
+                 AS totacctbal
+        FROM customer, pos
+        WHERE c_acctbal > avgbal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= CAST('1999-01-01' AS TIMESTAMP))
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+      """),
+    ) { (s, dir) =>
+      val avgbal = tbl(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(38,15)")).cast("double")
+          / count(lit(1))).as("avgbal"))
+      tbl(s, dir, "customer")
+        .crossJoin(broadcast(avgbal))
+        .filter(col("c_acctbal") > col("avgbal"))
+        .join(
+          tbl(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(
+          count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(38,15)")).cast("double"), 2)
+            .as("totacctbal"),
+        )
+        .orderBy("nation")
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →

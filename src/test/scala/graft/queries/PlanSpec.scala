@@ -104,6 +104,37 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected ≤2 hash exchanges (fact + final agg), saw $exchanges:\n$p")
   }
 
+  test("q123 (TPC-H Q4): the correlated EXISTS plans as a semi join with the date filter pushed") {
+    val p = plan("q123_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")), p)
+  }
+
+  test("q124 (TPC-H Q14): one joined pass computes both conditional sums") {
+    val p = plan("q124_tpch_q14")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"ratio-of-sums must not scan lineitem twice; saw $liScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q125 (TPC-H Q19): the part-side disjunction pushes into the part scan as an Or filter") {
+    val p = plan("q125_tpch_q19")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("Or(") && l.contains("p_brand")),
+      s"part-side Or bracket not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"disjunction degraded the join:\n$p")
+  }
+
+  test("q126 (TPC-H Q22): scalar subquery broadcasts; the no-recent-orders check is an anti join") {
+    val p = plan("q126_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row average must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
