@@ -904,6 +904,118 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q13 (customer distribution): LEFT OUTER join with a
+    // predicate INSIDE the join (not a post-filter — customers with
+    // only urgent orders must still appear with count 0), then a
+    // histogram of the grouped counts. Two cascaded aggregates, both
+    // map-side partial; the outer join shuffles only the key and the
+    // filtered right side.
+    QueryDef(
+      "q127_tpch_q13",
+      Some("""
+        WITH co AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM co
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "customer")
+        .join(
+          tbl(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q17 (small-quantity-order revenue): the correlated
+    // per-part average subquery. The literal transcription re-scans
+    // lineitem once per outer row; the Spark side instead broadcasts
+    // the brand's parts (shrinking lineitem to their lines — the
+    // correlation key set) and computes the per-part average as a
+    // WINDOW over the join key, so the whole query is ONE lineitem
+    // scan and one partkey shuffle (PlanSpec pins it). The window
+    // average equals the subquery's (the brand filter selects PARTS,
+    // never lines, so every line of a selected part is in the frame).
+    // l_quantity is integral, so its double sum/avg is exact and the
+    // 0.2·avg threshold can't flip between engines; the revenue sum
+    // runs in DECIMAL as usual.
+    QueryDef(
+      "q128_tpch_q17",
+      Some("""
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) / 7.0, 2)
+                 AS avg_yearly
+        FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      """),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      tbl(s, dir, "lineitem")
+        .join(
+          broadcast(tbl(s, dir, "part").filter(col("p_brand") === "Brand#12")),
+          col("p_partkey") === col("l_partkey"))
+        .withColumn("avg_qty",
+          avg(col("l_quantity")).over(Window.partitionBy("l_partkey")))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(38,15)")).cast("double")
+          / 7.0, 2).as("avg_yearly"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q15 (top supplier): a derived revenue view referenced
+    // twice — once as the probe, once reduced to its max — with an
+    // EQUALITY on the aggregated revenue. That equality is exactly the
+    // place FP accumulation order breaks engines apart, so
+    // total_revenue aggregates in DECIMAL(38,15): exact, hence the max
+    // and the tie-set are engine-independent. The max rides a
+    // broadcast 1-row frame; the quarter filter pushes to both scans
+    // of the (self-referenced) revenue subtree.
+    QueryDef(
+      "q129_tpch_q15",
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15)))
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+            AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+      """),
+    ) { (s, dir) =>
+      def rev = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,15)")).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev
+        .join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("supplier_no"))
+        .select(
+          col("s_suppkey"), col("s_name"),
+          round(col("total_revenue").cast("double"), 2).as("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →

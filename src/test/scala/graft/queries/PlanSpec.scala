@@ -135,6 +135,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q127 (TPC-H Q13): the order-priority predicate stays inside the outer join") {
+    val p = plan("q127_tpch_q13")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    // The predicate filters the ORDERS side pre-join (equivalent for a
+    // right-side-only condition) — it must reach the orders scan.
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderpriority")), p)
+  }
+
+  test("q128 (TPC-H Q17): the correlated average folds into ONE scan + a window on the join key") {
+    val p = plan("q128_tpch_q17")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 1,
+      s"the literal correlated subquery re-plans a second lineitem scan; saw $liScans:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q129 (TPC-H Q15): the revenue max rides a broadcast; the quarter filter reaches both scans") {
+    val p = plan("q129_tpch_q15")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    val pushed = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")).size
+    assert(pushed >= 2, s"quarter filter must push to both rev-subtree scans:\n$p")
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
