@@ -89,6 +89,20 @@ object Similarity {
     */
   private val BenchVecs = 50
 
+  /** MMR re-rank geometry (q130). λ weighs query similarity against
+    * the max-similarity-to-already-selected penalty; the penalty
+    * weight is its own literal (NOT computed as 1−λ: `1 - 0.7` is
+    * 0.30000000000000004 in IEEE arithmetic while the SQL text `0.3`
+    * parses to a different double — the score must be the same
+    * arithmetic in both engines). Recall = the bounded top-M set the
+    * greedy re-ranks; K = results returned. Declared above `defs`
+    * (strict-val init order, see [[SampleCap]]).
+    */
+  private val MmrLambda = 0.7
+  private val MmrPenaltyW = 0.3
+  private val MmrRecall = 50
+  private val MmrK = 5
+
   /** Product-quantization geometry (q110): the 64-dim embedding is cut
     * into [[PqSubs]] subspaces of [[PqSubDim]] dims, each quantized to
     * [[PqKsub]] centroids by the same fixed-iteration Lloyd machinery
@@ -901,7 +915,116 @@ object Similarity {
         .orderBy("doc_id")
     },
   ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef :+ incrementalAnnDef :+
-    semanticDecontamDef :+ clusterProfileDef
+    semanticDecontamDef :+ clusterProfileDef :+ mmrRerankDef
+
+  /** The distributed recall phase of q130: brute-force query cosine
+    * over the corpus, top-[[MmrRecall]] with a total tiebreak — plans
+    * as a broadcast of the single query vector and a
+    * TakeOrderedAndProject (PlanSpec pins it). At 100 TB this is the
+    * phase that scales; everything after it touches ≤ MmrRecall rows.
+    */
+  private[graft] def mmrRecall(s: SparkSession, dir: String): DataFrame = {
+    val v = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val qv = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    v.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(
+        col("vec_id"), col("embedding"), col("nrm"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("qcos"),
+      )
+      .orderBy(desc("qcos"), asc("vec_id"))
+      .limit(MmrRecall)
+  }
+
+  /** q130 — MMR (maximal marginal relevance) diversity re-rank: the
+    * precision stage of a two-phase retrieval pipeline, and the
+    * diversity primitive a curation pipeline uses to pick varied
+    * exemplars. Greedy selection: rank 1 is the most query-similar
+    * candidate; each later pick maximizes λ·cos(q,d) − w·max cos(d,
+    * selected), ties to the smaller vec_id.
+    *
+    * Architecture is the production one: recall is DISTRIBUTED
+    * (broadcast query, corpus scan, top-M — [[mmrRecall]]); the greedy
+    * re-rank then runs on the collected recall set. That collect is
+    * bounded BY CONSTRUCTION at MmrRecall·(64·4 B) ≈ 13 KB — the same
+    * bounded-driver-materialization budget as q102's bloom filter —
+    * and is the right trade: the in-plan alternative (K chained
+    * limit-1 broadcast joins) re-plans the corpus scan K times, which
+    * loses at any scale. Scala's per-pair cosine accumulates
+    * left-to-right over the array exactly like the native expression
+    * and the oracle's list_dot_product, so scores are bit-identical
+    * across all three.
+    */
+  private lazy val mmrRerankDef: QueryDef = {
+    val steps = (2 to MmrK).map { i =>
+      val prevs = (1 until i).map(j => s"s$j")
+      val pens = prevs.map(p => duckCos("t", p))
+      val pen = if (pens.size == 1) pens.head else s"GREATEST(${pens.mkString(", ")})"
+      val notSel = prevs.map(p => s"t.vec_id != $p.vec_id").mkString(" AND ")
+      s"""r$i AS (
+            SELECT t.vec_id, t.embedding, t.nrm, t.qcos,
+                   $MmrLambda * t.qcos - $MmrPenaltyW * ($pen) AS score
+            FROM top t, ${prevs.mkString(", ")}
+            WHERE $notSel),
+        s$i AS (SELECT * FROM r$i ORDER BY score DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n        ")
+    val sel = (1 to MmrK).map { i =>
+      if (i == 1) "SELECT 1 AS rank, vec_id, qcos, qcos AS score FROM s1"
+      else s"SELECT $i, vec_id, qcos, score FROM s$i"
+    }.mkString("\n          UNION ALL ")
+    QueryDef(
+      "q130_mmr_rerank",
+      Some(s"""
+        WITH v AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        qv AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id = 0),
+        scored AS (
+          SELECT v.vec_id, v.embedding, v.nrm, ${duckCos("qv", "v")} AS qcos
+          FROM qv, v WHERE v.vec_id != qv.vec_id),
+        top AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (ORDER BY qcos DESC, vec_id) AS rk
+            FROM scored)
+          WHERE rk <= $MmrRecall),
+        s1 AS (SELECT vec_id, embedding, nrm, qcos FROM top WHERE rk = 1),
+        $steps,
+        sel AS ($sel)
+        SELECT rank, vec_id AS neighbor_id,
+               round(qcos, 4) AS cosine, round(score, 4) AS score
+        FROM sel ORDER BY rank
+      """),
+    ) { (s, dir) =>
+      final case class Cand(id: Long, emb: Array[Float], nrm: Double, qcos: Double)
+      def cos(a: Cand, b: Cand): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.emb.length) { acc += a.emb(i).toDouble * b.emb(i).toDouble; i += 1 }
+        acc / (a.nrm * b.nrm)
+      }
+      def r4(x: Double): Double = BigDecimal(x)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cands = mmrRecall(s, dir).collect().map { r =>
+        Cand(r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2), r.getDouble(3))
+      }.toVector
+      val first = cands.minBy(c => (-c.qcos, c.id))
+      val picks = scala.collection.mutable.ArrayBuffer((1, first, first.qcos))
+      var chosen = Vector(first)
+      for (k <- 2 to MmrK) {
+        val best = cands
+          .filterNot(c => chosen.exists(_.id == c.id))
+          .map(c => (c, MmrLambda * c.qcos - MmrPenaltyW * chosen.map(cos(c, _)).max))
+          .minBy { case (c, sc) => (-sc, c.id) }
+        picks += ((k, best._1, best._2))
+        chosen :+= best._1
+      }
+      import s.implicits._
+      picks.toSeq
+        .map { case (rk, c, sc) => (rk, c.id, r4(c.qcos), r4(sc)) }
+        .toDF("rank", "neighbor_id", "cosine", "score")
+        .orderBy("rank")
+    }
+  }
 
   /** q96 — cluster-balanced subsampling over the IVF assignment (the
     * diversity-sampling step of an embedding-curation pipeline, cf.

@@ -182,6 +182,41 @@ class AnnQualitySpec extends SparkTestBase {
     assert(kept.length <= 30, s"expected ~22 survivors (19 singletons + ~3 sub-buckets), got ${kept.length}")
   }
 
+  test("MMR re-rank: relevance first, exact duplicates displaced by diverse candidates") {
+    // vec 0 = query (direction 0). vec 1 = the most query-similar
+    // candidate; vec 2 = an EXACT byte copy of vec 1 (penalty 1.0 once
+    // vec 1 is selected); vec 3 = equally query-similar but with its
+    // own noise (penalty < 1). Plain top-k would rank the duplicate
+    // second; MMR must put vec 3 there. Distant-direction vecs 4..59
+    // fill the recall set.
+    val rng = new Random(41)
+    val dir = Files.createTempDirectory("graft_ann_mmr").toString
+    val near1 = noisyBasis(rng, 0)
+    val near3 = noisyBasis(rng, 0)
+    val rows = Seq(
+      (0L, noisyBasis(rng, 0)), (1L, near1), (2L, near1), (3L, near3),
+    ) ++ (4 until 60).map(i => (i.toLong, noisyBasis(rng, 1 + i % 8)))
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    val picks = SparkEntry.queries("q130_mmr_rerank")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(picks.length == 5 && picks.map(_._2).distinct.length == 5)
+    // Rank 1 is the query-cosine argmax.
+    assert(picks(0)._3 == picks.map(_._3).max,
+      s"rank 1 should be the most similar candidate: ${picks.toSeq}")
+    // The exact-duplicate pair (1,2) can never hold BOTH top slots —
+    // once one twin is selected the other carries penalty 1.0 and the
+    // independent near-neighbor (vec 3) outranks it.
+    assert(Set(picks(0)._2, picks(1)._2) != Set(1L, 2L),
+      s"MMR must displace the exact duplicate from the top-2: ${picks.toSeq}")
+    assert(picks.map(_._2).indexOf(2L) > picks.map(_._2).indexOf(1L),
+      s"the higher-id twin must rank strictly later: ${picks.toSeq}")
+    // Greedy MMR scores are non-increasing from rank 2 on.
+    val scores = picks.toSeq.drop(1).map(_._4)
+    assert(scores == scores.sorted.reverse, s"scores not monotone: $scores")
+  }
+
   test("Lloyd-trained quantizer beats untrained first-N seeding on pathological seeds") {
     // 100 vectors, nlist = 10: ids 0..9 (ALL the seeds, and the query
     // set) form one tight cluster; ids 10..99 are nine other tight

@@ -162,6 +162,18 @@ class PlanSpec extends SparkTestBase {
     assert(pushed >= 2, s"quarter filter must push to both rev-subtree scans:\n$p")
   }
 
+  test("q130: the MMR recall phase broadcasts the query and plans top-M as top-k") {
+    // The declared query's final frame is a local re-rank of the
+    // bounded recall set, so the scale property lives in the recall
+    // helper's plan: one corpus scan, the single query vector
+    // broadcast, and the top-M as TakeOrderedAndProject (never a
+    // global sort).
+    val p = Similarity.mmrRecall(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
