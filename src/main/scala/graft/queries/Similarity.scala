@@ -915,7 +915,126 @@ object Similarity {
         .orderBy("doc_id")
     },
   ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef :+ incrementalAnnDef :+
-    semanticDecontamDef :+ clusterProfileDef :+ mmrRerankDef
+    semanticDecontamDef :+ clusterProfileDef :+ mmrRerankDef :+
+    hardNegativesDef :+ labelNoiseDef
+
+  /** q131 — hard-negative mining: for each query vector, the most
+    * cosine-similar corpus vectors with a DIFFERENT label — the
+    * contrastive-training data op (high-similarity negatives are the
+    * informative ones). Same cell-pruned architecture as q69: the
+    * 10-row query set broadcasts, candidates come from the query's IVF
+    * cell only, the label inequality rides the join condition, and the
+    * per-query top-3 is a bounded rank window. At 100 TB the corpus
+    * side reads the at-rest assignment plus a (vec_id, label) column
+    * pair — never more.
+    */
+  private lazy val hardNegativesDef: QueryDef = QueryDef(
+    "q131_hard_negatives",
+    Some(s"""
+      WITH $duckAssignedCte,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      al AS (SELECT av.vec_id, av.embedding, av.nrm, av.cluster, l.label
+             FROM av JOIN lab l ON av.vec_id = l.vec_id),
+      q AS (SELECT * FROM al WHERE vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               c.label AS neg_label, ${duckCos("q", "c")} AS cos,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rank
+        FROM q JOIN al c ON q.cluster = c.cluster
+                        AND q.vec_id != c.vec_id
+                        AND q.label != c.label)
+      SELECT query_id, neighbor_id, neg_label, round(cos, 4) AS cosine, rank
+      FROM scored WHERE rank <= 3
+      ORDER BY query_id, rank
+    """),
+  ) { (s, dir) =>
+    val lab = tbl(s, dir, "embeddings").select("vec_id", "label")
+    val al = assignedVectors(s, dir).join(lab, "vec_id")
+    val q = al.filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"), col("cluster").as("q_cluster"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        col("label").as("q_label"),
+      )
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    al.join(
+      broadcast(q),
+      col("q_cluster") === col("cluster")
+        && col("query_id") =!= col("vec_id")
+        && col("q_label") =!= col("label"),
+    )
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"),
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        round(col("cos"), 4).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q132 — label-noise detection by k-NN agreement (the
+    * confident-learning-style dataset-QA op): for each vector, the
+    * fraction of its 5 nearest same-cell neighbors sharing its label;
+    * the lowest-agreement vectors are the suspected mislabels a
+    * curation pipeline routes to review. Neighbor candidates are the
+    * SAME capped pair set as q71/q89 ([[cellPairs]], both directions),
+    * so the pair bound — O(N^1.5), hot-cell-capped — carries over
+    * unchanged; the agreement ratio is integer arithmetic, so the
+    * report is exactly reproducible. Vectors alone in their
+    * (cell, sub-bucket) have no neighbors and drop out in both
+    * engines.
+    */
+  private lazy val labelNoiseDef: QueryDef = QueryDef(
+    "q132_label_noise_knn",
+    Some(s"""
+      WITH $duckAssignedCte,
+      $duckSubBucketCte,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      a AS (SELECT avs.vec_id, avs.embedding, avs.nrm, avs.cluster, avs.sub, l.label
+            FROM avs JOIN lab l ON avs.vec_id = l.vec_id),
+      nn AS (
+        SELECT a1.vec_id, a1.label,
+               CASE WHEN a2.label = a1.label THEN 1 ELSE 0 END AS same,
+               row_number() OVER (
+                 PARTITION BY a1.vec_id
+                 ORDER BY ${duckCos("a1", "a2")} DESC, a2.vec_id) AS rk
+        FROM a a1 JOIN a a2 ON a1.cluster = a2.cluster AND a1.sub = a2.sub
+                           AND a1.vec_id != a2.vec_id)
+      SELECT vec_id, label,
+             round(CAST(sum(same) AS DOUBLE) / count(*), 4) AS agreement,
+             count(*) AS n_nbrs
+      FROM nn WHERE rk <= 5
+      GROUP BY vec_id, label
+      ORDER BY agreement, vec_id
+      LIMIT 20
+    """),
+  ) { (s, dir) =>
+    val lab = tbl(s, dir, "embeddings").select("vec_id", "label")
+    // Both directions of the capped pair set: (d1→d2) ∪ (d2→d1).
+    val pairs = cellPairs(s, dir)
+    val directed = pairs.select(col("d1").as("src"), col("d2").as("nbr"), col("cos"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("nbr"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("nbr"))
+    directed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .join(lab.select(col("vec_id").as("src"), col("label")), "src")
+      .join(lab.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), "nbr")
+      .groupBy(col("src").as("vec_id"), col("label"))
+      .agg(
+        round(sum(when(col("nbr_label") === col("label"), 1).otherwise(0))
+          .cast("double") / count(lit(1)), 4).as("agreement"),
+        count(lit(1)).as("n_nbrs"),
+      )
+      .orderBy("agreement", "vec_id")
+      .limit(20)
+  }
 
   /** The distributed recall phase of q130: brute-force query cosine
     * over the corpus, top-[[MmrRecall]] with a total tiebreak — plans

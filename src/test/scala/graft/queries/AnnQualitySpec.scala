@@ -217,6 +217,45 @@ class AnnQualitySpec extends SparkTestBase {
     assert(scores == scores.sorted.reverse, s"scores not monotone: $scores")
   }
 
+  test("hard negatives and kNN label-noise detection find exactly the planted flips") {
+    // The planted-cluster layout with label = geometric cluster,
+    // EXCEPT vec 10 (cluster 0, flipped to label 1) and vec 41
+    // (cluster 7, flipped to label 0) — planted label noise.
+    val flipped = Map(10L -> 1, 41L -> 0)
+    val dir = Files.createTempDirectory("graft_ann_labels").toString
+    plantedRows
+      .map { case (id, emb) =>
+        (id, emb, flipped.getOrElse(id, plantedClusterOf(id).toInt))
+      }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    // q132: the two flipped vectors are surrounded by true-labeled
+    // neighbors, so their agreement is exactly 0 and they lead the
+    // suspected-mislabel report.
+    val noise = SparkEntry.queries("q132_label_noise_knn")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(noise.take(2).map(_._1).toSet == Set(10L, 41L),
+      s"flipped vectors must lead the report: ${noise.toSeq}")
+    assert(noise.take(2).forall(_._2 == 0.0), s"flips have no same-label neighbors: ${noise.toSeq}")
+
+    // q131: hard negatives exist exactly where a different label
+    // shares the cell — cluster 0's queries (vecs 0 and 8) see the
+    // flipped vec 10 at near-perfect cosine; every returned negative
+    // is in-cell with a label differing from its query's.
+    val negs = SparkEntry.queries("q131_hard_negatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(negs.nonEmpty)
+    negs.foreach { case (q, n, negLabel, cos) =>
+      assert(plantedClusterOf(q) == plantedClusterOf(n), s"negative ($q,$n) left the cell")
+      val qLabel = flipped.getOrElse(q, plantedClusterOf(q).toInt)
+      assert(negLabel != qLabel, s"negative ($q,$n) shares the query label")
+      assert(cos > 0.9, s"in-cell negative ($q,$n) cosine $cos suspiciously low")
+    }
+    assert(negs.exists(n => n._1 == 0L && n._2 == 10L),
+      s"query 0 must surface the flipped in-cluster vector: ${negs.toSeq}")
+  }
+
   test("Lloyd-trained quantizer beats untrained first-N seeding on pathological seeds") {
     // 100 vectors, nlist = 10: ids 0..9 (ALL the seeds, and the query
     // set) form one tight cluster; ids 10..99 are nine other tight
