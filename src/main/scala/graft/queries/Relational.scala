@@ -1016,6 +1016,65 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q7 (volume shipping): the nation dimension joins TWICE
+    // (supplier side and customer side) under a disjunctive
+    // cross-dimension predicate — trade in either direction between two
+    // named nations — grouped by both nation roles and the shipment
+    // year. Both nation copies broadcast; the disjunction is a
+    // post-join filter over two broadcast columns (never a join
+    // degeneration); the date range pushes to the lineitem scan; sums
+    // run exact as usual.
+    QueryDef(
+      "q133_tpch_q7",
+      Some("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(CAST(sum(CAST(volume AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
+               count(*) AS n_items
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+            AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+      """),
+    ) { (s, dir) =>
+      val n1 = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(tbl(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7")
+          || (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(
+          col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"),
+        )
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(38,15)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →

@@ -174,6 +174,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q133 (TPC-H Q7): the cross-dim disjunction derives pushed per-nation filters") {
+    val p = plan("q133_tpch_q7")
+    // Constraint propagation must extract `n_name IN (3,7)` from the
+    // (n1=3 ∧ n2=7) ∨ (n1=7 ∧ n2=3) filter and push it into BOTH
+    // nation scans — without it each broadcast carries every nation.
+    val derived = p.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("Or(EqualTo(n_name"))
+    assert(derived == 2, s"expected the derived Or filter on both nation scans:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
