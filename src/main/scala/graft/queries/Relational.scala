@@ -1075,6 +1075,73 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q8 (national market share): the widest join in the spine —
+    // part, supplier, lineitem, orders, customer, nation×2, region —
+    // feeding a per-year ratio of conditional sums (the focal nation's
+    // volume share). The CASE lives inside the aggregate (one pass, as
+    // Q14); part/supplier/nation/region broadcast; the p_type and date
+    // predicates push to their scans. Both sums exact-DECIMAL before
+    // the deterministic double division.
+    QueryDef(
+      "q134_tpch_q8",
+      Some("""
+        SELECT o_year,
+               round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,15))) AS DOUBLE)
+                   / CAST(sum(CAST(volume AS DECIMAL(38,15))) AS DOUBLE), 4) AS mkt_share,
+               count(*) AS n_items
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND p_type = 'PROMO'
+            AND o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+            AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP))
+        GROUP BY o_year
+        ORDER BY o_year
+      """),
+    ) { (s, dir) =>
+      val n1 = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val n2 = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("nation"))
+      val volume = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(38,15)")
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(
+          tbl(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(
+          broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(
+            sum(when(col("nation") === "NATION_3", volume)
+              .otherwise(lit(0).cast("decimal(38,15)"))).cast("double")
+              / sum(volume).cast("double"), 4).as("mkt_share"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy("o_year")
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →

@@ -40,6 +40,21 @@ final case class AsOfRow(
     user_id: Long, purchase_event_id: Long, t_purchase_us: Long,
     t_click_us: Option[Long], gap_us: Option[Long])
 
+/** A click awaiting its earliest at-or-after purchase (forward join). */
+final case class PendingClick(event_id: Long, t: Long)
+
+/** Forward-join state (one per user): pending clicks plus the distinct
+  * purchase timestamps still able to answer one.
+  */
+final case class AsOfFwdBuf(clicks: Vector[PendingClick], purchases: Vector[Long])
+
+/** Emitted time-to-conversion row — q117's output contract (purchase
+  * fields null when nothing within tolerance).
+  */
+final case class AsOfFwdRow(
+    user_id: Long, click_event_id: Long, t_click_us: Long,
+    t_purchase_us: Option[Long], gap_us: Option[Long])
+
 /** Emitted anomaly row — same fields/semantics as q115's output. */
 final case class AnomalyRow(
     event_type: String, minute_us: Long, n: Long, z: Double, spike: Int)
@@ -332,6 +347,82 @@ object EventStream {
       // this operator's event-time clock — a stretch of traffic with
       // neither type holds maturation at the last click/purchase time,
       // which is the conservative (never-wrong) behavior.
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming FORWARD as-of join — the incremental twin of q117's
+    * time-to-conversion: every click attaches the EARLIEST purchase
+    * at-or-after it within `toleranceUs` (null when none). A click's
+    * answer is final once the watermark passes min(earliest arrived
+    * qualifying purchase, click + tolerance): purchases at-or-under
+    * the watermark are complete by the watermark contract, and any
+    * future purchase arrives strictly later than both bounds, so it
+    * can neither beat an emitted match nor fill an emitted null.
+    * Purchase timestamps prune once they are at-or-under the watermark
+    * AND before every pending click — forward joins only look ahead —
+    * so state is again O(events in the watermark horizon).
+    */
+  def asOfForwardWithState(
+      events: Dataset[StreamEvent],
+      toleranceUs: Long = 3600L * 1000000L): Dataset[AsOfFwdRow] = {
+    implicit val bufEnc: Encoder[AsOfFwdBuf] = Encoders.product[AsOfFwdBuf]
+    implicit val rowEnc: Encoder[AsOfFwdRow] = Encoders.product[AsOfFwdRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+    def update(
+        user: Long, rows: Iterator[StreamEvent],
+        state: GroupState[AsOfFwdBuf]): Iterator[AsOfFwdRow] = {
+      var st = state.getOption.getOrElse(AsOfFwdBuf(Vector.empty, Vector.empty))
+      if (!state.hasTimedOut) rows.foreach { e =>
+        val us = micros(e.ts)
+        if (e.event_type == "purchase") st = st.copy(purchases = st.purchases :+ us)
+        else if (e.event_type == "click")
+          st = st.copy(clicks = st.clicks :+ PendingClick(e.event_id, us))
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // q117 projects the matched purchase TIMESTAMP, so duplicate
+      // purchase instants are indistinguishable — dedup them.
+      val purchases = st.purchases.distinct.sorted
+      val out = Vector.newBuilder[AsOfFwdRow]
+      val stay = Vector.newBuilder[PendingClick]
+      st.clicks.sortBy(c => (c.t, c.event_id)).foreach { c =>
+        val pmin = purchases.find(p => p >= c.t && p - c.t <= toleranceUs)
+        pmin match {
+          case Some(p) if p <= wmUs =>
+            out += AsOfFwdRow(user, c.event_id, c.t, Some(p), Some(p - c.t))
+          case _ if c.t + toleranceUs <= wmUs =>
+            // The whole tolerance window is at-or-under the watermark
+            // and holds no qualifying purchase: the null is final.
+            out += AsOfFwdRow(user, c.event_id, c.t, None, None)
+          case _ => stay += c
+        }
+      }
+      val pendClicks = stay.result()
+      val minClickT = pendClicks.map(_.t).minOption
+      val kept = purchases.filter(p => p > wmUs || minClickT.exists(p >= _))
+      st = AsOfFwdBuf(pendClicks, kept)
+      if (st.clicks.isEmpty && st.purchases.isEmpty) state.remove()
+      else {
+        state.update(st)
+        // Wake when the earliest pending click's answer becomes final,
+        // or (clicks drained) when the buffered purchases age out.
+        val wakes =
+          st.clicks.map(c =>
+            (purchases.find(p => p >= c.t && p - c.t <= toleranceUs).toList
+              :+ (c.t + toleranceUs)).min) ++
+            (if (st.clicks.isEmpty) st.purchases.lastOption.toVector else Vector.empty)
+        state.setTimeoutTimestamp(wakes.min / 1000L + 1L)
+      }
+      out.result().iterator
+    }
+
+    events
       .withWatermark("ts", "1 hour")
       .filter(col("event_type").isin("click", "purchase"))
       .groupByKey(_.user_id)

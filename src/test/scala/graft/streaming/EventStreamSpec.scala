@@ -348,6 +348,58 @@ class EventStreamSpec extends SparkTestBase {
       "per-event replay must converge to the same joined output")
   }
 
+  private def runAsOfFwd(batches: Seq[Seq[StreamEvent]],
+      toleranceUs: Long, name: String): Seq[(Long, Long, Long, Option[Long], Option[Long])] = {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.asOfForwardWithState(stream.toDS(), toleranceUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      asOfSentinels.foreach { s => stream.addData(s); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      // The watermark sentinels are clicks, and clicks drive FORWARD
+      // output — drop the sentinel user's own (correct) null rows.
+      .filter(_._1 >= 0)
+      .sortBy(x => (x._1, x._2)).toSeq
+  }
+
+  test("streaming forward as-of join emits exactly the batch q117 rows on the same data") {
+    val streamed = runAsOfFwd(Seq(asOfEvents), 3600L * 1000000L, "asof_fwd")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_asof_fwd").toString
+    asOfEvents.map(e => (e.event_id, e.user_id, e.event_type,
+        (e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L) * 1000L, e.value))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q117_asof_forward")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(streamed.nonEmpty && streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.exists(_._4.isDefined))
+  }
+
+  test("torn replay (forward): purchase-first and shuffled dribble converge") {
+    val tolUs = 10L * 60 * 1000000L
+    val allAtOnce = runAsOfFwd(Seq(asOfEvents), tolUs, "asof_fwd_whole")
+    // At the tight tolerance the unmatched (final-null) arm fires too.
+    assert(allAtOnce.exists(_._4.isEmpty), s"expected a final null: $allAtOnce")
+    val purchasesFirst = Seq(
+      asOfEvents.filter(_.event_type == "purchase"),
+      asOfEvents.filter(_.event_type == "click").reverse,
+    )
+    assert(runAsOfFwd(purchasesFirst, tolUs, "asof_fwd_torn") == allAtOnce)
+    val oneByOne = new scala.util.Random(7).shuffle(asOfEvents).map(Seq(_))
+    assert(runAsOfFwd(oneByOne, tolUs, "asof_fwd_dribble") == allAtOnce)
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
