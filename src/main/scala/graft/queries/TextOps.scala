@@ -94,6 +94,13 @@ object TextOps {
     */
   private val BoilerDfMin = 3
 
+  /** Minimum corpus count for a bigram to be a collocation candidate
+    * in q135 — the standard phrase-mining support floor (a 1-count
+    * bigram has maximal lift by construction and zero evidence). Same
+    * ABOVE-`defs` rule as [[BoilerDfMin]].
+    */
+  private val CollocMinCount = 5
+
   /** Held-out source treated as the evaluation benchmark by q94. */
   private val BenchSource = "src19"
 
@@ -283,6 +290,7 @@ object TextOps {
       () => simhash60Sigs(s, dir),
       () => digestIndex(s, dir),
       () => termFrequencies(s, dir),
+      () => bigramFrequencies(s, dir),
       () => chunkTable(s, dir),
       () => spanWindows(s, dir),
     )
@@ -688,7 +696,75 @@ object TextOps {
     tokenBudgetDef :+ sequencePackingDef :+ lshSurvivorsDef :+
     normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
     contextChunksDef :+ chunkDedupDef :+ curationFunnelDef :+
-    duplicateSpansDef :+ unigramRarityDef :+ modelQualityDef
+    duplicateSpansDef :+ unigramRarityDef :+ modelQualityDef :+
+    collocationsDef
+
+  /** q135 — collocation extraction (phrase mining): top bigrams by
+    * PMI-style lift, the standard first step of building a phrase
+    * vocabulary for tokenization or boilerplate templates. Lift is the
+    * LOG-FREE monotone equivalent of PMI —
+    * c_ab·N_uni²/(N_bi·c_a·c_b) — because ln() is a libm call whose
+    * last ULP differs across engines (the repo's no-transcendentals
+    * rule); ranking and the rounded report are identical either way.
+    * Shape: the query plans ZERO corpus-text scans (PlanSpec pins it) —
+    * unigram counts come from the at-rest tf snapshot and bigram
+    * counts from the bigram-frequencies snapshot (each one ingest-time
+    * text scan, like every other text artifact); the support floor
+    * prunes the candidate set before the two unigram-count joins,
+    * totals ride broadcast 1-row frames, and the top-20 is
+    * TakeOrderedAndProject. Sub-2-token docs contribute a degenerate
+    * whole-doc "bigram" (shingles' short-input contract); the space
+    * filter drops those in both engines.
+    */
+  private lazy val collocationsDef: QueryDef = QueryDef(
+    "q135_collocations",
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      uni AS (SELECT unnest(t) AS g FROM toks),
+      ucnt AS (SELECT g, count(*) AS c FROM uni GROUP BY g),
+      utot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM ucnt),
+      bi AS (SELECT unnest(${duckShingles("t", 2)}) AS g FROM toks),
+      bir AS (SELECT g FROM bi WHERE g LIKE '% %'),
+      btot AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bir),
+      bcnt AS (SELECT g, count(*) AS c FROM bir GROUP BY g
+               HAVING count(*) >= $CollocMinCount),
+      sc AS (
+        SELECT b.g AS bigram, b.c AS c_ab, u1.c AS c_a, u2.c AS c_b,
+               utot.n_uni, btot.n_bi
+        FROM bcnt b
+        CROSS JOIN utot CROSS JOIN btot
+        JOIN ucnt u1 ON u1.g = string_split(b.g, ' ')[1]
+        JOIN ucnt u2 ON u2.g = string_split(b.g, ' ')[2])
+      SELECT bigram, c_ab,
+             round((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+                 / (CAST(n_bi AS DOUBLE) * c_a * c_b), 4) AS lift
+      FROM sc
+      ORDER BY lift DESC, bigram
+      LIMIT 20
+    """),
+  ) { (s, dir) =>
+    val ucnt = termFrequencies(s, dir)
+      .groupBy(col("term").as("g")).agg(sum(col("c")).as("c"))
+    val utot = ucnt.agg(sum(col("c")).as("n_uni"))
+    val bAll = bigramFrequencies(s, dir).filter(col("g").contains(" "))
+    val btot = bAll.agg(sum(col("c")).as("n_bi"))
+    val bcnt = bAll.filter(col("c") >= CollocMinCount)
+      .select(col("g").as("bigram"), col("c").as("c_ab"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    bcnt
+      .join(ucnt.select(col("g").as("w1"), col("c").as("c_a")), "w1")
+      .join(ucnt.select(col("g").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(utot))
+      .crossJoin(broadcast(btot))
+      .select(
+        col("bigram"), col("c_ab"),
+        round((col("c_ab").cast("double") * col("n_uni") * col("n_uni"))
+          / (col("n_bi").cast("double") * col("c_a") * col("c_b")), 4).as("lift"),
+      )
+      .orderBy(desc("lift"), asc("bigram"))
+      .limit(20)
+  }
 
   /** q81 — intra-document repetition signals (the Gopher-style "rep"
     * family of quality filters): top-unigram and top-bigram mass
@@ -765,6 +841,19 @@ object TextOps {
     * artifact an ingest pipeline maintains at rest, and tf-idf-style
     * queries read it columnar instead of re-tokenizing the corpus.
     */
+  /** Per-corpus (g, c) corpus-level bigram-frequency table — the
+    * phrase-mining artifact next to [[termFrequencies]]: one text scan
+    * at ingest, read columnar by q135. Degenerate whole-doc "bigrams"
+    * from sub-2-token inputs (shingles' short-input contract) are kept
+    * raw here and filtered at the query.
+    */
+  private def bigramFrequencies(s: SparkSession, dir: String): DataFrame =
+    snapshot(s, dir, "bigram-frequencies") {
+      tbl(s, dir, "documents")
+        .select(explode(shingles(tokens(col("text")), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+    }
+
   private def termFrequencies(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "term-frequencies") {
       tbl(s, dir, "documents")

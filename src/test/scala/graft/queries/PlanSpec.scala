@@ -186,6 +186,18 @@ class PlanSpec extends SparkTestBase {
       l.contains("PushedFilters") && l.contains("l_shipdate")), p)
   }
 
+  test("q135: collocations plan zero corpus-text scans; top-20 plans as top-k") {
+    val p = plan("q135_collocations")
+    // Unigram counts come from the tf snapshot, bigram counts from the
+    // bigram-frequencies snapshot — the query itself must never
+    // re-tokenize the corpus (the multi-branch formulation planned
+    // FIVE full text scans before the snapshots).
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans == 0, s"corpus text must stay at rest; saw $docScans scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
