@@ -1142,6 +1142,45 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q16 shape (parts/supplier relationship): grouped
+    // COUNT(DISTINCT) over a join, with an IN-list + inequality pushed
+    // to the part scan and a NOT IN supplier subquery planned as an
+    // anti join (negative-balance suppliers stand in for Q16's
+    // complaints filter; lineitem stands in for partsupp — this corpus
+    // has no partsupp table). The distinct-agg is two-phase
+    // (partial-distinct map-side); the anti join's build side is the
+    // filtered supplier dim.
+    QueryDef(
+      "q136_tpch_q16",
+      Some("""
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 40
+      """),
+    ) { (s, dir) =>
+      val badSuppliers = tbl(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      tbl(s, dir, "lineitem")
+        .join(
+          broadcast(tbl(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#45"
+              && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(badSuppliers), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_size"))
+        .limit(40)
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →

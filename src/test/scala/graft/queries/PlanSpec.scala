@@ -198,6 +198,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q136 (TPC-H Q16): IN-list pushed to the part scan; NOT IN plans as an anti join") {
+    val p = plan("q136_tpch_q16")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(p_size")), p)
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
