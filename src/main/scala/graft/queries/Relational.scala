@@ -1181,6 +1181,44 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q12 shape (shipping-priority audit): per group, TWO
+    // conditional counts in one pass — urgent-class vs other-class
+    // line counts among late shipments. This corpus has no l_shipmode,
+    // so groups key on l_returnflag and "late" adapts as elsewhere
+    // (shipped >90 days after order date). The classic Q12 plan
+    // properties hold: one lineitem⋈orders join, the date bounds
+    // pushed, both counts CASE-inside-aggregate (never two scans).
+    QueryDef(
+      "q137_tpch_q12",
+      Some("""
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """),
+    ) { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(high, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!high, 1).otherwise(0)).as("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
     // Array aggregation: collect the distinct order statuses per
     // customer. collect_list is order-nondeterministic (arrival order
     // across partitions), so the result is canonicalized — distinct →

@@ -205,6 +205,15 @@ class PlanSpec extends SparkTestBase {
       l.contains("PushedFilters") && l.contains("In(p_size")), p)
   }
 
+  test("q137 (TPC-H Q12): both conditional counts come from ONE joined pass") {
+    val p = plan("q137_tpch_q12")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"two-count CASE must not scan lineitem twice; saw $liScans:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
