@@ -35,15 +35,56 @@ object Relational {
       tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
     }
 
+  /** Partsupp-shaped at-rest artifact (supplier×part grain): this corpus
+    * ships no partsupp table, so the four TPC-H shapes that need one
+    * (Q2/Q9/Q11/Q20) had no home through round 6. The artifact derives
+    * the grain from lineitem at ingest — one groupBy per corpus
+    * snapshot, exactly how a warehouse materializes a relationship
+    * table from its fact history:
+    *   ps_availqty   = total quantity ever moved for the pair (integral
+    *                   double sum → exact → BIGINT in both engines),
+    *   ps_supplycost = cheapest observed unit price
+    *                   (min over per-row IEEE divisions — each division
+    *                   is bit-deterministic and min is order-independent,
+    *                   so both engines hold identical doubles and the
+    *                   Q2 min-cost EQUALITY cannot flip),
+    *   ps_linecount  = pair line count.
+    * The DuckDB oracles derive the identical table inline ([[psCte]]).
+    */
+  private def partsupp(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.Snapshots(s, dir, "partsupp") {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(
+          sum("l_quantity").cast("bigint").as("ps_availqty"),
+          min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"),
+          count(lit(1)).as("ps_linecount"),
+        )
+    }
+
+  /** Oracle-side twin of the [[partsupp]] artifact, spliced into each
+    * partsupp query's WITH clause (declared above `defs` — the strict
+    * Seq interpolates it at object construction). */
+  private val psCte: String = """partsupp AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 CAST(sum(l_quantity) AS BIGINT) AS ps_availqty,
+                 min(l_extendedprice / l_quantity) AS ps_supplycost,
+                 count(*) AS ps_linecount
+          FROM lineitem
+          GROUP BY l_partkey, l_suppkey)"""
+
   /** Force-build this module's per-corpus at-rest artifacts (partitioned
-    * orders, bucketed lineitem). Building a table layout is ingest-time
-    * work, paid once per corpus — Bench builds them here, untimed but
-    * reported, so per-query numbers measure query evaluation rather than
-    * whichever query first touched the artifact. */
+    * orders, bucketed lineitem, the derived partsupp grain). Building a
+    * table layout is ingest-time work, paid once per corpus — Bench
+    * builds them here, untimed but reported, so per-query numbers
+    * measure query evaluation rather than whichever query first touched
+    * the artifact. */
   private[graft] def prebuildIndexes(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     ordersByYear(s, dir)
     lineitemBucketed(s, dir)
+    partsupp(s, dir)
     ()
   }
 
@@ -1192,10 +1233,10 @@ object Relational {
       "q137_tpch_q12",
       Some("""
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
           AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
@@ -1216,6 +1257,233 @@ object Relational {
           sum(when(!high, 1).otherwise(0)).as("low_line_count"),
         )
         .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q2 shape (min-cost supplier): the classic correlated
+    // MIN subquery over a join — for each selected part, the
+    // region's suppliers offering it at the lowest cost. The oracle
+    // keeps the textbook correlated form; the Spark side folds it to
+    // ONE partsupp scan: broadcast-join the filtered part dim (drops
+    // whole ps_partkey partitions, so the fold is exact), broadcast-
+    // join the region's supplier dim (the correlation's region
+    // restriction), then a MIN window over ps_partkey and an equality
+    // filter — the q128 pattern (PlanSpec pins the single-scan shape).
+    // The equality compares doubles, but both sides come from the SAME
+    // at-rest artifact's per-row divisions, so the min-cost tie-set is
+    // engine-independent (see [[partsupp]]).
+    QueryDef(
+      "q138_tpch_q2",
+      Some(s"""
+        WITH $psCte,
+        region_ps AS (
+          SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+          FROM partsupp
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+               p_partkey, p_name, round(ps_supplycost, 4) AS min_cost
+        FROM part JOIN region_ps ON p_partkey = ps_partkey
+        WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 19
+          AND ps_supplycost = (SELECT min(r2.ps_supplycost)
+                               FROM region_ps r2
+                               WHERE r2.ps_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+      """),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wantedParts = tbl(s, dir, "part")
+        .filter(col("p_type") === "LARGE" && col("p_size").between(10, 19))
+        .select("p_partkey", "p_name")
+      val regionSupp = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+      partsupp(s, dir)
+        .join(broadcast(wantedParts), col("p_partkey") === col("ps_partkey"))
+        .join(broadcast(regionSupp), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost_w",
+          min(col("ps_supplycost")).over(Window.partitionBy("ps_partkey")))
+        .filter(col("ps_supplycost") === col("min_cost_w"))
+        .select(
+          round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          round(col("ps_supplycost"), 4).as("min_cost"),
+        )
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q11 shape (important stock): per-group value filtered
+    // against a GLOBAL scalar derived from the same relation — the
+    // group-vs-global-scalar geometry no other query exercises. Both
+    // the per-part values and the grand total aggregate the
+    // double×bigint product in exact DECIMAL(38,15), so the two
+    // engines hold bit-identical numbers and the threshold membership
+    // cannot flip; the comparison then runs in double off those
+    // identical decimals (the q126 pattern). The scalar rides in as a
+    // broadcast 1-row frame; the two aggregation passes scan the SMALL
+    // at-rest partsupp artifact (supplier×part grain), not lineitem —
+    // at 100 TB that is two scans of a relationship table, never two
+    // scans of the fact history, and far cheaper than funneling the
+    // per-part frame through a single-partition global window.
+    QueryDef(
+      "q139_tpch_q11",
+      Some(s"""
+        WITH $psCte,
+        nat_ps AS (
+          SELECT ps_partkey,
+                 sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,15)))
+                   AS value_d
+          FROM partsupp
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'
+          GROUP BY ps_partkey)
+        SELECT ps_partkey, round(CAST(value_d AS DOUBLE), 2) AS value
+        FROM nat_ps,
+             (SELECT CAST(sum(value_d) AS DOUBLE) AS tot FROM nat_ps) t
+        WHERE CAST(value_d AS DOUBLE) > tot * 0.001
+        ORDER BY value DESC, ps_partkey
+      """),
+    ) { (s, dir) =>
+      val natSupp = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val perPart = partsupp(s, dir)
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(sum((col("ps_supplycost") * col("ps_availqty")).cast("decimal(38,15)"))
+          .as("value_d"))
+      val total = perPart.agg(sum(col("value_d")).cast("double").as("tot"))
+      perPart
+        .crossJoin(broadcast(total))
+        .filter(col("value_d").cast("double") > col("tot") * 0.001)
+        .select(col("ps_partkey"),
+          round(col("value_d").cast("double"), 2).as("value"))
+        .orderBy(desc("value"), asc("ps_partkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q9 shape (product-type profit): profit = revenue minus
+    // sourcing cost, where the cost joins the fact BACK to the derived
+    // partsupp grain on the COMPOSITE (partkey, suppkey) key — the one
+    // join geometry no other query has. The part-name filter broadcasts
+    // to BOTH the lineitem scan (inner broadcast join) and the partsupp
+    // side (semi join), so each shuffle carries only the selected
+    // parts' rows; supplier/nation broadcast; orders contributes only
+    // its date and joins on o_orderkey (the one genuine fact-fact
+    // shuffle). Both profit terms are per-row double products cast to
+    // DECIMAL(38,15) before the sum — exact, order-independent.
+    QueryDef(
+      "q140_tpch_q9",
+      Some(s"""
+        WITH $psCte
+        SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 year(CAST(o_orderdate AS DATE)) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))
+                   - CAST(ps_supplycost * l_quantity AS DECIMAL(38,15)) AS amount
+          FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+          WHERE p_name LIKE '%bolt%') profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+      """),
+    ) { (s, dir) =>
+      val boltParts = tbl(s, dir, "part")
+        .filter(col("p_name").like("%bolt%"))
+        .select("p_partkey")
+      val ps = partsupp(s, dir)
+        .join(broadcast(boltParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      tbl(s, dir, "lineitem")
+        .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(ps, col("ps_partkey") === col("l_partkey")
+          && col("ps_suppkey") === col("l_suppkey"))
+        .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("n_name").as("nation"),
+          year(col("o_orderdate").cast("date")).as("o_year"))
+        .agg(round(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(38,15)")
+            - (col("ps_supplycost") * col("l_quantity")).cast("decimal(38,15)"))
+            .cast("double"), 2).as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q20 shape (excess stock): suppliers whose at-rest availqty
+    // exceeds a MULTIPLE of a correlated per-(part,supplier) aggregate
+    // from the fact table — the correlated-aggregate-threshold
+    // geometry. Adapted to this corpus: availqty is all-time quantity
+    // (see [[partsupp]]), so the classic 0.5× of one year is trivially
+    // true; 4× the 1996 shipments instead selects pairs whose 1996
+    // share was under a quarter — a real per-pair predicate. All
+    // quantities are exact BIGINTs, so the threshold cannot flip.
+    // Plan: the part-name filter broadcasts to both sides, the
+    // per-pair 1996 aggregate is map-side partial before its composite-
+    // key shuffle, and the supplier list arrives via semi joins — no
+    // row multiplication anywhere.
+    QueryDef(
+      "q141_tpch_q20",
+      Some(s"""
+        WITH $psCte,
+        shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(sum(l_quantity) AS BIGINT) AS qty_1996
+          FROM lineitem
+          WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+            AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+          GROUP BY l_partkey, l_suppkey)
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+              JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'red%')
+              AND ps_availqty > 4 * qty_1996)
+        ORDER BY s_name
+      """),
+    ) { (s, dir) =>
+      val redParts = tbl(s, dir, "part")
+        .filter(col("p_name").like("red%"))
+        .select("p_partkey")
+      val shipped = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").cast("bigint").as("qty_1996"))
+      val excess = partsupp(s, dir)
+        .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey")
+          && col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > lit(4) * col("qty_1996"))
+        .select("ps_suppkey")
+      tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy("s_name")
     },
 
     // ------------------------------------------------------------------
@@ -1285,18 +1553,55 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
-    // Approximate-distinct twin of q35: HyperLogLog++ sketches replace
-    // the exact Expand×2 + double shuffle — one partial+final aggregate
-    // pass, constant state per group, the shape that survives 100 TB.
-    // No DuckDB oracle (approx values are engine-specific) → the driver
-    // records a rows-only check; row count equals q35's group count.
-    QueryDef("q35b_approx_distinct", None) { (s, dir) =>
-      tbl(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // Approximate-distinct twin of q35: HyperLogLog++ sketches — one
+    // partial+final aggregate pass, constant state per group, the shape
+    // that survives 100 TB. The raw estimate is engine-specific (no
+    // DuckDB twin exists), so through round 6 this ran oracle-less; now
+    // the DECLARED row is the hashable reformulation: the exact counts
+    // plus a within-bound boolean |approx/exact − 1| ≤ 5·rsd (the
+    // ApproxQualitySpec bound, >5σ — see that spec for the derivation).
+    // DuckDB computes the exact side and asserts the boolean TRUE, so a
+    // drifting sketch (an rsd loosening, a Spark default change) now
+    // fails the driver's HASH gate, not just the local spec. The exact
+    // counts ride along only for verification; the production path is
+    // the sketch aggregate alone.
+    QueryDef(
+      "q35b_approx_distinct",
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+               round(avg(l_quantity), 4) AS avg_qty,
+               TRUE AS supp_in_bound,
+               TRUE AS part_in_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """),
+    ) { (s, dir) =>
+      val bound = 5 * 0.02 // 5× the sketch's 2% target rsd
+      val li = tbl(s, dir, "lineitem")
+      // The sketch pass is the production path: ONE aggregate, no
+      // Expand. The exact side reuses q35's Expand-free multi-distinct
+      // (independent map-side-deduped passes joined on the tiny group
+      // key) — mixing countDistinct INTO the sketch agg would replan
+      // the whole input through Expand×3 and cost 4× (measured 2.7 s
+      // vs 0.7 s at sf0.1).
+      def nDistinct(c: String, as: String) =
+        li.select(col("l_returnflag"), col(c)).filter(col(c).isNotNull).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      li.groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_suppkey"), 0.02).as("n_supp_approx"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("n_part_approx"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("a_supp"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("a_part"),
           round(avg("l_quantity"), 4).as("avg_qty"),
+        )
+        .join(nDistinct("l_suppkey", "n_supp"), "l_returnflag")
+        .join(nDistinct("l_partkey", "n_part"), "l_returnflag")
+        .select(
+          col("l_returnflag"), col("n_supp"), col("n_part"), col("avg_qty"),
+          (abs(col("a_supp") / col("n_supp") - 1) <= bound).as("supp_in_bound"),
+          (abs(col("a_part") / col("n_part") - 1) <= bound).as("part_in_bound"),
         )
         .orderBy("l_returnflag")
     },
@@ -1387,16 +1692,53 @@ object Relational {
     // ------------------------------------------------------------------
     // Approximate-percentile twin of q38: one-pass mergeable quantile
     // sketches instead of exact percentile's per-group sort — the
-    // at-scale path (same pattern as q35b). Rows-only check: sketch
-    // values are engine-specific.
-    QueryDef("q38b_approx_percentiles", None) { (s, dir) =>
+    // at-scale path. Same hashable reformulation as q35b: the declared
+    // row carries the exact percentiles plus a boolean pinning each
+    // approx value inside the exact-quantile envelope at q ± 5/accuracy
+    // (5× the sketch's guaranteed rank error — the ApproxQualitySpec
+    // bound); DuckDB computes the exact side and asserts TRUE, so the
+    // sketch quality is now under the driver's hash gate.
+    QueryDef(
+      "q38b_approx_percentiles",
+      Some("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               TRUE AS p25_in_bound,
+               TRUE AS p50_in_bound,
+               TRUE AS p75_in_bound
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+      """),
+    ) { (s, dir) =>
+      val slack = 5.0 / 1000 // 5× percentile_approx(…, 1000)'s rank-error bound
+      val qs = Seq(0.25, 0.50, 0.75)
+      // ONE exact-percentile buffer evaluated at all 9 points
+      // (lo, exact, hi per quantile) and ONE sketch evaluated at the 3
+      // query points — the array forms share a single counts digest /
+      // sketch per group, where 12 scalar aggregate calls would each
+      // build their own (measured 2.4 s vs 0.8 s at sf0.1).
+      val exactPts = array(qs.flatMap(q =>
+        Seq(math.max(0.0, q - slack), q, math.min(1.0, q + slack))).map(lit): _*)
+      val approxPts = array(qs.map(lit): _*)
+      val out = col("o_orderstatus") +:
+        (qs.zipWithIndex.map { case (q, i) =>
+          round(element_at(col("ex"), 3 * i + 2), 4).as(s"p${(q * 100).toInt}")
+        } ++
+          qs.zipWithIndex.map { case (q, i) =>
+            (element_at(col("ap"), i + 1) >= element_at(col("ex"), 3 * i + 1)
+              && element_at(col("ap"), i + 1) <= element_at(col("ex"), 3 * i + 3))
+              .as(s"p${(q * 100).toInt}_in_bound")
+          })
       tbl(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-          percentile_approx(col("o_totalprice"), lit(0.25), lit(1000)).as("p25_approx"),
-          percentile_approx(col("o_totalprice"), lit(0.50), lit(1000)).as("p50_approx"),
-          percentile_approx(col("o_totalprice"), lit(0.75), lit(1000)).as("p75_approx"),
+          percentile(col("o_totalprice"), exactPts).as("ex"),
+          percentile_approx(col("o_totalprice"), approxPts, lit(1000)).as("ap"),
         )
+        .select(out: _*)
         .orderBy("o_orderstatus")
     },
 

@@ -3,6 +3,8 @@ package graft.queries
 import java.nio.file.Files
 import scala.util.Random
 
+import org.apache.spark.sql.functions.col
+
 import graft.{SparkEntry, SparkTestBase}
 
 /** Quality-level validation of the ANN stack.
@@ -180,6 +182,56 @@ class AnnQualitySpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0))
     assert(kept.contains(0L), "the lowest-id blob member must survive")
     assert(kept.length <= 30, s"expected ~22 survivors (19 singletons + ~3 sub-buckets), got ${kept.length}")
+  }
+
+  test("hot-cell skew: q131's per-query candidate set is sub-bucket-capped (VERDICT r6 #5)") {
+    // Same planted hot cell as the cellPairs test (400 vectors, ids
+    // {0} ∪ {20..399} collapse into ONE ~381-member cell, 2.4× the
+    // 8·√N cap), plus alternating labels so hard negatives exist in
+    // every sub-bucket. Query 0 lands in the hot cell; uncapped, its
+    // candidate relation is the whole cell (~190 different-label rows,
+    // growing linearly with the hot-spot). Capped, each query sees only
+    // its own sub-bucket: ≤ cap candidates per query, regardless of
+    // how much mass the hot direction attracts.
+    val rng = new Random(43)
+    val n = 400
+    val dir = Files.createTempDirectory("graft_ann_hotneg").toString
+    ((0 until 20).map(i => (i.toLong, noisyBasis(rng, i))) ++
+      (20 until n).map(i => (i.toLong, noisyBasis(rng, 0))))
+      .map { case (id, emb) => (id, emb, (id % 2).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    val cap = 8L * math.ceil(math.sqrt(n.toDouble)).toLong
+    val cells = Similarity.assignedVectors(spark, dir)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.values.max > 2 * cap,
+      s"corpus failed to produce a hot cell: max=${cells.values.max} cap=$cap")
+
+    val perQuery = Similarity.hardNegativeCandidates(spark, dir)
+      .groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perQuery.values.max <= cap,
+      s"per-query candidates ${perQuery.values.max} exceed the sub-bucket cap $cap")
+    // The cap actually engaged for the hot-cell query: its whole-cell
+    // different-label candidate count would be ~cell_n/2.
+    val hotCell = cells.maxBy(_._2)._1
+    val hotQueries = Similarity.assignedVectors(spark, dir)
+      .filter(col("vec_id") < 10 && col("cluster") === hotCell)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(hotQueries.nonEmpty, "no query landed in the hot cell")
+    for (q <- hotQueries)
+      assert(perQuery(q) < cells(hotCell) / 2,
+        s"cap did not engage for hot-cell query $q: ${perQuery(q)} candidates")
+
+    // The declared query stays well-defined: top-3 per query, in-cell,
+    // label-differing.
+    val negs = SparkEntry.queries("q131_hard_negatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(negs.nonEmpty)
+    assert(negs.count(_._1 == hotQueries.head) == 3,
+      s"hot-cell query should still fill its top-3: ${negs.toSeq}")
   }
 
   test("MMR re-rank: relevance first, exact duplicates displaced by diverse candidates") {

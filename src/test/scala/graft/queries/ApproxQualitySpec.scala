@@ -2,12 +2,14 @@ package graft.queries
 
 import graft.{SparkEntry, SparkTestBase}
 
-/** Error-bound gates for the sketch queries that have no DuckDB oracle
-  * (approx values are engine-specific, so the driver records a
-  * rows-only check): pin each sketch to its DOCUMENTED error bound
-  * against the exact twin on the same corpus, so a sketch that drifts
-  * (a parameter change, a Spark upgrade altering defaults) goes red
-  * here instead of silently degrading under the weaker rows-only gate.
+/** Error-bound gates for the sketch queries. Since round 7 the bound
+  * itself is part of each query's DECLARED output (a within-bound
+  * boolean the DuckDB oracle asserts TRUE — see the q35b/q38b
+  * QueryDefs), so sketch drift fails the driver's hash gate. This spec
+  * keeps the bound red-green locally and pins the boolean columns'
+  * semantics: every *_in_bound must hold on the test corpus, and the
+  * exact columns must agree with the exact twins (q35/q38) — i.e. the
+  * reformulation didn't change what "exact" means.
   */
 class ApproxQualitySpec extends SparkTestBase {
 
@@ -15,58 +17,49 @@ class ApproxQualitySpec extends SparkTestBase {
   // (lineitem ~60k rows, orders ~15k), small enough for unit tests.
   private val sf = "/root/testdata/sf0.01"
 
-  test("q35b approx-distinct lands within the HLL++ error bound of exact q35") {
+  test("q35b: sketch within the 5·rsd bound and exact columns match q35") {
     // approx_count_distinct(col, 0.02) is HyperLogLog++ with a target
     // relative standard deviation of 2%. The estimate is unbiased with
     // sd ≈ rsd, so |approx/exact - 1| ≤ 5·rsd = 10% is a >5σ bound —
     // far outside anything but a genuinely broken sketch, while tight
     // enough to catch an accidental rsd loosening (0.02 → 0.2 would
     // miss at ~1σ odds per group across six groups... i.e. loudly).
+    val rows = SparkEntry.queries("q35b_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getBoolean(r.fieldIndex("supp_in_bound")),
+        s"group ${r.getString(0)}: suppkey sketch outside 5·rsd bound")
+      assert(r.getBoolean(r.fieldIndex("part_in_bound")),
+        s"group ${r.getString(0)}: partkey sketch outside 5·rsd bound")
+    }
     val exact = SparkEntry.queries("q35_distinct_agg")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val approx = SparkEntry.queries("q35b_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(approx.keySet == exact.keySet, s"group sets differ: $approx vs $exact")
-    val bound = 5 * 0.02
-    for ((g, (aSupp, aPart)) <- approx) {
-      val (eSupp, ePart) = exact(g)
-      val errSupp = math.abs(aSupp.toDouble / eSupp - 1)
-      val errPart = math.abs(aPart.toDouble / ePart - 1)
-      assert(errSupp <= bound, s"group $g suppkey: approx $aSupp vs exact $eSupp (err $errSupp)")
-      assert(errPart <= bound, s"group $g partkey: approx $aPart vs exact $ePart (err $errPart)")
-    }
+    val declared = rows.map(r => r.getString(0) ->
+      (r.getLong(r.fieldIndex("n_supp")), r.getLong(r.fieldIndex("n_part")))).toMap
+    assert(declared == exact,
+      s"q35b's exact columns diverge from q35: $declared vs $exact")
   }
 
-  test("q38b approx-percentiles land within the sketch's rank-error bound of exact q38") {
+  test("q38b: sketch within the rank-error envelope and exact columns match q38") {
     // percentile_approx(col, q, 1000) guarantees rank error ≤
-    // 1/accuracy = 0.001·N (Greenwald-Khanna style bound). A value
-    // assertion needs the bound translated through the distribution:
-    // the approx pXX must lie between the EXACT quantiles at
+    // 1/accuracy = 0.001·N (Greenwald-Khanna style bound). The declared
+    // booleans pin each approx pXX between the EXACT quantiles at
     // q ± 5/accuracy (5× the guaranteed rank slack — generous for
     // box-independence, still a 1%-of-rank window that a broken or
     // re-parameterized sketch cannot satisfy across all groups).
-    import org.apache.spark.sql.functions._
-    val slack = 5.0 / 1000
-    val qs = Seq(0.25, 0.50, 0.75)
-    val lowCols = qs.zipWithIndex.map { case (q, i) =>
-      percentile(col("o_totalprice"), lit(math.max(0.0, q - slack))).as(s"lo$i") }
-    val hiCols = qs.zipWithIndex.map { case (q, i) =>
-      percentile(col("o_totalprice"), lit(math.min(1.0, q + slack))).as(s"hi$i") }
-    val envelope = graft.util.Tables.tbl(spark, sf, "orders")
-      .groupBy("o_orderstatus")
-      .agg(lowCols.head, (lowCols.tail ++ hiCols): _*)
+    val rows = SparkEntry.queries("q38b_approx_percentiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; p <- Seq(25, 50, 75))
+      assert(r.getBoolean(r.fieldIndex(s"p${p}_in_bound")),
+        s"group ${r.getString(0)}: approx p$p outside the exact envelope")
+    val exact = SparkEntry.queries("q38_percentiles")(spark, sf)
       .collect()
-      .map(r => r.getString(0) -> (0 until 3).map(i =>
-        (r.getDouble(1 + i), r.getDouble(4 + i))))
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    val approx = SparkEntry.queries("q38b_approx_percentiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> Seq(
-        r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    assert(approx.keySet == envelope.keySet)
-    for ((g, vals) <- approx; (v, i) <- vals.zipWithIndex) {
-      val (lo, hi) = envelope(g)(i)
-      assert(v >= lo && v <= hi,
-        s"group $g p${qs(i)}: approx $v outside exact envelope [$lo, $hi]")
-    }
+    val declared = rows.map(r => r.getString(0) -> (
+      r.getDouble(r.fieldIndex("p25")), r.getDouble(r.fieldIndex("p50")),
+      r.getDouble(r.fieldIndex("p75")))).toMap
+    assert(declared == exact,
+      s"q38b's exact columns diverge from q38: $declared vs $exact")
   }
 }

