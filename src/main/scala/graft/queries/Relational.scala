@@ -1327,12 +1327,16 @@ object Relational {
     // double×bigint product in exact DECIMAL(38,15), so the two
     // engines hold bit-identical numbers and the threshold membership
     // cannot flip; the comparison then runs in double off those
-    // identical decimals (the q126 pattern). The scalar rides in as a
-    // broadcast 1-row frame; the two aggregation passes scan the SMALL
-    // at-rest partsupp artifact (supplier×part grain), not lineitem —
-    // at 100 TB that is two scans of a relationship table, never two
-    // scans of the fact history, and far cheaper than funneling the
-    // per-part frame through a single-partition global window.
+    // identical decimals (the q126 pattern). The threshold is
+    // SCALE-FREE — 2× the average per-part value, not TPC-H's fixed
+    // fraction, whose SF-dependence (0.0001/SF in the spec) would
+    // otherwise empty the result as the part count grows. The scalar
+    // rides in as a broadcast 1-row frame; the two aggregation passes
+    // scan the SMALL at-rest partsupp artifact (supplier×part grain),
+    // not lineitem — at 100 TB that is two scans of a relationship
+    // table, never two scans of the fact history, and far cheaper than
+    // funneling the per-part frame through a single-partition global
+    // window.
     QueryDef(
       "q139_tpch_q11",
       Some(s"""
@@ -1346,10 +1350,11 @@ object Relational {
             JOIN nation ON s_nationkey = n_nationkey
           WHERE n_name = 'NATION_7'
           GROUP BY ps_partkey)
-        SELECT ps_partkey, round(CAST(value_d AS DOUBLE), 2) AS value
+        SELECT ps_partkey, CAST(round(value_d, 2) AS DOUBLE) AS value
         FROM nat_ps,
-             (SELECT CAST(sum(value_d) AS DOUBLE) AS tot FROM nat_ps) t
-        WHERE CAST(value_d AS DOUBLE) > tot * 0.001
+             (SELECT CAST(sum(value_d) AS DOUBLE) AS tot,
+                     count(*) AS nparts FROM nat_ps) t
+        WHERE CAST(value_d AS DOUBLE) > 2.0 * tot / nparts
         ORDER BY value DESC, ps_partkey
       """),
     ) { (s, dir) =>
@@ -1362,12 +1367,18 @@ object Relational {
         .groupBy("ps_partkey")
         .agg(sum((col("ps_supplycost") * col("ps_availqty")).cast("decimal(38,15)"))
           .as("value_d"))
-      val total = perPart.agg(sum(col("value_d")).cast("double").as("tot"))
+      val total = perPart.agg(
+        sum(col("value_d")).cast("double").as("tot"),
+        count(lit(1)).as("nparts"))
       perPart
         .crossJoin(broadcast(total))
-        .filter(col("value_d").cast("double") > col("tot") * 0.001)
+        .filter(col("value_d").cast("double") > lit(2.0) * col("tot") / col("nparts"))
+        // round in the EXACT decimal domain, then cast: rounding the
+        // double instead ties at .xx5 sums (Spark's BigDecimal HALF_UP
+        // vs DuckDB's multiply-round diverged on 199655.295 at sf0.1;
+        // decimal round is HALF_UP in both engines).
         .select(col("ps_partkey"),
-          round(col("value_d").cast("double"), 2).as("value"))
+          round(col("value_d"), 2).cast("double").as("value"))
         .orderBy(desc("value"), asc("ps_partkey"))
     },
 
@@ -1386,7 +1397,7 @@ object Relational {
       "q140_tpch_q9",
       Some(s"""
         WITH $psCte
-        SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+        SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
         FROM (
           SELECT n_name AS nation,
                  year(CAST(o_orderdate AS DATE)) AS o_year,
@@ -1422,8 +1433,8 @@ object Relational {
         .agg(round(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(38,15)")
-            - (col("ps_supplycost") * col("l_quantity")).cast("decimal(38,15)"))
-            .cast("double"), 2).as("sum_profit"))
+            - (col("ps_supplycost") * col("l_quantity")).cast("decimal(38,15)")),
+          2).cast("double").as("sum_profit")) // decimal-domain round: see q139
         .orderBy(asc("nation"), desc("o_year"))
     },
 
