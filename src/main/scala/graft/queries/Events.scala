@@ -669,5 +669,58 @@ object Events {
         )
         .orderBy("event_type", "minute_us")
     },
+
+    // ------------------------------------------------------------------
+    // SCD Type-2 history build — the change-data-capture → temporal-
+    // dimension shape: per user, collapse the event_type stream into
+    // versioned validity intervals [valid_from_us, valid_to_us), one
+    // row per state CHANGE. This is the warehouse "merge into dimension
+    // keeping history" operator a training-data pipeline uses to track
+    // document/source attributes over snapshots; no other query has the
+    // run-collapse geometry. Determinism: the per-user order is total
+    // (ts_us, event_id tiebreak) so lag/lead/row_number agree across
+    // engines, and every interval bound is an exact epoch-microsecond
+    // integer. Scale shape: ONE hash exchange on user_id — the change
+    // filter preserves the first window's partitioning AND ordering, so
+    // the second window (lead + version) sorts nothing new [PlanSpec
+    // pins the single hash exchange]; per-key state is a sort run, not
+    // a buffered per-user list.
+    QueryDef(
+      "q142_scd2_history",
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+          FROM events),
+        c AS (
+          SELECT user_id, ts_us, event_id, event_type,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+          FROM e),
+        ch AS (
+          SELECT user_id, ts_us, event_id, event_type
+          FROM c WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+               lead(ts_us) OVER
+                 (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+               row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+        FROM ch
+        ORDER BY user_id, version
+      """),
+    ) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(
+          col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("valid_from_us"),
+          lead("ts_us", 1).over(byUser).as("valid_to_us"),
+          row_number().over(byUser).as("version"),
+        )
+        .orderBy("user_id", "version")
+    },
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame}
 import graft.functions.TextFunctions._
 import graft.util.{QueryDef, Tables}
@@ -697,7 +698,7 @@ object TextOps {
     normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
     contextChunksDef :+ chunkDedupDef :+ curationFunnelDef :+
     duplicateSpansDef :+ unigramRarityDef :+ modelQualityDef :+
-    collocationsDef
+    collocationsDef :+ vocabGrowthDef :+ thresholdSweepDef
 
   /** q135 — collocation extraction (phrase mining): top bigrams by
     * PMI-style lift, the standard first step of building a phrase
@@ -2401,5 +2402,166 @@ object TextOps {
         when(col("logit") > 0, 1).otherwise(0).as("kept"),
       )
       .orderBy("doc_id")
+  }
+
+  /** q143 — vocabulary growth (Heaps-law checkpoints): cumulative
+    * distinct token types vs cumulative tokens at ten corpus-prefix
+    * checkpoints, the curve a tokenizer-vocabulary or
+    * corpus-composition study reads off before committing a vocab
+    * size. Checkpoints are deciles of the doc_id key space
+    * (`(doc_id·10) div n_docs`) — pure integer arithmetic on both
+    * engines, no rank window over the doc list (an ntile over N docs
+    * would funnel every doc id through one task at 100 TB; the id-space
+    * decile is a per-row expression). A term's checkpoint is its FIRST
+    * occurrence (min doc_id per term), read from the at-rest tf
+    * snapshot — the query plans one corpus-text-free pass over the
+    * compact (doc, term, c) table plus a doc_id-only footer-ish scan of
+    * documents [PlanSpec pins text out of every ReadSchema]; the
+    * cumulative window then runs over a 10-row spine. The type/token
+    * ratio is one IEEE division of exact integers, rounded.
+    */
+  private lazy val vocabGrowthDef: QueryDef = QueryDef(
+    "q143_vocab_growth",
+    Some("""
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      uni AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      firstocc AS (SELECT min(doc_id) AS first_doc FROM uni GROUP BY term),
+      nv AS (
+        SELECT least((first_doc * 10) // (SELECT n_docs FROM n) + 1, 10) AS decile,
+               count(*) AS v
+        FROM firstocc GROUP BY decile),
+      nt AS (
+        SELECT least((doc_id * 10) // (SELECT n_docs FROM n) + 1, 10) AS decile,
+               count(*) AS t
+        FROM uni GROUP BY decile),
+      nd AS (
+        SELECT least((doc_id * 10) // (SELECT n_docs FROM n) + 1, 10) AS decile,
+               count(*) AS d
+        FROM documents GROUP BY decile),
+      sp AS (SELECT unnest(range(1, 11)) AS decile),
+      cums AS (
+        SELECT sp.decile,
+               CAST(sum(coalesce(nd.d, 0)) OVER w AS BIGINT) AS docs_cum,
+               CAST(sum(coalesce(nt.t, 0)) OVER w AS BIGINT) AS tokens_cum,
+               CAST(sum(coalesce(nv.v, 0)) OVER w AS BIGINT) AS vocab_cum
+        FROM sp
+          LEFT JOIN nd USING (decile)
+          LEFT JOIN nt USING (decile)
+          LEFT JOIN nv USING (decile)
+        WINDOW w AS (ORDER BY sp.decile))
+      SELECT decile, docs_cum, tokens_cum, vocab_cum,
+             round(CAST(vocab_cum AS DOUBLE) / nullif(tokens_cum, 0), 6)
+               AS type_token_ratio
+      FROM cums
+      ORDER BY decile
+    """),
+  ) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    // 1-row corpus count: parquet footer metadata, broadcast everywhere.
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    val tf = termFrequencies(s, dir)
+    def decile(of: String): Column =
+      least(expr(s"($of * 10) div n_docs") + 1, lit(10)).as("decile")
+    // New types per checkpoint: first occurrence from the at-rest tf
+    // snapshot (groupBy term has map-side combine; no posting list is
+    // ever buffered on one task).
+    val newTypes = tf.groupBy("term").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(decile("first_doc")).agg(count(lit(1)).as("v"))
+    val toks = tf.crossJoin(broadcast(nDocs))
+      .groupBy(decile("doc_id")).agg(sum("c").as("t"))
+    val dcount = docs.select("doc_id").crossJoin(broadcast(nDocs))
+      .groupBy(decile("doc_id")).agg(count(lit(1)).as("d"))
+    val spine = s.range(1, 11).select(col("id").as("decile"))
+    // 10-row cumulative frame: the single-partition window is bounded
+    // by the checkpoint count, not the data.
+    val cum = Window.orderBy("decile")
+    spine
+      .join(broadcast(dcount), Seq("decile"), "left")
+      .join(broadcast(toks), Seq("decile"), "left")
+      .join(broadcast(newTypes), Seq("decile"), "left")
+      .select(
+        col("decile"),
+        sum(coalesce(col("d"), lit(0L))).over(cum).as("docs_cum"),
+        sum(coalesce(col("t"), lit(0L))).over(cum).as("tokens_cum"),
+        sum(coalesce(col("v"), lit(0L))).over(cum).as("vocab_cum"),
+      )
+      .select(
+        col("decile"), col("docs_cum"), col("tokens_cum"), col("vocab_cum"),
+        round(col("vocab_cum").cast("double") / expr("nullif(tokens_cum, 0)"), 6)
+          .as("type_token_ratio"),
+      )
+      .orderBy("decile")
+  }
+
+  /** q144 — quality-threshold sweep (filter calibration): for twenty
+    * candidate cutoffs over q63's quality score, the retained-document
+    * count and its language composition — the curve read before fixing
+    * a classifier-filter threshold for a training corpus. The sweep is
+    * HISTOGRAM-FIRST: one codegen'd corpus pass buckets each doc at
+    * floor(quality·20) (so "quality ≥ i/20" is EXACTLY "bucket ≥ i" —
+    * integer semantics, no FP boundary can flip a row across engines),
+    * the ≤ 21×2-row (bucket, is_en) histogram broadcasts to the 20-row
+    * threshold spine, and per-threshold work is a sum over histogram
+    * cells. Threshold × row work is never materialized: the corpus is
+    * read once whether there are 20 cutoffs or 2000.
+    */
+  private lazy val thresholdSweepDef: QueryDef = QueryDef(
+    "q144_threshold_sweep",
+    Some("""
+      WITH f AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents),
+      q AS (
+        SELECT CAST(floor((least(n_tokens / 100.0, 1.0) * 0.5 +
+                           CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) * 0.5)
+                          * 20) AS BIGINT) AS bucket,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        FROM f),
+      h AS (
+        SELECT bucket, count(*) AS n, CAST(sum(is_en) AS BIGINT) AS n_en
+        FROM q GROUP BY bucket),
+      t AS (SELECT unnest(range(0, 20)) AS i)
+      SELECT i * 5 AS threshold_pct,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS retained,
+             CAST(coalesce(sum(n_en), 0) AS BIGINT) AS retained_en,
+             round(CAST(coalesce(sum(n_en), 0) AS DOUBLE)
+                   / nullif(CAST(coalesce(sum(n), 0) AS DOUBLE), 0), 4) AS en_frac
+      FROM t LEFT JOIN h ON h.bucket >= t.i
+      GROUP BY i
+      ORDER BY threshold_pct
+    """),
+  ) { (s, dir) =>
+    val toks = tokens(col("text"))
+    // Identical FP operation sequence to q63's quality score.
+    val quality =
+      least(size(toks) / 100.0, lit(1.0)) * 0.5 +
+        size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)) * 0.5
+    val hist = tbl(s, dir, "documents")
+      .select(
+        floor(quality * 20).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"),
+      )
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("is_en").as("n_en"))
+    val spine = s.range(0, 20).select(col("id").as("i"))
+    spine
+      .join(broadcast(hist), col("bucket") >= col("i"), "left")
+      .groupBy("i")
+      .agg(
+        coalesce(sum("n"), lit(0L)).as("retained"),
+        coalesce(sum("n_en"), lit(0L)).as("retained_en"),
+      )
+      .select(
+        (col("i") * 5).as("threshold_pct"),
+        col("retained"), col("retained_en"),
+        round(col("retained_en").cast("double")
+          / expr("nullif(cast(retained AS DOUBLE), 0)"), 4).as("en_frac"),
+      )
+      .orderBy("threshold_pct")
   }
 }

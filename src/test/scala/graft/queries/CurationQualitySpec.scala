@@ -395,4 +395,90 @@ class CurationQualitySpec extends SparkTestBase {
         s"degenerate doc $id ($logit) not below worst diverse ($worstDiverse)")
     }
   }
+
+  test("q143 reports the planted vocabulary-growth curve exactly") {
+    // 10 docs, ids 0..9 → each doc is its own decile. Doc i introduces
+    // exactly one new type w_i next to the shared type "common", so the
+    // curve is fully determined: docs_cum 1..10, tokens_cum 2,4,..,20,
+    // vocab_cum 2,3,..,11.
+    val docs = (0L until 10L).map(i => (i, s"common w$i", "src0"))
+    val dir = writeDocs(docs)
+    val rows = SparkEntry.queries("q143_vocab_growth")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val expected = (1L to 10L).map(d => (d, d, 2 * d, d + 1))
+    assert(rows == expected, rows.mkString("\n"))
+  }
+
+  test("q143 growth curve is consistent with the real corpus totals") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q143_vocab_growth")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    // Monotone non-decreasing in all three cumulatives.
+    rows.sliding(2).foreach {
+      case Array((d1, t1, v1), (d2, t2, v2)) =>
+        assert(d1 <= d2 && t1 <= t2 && v1 <= v2, "cumulative curve decreased")
+      case _ => ()
+    }
+    // Final checkpoint equals the independently-computed corpus totals.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v"))
+      .collect()(0)
+    assert(rows.last._1 == docs.count(), "docs_cum final != n_docs")
+    assert(rows.last._2 == total.getLong(0), "tokens_cum final != corpus tokens")
+    assert(rows.last._3 == total.getLong(1), "vocab_cum final != corpus vocabulary")
+  }
+
+  test("q144 sweeps planted quality buckets with exact counts and composition") {
+    // 6 'en' docs at quality ≈ 0.67 (34 distinct tokens → bucket 13)
+    // and 4 'fr' docs at quality ≈ 0.57 (14 distinct tokens →
+    // bucket 11) — both safely inside their buckets, away from FP
+    // boundaries. The sweep must retain 10 docs up to 55%, exactly the
+    // 6 en docs at 60–65%, and nothing from 70% (en_frac null there).
+    val en = (0L until 6L).map(i =>
+      (i, (0 until 34).map(j => s"e${i}t$j").mkString(" "), "en"))
+    val fr = (6L until 10L).map(i =>
+      (i, (0 until 14).map(j => s"f${i}t$j").mkString(" "), "fr"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    (en ++ fr).map { case (id, text, lang) => (id, text, lang, "src", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("q144_threshold_sweep")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq
+    assert(rows.map(_._1) == (0L until 100L by 5L).toSeq, rows.mkString("\n"))
+    rows.foreach { case (pct, retained, retainedEn, enFrac) =>
+      if (pct <= 55) {
+        assert(retained == 10 && retainedEn == 6 && enFrac.contains(0.6),
+          s"at $pct%: ($retained, $retainedEn, $enFrac)")
+      } else if (pct <= 65) {
+        assert(retained == 6 && retainedEn == 6 && enFrac.contains(1.0),
+          s"at $pct%: ($retained, $retainedEn, $enFrac)")
+      } else {
+        assert(retained == 0 && retainedEn == 0 && enFrac.isEmpty,
+          s"at $pct%: ($retained, $retainedEn, $enFrac)")
+      }
+    }
+  }
+
+  test("q144 retention is monotone non-increasing on the real corpus") {
+    val rows = SparkEntry.queries("q144_threshold_sweep")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    rows.sliding(2).foreach {
+      case Array((r1, e1), (r2, e2)) =>
+        assert(r1 >= r2 && e1 >= e2, "retention increased with a stricter threshold")
+      case _ => ()
+    }
+    rows.foreach { case (r, e) => assert(e <= r, "en subset exceeds retained") }
+    // Threshold 0 retains everything.
+    assert(rows.head._1 == 500L, s"t=0 must retain all 500 docs, got ${rows.head._1}")
+  }
 }

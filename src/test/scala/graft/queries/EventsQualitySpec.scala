@@ -44,4 +44,60 @@ class EventsQualitySpec extends SparkTestBase {
       }
     }
   }
+
+  test("q142 collapses planted state runs into exact SCD2 intervals") {
+    // user 1 emits A A B B A at us 1..5s, user 2 a single C: the
+    // history must be the three A/B/A intervals (contiguous, half-open,
+    // versions dense) and one open C interval.
+    def ev(id: Long, user: Long, tpe: String, sec: Long) =
+      (id, user, tpe, sec * 1000000L * 1000L, 0.0)
+    val rows = Seq(
+      ev(1, 1, "A", 1), ev(2, 1, "A", 2), ev(3, 1, "B", 3),
+      ev(4, 1, "B", 4), ev(5, 1, "A", 5),
+      ev(6, 2, "C", 10),
+    )
+    val dir = Files.createTempDirectory("graft_scd2").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q142_scd2_history")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4)))
+      .toSeq
+    val s = 1000000L
+    assert(out == Seq(
+      (1L, "A", 1 * s, Some(3 * s), 1),
+      (1L, "B", 3 * s, Some(5 * s), 2),
+      (1L, "A", 5 * s, None, 3),
+      (2L, "C", 10 * s, None, 1),
+    ), out.mkString("\n"))
+  }
+
+  test("q142 history invariants hold on the real corpus") {
+    // Per user: versions dense from 1, intervals chain exactly
+    // (valid_to == next valid_from), no zero-length interval, states
+    // actually change at every boundary, and exactly one open interval
+    // (the current state) per user.
+    val rows = SparkEntry.queries("q142_scd2_history")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, h0) =>
+      val h = h0.sortBy(_._5)
+      assert(h.map(_._5).toSeq == (1 to h.length), s"user $user versions not dense")
+      h.sliding(2).foreach {
+        case Array((_, s1, _, to1, _), (_, s2, from2, _, _)) =>
+          assert(to1.contains(from2), s"user $user interval chain broken")
+          assert(s1 != s2, s"user $user run not collapsed: $s1 repeated")
+        case _ => ()
+      }
+      h.init.foreach { case (_, _, from, to, _) =>
+        assert(to.exists(_ > from), s"user $user zero-length interval")
+      }
+      assert(h.last._4.isEmpty, s"user $user has no open current interval")
+      assert(h.init.forall(_._4.nonEmpty), s"user $user open interval not last")
+    }
+  }
 }

@@ -507,6 +507,45 @@ class PlanSpec extends SparkTestBase {
     assert(n >= 2, s"expected partial+final WindowGroupLimit in q30, saw $n:\n$p")
   }
 
+  test("q142: one hash exchange drives both SCD2 windows") {
+    // The change filter preserves the first window's partitioning and
+    // ordering, so lead + version numbering re-shuffle and re-sort
+    // nothing: exactly one hashpartitioning exchange (the final global
+    // ORDER BY adds a range exchange, not a hash one). At 100 TB a
+    // second user_id shuffle here would double the job's network cost.
+    val p = plan("q142_scd2_history")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning(user_id"))
+    assert(hashEx == 1, s"expected ONE user_id exchange, saw $hashEx:\n$p")
+    val sorts = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Sort.*"))
+    assert(sorts <= 2, s"the two windows must share one per-key sort:\n$p")
+  }
+
+  test("q143: corpus text never rides the vocab-growth plan") {
+    // Checkpoint math is a per-row integer expression on doc_id and the
+    // term grain comes from the at-rest tf snapshot — the only string
+    // column read anywhere is the snapshot's compact term column, never
+    // document text; a text read here would mean the query re-tokenizes
+    // the corpus at query time.
+    val p = plan("q143_vocab_growth")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text:")),
+      s"corpus text entered the plan:\n${reads.mkString("\n")}")
+    assert(!p.contains("ntile") && !p.contains("percent_rank"),
+      s"checkpoint assignment must not be a global rank window:\n$p")
+  }
+
+  test("q144: the threshold sweep reads the corpus once and broadcasts the histogram") {
+    // Histogram-first: one text+lang scan into a map-side-combined
+    // bucket histogram; the 20-way sweep is a broadcast theta-join of
+    // two bounded frames. Threshold x row work must never materialize.
+    val p = plan("q144_threshold_sweep")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans == 1, s"sweep must scan the corpus ONCE; saw $docScans:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bucket>=i over the bounded histogram must broadcast:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
