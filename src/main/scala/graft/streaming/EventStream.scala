@@ -59,6 +59,28 @@ final case class AsOfFwdRow(
 final case class AnomalyRow(
     event_type: String, minute_us: Long, n: Long, z: Double, spike: Int)
 
+/** A state-change candidate buffered until the watermark matures it. */
+final case class PendingState(t: Long, event_id: Long, state: String)
+
+/** SCD2 state (one per user): immature events within the watermark
+  * horizon, plus the committed current interval — the streaming
+  * materialization of the dimension's current-state row (curVersion=0
+  * encodes "no state yet").
+  */
+final case class Scd2Buf(
+    pending: Vector[PendingState], curState: String,
+    curFromUs: Long, curVersion: Int)
+
+/** Emitted CLOSED validity interval — q142's output contract for the
+  * rows whose valid_to is known ([valid_from_us, valid_to_us),
+  * versions dense per user). The one OPEN interval per user lives in
+  * [[Scd2Buf]] — a streaming dimension can close history incrementally
+  * but by definition never closes the current state.
+  */
+final case class Scd2Row(
+    user_id: Long, state: String, valid_from_us: Long,
+    valid_to_us: Long, version: Int)
+
 /** Structured Streaming surface — the incremental twins of the batch
   * event queries in graft.queries.Events (SURVEY.md §2.11: the
   * reference has no streaming; this is the north-star extension).
@@ -349,6 +371,68 @@ object EventStream {
       // which is the conservative (never-wrong) behavior.
       .withWatermark("ts", "1 hour")
       .filter(col("event_type").isin("click", "purchase"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming SCD Type-2 history build — the incremental twin of
+    * q142's run collapse: per user, each maturing state CHANGE closes
+    * the previous validity interval and emits it; the open current
+    * interval stays in state (the dimension's current-state row — a
+    * stream can never close it, so the emitted surface is exactly
+    * q142's `valid_to IS NOT NULL` rows, versions included).
+    *
+    * Out-of-order safety: an event mutates history only after the
+    * watermark passes it, and matured events fold in (ts, event_id)
+    * order — the same total order as the batch window — so a late
+    * event inside the horizon lands between the right neighbors and a
+    * replay converges to the all-at-once result (spec-proven). State
+    * is O(events in the watermark horizon + 1 committed row) per
+    * active user; the event-time timeout wakes idle users exactly when
+    * their earliest pending event matures, so emission never waits for
+    * the user's next event.
+    */
+  def scd2WithState(events: Dataset[StreamEvent]): Dataset[Scd2Row] = {
+    implicit val bufEnc: Encoder[Scd2Buf] = Encoders.product[Scd2Buf]
+    implicit val rowEnc: Encoder[Scd2Row] = Encoders.product[Scd2Row]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+    def update(
+        user: Long, rows: Iterator[StreamEvent],
+        state: GroupState[Scd2Buf]): Iterator[Scd2Row] = {
+      var st = state.getOption.getOrElse(Scd2Buf(Vector.empty, "", 0L, 0))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      if (!state.hasTimedOut) rows.foreach { e =>
+        val us = micros(e.ts)
+        // flatMapGroupsWithState does NOT drop beyond-horizon rows for
+        // us. Folding one in here would rewrite already-committed
+        // history out of order, so enforce the watermark contract
+        // explicitly: an event later than the horizon is dropped.
+        if (us > wmUs)
+          st = st.copy(pending = st.pending :+ PendingState(us, e.event_id, e.event_type))
+      }
+      val (matured, stay) = st.pending.partition(_.t <= wmUs)
+      val out = Seq.newBuilder[Scd2Row]
+      var (cur, from, ver) = (st.curState, st.curFromUs, st.curVersion)
+      matured.sortBy(p => (p.t, p.event_id)).foreach { p =>
+        if (ver == 0) { cur = p.state; from = p.t; ver = 1 }
+        else if (cur != p.state) {
+          out += Scd2Row(user, cur, from, p.t, ver)
+          cur = p.state; from = p.t; ver += 1
+        } // same state: the run continues, nothing closes
+      }
+      state.update(Scd2Buf(stay, cur, from, ver))
+      // Wake when the earliest immature event matures (strictly past
+      // the current watermark by construction of the partition).
+      if (stay.nonEmpty) state.setTimeoutTimestamp(stay.map(_.t).min / 1000L + 1L)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }

@@ -400,6 +400,78 @@ class EventStreamSpec extends SparkTestBase {
     assert(runAsOfFwd(oneByOne, tolUs, "asof_fwd_dribble") == allAtOnce)
   }
 
+  // ---- streaming SCD2 twin ------------------------------------------
+  // Four users, twelve events each (4-minute cadence, per-user phase:
+  // the whole span stays inside the 1h watermark horizon, so NO arrival
+  // order can make a row late-beyond-watermark and the replays below
+  // must converge exactly), state patterns with runs so both the
+  // collapse arm and the change arm fire repeatedly.
+  private val scd2BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+  private val scd2Events: Seq[StreamEvent] = {
+    def tsOf(us: Long) = { val t = new Timestamp(us / 1000L); t.setNanos((us % 1000000L).toInt * 1000); t }
+    val pattern = Vector("A", "A", "B", "C", "C", "C", "A", "B", "B", "A", "C", "A")
+    (1 to 4).flatMap { u =>
+      pattern.indices.map { i =>
+        val us = scd2BaseUs + (i * 4L * 60 + u * 13L) * 1000000L
+        StreamEvent(tsOf(us), u.toLong, pattern((i + u) % pattern.length), 1.0, u * 100L + i)
+      }
+    }
+  }
+
+  private def runScd2(batches: Seq[Seq[StreamEvent]],
+      name: String): Seq[(Long, String, Long, Long, Int)] = {
+    implicit val sc = spark.sqlContext
+    def tsOf(us: Long) = { val t = new Timestamp(us / 1000L); t.setNanos((us % 1000000L).toInt * 1000); t }
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.scd2WithState(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      // Two far-future sentinels: the first advances the watermark past
+      // every planted event, the second lets event-time timeouts fire
+      // against it (timeouts see the PREVIOUS batch's watermark).
+      stream.addData(StreamEvent(tsOf(scd2BaseUs + 3L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -1L))
+      q.processAllAvailable()
+      stream.addData(StreamEvent(tsOf(scd2BaseUs + 4L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .filter(_._1 >= 0) // the sentinel user never closes an interval
+      .sortBy(x => (x._1, x._5)).toSeq
+  }
+
+  test("streaming SCD2 emits exactly the batch q142 closed intervals on the same data") {
+    val streamed = runScd2(Seq(scd2Events), "scd2_whole")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_scd2").toString
+    scd2Events.map(e => (e.event_id, e.user_id, e.event_type,
+        (e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L) * 1000L, e.value))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batchClosed = graft.SparkEntry.queries("q142_scd2_history")(spark, dir)
+      .collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(x => (x._1, x._5)).toSeq
+    assert(streamed.nonEmpty && streamed == batchClosed,
+      s"streamed=$streamed\nbatch=$batchClosed")
+    // The open (current) interval is state, not output: the stream must
+    // emit exactly one fewer interval per user than the batch history.
+    assert(streamed.groupBy(_._1).forall { case (_, h) => h.length >= 2 })
+  }
+
+  test("torn replay (SCD2): reversed batches and shuffled dribble converge") {
+    val allAtOnce = runScd2(Seq(scd2Events), "scd2_ref")
+    // Newest-first in one batch: every event is within the 1h watermark
+    // horizon of the max, so nothing may fold before maturing in order.
+    assert(runScd2(Seq(scd2Events.reverse), "scd2_torn") == allAtOnce,
+      "arrival order within a batch must not change the history")
+    val oneByOne = new scala.util.Random(11).shuffle(scd2Events).map(Seq(_))
+    assert(runScd2(oneByOne, "scd2_dribble") == allAtOnce,
+      "per-event replay must converge to the same history")
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
