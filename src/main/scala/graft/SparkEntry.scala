@@ -54,6 +54,7 @@ object SparkEntry {
         Future(_root_.graft.queries.TextOps.prebuildIndexes(spark, sfDir)),
         Future(_root_.graft.queries.Similarity.prebuildIndexes(spark, sfDir)),
         Future(_root_.graft.queries.Relational.prebuildIndexes(spark, sfDir)),
+        Future(_root_.graft.queries.Events.prebuildIndexes(spark, sfDir)),
       )),
       Duration.Inf)
     ()

@@ -100,4 +100,45 @@ class EventsQualitySpec extends SparkTestBase {
       assert(h.init.forall(_._4.nonEmpty), s"user $user open interval not last")
     }
   }
+
+  test("q145 merges every boundary case and reconstructs the recompute") {
+    // ts span 0..100 s → the at-rest hwm sits at 80 s. One user per
+    // merge geometry: same-state boundary (absorption, the open
+    // interval must NOT close), changed boundary (closes at the first
+    // new event), brand-new user (versions from 1), untouched user
+    // (open row passes through), and a multi-change new batch on top
+    // of an open run (versions rebase densely).
+    def ev(id: Long, user: Long, tpe: String, sec: Long) =
+      (id, user, tpe, sec * 1000000L * 1000L, 0.0)
+    val rows = Seq(
+      ev(1, 1, "A", 0), ev(2, 1, "A", 90), // absorption
+      ev(3, 2, "A", 20), ev(4, 2, "B", 85), // change at the boundary
+      ev(5, 3, "C", 95), // new user, no base history
+      ev(6, 4, "D", 30), // untouched
+      ev(7, 5, "E", 40), ev(8, 5, "E", 100), // absorption (span anchor)
+      ev(9, 6, "A", 50), ev(10, 6, "B", 82), ev(11, 6, "C", 88), ev(12, 6, "B", 93),
+    )
+    val dir = Files.createTempDirectory("graft_scd2_merge").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    def collect(q: String) = SparkEntry.queries(q)(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4)))
+      .toSeq
+    val merged = collect("q145_scd2_merge")
+    val s = 1000000L
+    assert(merged == Seq(
+      (1L, "A", 0 * s, None, 1),
+      (2L, "A", 20 * s, Some(85 * s), 1), (2L, "B", 85 * s, None, 2),
+      (3L, "C", 95 * s, None, 1),
+      (4L, "D", 30 * s, None, 1),
+      (5L, "E", 40 * s, None, 1),
+      (6L, "A", 50 * s, Some(82 * s), 1), (6L, "B", 82 * s, Some(88 * s), 2),
+      (6L, "C", 88 * s, Some(93 * s), 3), (6L, "B", 93 * s, None, 4),
+    ), merged.mkString("\n"))
+    // And the incremental path IS the recompute, row for row.
+    assert(merged == collect("q142_scd2_history"), "merge != full recompute")
+  }
 }

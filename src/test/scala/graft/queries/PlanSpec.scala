@@ -546,6 +546,24 @@ class PlanSpec extends SparkTestBase {
       s"bucket>=i over the bounded histogram must broadcast:\n$p")
   }
 
+  test("q145: the merge scans events once; closed history skips the merge shuffle") {
+    // Incremental view maintenance: the new batch is the ONLY events
+    // read, the at-rest dimension contributes its two slices (closed
+    // pass-through + open pseudo-events), and closed history never
+    // enters the user_id exchange — only the bounded merge relation
+    // shuffles. A second events scan or a second hash exchange here
+    // means the "incremental" path re-reads history.
+    val p = plan("q145_scd2_merge")
+    val evScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(evScans == 1, s"merge must read events ONCE (the new batch); saw $evScans:\n$p")
+    val baseScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("scd2-base"))
+    assert(baseScans == 2, s"expected closed + open slices of the at-rest dim; saw $baseScans:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning(user_id"))
+    assert(hashEx == 1, s"closed history leaked into the merge shuffle:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
