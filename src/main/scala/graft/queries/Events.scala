@@ -837,5 +837,124 @@ object Events {
         .unionByName(merged)
         .orderBy("user_id", "version")
     },
+
+    // ------------------------------------------------------------------
+    // Multi-touch attribution — each purchase splits ONE unit of credit
+    // equally across all its user's clicks in the preceding 30 minutes,
+    // reported per click channel (k mod 4 from the props JSON). Last-
+    // touch is q57/q109; this is the fractional-credit-split geometry.
+    // Credit is integer MICRO-credit: (1e6·a) div n_p per (purchase,
+    // channel) — exact BIGINT everywhere, so the aggregation is
+    // order-independent (a double 1/n sum would make the hash depend on
+    // reduction order). Scale shape: both sides shuffle once on
+    // user_id; the per-purchase normalizer is a window over ≤ 4
+    // channel rows per purchase, bounded by the channel alphabet, not
+    // the data.
+    QueryDef(
+      "q147_multitouch_attribution",
+      Some(s"""
+        WITH p AS (
+          SELECT event_id AS pid, user_id, epoch_us(ts) AS tp
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_us(ts) AS tc,
+                 concat('ch', coalesce(try_cast(json_extract_string(props, '$$.k') AS BIGINT) % 4, -1)) AS channel
+          FROM events WHERE event_type = 'click'),
+        m AS (
+          SELECT pid, channel, count(*) AS a
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND c.tc < p.tp AND c.tc >= p.tp - $HalfHourUs
+          GROUP BY pid, channel),
+        w AS (
+          SELECT pid, channel, a,
+                 CAST(sum(a) OVER (PARTITION BY pid) AS BIGINT) AS np
+          FROM m)
+        SELECT channel,
+               CAST(sum(a) AS BIGINT) AS touches,
+               count(DISTINCT pid) AS purchases_touched,
+               CAST(sum((1000000 * a) // np) AS BIGINT) AS credit_ppm
+        FROM w
+        GROUP BY channel
+        ORDER BY channel
+      """),
+    ) { (s, dir) =>
+      val kCol = get_json_object(col("props"), "$.k").try_cast("bigint")
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          unix_micros(col("ts")).as("tp"))
+      val c = Tables.events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("tc"),
+          concat(lit("ch"), coalesce(kCol % 4, lit(-1L))).as("channel"))
+      val m = p.join(c, Seq("user_id"))
+        .filter(col("tc") < col("tp") && col("tc") >= col("tp") - HalfHourUs)
+        .groupBy("pid", "channel").agg(count(lit(1)).as("a"))
+      val perPurchase = Window.partitionBy("pid")
+      m.withColumn("np", sum("a").over(perPurchase))
+        .groupBy("channel")
+        .agg(
+          sum("a").as("touches"),
+          countDistinct(col("pid")).as("purchases_touched"),
+          sum(expr("(1000000 * a) div np")).as("credit_ppm"),
+        )
+        .orderBy("channel")
+    },
+
+    // ------------------------------------------------------------------
+    // Snapshot-vs-batch drift report — the data-validation gate every
+    // production training pipeline runs before accepting an increment:
+    // per event_type, base (before the at-rest hwm) vs new-batch counts
+    // and share shift, flagged at |ratio − 1| > 0.25. ONE conditional-
+    // aggregation pass over events (not two filtered scans); the hwm
+    // rides the same 1-row at-rest snapshot as q145, broadcast; totals
+    // are a window over the |event-type| rows. All counts exact BIGINT,
+    // shares/ratios per-row IEEE on those exact integers — determinate
+    // in both engines.
+    QueryDef(
+      "q148_snapshot_drift",
+      Some("""
+        WITH n AS (SELECT epoch_us(ts) AS ts_us, event_type FROM events),
+        hw AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) * 8 // 10 AS cutoff FROM n),
+        g AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN ts_us < (SELECT cutoff FROM hw) THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                 CAST(sum(CASE WHEN ts_us >= (SELECT cutoff FROM hw) THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          FROM n GROUP BY event_type),
+        t AS (
+          SELECT event_type, n_base, n_new,
+                 CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+                 CAST(sum(n_new) OVER () AS BIGINT) AS tn
+          FROM g)
+        SELECT event_type, n_base, n_new,
+               round(CAST(n_base AS DOUBLE) / tb, 4) AS share_base,
+               round(CAST(n_new AS DOUBLE) / tn, 4) AS share_new,
+               round((CAST(n_new AS DOUBLE) / tn) / (CAST(n_base AS DOUBLE) / tb), 4) AS shift_ratio,
+               CASE WHEN abs((CAST(n_new AS DOUBLE) / tn) / (CAST(n_base AS DOUBLE) / tb) - 1.0) > 0.25
+                    THEN 1 ELSE 0 END AS drifted
+        FROM t
+        ORDER BY event_type
+      """),
+    ) { (s, dir) =>
+      val g = eventsUs(s, dir)
+        .crossJoin(broadcast(scd2Hwm(s, dir))) // 1-row at-rest hwm
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("ts_us") < col("cutoff_us"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("ts_us") >= col("cutoff_us"), 1L).otherwise(0L)).as("n_new"),
+        )
+      val whole = Window.partitionBy()
+      val shareBase = col("n_base").cast("double") / col("tb")
+      val shareNew = col("n_new").cast("double") / col("tn")
+      val ratio = shareNew / shareBase
+      g.withColumn("tb", sum("n_base").over(whole))
+        .withColumn("tn", sum("n_new").over(whole))
+        .select(
+          col("event_type"), col("n_base"), col("n_new"),
+          round(shareBase, 4).as("share_base"),
+          round(shareNew, 4).as("share_new"),
+          round(ratio, 4).as("shift_ratio"),
+          when(abs(ratio - 1.0) > 0.25, 1).otherwise(0).as("drifted"),
+        )
+        .orderBy("event_type")
+    },
   )
 }

@@ -170,6 +170,14 @@ object TextOps {
         ELSE [array_to_string($t, ' ')] END"""
   }
 
+  /** q146 blocking-cap / edit bound (declared above `defs`: the lazy
+    * QueryDefs are forced at object construction, so a later val would
+    * still be 0 inside the oracle SQL).
+    */
+  private val LinkageBlockCap = 50
+  private val LinkageMaxEdit = 4
+  private val LinkagePrefixLen = 48
+
   private def snapshot(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
     graft.util.Snapshots(s, dir, name)(build)
 
@@ -294,6 +302,7 @@ object TextOps {
       () => bigramFrequencies(s, dir),
       () => chunkTable(s, dir),
       () => spanWindows(s, dir),
+      () => linkageBlocks(s, dir),
     )
     Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
     ()
@@ -698,7 +707,7 @@ object TextOps {
     normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
     contextChunksDef :+ chunkDedupDef :+ curationFunnelDef :+
     duplicateSpansDef :+ unigramRarityDef :+ modelQualityDef :+
-    collocationsDef :+ vocabGrowthDef :+ thresholdSweepDef
+    collocationsDef :+ vocabGrowthDef :+ thresholdSweepDef :+ editLinkageDef
 
   /** q135 — collocation extraction (phrase mining): top bigrams by
     * PMI-style lift, the standard first step of building a phrase
@@ -2563,5 +2572,90 @@ object TextOps {
           / expr("nullif(cast(retained AS DOUBLE), 0)"), 4).as("en_frac"),
       )
       .orderBy("threshold_pct")
+  }
+
+  /** q146 — blocked record linkage by edit distance: doc pairs whose
+    * normalized 48-char prefixes are within Levenshtein distance
+    * [[LinkageMaxEdit]] — the typo/OCR-level near-dup the token-shingle
+    * family structurally misses (a single in-word character edit
+    * rewrites every shingle that covers it, but moves edit distance by
+    * one). Candidates come from TWO blocking passes (prefix chars 1–8
+    * and 9–16, tagged so the block spaces can't collide): a pair is
+    * nominated if EITHER 8-char window survives the typo, and a block
+    * with more than [[LinkageBlockCap]] members generates no pairs —
+    * the q67 rare-key discipline, so a hot common prefix can never
+    * drive O(block²) work. Verification is the codegen'd built-in
+    * levenshtein on the bounded 48-byte prefixes (fixed-width payload
+    * riding the exchange — the same bounded-payload budget as the
+    * embedding pipelines; never full text). DuckDB's levenshtein
+    * counts the same single-character edits, so the gate cross-checks
+    * engine semantics too.
+    *
+    * Scale class: LINEAR with a bounded per-doc constant, not
+    * sublinear — each doc sits in exactly 2 blocks, so its candidate
+    * partners are ≤ 2·(cap−1) ≈ 100 regardless of corpus size (the
+    * measured decade confirms candidates grow exactly ∝ N). That is
+    * the same class as any per-doc scoring pass (q63/q81); the 0.55
+    * sublinearity bar applies to the LSH/banding family, whose
+    * candidates are collision-driven rather than per-doc-bounded.
+    */
+  /** At-rest blocking index for q146: (doc_id, normalized 48-char
+    * prefix, tagged 8-char block key) — two rows per doc, one per
+    * blocking pass. One corpus-text scan at ingest, like every other
+    * text artifact; linkage queries read this compact table and the
+    * corpus text never enters a query-time plan. The prefix column is
+    * the bounded verification payload (48 B fixed), the same budget the
+    * embedding pipelines ship per row.
+    */
+  private def linkageBlocks(s: SparkSession, dir: String): DataFrame =
+    snapshot(s, dir, "linkage-blocks") {
+      val normd = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(lower(col("text")), 1, LinkagePrefixLen).as("p"))
+      normd
+        .select(col("doc_id"), col("p"),
+          concat(lit("a:"), substring(col("p"), 1, 8)).as("b"))
+        .unionByName(normd
+          .select(col("doc_id"), col("p"),
+            concat(lit("b:"), substring(col("p"), 9, 8)).as("b")))
+    }
+
+  private lazy val editLinkageDef: QueryDef = QueryDef(
+    "q146_edit_distance_linkage",
+    Some(s"""
+      WITH n AS (
+        SELECT doc_id, substr(lower(text), 1, $LinkagePrefixLen) AS p
+        FROM documents),
+      k AS (
+        SELECT doc_id, p, concat('a:', substr(p, 1, 8)) AS b FROM n
+        UNION ALL
+        SELECT doc_id, p, concat('b:', substr(p, 9, 8)) AS b FROM n),
+      ok AS (SELECT b FROM k GROUP BY b HAVING count(*) <= $LinkageBlockCap),
+      cand AS (
+        SELECT DISTINCT k1.doc_id AS d1, k2.doc_id AS d2, k1.p AS p1, k2.p AS p2
+        FROM k k1
+          JOIN ok ON k1.b = ok.b
+          JOIN k k2 ON k2.b = k1.b AND k1.doc_id < k2.doc_id)
+      SELECT d1, d2, levenshtein(p1, p2) AS dist
+      FROM cand
+      WHERE levenshtein(p1, p2) <= $LinkageMaxEdit
+      ORDER BY d1, d2
+    """),
+  ) { (s, dir) =>
+    val keyed = linkageBlocks(s, dir)
+    val ok = keyed.groupBy("b").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= LinkageBlockCap).select("b")
+    val inBlock = keyed.join(ok, Seq("b"))
+    val cand = inBlock.as("x")
+      .join(inBlock.as("y"),
+        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.p").as("p1"), col("y.p").as("p2"))
+      .distinct()
+    cand
+      .filter(levenshtein(col("p1"), col("p2")) <= LinkageMaxEdit)
+      .select(col("d1"), col("d2"),
+        levenshtein(col("p1"), col("p2")).as("dist"))
+      .orderBy("d1", "d2")
   }
 }

@@ -468,6 +468,30 @@ class CurationQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q146 links planted edit-distance twins through either blocking window, caps hot blocks") {
+    // Distinct 48+-char lowercase bases per pair (distinct first-16
+    // chars, so blocks never collide across pairs).
+    def edit(s: String, at: Int*) =
+      at.foldLeft(s)((acc, i) => acc.updated(i, if (acc(i) == 'x') 'y' else 'x'))
+    val baseA = "alpha one stream of perfectly ordinary words here"
+    val baseB = "bravo two stream of perfectly ordinary words here"
+    val baseC = "charlie three rivers of perfectly ordinary words here"
+    val baseD = "delta four rivers of perfectly ordinary words here"
+    val docs = Seq(
+      (0L, baseA, "src"), (1L, baseA, "src"), // identical → dist 0
+      (2L, baseB, "src"), (3L, edit(baseB, 20, 25, 30), "src"), // 3 mid edits → dist 3
+      (4L, baseC, "src"), (5L, edit(baseC, 18, 22, 26, 31, 35, 40), "src"), // 6 edits → cut
+      (6L, baseD, "src"), (7L, edit(baseD, 1, 3), "src"), // window a broken, b intact → found via pass b
+    ) ++
+      // Hot block: 60 docs sharing the first 8 chars with unique tails —
+      // the cap must suppress every pair among them.
+      (100L until 160L).map(i => (i, s"same8pfx unique tail $i ${"z" * 30}", "hot"))
+    val dir = writeDocs(docs)
+    val rows = SparkEntry.queries("q146_edit_distance_linkage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows == Seq((0L, 1L, 0), (2L, 3L, 3), (6L, 7L, 2)), rows.mkString("\n"))
+  }
+
   test("q144 retention is monotone non-increasing on the real corpus") {
     val rows = SparkEntry.queries("q144_threshold_sweep")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(1), r.getLong(2)))

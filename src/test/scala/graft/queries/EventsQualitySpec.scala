@@ -141,4 +141,54 @@ class EventsQualitySpec extends SparkTestBase {
     // And the incremental path IS the recompute, row for row.
     assert(merged == collect("q142_scd2_history"), "merge != full recompute")
   }
+
+  test("q147 splits purchase credit equally across in-window clicks, exact micro-credit") {
+    // props {"k":N} → channel chN%4. user 1: two clicks (ch0, ch1) in
+    // the 30-min window → 500000 ppm each. user 2: three ch2 clicks in
+    // window + one ch3 click OUTSIDE it → ch2 gets the full 1000000,
+    // ch3 nothing. user 3: purchase with no clicks → unattributed.
+    def ev(id: Long, user: Long, tpe: String, sec: Long, k: Int) =
+      (id, user, tpe, sec * 1000000L * 1000L, 0.0, s"""{"k": $k}""")
+    val m = 60L
+    val rows = Seq(
+      ev(1, 1, "click", 10 * m, 0), ev(2, 1, "click", 20 * m, 1),
+      ev(3, 1, "purchase", 25 * m, 0),
+      ev(4, 2, "click", 100 * m, 2), ev(5, 2, "click", 110 * m, 2),
+      ev(6, 2, "click", 115 * m, 2), ev(7, 2, "click", 60 * m, 3), // 58 min before → outside
+      ev(8, 2, "purchase", 118 * m, 0),
+      ev(9, 3, "purchase", 500 * m, 0),
+    )
+    val dir = Files.createTempDirectory("graft_multitouch").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q147_multitouch_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("ch0", 1L, 1L, 500000L),
+      ("ch1", 1L, 1L, 500000L),
+      ("ch2", 3L, 1L, 1000000L),
+    ), out.mkString("\n"))
+  }
+
+  test("q148 flags exactly the planted share shifts between snapshot and batch") {
+    // ts span 0..100 s → hwm at 80 s. Base: a×30 b×10 c×8 (tb=48);
+    // new: a×8 b×2 c×6 (tn=16). Share ratios: a 0.8 (inside the band),
+    // b 0.6 (drifted), c 2.25 (drifted).
+    def ev(id: Long, tpe: String, sec: Long) =
+      (id, id % 7, tpe, sec * 1000000L * 1000L, 0.0, """{"k": 1}""")
+    var id = 0L
+    def burst(tpe: String, n: Int, fromSec: Long, toSec: Long) =
+      (0 until n).map { i =>
+        id += 1; ev(id, tpe, fromSec + (toSec - fromSec) * i / math.max(n - 1, 1))
+      }
+    val rows = burst("a", 30, 0, 79) ++ burst("b", 10, 1, 79) ++ burst("c", 8, 2, 79) ++
+      burst("a", 8, 80, 100) ++ burst("b", 2, 81, 99) ++ burst("c", 6, 82, 99)
+    val dir = Files.createTempDirectory("graft_drift").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q148_snapshot_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(6))).toSeq
+    assert(out == Seq(("a", 30L, 8L, 0), ("b", 10L, 2L, 1), ("c", 8L, 6L, 1)),
+      out.mkString("\n"))
+  }
 }

@@ -564,6 +564,38 @@ class PlanSpec extends SparkTestBase {
     assert(hashEx == 1, s"closed history leaked into the merge shuffle:\n$p")
   }
 
+  test("q146: linkage reads the at-rest block index; corpus text never enters the plan") {
+    // Candidates equi-join the tagged 8-char block keys of the compact
+    // at-rest table; verification rides the bounded 48-byte prefix
+    // column. A documents.parquet scan here would mean re-normalizing
+    // the corpus at query time.
+    val p = plan("q146_edit_distance_linkage")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans == 0, s"corpus scanned at query time; saw $docScans:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("linkage-blocks")) >= 2, p)
+  }
+
+  test("q147: attribution filters push to the scan and join equi on user_id") {
+    val p = plan("q147_multitouch_attribution")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(event_type,purchase)")), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(event_type,click)")), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"purchase-click match must be an equi join on user_id:\n$p")
+  }
+
+  test("q148: the drift report is ONE conditional-aggregation pass over events") {
+    val p = plan("q148_snapshot_drift")
+    val evScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(evScans == 1, s"base/new split must not scan events twice; saw $evScans:\n$p")
+    assert(p.contains("BroadcastExchange"), s"the 1-row hwm must broadcast:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
