@@ -900,6 +900,60 @@ object Events {
     },
 
     // ------------------------------------------------------------------
+    // Temporal dimension lookup — the standard CONSUMER of the SCD2
+    // dimension: enrich each purchase with the state version valid at
+    // its event time (valid_from ≤ ts < valid_to, the open interval
+    // unbounded). Intervals partition each user's timeline from their
+    // first event, so every purchase matches exactly one version — the
+    // equi join on user_id carries the interval predicate as a join
+    // filter, and per-user histories are bounded by that user's change
+    // count, never the corpus. Completes the SCD2 story: build (q142),
+    // merge (q145), stream (scd2WithState), LOOKUP (here).
+    QueryDef(
+      "q149_scd2_lookup",
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+          FROM events),
+        c AS (
+          SELECT user_id, ts_us, event_id, event_type,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+          FROM e),
+        ch AS (
+          SELECT user_id, ts_us, event_id, event_type
+          FROM c WHERE prev IS NULL OR prev <> event_type),
+        d AS (
+          SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+                 lead(ts_us) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+          FROM ch),
+        p AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts_us, d.state, d.version
+        FROM p JOIN d ON p.user_id = d.user_id
+                     AND d.valid_from_us <= p.ts_us
+                     AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+        ORDER BY p.event_id
+      """),
+    ) { (s, dir) =>
+      val dim = collapseRuns(eventsUs(s, dir)).as("d")
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as("p")
+      p.join(dim,
+          col("p.user_id") === col("d.user_id") &&
+            col("d.valid_from_us") <= col("p.ts_us") &&
+            (col("d.valid_to_us").isNull || col("p.ts_us") < col("d.valid_to_us")))
+        .select(col("p.event_id"), col("p.user_id"), col("p.ts_us"),
+          col("d.state"), col("d.version"))
+        .orderBy("event_id")
+    },
+
+    // ------------------------------------------------------------------
     // Snapshot-vs-batch drift report — the data-validation gate every
     // production training pipeline runs before accepting an increment:
     // per event_type, base (before the at-rest hwm) vs new-batch counts

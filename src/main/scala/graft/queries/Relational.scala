@@ -1868,5 +1868,48 @@ object Relational {
         )
         .orderBy("l_orderkey")
     },
+
+    // ------------------------------------------------------------------
+    // Unpivot / melt — the inverse reshape of q42's pivot, via the
+    // first-class Dataset.unpivot operator (Spark's UNPIVOT): the
+    // per-priority metric columns melt into (priority, metric, value)
+    // long form, the shape BI/feature-store consumers ingest. The melt
+    // runs ABOVE the aggregate, so the Expand it plans multiplies the
+    // |priorities| summary rows, never the fact table (contrast q35's
+    // no-Expand pin, which guards pre-aggregation row multiplication).
+    // All melted values are doubles of exact quantities (count cast,
+    // DECIMAL(38,15)-summed total, max) — no order-dependent FP. The
+    // oracle spells the melt dialect-neutrally as UNION ALL.
+    QueryDef(
+      "q150_unpivot",
+      Some("""
+        WITH w AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS DOUBLE) AS n_orders,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,15))) AS DOUBLE), 2) AS total_price,
+                 round(max(o_totalprice), 2) AS max_price
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'total_price', total_price FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'max_price', max_price FROM w
+        ORDER BY o_orderpriority, metric
+      """),
+    ) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).cast("double").as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(38,15)")).cast("double"), 2)
+            .as("total_price"),
+          round(max("o_totalprice"), 2).as("max_price"),
+        )
+        .unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("total_price"), col("max_price")),
+          "metric", "value")
+        .orderBy("o_orderpriority", "metric")
+    },
   )
 }

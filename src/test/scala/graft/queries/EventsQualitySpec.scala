@@ -170,6 +170,31 @@ class EventsQualitySpec extends SparkTestBase {
     ), out.mkString("\n"))
   }
 
+  test("q149 attaches to each purchase the dimension version valid at its timestamp") {
+    // user 1's state stream (purchases are events too, so a purchase
+    // opens its own 'purchase' state run): A@1 A@2 B@3 purchase@4 A@5 →
+    // versions A[1,3) B[3,4) purchase[4,5) A[5,∞). The purchase at 4
+    // must land in ITS OWN version-3 interval (valid_from ≤ ts). user 2
+    // buys mid-run: C@10 purchase@12 C@14 → purchase[12,14) version 2.
+    def ev(id: Long, user: Long, tpe: String, sec: Long) =
+      (id, user, tpe, sec * 1000000L * 1000L, 0.0)
+    val rows = Seq(
+      ev(1, 1, "A", 1), ev(2, 1, "A", 2), ev(3, 1, "B", 3),
+      ev(4, 1, "purchase", 4), ev(5, 1, "A", 5),
+      ev(6, 2, "C", 10), ev(7, 2, "purchase", 12), ev(8, 2, "C", 14),
+    )
+    val dir = Files.createTempDirectory("graft_scd2_lookup").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q149_scd2_lookup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getInt(4))).toSeq
+    assert(out == Seq(
+      (4L, 1L, "purchase", 3),
+      (7L, 2L, "purchase", 2),
+    ), out.mkString("\n"))
+  }
+
   test("q148 flags exactly the planted share shifts between snapshot and batch") {
     // ts span 0..100 s → hwm at 80 s. Base: a×30 b×10 c×8 (tb=48);
     // new: a×8 b×2 c×6 (tn=16). Share ratios: a 0.8 (inside the band),

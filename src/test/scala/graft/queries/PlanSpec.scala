@@ -596,6 +596,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), s"the 1-row hwm must broadcast:\n$p")
   }
 
+  test("q149: the dimension lookup is an equi join on user_id with the purchase filter pushed") {
+    val p = plan("q149_scd2_lookup")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(event_type,purchase)")), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"interval predicate must ride the user_id equi join, not a loop join:\n$p")
+  }
+
+  test("q150: the melt's Expand multiplies the summary rows, not the fact table") {
+    val p = plan("q150_unpivot")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders.parquet"))
+    assert(scans == 1, s"melt must aggregate one orders scan; saw $scans:\n$p")
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    // The Expand input is the |priorities|-row aggregate: the plan must
+    // aggregate BEFORE expanding. Formatted-plan operator ids number
+    // bottom-up (children < parents), so every HashAggregate id must be
+    // smaller than the Expand's id.
+    def ids(op: String): Seq[Int] =
+      s"\\((\\d+)\\) $op".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val expandIds = ids("Expand")
+    val aggIds = ids("HashAggregate")
+    assert(expandIds.nonEmpty && aggIds.nonEmpty && aggIds.forall(_ < expandIds.min),
+      s"aggregate must feed the Expand (got agg=$aggIds expand=$expandIds):\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
