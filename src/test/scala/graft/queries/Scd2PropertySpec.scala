@@ -1,0 +1,64 @@
+package graft.queries
+
+import java.nio.file.Files
+import scala.util.Random
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Property-style fuzz (seeded loops, same §5.3 stand-in as
+  * OpsPropertySpec) for the SCD2 family: on random event streams —
+  * including same-timestamp collisions where only the event_id
+  * tiebreak orders the stream — q142 must equal an independent
+  * in-memory reference collapse, and q145's incremental merge must
+  * equal q142 whatever the random base/batch split looks like
+  * (empty new batches, single-run users, all-changes users).
+  */
+class Scd2PropertySpec extends SparkTestBase {
+  import sqlImplicits._
+
+  private val rng = new Random(173)
+
+  /** (event_id, user_id, event_type, ts_us) → expected q142 rows. */
+  private def reference(
+      rows: Seq[(Long, Long, String, Long)]): Seq[(Long, String, Long, Option[Long], Int)] =
+    rows.groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var last: Option[String] = None
+      sorted.foreach { e =>
+        if (!last.contains(e._3)) { runs += ((e._3, e._4)); last = Some(e._3) }
+      }
+      runs.zipWithIndex.map { case ((st, from), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (u, st, from, to, i + 1)
+      }
+    }.sortBy(r => (r._1, r._5))
+
+  test("q142 matches the reference collapse and q145 matches q142 on fuzzed streams") {
+    (1 to 5).foreach { round =>
+      val nUsers = 2 + rng.nextInt(4)
+      var id = 0L
+      val rows = (1 to nUsers).flatMap { u =>
+        (0 until (3 + rng.nextInt(25))).map { _ =>
+          id += 1
+          // ts from a SMALL second range: collisions are likely, so the
+          // event_id tiebreak is genuinely load-bearing.
+          (id, u.toLong, s"S${rng.nextInt(3)}", rng.nextInt(16) * 1000000L)
+        }
+      }
+      val dir = Files.createTempDirectory(s"graft_scd2_fuzz$round").toString
+      rows.map { case (e, u, t, us) => (e, u, t, us * 1000L, 0.0) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+      def collect(q: String) = SparkEntry.queries(q)(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4)))
+        .toSeq
+      val got142 = collect("q142_scd2_history")
+      assert(got142 == reference(rows), s"round $round: q142 != reference")
+      assert(collect("q145_scd2_merge") == got142, s"round $round: merge != recompute")
+    }
+  }
+}
