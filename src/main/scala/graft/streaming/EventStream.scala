@@ -59,6 +59,27 @@ final case class AsOfFwdRow(
 final case class AnomalyRow(
     event_type: String, minute_us: Long, n: Long, z: Double, spike: Int)
 
+/** Typed event row for the streaming attribution operator: channel is
+  * pre-derived (the batch twin derives it from the props JSON; a
+  * stream job does the same in its select before this operator).
+  */
+final case class AttrEvent(
+    ts: java.sql.Timestamp, user_id: Long, event_type: String,
+    channel: String, event_id: Long)
+
+/** Attribution state (one per user): in-horizon clicks (ts, channel)
+  * and purchases awaiting maturation.
+  */
+final case class AttrBuf(
+    clicks: Vector[(Long, String)], pend: Vector[PendingPurchase])
+
+/** Emitted credit split — aggregating (sum touches, distinct pids,
+  * sum credit_ppm) per channel reproduces q147's declared rows.
+  */
+final case class CreditRow(
+    user_id: Long, purchase_event_id: Long, channel: String,
+    touches: Long, credit_ppm: Long)
+
 /** A state-change candidate buffered until the watermark matures it. */
 final case class PendingState(t: Long, event_id: Long, state: String)
 
@@ -369,6 +390,80 @@ object EventStream {
       // this operator's event-time clock — a stretch of traffic with
       // neither type holds maturation at the last click/purchase time,
       // which is the conservative (never-wrong) behavior.
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming multi-touch attribution — the incremental twin of
+    * q147's fractional credit split: a purchase's answer is final once
+    * the watermark passes its event time (every click at-or-under the
+    * watermark is complete, and a future click arrives strictly after
+    * the purchase so it can never enter the look-back window). Each
+    * maturing purchase splits 1e6 micro-credits across its user's
+    * clicks in the preceding `windowMinutes`, grouped by channel —
+    * exact integer arithmetic, the same (1e6·a) div n as the batch
+    * query, so aggregating the emitted rows per channel reproduces
+    * q147's declared output bit-for-bit (spec-proven). Clicks prune
+    * once the watermark passes tc + window (no live or future purchase
+    * can look back that far), so state is O(events in the horizon);
+    * beyond-horizon arrivals are dropped explicitly (same contract as
+    * [[scd2WithState]]).
+    */
+  def attributionWithState(
+      events: Dataset[AttrEvent],
+      windowMinutes: Int = 30): Dataset[CreditRow] = {
+    val windowUs = windowMinutes * 60L * 1000000L
+    implicit val bufEnc: Encoder[AttrBuf] = Encoders.product[AttrBuf]
+    implicit val rowEnc: Encoder[CreditRow] = Encoders.product[CreditRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+    def update(
+        user: Long, rows: Iterator[AttrEvent],
+        state: GroupState[AttrBuf]): Iterator[CreditRow] = {
+      var st = state.getOption.getOrElse(AttrBuf(Vector.empty, Vector.empty))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      if (!state.hasTimedOut) rows.foreach { e =>
+        val us = micros(e.ts)
+        if (us > wmUs) { // beyond-horizon arrivals dropped explicitly
+          if (e.event_type == "click")
+            st = st.copy(clicks = st.clicks :+ (us, e.channel))
+          else if (e.event_type == "purchase")
+            st = st.copy(pend = st.pend :+ PendingPurchase(e.event_id, us))
+        }
+      }
+      val (matured, stay) = st.pend.partition(_.t <= wmUs)
+      val out = matured.sortBy(p => (p.t, p.event_id)).flatMap { p =>
+        val inWin = st.clicks.filter { case (tc, _) =>
+          tc < p.t && tc >= p.t - windowUs
+        }
+        val n = inWin.size.toLong
+        inWin.groupBy(_._2).toSeq.sortBy(_._1).map { case (ch, cs) =>
+          val a = cs.size.toLong
+          CreditRow(user, p.event_id, ch, a, 1000000L * a / n)
+        }
+      }
+      // Clicks stay while a live or future purchase can still reach
+      // back to them: tc + window > watermark.
+      val kept = st.clicks.filter { case (tc, _) => tc + windowUs > wmUs }
+      st = AttrBuf(kept, stay)
+      if (st.clicks.isEmpty && st.pend.isEmpty) state.remove()
+      else {
+        state.update(st)
+        // Wake at the earliest pending maturation, or when the oldest
+        // click ages out (state GC) — both strictly past the watermark.
+        val wakeUs = (st.pend.map(_.t) ++
+          st.clicks.map { case (tc, _) => tc + windowUs }).min
+        state.setTimeoutTimestamp(wakeUs / 1000L + 1L)
+      }
+      out.iterator
+    }
+
+    events
       .withWatermark("ts", "1 hour")
       .filter(col("event_type").isin("click", "purchase"))
       .groupByKey(_.user_id)

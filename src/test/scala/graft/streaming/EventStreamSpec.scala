@@ -472,6 +472,83 @@ class EventStreamSpec extends SparkTestBase {
       "per-event replay must converge to the same history")
   }
 
+  // ---- streaming attribution twin -----------------------------------
+  // Span 2..45 min — inside the 1h watermark horizon, so no arrival
+  // order can drop a row and the replays must converge. user 1: two
+  // one-click channels; user 2: a 3-click channel plus an out-of-window
+  // click; user 3: a clickless purchase (emits nothing).
+  private val attrBaseUs = 1704067200000000L
+  private val attrEvents: Seq[AttrEvent] = {
+    def tsOf(us: Long) = { val t = new Timestamp(us / 1000L); t.setNanos((us % 1000000L).toInt * 1000); t }
+    def m(min: Long) = attrBaseUs + min * 60L * 1000000L
+    Seq(
+      AttrEvent(tsOf(m(10)), 1, "click", "ch0", 1),
+      AttrEvent(tsOf(m(20)), 1, "click", "ch1", 2),
+      AttrEvent(tsOf(m(25)), 1, "purchase", "", 3),
+      AttrEvent(tsOf(m(30)), 2, "click", "ch2", 4),
+      AttrEvent(tsOf(m(35)), 2, "click", "ch2", 5),
+      AttrEvent(tsOf(m(38)), 2, "click", "ch2", 6),
+      AttrEvent(tsOf(m(2)), 2, "click", "ch3", 7), // 38 min before the purchase: outside
+      AttrEvent(tsOf(m(40)), 2, "purchase", "", 8),
+      AttrEvent(tsOf(m(45)), 3, "purchase", "", 9),
+    )
+  }
+
+  private def runAttr(batches: Seq[Seq[AttrEvent]],
+      name: String): Seq[(String, Long, Long, Long)] = {
+    implicit val sc = spark.sqlContext
+    def tsOf(us: Long) = { val t = new Timestamp(us / 1000L); t.setNanos((us % 1000000L).toInt * 1000); t }
+    val stream = MemoryStream[AttrEvent]
+    val q = EventStream.attributionWithState(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      stream.addData(AttrEvent(tsOf(attrBaseUs + 3L * 24 * 3600 * 1000000L), -1L, "click", "chS", -1L))
+      q.processAllAvailable()
+      stream.addData(AttrEvent(tsOf(attrBaseUs + 4L * 24 * 3600 * 1000000L), -1L, "click", "chS", -2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Aggregate the per-(purchase, channel) splits to q147's grain.
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .filter(_._1 >= 0)
+      .groupBy(_._3).toSeq.map { case (ch, rs) =>
+        (ch, rs.map(_._4).sum, rs.map(_._2).distinct.length.toLong, rs.map(_._5).sum)
+      }.sortBy(_._1)
+  }
+
+  test("streaming attribution reproduces the batch q147 rows on the same data") {
+    val streamed = runAttr(Seq(attrEvents), "attr_whole")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_attr").toString
+    attrEvents.map { e =>
+      val k = if (e.channel.startsWith("ch")) e.channel.drop(2) else "0"
+      (e.event_id, e.user_id, e.event_type,
+        (e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L) * 1000L, 0.0,
+        s"""{"k": $k}""")
+    }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q147_multitouch_attribution")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed == Seq(
+      ("ch0", 1L, 1L, 500000L), ("ch1", 1L, 1L, 500000L), ("ch2", 3L, 1L, 1000000L),
+    ), streamed.mkString("\n"))
+  }
+
+  test("torn replay (attribution): purchase-first and shuffled dribble converge") {
+    val allAtOnce = runAttr(Seq(attrEvents), "attr_ref")
+    val purchasesFirst = Seq(
+      attrEvents.filter(_.event_type == "purchase"),
+      attrEvents.filter(_.event_type == "click").reverse,
+    )
+    assert(runAttr(purchasesFirst, "attr_torn") == allAtOnce)
+    val oneByOne = new scala.util.Random(13).shuffle(attrEvents).map(Seq(_))
+    assert(runAttr(oneByOne, "attr_dribble") == allAtOnce)
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
