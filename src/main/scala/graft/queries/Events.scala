@@ -26,14 +26,14 @@ object Events {
   /** Trailing-baseline length (minutes) for q115's anomaly frame. */
   private val BaselineMinutes = 30
 
-  /** Shared oracle for q142 (full SCD2 recompute) and q145 (incremental
-    * merge) — the merge DECLARES the full updated history, so the same
-    * SQL gates both: equality proves the incremental path reconstructs
-    * the recompute exactly. (Declared above `defs`: a val below it
-    * would still be null when the strict Seq is built.)
+  /** Oracle-side SCD2 dimension as a shared WITH-fragment (the psCte
+    * pattern): ONE definition of the run-collapse feeds q142's and
+    * q145's full-history oracles AND q149's lookup oracle, so a future
+    * semantics change cannot leave one gate checking a stale
+    * dimension. (Declared above `defs`: a val below it would still be
+    * null when the strict Seq is built.)
     */
-  private val Scd2OracleSql = """
-    WITH e AS (
+  private val Scd2DimCte = """e AS (
       SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
       FROM events),
     c AS (
@@ -43,13 +43,24 @@ object Events {
       FROM e),
     ch AS (
       SELECT user_id, ts_us, event_id, event_type
-      FROM c WHERE prev IS NULL OR prev <> event_type)
-    SELECT user_id, event_type AS state, ts_us AS valid_from_us,
-           lead(ts_us) OVER
-             (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
-           row_number() OVER
-             (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
-    FROM ch
+      FROM c WHERE prev IS NULL OR prev <> event_type),
+    d AS (
+      SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+             lead(ts_us) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+      FROM ch)"""
+
+  /** Shared oracle for q142 (full SCD2 recompute) and q145 (incremental
+    * merge) — the merge DECLARES the full updated history, so the same
+    * SQL gates both: equality proves the incremental path reconstructs
+    * the recompute exactly.
+    */
+  private val Scd2OracleSql = s"""
+    WITH $Scd2DimCte
+    SELECT user_id, state, valid_from_us, valid_to_us, version
+    FROM d
     ORDER BY user_id, version
   """
 
@@ -98,10 +109,13 @@ object Events {
 
   /** The at-rest SCD2 dimension: history collapsed from every event
     * before the hwm — what the previous incremental run left behind.
+    * The cutoff comes from the already-built hwm artifact (a 1-row
+    * driver read at build time), so the corpus min/max scan runs once
+    * per corpus, not once per artifact.
     */
   private def scd2Base(s: SparkSession, dir: String): DataFrame =
     graft.util.Snapshots(s, dir, "scd2-base") {
-      val c = scd2CutoffUs(s, dir)
+      val c = scd2Hwm(s, dir).head().getLong(0)
       collapseRuns(eventsUs(s, dir).filter(col("ts_us") < c))
     }
 
@@ -911,25 +925,8 @@ object Events {
     // merge (q145), stream (scd2WithState), LOOKUP (here).
     QueryDef(
       "q149_scd2_lookup",
-      Some("""
-        WITH e AS (
-          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
-          FROM events),
-        c AS (
-          SELECT user_id, ts_us, event_id, event_type,
-                 lag(event_type) OVER
-                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
-          FROM e),
-        ch AS (
-          SELECT user_id, ts_us, event_id, event_type
-          FROM c WHERE prev IS NULL OR prev <> event_type),
-        d AS (
-          SELECT user_id, event_type AS state, ts_us AS valid_from_us,
-                 lead(ts_us) OVER
-                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
-                 row_number() OVER
-                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
-          FROM ch),
+      Some(s"""
+        WITH $Scd2DimCte,
         p AS (
           SELECT event_id, user_id, epoch_us(ts) AS ts_us
           FROM events WHERE event_type = 'purchase')
@@ -979,10 +976,13 @@ object Events {
                  CAST(sum(n_new) OVER () AS BIGINT) AS tn
           FROM g)
         SELECT event_type, n_base, n_new,
-               round(CAST(n_base AS DOUBLE) / tb, 4) AS share_base,
+               round(CAST(n_base AS DOUBLE) / nullif(tb, 0), 4) AS share_base,
                round(CAST(n_new AS DOUBLE) / tn, 4) AS share_new,
-               round((CAST(n_new AS DOUBLE) / tn) / (CAST(n_base AS DOUBLE) / tb), 4) AS shift_ratio,
-               CASE WHEN abs((CAST(n_new AS DOUBLE) / tn) / (CAST(n_base AS DOUBLE) / tb) - 1.0) > 0.25
+               round((CAST(n_new AS DOUBLE) / tn)
+                     / nullif(CAST(n_base AS DOUBLE) / nullif(tb, 0), 0), 4) AS shift_ratio,
+               CASE WHEN n_base = 0 THEN CASE WHEN n_new > 0 THEN 1 ELSE 0 END
+                    WHEN abs((CAST(n_new AS DOUBLE) / tn)
+                             / nullif(CAST(n_base AS DOUBLE) / nullif(tb, 0), 0) - 1.0) > 0.25
                     THEN 1 ELSE 0 END AS drifted
         FROM t
         ORDER BY event_type
@@ -995,10 +995,15 @@ object Events {
           sum(when(col("ts_us") < col("cutoff_us"), 1L).otherwise(0L)).as("n_base"),
           sum(when(col("ts_us") >= col("cutoff_us"), 1L).otherwise(0L)).as("n_new"),
         )
+      // A type with NO base presence is the clearest drift of all —
+      // the ratio is undefined (NULL, via nullif so ANSI mode cannot
+      // throw DIVIDE_BY_ZERO) and the flag is decided explicitly.
+      // nullif(tb) additionally guards the degenerate empty-base
+      // corpus (all events at one timestamp put the hwm at min ts).
       val whole = Window.partitionBy()
-      val shareBase = col("n_base").cast("double") / col("tb")
+      val shareBase = col("n_base").cast("double") / expr("nullif(tb, 0)")
       val shareNew = col("n_new").cast("double") / col("tn")
-      val ratio = shareNew / shareBase
+      val ratio = shareNew / nullif(shareBase, lit(0.0))
       g.withColumn("tb", sum("n_base").over(whole))
         .withColumn("tn", sum("n_new").over(whole))
         .select(
@@ -1006,7 +1011,9 @@ object Events {
           round(shareBase, 4).as("share_base"),
           round(shareNew, 4).as("share_new"),
           round(ratio, 4).as("shift_ratio"),
-          when(abs(ratio - 1.0) > 0.25, 1).otherwise(0).as("drifted"),
+          when(col("n_base") === 0, when(col("n_new") > 0, 1).otherwise(0))
+            .otherwise(when(abs(ratio - 1.0) > 0.25, 1).otherwise(0))
+            .as("drifted"),
         )
         .orderBy("event_type")
     },

@@ -2652,10 +2652,13 @@ object TextOps {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.p").as("p1"), col("y.p").as("p2"))
       .distinct()
+    // Compute the distance ONCE per candidate (Spark does not CSE
+    // across the filter/project boundary, and the 48×48 DP is the
+    // dominant per-pair cost).
     cand
-      .filter(levenshtein(col("p1"), col("p2")) <= LinkageMaxEdit)
-      .select(col("d1"), col("d2"),
-        levenshtein(col("p1"), col("p2")).as("dist"))
+      .withColumn("dist", levenshtein(col("p1"), col("p2")))
+      .filter(col("dist") <= LinkageMaxEdit)
+      .select("d1", "d2", "dist")
       .orderBy("d1", "d2")
   }
 }

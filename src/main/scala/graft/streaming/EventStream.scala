@@ -118,6 +118,15 @@ final case class Scd2Row(
   */
 object EventStream {
 
+  /** Timestamp → epoch MICROseconds at full precision: Timestamp
+    * .getTime is MILLIseconds and the sub-ms part lives in getNanos —
+    * truncating to ms would merge events the batch queries' (ts_us,
+    * event_id) total order splits. One definition for every stateful
+    * operator so event-time semantics cannot drift between them.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
   /** Tumbling 1-hour counts per event type, 1-hour watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
@@ -201,9 +210,6 @@ object EventStream {
     // Full microsecond precision: Timestamp.getTime is MILLIseconds;
     // the sub-ms part lives in getNanos. Truncating to ms would merge
     // sessions q52 splits at the exact 30-minute boundary.
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
-
     def close(user: Long, a: SessionAcc): SessionRow =
       SessionRow(user, a.startUs, a.lastUs + gapUs, a.n,
         math.round(a.sum * 100.0) / 100.0) // 2dp, matching q52's round(sum,2)
@@ -266,9 +272,6 @@ object EventStream {
     implicit val stEnc: Encoder[AnomalyState] = Encoders.product[AnomalyState]
     implicit val rowEnc: Encoder[AnomalyRow] = Encoders.product[AnomalyRow]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
-
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
     def update(
         typ: String, rows: Iterator[StreamEvent],
@@ -345,9 +348,6 @@ object EventStream {
     implicit val rowEnc: Encoder[AsOfRow] = Encoders.product[AsOfRow]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
 
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
-
     def update(
         user: Long, rows: Iterator[StreamEvent],
         state: GroupState[AsOfBuf]): Iterator[AsOfRow] = {
@@ -419,9 +419,6 @@ object EventStream {
     implicit val rowEnc: Encoder[CreditRow] = Encoders.product[CreditRow]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
 
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
-
     def update(
         user: Long, rows: Iterator[AttrEvent],
         state: GroupState[AttrBuf]): Iterator[CreditRow] = {
@@ -492,9 +489,6 @@ object EventStream {
     implicit val rowEnc: Encoder[Scd2Row] = Encoders.product[Scd2Row]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
 
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
-
     def update(
         user: Long, rows: Iterator[StreamEvent],
         state: GroupState[Scd2Buf]): Iterator[Scd2Row] = {
@@ -550,9 +544,6 @@ object EventStream {
     implicit val bufEnc: Encoder[AsOfFwdBuf] = Encoders.product[AsOfFwdBuf]
     implicit val rowEnc: Encoder[AsOfFwdRow] = Encoders.product[AsOfFwdRow]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
     def update(
         user: Long, rows: Iterator[StreamEvent],

@@ -196,9 +196,11 @@ class EventsQualitySpec extends SparkTestBase {
   }
 
   test("q148 flags exactly the planted share shifts between snapshot and batch") {
-    // ts span 0..100 s → hwm at 80 s. Base: a×30 b×10 c×8 (tb=48);
-    // new: a×8 b×2 c×6 (tn=16). Share ratios: a 0.8 (inside the band),
-    // b 0.6 (drifted), c 2.25 (drifted).
+    // ts span 0..100 s → hwm at 80 s. Base: a×30 b×10 c×8 e×5
+    // (tb=53); new: a×12 b×2 c×6 d×3 (tn=23). Ratios: a 0.92 (in
+    // band), b 0.46 and c 1.73 (drifted), d is NEW-ONLY (n_base=0 —
+    // ratio undefined/NULL, flag must be 1 and the query must not
+    // raise ANSI DIVIDE_BY_ZERO), e vanishes (ratio 0, flag 1).
     def ev(id: Long, tpe: String, sec: Long) =
       (id, id % 7, tpe, sec * 1000000L * 1000L, 0.0, """{"k": 1}""")
     var id = 0L
@@ -207,13 +209,19 @@ class EventsQualitySpec extends SparkTestBase {
         id += 1; ev(id, tpe, fromSec + (toSec - fromSec) * i / math.max(n - 1, 1))
       }
     val rows = burst("a", 30, 0, 79) ++ burst("b", 10, 1, 79) ++ burst("c", 8, 2, 79) ++
-      burst("a", 8, 80, 100) ++ burst("b", 2, 81, 99) ++ burst("c", 6, 82, 99)
+      burst("e", 5, 3, 78) ++
+      burst("a", 12, 80, 100) ++ burst("b", 2, 81, 99) ++ burst("c", 6, 82, 99) ++
+      burst("d", 3, 83, 98)
     val dir = Files.createTempDirectory("graft_drift").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
-    val out = SparkEntry.queries("q148_snapshot_drift")(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(6))).toSeq
-    assert(out == Seq(("a", 30L, 8L, 0), ("b", 10L, 2L, 1), ("c", 8L, 6L, 1)),
-      out.mkString("\n"))
+    val collected = SparkEntry.queries("q148_snapshot_drift")(spark, dir).collect()
+    val out = collected.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(6))).toSeq
+    assert(out == Seq(
+      ("a", 30L, 12L, 0), ("b", 10L, 2L, 1), ("c", 8L, 6L, 1),
+      ("d", 0L, 3L, 1), ("e", 5L, 0L, 1),
+    ), out.mkString("\n"))
+    // The new-only type's ratio is NULL (undefined), not an error.
+    assert(collected.find(_.getString(0) == "d").exists(_.isNullAt(5)))
   }
 }
