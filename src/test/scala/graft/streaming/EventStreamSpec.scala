@@ -549,6 +549,79 @@ class EventStreamSpec extends SparkTestBase {
     assert(runAttr(oneByOne, "attr_dribble") == allAtOnce)
   }
 
+  test("streaming SCD2 over the real corpus matches the batch history's closed rows") {
+    implicit val sc = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val events = graft.util.Tables.events(spark, sfDir)
+      .select($"ts", $"user_id", $"event_type", $"value", $"event_id")
+      .as[StreamEvent].collect().toSeq
+    val maxTs = events.map(_.ts.getTime).max
+    def sentinel(id: Long, plusH: Long) =
+      StreamEvent(new Timestamp(maxTs + plusH * 3600 * 1000), -1L, "sentinel", 0.0, id)
+
+    // All real events in ONE batch: everything buffers before any
+    // maturation, so the corpus's full ts span cannot trip the
+    // watermark-horizon late-drop; the sentinels then mature it all.
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.scd2WithState(stream.toDS())
+      .writeStream.format("memory").queryName("real_scd2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(sentinel(-1, 48)); q.processAllAvailable()
+      stream.addData(sentinel(-2, 96)); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("real_scd2").filter($"user_id" >= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(x => (x._1, x._5)).toSeq
+    val batchClosed = graft.SparkEntry.queries("q142_scd2_history")(spark, sfDir)
+      .collect().filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(x => (x._1, x._5)).toSeq
+    assert(streamed.size == batchClosed.size && streamed == batchClosed,
+      s"streamed ${streamed.size} rows != batch ${batchClosed.size} closed rows")
+  }
+
+  test("streaming attribution over the real corpus matches the oracle-checked q147") {
+    implicit val sc = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // Same channel derivation as the batch query's select (k mod 4).
+    val events = graft.util.Tables.events(spark, sfDir)
+      .selectExpr("ts", "user_id", "event_type",
+        "concat('ch', coalesce(try_cast(get_json_object(props, '$.k') AS BIGINT) % 4, -1)) AS channel",
+        "event_id")
+      .as[AttrEvent].collect().toSeq
+    val maxTs = events.map(_.ts.getTime).max
+
+    val stream = MemoryStream[AttrEvent]
+    val q = EventStream.attributionWithState(stream.toDS())
+      .writeStream.format("memory").queryName("real_attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(AttrEvent(new Timestamp(maxTs + 48L * 3600 * 1000), -1L, "click", "chS", -1L))
+      q.processAllAvailable()
+      stream.addData(AttrEvent(new Timestamp(maxTs + 96L * 3600 * 1000), -1L, "click", "chS", -2L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("real_attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .filter(_._1 >= 0)
+      .groupBy(_._3).toSeq.map { case (ch, rs) =>
+        (ch, rs.map(_._4).sum, rs.map(_._2).distinct.length.toLong, rs.map(_._5).sum)
+      }.sortBy(_._1)
+    val batch = graft.SparkEntry.queries("q147_multitouch_attribution")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=$streamed\nbatch=$batch")
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
