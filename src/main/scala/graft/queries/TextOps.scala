@@ -2581,43 +2581,66 @@ object TextOps {
     * rewrites every shingle that covers it, but moves edit distance by
     * one). Candidates come from TWO blocking passes (prefix chars 1–8
     * and 9–16, tagged so the block spaces can't collide): a pair is
-    * nominated if EITHER 8-char window survives the typo, and a block
-    * with more than [[LinkageBlockCap]] members generates no pairs —
-    * the q67 rare-key discipline, so a hot common prefix can never
-    * drive O(block²) work. Verification is the codegen'd built-in
-    * levenshtein on the bounded 48-byte prefixes (fixed-width payload
-    * riding the exchange — the same bounded-payload budget as the
-    * embedding pipelines; never full text). DuckDB's levenshtein
-    * counts the same single-character edits, so the gate cross-checks
-    * engine semantics too.
+    * nominated if EITHER 8-char window survives the typo. A block with
+    * more than [[LinkageBlockCap]] members is NOT dropped — it is
+    * split into rank-contiguous sub-blocks of ≤ cap members, ranked by
+    * the full 48-char prefix (sorted-neighborhood blocking: the docs
+    * most likely to be within edit distance of each other sort
+    * adjacently, so a hot boilerplate prefix degrades to *sampled*
+    * coverage of its most-similar neighbors instead of silently
+    * producing zero pairs, while per-block pair work stays O(cap²)).
+    * Verification is the codegen'd built-in levenshtein on the bounded
+    * 48-byte prefixes (fixed-width payload riding the exchange — the
+    * same bounded-payload budget as the embedding pipelines; never
+    * full text). DuckDB's levenshtein counts the same single-character
+    * edits, so the gate cross-checks engine semantics too.
     *
     * Scale class: LINEAR with a bounded per-doc constant, not
-    * sublinear — each doc sits in exactly 2 blocks, so its candidate
-    * partners are ≤ 2·(cap−1) ≈ 100 regardless of corpus size (the
+    * sublinear — each doc sits in exactly 2 blocks and each sub-block
+    * holds ≤ cap members, so its candidate partners are ≤ 2·(cap−1)
+    * ≈ 100 regardless of corpus size AND regardless of block skew (the
     * measured decade confirms candidates grow exactly ∝ N). That is
     * the same class as any per-doc scoring pass (q63/q81); the 0.55
     * sublinearity bar applies to the LSH/banding family, whose
     * candidates are collision-driven rather than per-doc-bounded.
+    *
+    * What sub-blocking gives up, explicitly: a near-dup pair split
+    * across a sub-block boundary (or whose prefixes sort far apart
+    * inside a hot block despite low edit distance — possible when the
+    * edit is in the FIRST characters) is missed. That is graceful
+    * degradation — bounded sampled recall — where the previous
+    * `HAVING count(*) <= cap` was a cliff to zero on exactly the
+    * boilerplate-prefixed corpora where typo twins concentrate.
     */
   /** At-rest blocking index for q146: (doc_id, normalized 48-char
-    * prefix, tagged 8-char block key) — two rows per doc, one per
-    * blocking pass. One corpus-text scan at ingest, like every other
-    * text artifact; linkage queries read this compact table and the
-    * corpus text never enters a query-time plan. The prefix column is
-    * the bounded verification payload (48 B fixed), the same budget the
-    * embedding pipelines ship per row.
+    * prefix, tagged 8-char block key, sub-block id) — two rows per
+    * doc, one per blocking pass. One corpus-text scan at ingest, like
+    * every other text artifact; linkage queries read this compact
+    * table and the corpus text never enters a query-time plan. The
+    * prefix column is the bounded verification payload (48 B fixed),
+    * the same budget the embedding pipelines ship per row. The
+    * sub-block id is `(rank within block by (p, doc_id) − 1) div cap`
+    * — deterministic (the rank order is total: doc_id breaks prefix
+    * ties), so the DuckDB twin computes the identical partition. The
+    * rank window shuffles the compact (id, 48 B, 10 B) index once at
+    * ingest; query-time plans only equi-join (b, sub).
     */
   private def linkageBlocks(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "linkage-blocks") {
       val normd = tbl(s, dir, "documents")
         .select(col("doc_id"),
           substring(lower(col("text")), 1, LinkagePrefixLen).as("p"))
-      normd
+      val keyed = normd
         .select(col("doc_id"), col("p"),
           concat(lit("a:"), substring(col("p"), 1, 8)).as("b"))
         .unionByName(normd
           .select(col("doc_id"), col("p"),
             concat(lit("b:"), substring(col("p"), 9, 8)).as("b")))
+      val byPrefix = org.apache.spark.sql.expressions.Window
+        .partitionBy("b").orderBy("p", "doc_id")
+      keyed.withColumn("sub",
+        floor((row_number().over(byPrefix) - lit(1))
+          / lit(LinkageBlockCap)).cast("int"))
     }
 
   private lazy val editLinkageDef: QueryDef = QueryDef(
@@ -2630,35 +2653,40 @@ object TextOps {
         SELECT doc_id, p, concat('a:', substr(p, 1, 8)) AS b FROM n
         UNION ALL
         SELECT doc_id, p, concat('b:', substr(p, 9, 8)) AS b FROM n),
-      ok AS (SELECT b FROM k GROUP BY b HAVING count(*) <= $LinkageBlockCap),
+      sb AS (
+        SELECT doc_id, p, b,
+          CAST(floor((row_number() OVER (PARTITION BY b ORDER BY p, doc_id) - 1)
+            / $LinkageBlockCap) AS INT) AS sub
+        FROM k),
       cand AS (
         SELECT DISTINCT k1.doc_id AS d1, k2.doc_id AS d2, k1.p AS p1, k2.p AS p2
-        FROM k k1
-          JOIN ok ON k1.b = ok.b
-          JOIN k k2 ON k2.b = k1.b AND k1.doc_id < k2.doc_id)
+        FROM sb k1
+          JOIN sb k2 ON k2.b = k1.b AND k2.sub = k1.sub
+            AND k1.doc_id < k2.doc_id)
       SELECT d1, d2, levenshtein(p1, p2) AS dist
       FROM cand
       WHERE levenshtein(p1, p2) <= $LinkageMaxEdit
       ORDER BY d1, d2
     """),
   ) { (s, dir) =>
-    val keyed = linkageBlocks(s, dir)
-    val ok = keyed.groupBy("b").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= LinkageBlockCap).select("b")
-    val inBlock = keyed.join(ok, Seq("b"))
-    val cand = inBlock.as("x")
+    val inBlock = linkageBlocks(s, dir)
+    // Verify BEFORE deduplicating: the threshold form of levenshtein
+    // (Spark 3.5+) runs the banded O(len·k) DP — ~k/len the cost of
+    // the full 48×48 matrix, returning −1 above the bound — and the
+    // ≤-bound filter runs map-side on the join output, so the only
+    // exchange after the join carries the tiny (d1, d2, dist) survivor
+    // set, never the 48-byte prefix pair. A pair nominated by BOTH
+    // blocking passes is verified twice (cheap, banded) instead of
+    // pushing every candidate's string payload through a distinct —
+    // at 100 TB the exchange is the bottleneck, not the DP.
+    inBlock.as("x")
       .join(inBlock.as("y"),
-        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+        col("x.b") === col("y.b") && col("x.sub") === col("y.sub")
+          && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.p").as("p1"), col("y.p").as("p2"))
+        levenshtein(col("x.p"), col("y.p"), LinkageMaxEdit).as("dist"))
+      .filter(col("dist") >= 0)
       .distinct()
-    // Compute the distance ONCE per candidate (Spark does not CSE
-    // across the filter/project boundary, and the 48×48 DP is the
-    // dominant per-pair cost).
-    cand
-      .withColumn("dist", levenshtein(col("p1"), col("p2")))
-      .filter(col("dist") <= LinkageMaxEdit)
-      .select("d1", "d2", "dist")
       .orderBy("d1", "d2")
   }
 }

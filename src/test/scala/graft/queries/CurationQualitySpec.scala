@@ -468,7 +468,7 @@ class CurationQualitySpec extends SparkTestBase {
     }
   }
 
-  test("q146 links planted edit-distance twins through either blocking window, caps hot blocks") {
+  test("q146 links planted twins through either window AND inside a hot block (sampled, not dropped)") {
     // Distinct 48+-char lowercase bases per pair (distinct first-16
     // chars, so blocks never collide across pairs).
     def edit(s: String, at: Int*) =
@@ -477,19 +477,32 @@ class CurationQualitySpec extends SparkTestBase {
     val baseB = "bravo two stream of perfectly ordinary words here"
     val baseC = "charlie three rivers of perfectly ordinary words here"
     val baseD = "delta four rivers of perfectly ordinary words here"
+    // Hot block: 54 docs (> LinkageBlockCap=50) sharing BOTH 8-char
+    // blocking windows ("same8pfx" / " hotwind"), so sub-block
+    // co-location is the ONLY route to a pair — the old HAVING cap
+    // produced zero pairs here. 52 fillers with tails c1^15 c2^15
+    // (c1≠c2): any two fillers differ by ≥ 15 edits (equal length, LCS
+    // ≤ 15), so no filler pair can pass the ≤ 4 bound. The planted
+    // twins' tails start 't' — they rank 53/54 by prefix order, i.e.
+    // INSIDE the second sub-block, and must still be found.
+    val hotHead = "same8pfx hotwind" // chars 1-8 and 9-16 shared by all
+    val fillers = (for {
+      c1 <- 'a' to 'h'; c2 <- 'a' to 'h' if c1 != c2
+    } yield s"$hotHead${c1.toString * 15}${c2.toString * 15}").take(52)
+    val twinBase = hotHead + "twin twin twin twin twin canary!"
     val docs = Seq(
       (0L, baseA, "src"), (1L, baseA, "src"), // identical → dist 0
       (2L, baseB, "src"), (3L, edit(baseB, 20, 25, 30), "src"), // 3 mid edits → dist 3
       (4L, baseC, "src"), (5L, edit(baseC, 18, 22, 26, 31, 35, 40), "src"), // 6 edits → cut
       (6L, baseD, "src"), (7L, edit(baseD, 1, 3), "src"), // window a broken, b intact → found via pass b
     ) ++
-      // Hot block: 60 docs sharing the first 8 chars with unique tails —
-      // the cap must suppress every pair among them.
-      (100L until 160L).map(i => (i, s"same8pfx unique tail $i ${"z" * 30}", "hot"))
+      fillers.zipWithIndex.map { case (t, i) => (100L + i, t, "hot") } ++
+      Seq((200L, twinBase, "hot"), (201L, edit(twinBase, 20, 30), "hot"))
     val dir = writeDocs(docs)
     val rows = SparkEntry.queries("q146_edit_distance_linkage")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    assert(rows == Seq((0L, 1L, 0), (2L, 3L, 3), (6L, 7L, 2)), rows.mkString("\n"))
+    assert(rows == Seq((0L, 1L, 0), (2L, 3L, 3), (6L, 7L, 2), (200L, 201L, 2)),
+      rows.mkString("\n"))
   }
 
   test("q144 retention is monotone non-increasing on the real corpus") {
