@@ -76,8 +76,49 @@ object Relational {
           FROM lineitem
           GROUP BY l_partkey, l_suppkey)"""
 
+  /** 1-row at-rest companion for the incremental partsupp merge
+    * (q151): the l_shipdate high-water mark the base grain was built
+    * to — 80% of the fact table's ship-date span in exact integer
+    * microsecond arithmetic (the q145/scd2-hwm geometry applied to the
+    * fact table). Queries broadcast THIS row; the min/max corpus scan
+    * runs once at build time. l_shipdate is parquet TIMESTAMP_NTZ;
+    * the cast to TIMESTAMP interprets it in the session's pinned UTC,
+    * the same instant DuckDB's epoch_us reads from the naive value.
+    */
+  private def psHwm(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.Snapshots(s, dir, "partsupp-hwm") {
+      val r = tbl(s, dir, "lineitem")
+        .agg(min(unix_micros(col("l_shipdate").cast("timestamp"))), max(unix_micros(col("l_shipdate").cast("timestamp"))))
+        .head()
+      val c = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 8 / 10
+      s.range(1).select(lit(c).as("cutoff_us"))
+    }
+
+  /** The at-rest partsupp grain a previous incremental run left
+    * behind: the [[partsupp]] aggregate over only the lineitem rows
+    * shipped BEFORE the hwm. Both aggregates are algebraic — a BIGINT
+    * sum of integral-double quantities and a min of bit-deterministic
+    * per-row unit prices — so folding a batch's partials into these
+    * partials reconstructs the full-history aggregate exactly.
+    */
+  private def psBase(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.Snapshots(s, dir, "partsupp-base") {
+      val c = psHwm(s, dir).head().getLong(0)
+      tbl(s, dir, "lineitem")
+        .filter(unix_micros(col("l_shipdate").cast("timestamp")) < c)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(
+          sum("l_quantity").cast("bigint").as("ps_availqty"),
+          min(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0)))
+            .as("ps_supplycost"),
+        )
+    }
+
   /** Force-build this module's per-corpus at-rest artifacts (partitioned
-    * orders, bucketed lineitem, the derived partsupp grain). Building a
+    * orders, bucketed lineitem, the derived partsupp grain and its
+    * incremental-merge companions). Building a
     * table layout is ingest-time work, paid once per corpus — Bench
     * builds them here, untimed but reported, so per-query numbers
     * measure query evaluation rather than whichever query first touched
@@ -87,6 +128,8 @@ object Relational {
     ordersByYear(s, dir)
     lineitemBucketed(s, dir)
     partsupp(s, dir)
+    psHwm(s, dir)
+    psBase(s, dir)
     ()
   }
 
@@ -1906,7 +1949,7 @@ object Relational {
         WITH w AS (
           SELECT o_orderpriority,
                  CAST(count(*) AS DOUBLE) AS n_orders,
-                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,15))) AS DOUBLE), 2) AS total_price,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,15))), 2) AS DOUBLE) AS total_price,
                  round(max(o_totalprice), 2) AS max_price
           FROM orders GROUP BY o_orderpriority)
         SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
@@ -1921,7 +1964,12 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).cast("double").as("n_orders"),
-          round(sum(col("o_totalprice").cast("decimal(38,15)")).cast("double"), 2)
+          // Decimal-domain round (then ONE cast to double) — the same
+          // tie-divergence guard as q139/q140: rounding after the cast
+          // leaves the half-way decision to a double's binary
+          // approximation, which Spark and DuckDB can settle
+          // differently.
+          round(sum(col("o_totalprice").cast("decimal(38,15)")), 2).cast("double")
             .as("total_price"),
           round(max("o_totalprice"), 2).as("max_price"),
         )
@@ -1930,6 +1978,56 @@ object Relational {
           Array(col("n_orders"), col("total_price"), col("max_price")),
           "metric", "value")
         .orderBy("o_orderpriority", "metric")
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental AGGREGATE maintenance — the q145 view-maintenance
+    // geometry applied to the partsupp grain: fold "the lineitem batch
+    // shipped since the last run" (rows past the at-rest hwm) into the
+    // at-rest supplier×part aggregate WITHOUT re-reading base history.
+    // Both measures are algebraic, so merge = re-aggregate the union of
+    // partials: BIGINT availqty partials add (integral-double sums are
+    // exact, so partial-then-total equals total), and supplycost
+    // partials take min (per-row IEEE division is bit-deterministic and
+    // min is associative/order-free). DECLARED output: the full updated
+    // grain — the oracle derives partsupp from the WHOLE fact table
+    // (the shared psCte, verbatim), so the hash gate proves the
+    // O(batch + grain) path reconstructs the O(history) rebuild
+    // bit-for-bit. Scale shape: ONE lineitem scan (the new batch; a
+    // production run reads the batch as its own input), one pass over
+    // the at-rest grain, base history never rescanned [PlanSpec-
+    // pinned]. ps_supplycost ships RAW: each engine's min selects the
+    // same bit-identical per-row IEEE division, so the doubles agree
+    // exactly — whereas a round(…, 4) would hand half-way ties to each
+    // engine's own double-rounding (measured: 125 fourth-decimal
+    // flips at sf0.01), the very divergence the decimal-domain rule
+    // exists to avoid. No accumulation happens in this column, so the
+    // rounded-floats rule for FP reductions does not apply.
+    QueryDef(
+      "q151_partsupp_merge",
+      Some(s"""
+        WITH $psCte
+        SELECT ps_partkey, ps_suppkey, ps_availqty, ps_supplycost
+        FROM partsupp
+        ORDER BY ps_partkey, ps_suppkey
+      """),
+    ) { (s, dir) =>
+      val batch = tbl(s, dir, "lineitem")
+        .crossJoin(broadcast(psHwm(s, dir))) // 1-row at-rest hwm literal
+        .filter(unix_micros(col("l_shipdate").cast("timestamp")) >= col("cutoff_us"))
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(
+          sum("l_quantity").cast("bigint").as("ps_availqty"),
+          min(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0)))
+            .as("ps_supplycost"),
+        )
+      psBase(s, dir).unionByName(batch)
+        .groupBy("ps_partkey", "ps_suppkey")
+        .agg(
+          sum("ps_availqty").as("ps_availqty"),
+          min("ps_supplycost").as("ps_supplycost"),
+        )
+        .orderBy("ps_partkey", "ps_suppkey")
     },
   )
 }

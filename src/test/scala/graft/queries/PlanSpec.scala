@@ -564,6 +564,21 @@ class PlanSpec extends SparkTestBase {
     assert(hashEx == 1, s"closed history leaked into the merge shuffle:\n$p")
   }
 
+  test("q151: the partsupp merge scans lineitem once; base history never rebuilds") {
+    // Incremental aggregate maintenance: the new batch is the ONLY
+    // lineitem read (the hwm filter selects it), the at-rest grain
+    // arrives as its compact partial-aggregate artifact, and nothing
+    // re-derives the base grain from fact history. A second lineitem
+    // scan here means the "incremental" path re-aggregates history.
+    val p = plan("q151_partsupp_merge")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"merge must read lineitem ONCE (the new batch); saw $liScans:\n$p")
+    val baseScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("partsupp-base"))
+    assert(baseScans == 1, s"expected the at-rest grain artifact; saw $baseScans:\n$p")
+  }
+
   test("q146: linkage reads the at-rest block index; corpus text never enters the plan") {
     // Candidates equi-join the tagged 8-char block keys of the compact
     // at-rest table; verification rides the bounded 48-byte prefix

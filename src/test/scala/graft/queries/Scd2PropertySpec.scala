@@ -61,4 +61,50 @@ class Scd2PropertySpec extends SparkTestBase {
       assert(collect("q145_scd2_merge") == got142, s"round $round: merge != recompute")
     }
   }
+
+  /** (partkey, suppkey, quantity, price) → expected q151 grain rows.
+    * Availqty sums the integral-double quantities exactly; supplycost
+    * is the min of per-row IEEE divisions over non-zero quantities
+    * (None when a pair has only zero-quantity lines — the nullif
+    * path). JVM double division IS Spark's and DuckDB's division, so
+    * exact == comparison is the honest check.
+    */
+  private def psReference(
+      rows: Seq[(Long, Long, Double, Double)]): Seq[(Long, Long, Long, Option[Double])] =
+    rows.groupBy(r => (r._1, r._2)).toSeq.map { case ((pk, sk), ls) =>
+      val costs = ls.filter(_._3 != 0.0).map(l => l._4 / l._3)
+      (pk, sk, ls.map(_._3).sum.toLong,
+        if (costs.isEmpty) None else Some(costs.min))
+    }.sortBy(r => (r._1, r._2))
+
+  test("q151 partsupp merge matches a full re-aggregation on fuzzed fact batches") {
+    // The query derives its own 80% hwm from the ship-date span, so
+    // random spans fuzz the base/batch split too: pairs entirely in
+    // base, entirely in the new batch, straddling the hwm, zero-
+    // quantity lines (NULL-division guard) on either side, and a
+    // degenerate round where every line shares one ship date (hwm =
+    // min → the whole table is the batch, base grain empty).
+    (1 to 5).foreach { round =>
+      val tsSpanSec = if (round == 3) 1 else 1 + rng.nextInt(2000)
+      val rows = (0 until (20 + rng.nextInt(200))).map { _ =>
+        (rng.nextInt(8).toLong, rng.nextInt(5).toLong,
+          rng.nextInt(6).toDouble, (100 + rng.nextInt(900)) / 10.0,
+          rng.nextInt(tsSpanSec).toLong * 1000000L)
+      }
+      val dir = Files.createTempDirectory(s"graft_ps_fuzz$round").toString
+      rows.map { case (pk, sk, q, pr, us) =>
+        (pk, sk, q, pr, java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, 0, java.time.ZoneOffset.UTC))
+      }.toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+
+      val got = SparkEntry.queries("q151_partsupp_merge")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toSeq
+      assert(got == psReference(rows.map(r => (r._1, r._2, r._3, r._4))),
+        s"round $round: merge != full re-aggregation")
+    }
+  }
 }

@@ -55,10 +55,16 @@ def canon(rows, colnames):
 # fraction-vs-fraction fine, anything crossing families — INT vs
 # FRACTIONAL, INT vs HUGEINT, numeric vs VARCHAR — fails here exactly
 # like it fails the driver.
+# UBIGINT is NOT in _INTS deliberately: DuckDB serializes uint64 to
+# arrow as its own 64-bit-unsigned family, and a value above 2^63-1
+# cannot round-trip the driver's int64 path — treating it as INT would
+# hide exactly the HUGEINT class of miss. An oracle that produces
+# UBIGINT (e.g. bit ops) must CAST ... AS BIGINT, same as HUGEINT sums.
 _INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
          "UTINYINT", "USMALLINT", "UINTEGER"}
 _FRACTIONAL = {"FLOAT", "REAL", "DOUBLE"}
 _ALIASES = {"TEXT": "VARCHAR", "STRING": "VARCHAR",
+            "TIMESTAMP_S": "TIMESTAMP",
             "TIMESTAMP_NS": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP"}
 
 
