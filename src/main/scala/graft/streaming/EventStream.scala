@@ -102,6 +102,22 @@ final case class Scd2Row(
     user_id: Long, state: String, valid_from_us: Long,
     valid_to_us: Long, version: Int)
 
+/** Drift-monitor state (one per event type): immature arrivals within
+  * the watermark horizon, plus open minute buckets of matured counts
+  * not yet closed by the watermark.
+  */
+final case class DriftBuf(pending: Vector[Long], open: Map[Long, Long])
+
+/** Emitted drift observation — one per (event_type, closed minute):
+  * the new-batch count for that minute next to the at-rest baseline
+  * count for the type (0 when the type never appeared in the base —
+  * q148's clearest-drift arm). Summing n_new per type over a stream of
+  * the post-hwm slice and applying q148's share/ratio arithmetic
+  * reproduces the batch drift report exactly (spec-proven).
+  */
+final case class DriftRow(
+    event_type: String, minute_us: Long, n_new: Long, n_base: Long)
+
 /** Structured Streaming surface — the incremental twins of the batch
   * event queries in graft.queries.Events (SURVEY.md §2.11: the
   * reference has no streaming; this is the north-star extension).
@@ -523,6 +539,73 @@ object EventStream {
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming snapshot-drift monitor — the incremental twin of
+    * q148's validation gate: per event type, count the new batch's
+    * events into minute buckets and emit each bucket when the
+    * watermark closes it, carrying the broadcast at-rest baseline
+    * count for the type (the q145/q148 hwm artifact's per-type
+    * aggregate — bounded by the type alphabet, shipped in the task
+    * closure exactly like a broadcast dim). A bucket's count is final
+    * at emission: every event at-or-under the watermark has arrived,
+    * and beyond-horizon stragglers are dropped explicitly on arrival
+    * (flatMapGroupsWithState does not enforce the watermark contract
+    * for us), so the emitted row set is a pure function of the event
+    * set — any replay order inside the horizon converges
+    * (spec-proven). Summing n_new per type and applying q148's
+    * share/ratio arithmetic over these bounded rows reproduces the
+    * batch drift report bit-for-bit; minute grain means the monitor
+    * can also flag drift MID-batch instead of once per ingest.
+    * State is O(pending in horizon + open minutes) per type; the
+    * event-time timeout wakes a type exactly when its earliest pending
+    * event matures or its oldest open bucket closes.
+    */
+  def driftWithState(
+      events: Dataset[StreamEvent],
+      baseline: Map[String, Long]): Dataset[DriftRow] = {
+    val minuteUs = 60L * 1000000L
+    implicit val bufEnc: Encoder[DriftBuf] = Encoders.product[DriftBuf]
+    implicit val rowEnc: Encoder[DriftRow] = Encoders.product[DriftRow]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+
+    def update(
+        tpe: String, rows: Iterator[StreamEvent],
+        state: GroupState[DriftBuf]): Iterator[DriftRow] = {
+      var st = state.getOption.getOrElse(DriftBuf(Vector.empty, Map.empty))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      if (!state.hasTimedOut) rows.foreach { e =>
+        val us = micros(e.ts)
+        if (us > wmUs) // beyond-horizon arrivals dropped explicitly
+          st = st.copy(pending = st.pending :+ us)
+      }
+      // Maturation strictly precedes bucket close in one invoke, so an
+      // event with us < bucketEnd <= wm can never miss its bucket.
+      val (matured, stay) = st.pending.partition(_ <= wmUs)
+      val open = matured.foldLeft(st.open) { (m, us) =>
+        val b = us - us % minuteUs
+        m.updated(b, m.getOrElse(b, 0L) + 1L)
+      }
+      val (closed, keep) = open.partition { case (b, _) => b + minuteUs <= wmUs }
+      val out = closed.toSeq.sortBy(_._1).map { case (b, n) =>
+        DriftRow(tpe, b, n, baseline.getOrElse(tpe, 0L))
+      }
+      st = DriftBuf(stay, keep)
+      if (st.pending.isEmpty && st.open.isEmpty) state.remove()
+      else {
+        state.update(st)
+        // Wake at the earliest pending maturation or open-bucket close
+        // — both strictly past the current watermark by construction.
+        val wakeUs = (st.pending ++ st.open.keys.map(_ + minuteUs)).min
+        state.setTimeoutTimestamp(wakeUs / 1000L + 1L)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 

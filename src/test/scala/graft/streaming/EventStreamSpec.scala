@@ -622,6 +622,107 @@ class EventStreamSpec extends SparkTestBase {
       s"streamed=$streamed\nbatch=$batch")
   }
 
+  // ---- streaming drift-monitor twin ---------------------------------
+  private def runDrift(batches: Seq[Seq[StreamEvent]], baseline: Map[String, Long],
+      name: String): Seq[(String, Long, Long, Long)] = {
+    implicit val sc = spark.sqlContext
+    def tsOf(us: Long) = new Timestamp(us / 1000L)
+    val maxUs = batches.flatten.map(e => e.ts.getTime * 1000L).max
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.driftWithState(stream.toDS(), baseline)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      // Far-future sentinels: advance the watermark past every planted
+      // bucket end, then let event-time timeouts fire against it.
+      stream.addData(StreamEvent(tsOf(maxUs + 48L * 3600 * 1000000L), -1L, "sentinel", 0.0, -1L))
+      q.processAllAvailable()
+      stream.addData(StreamEvent(tsOf(maxUs + 96L * 3600 * 1000000L), -1L, "sentinel", 0.0, -2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != "sentinel")
+      .sortBy(x => (x._1, x._2)).toSeq
+  }
+
+  test("streaming drift monitor emits exact per-minute new-batch counts with the baseline attached") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(tpe: String, sec: Long, id: Long) =
+      StreamEvent(new Timestamp(base + sec * 1000L), 9L, tpe, 0.0, id)
+    val events = Seq(
+      at("A", 10, 1), at("A", 30, 2), // minute 0: two A's
+      at("A", 70, 3), //                 minute 1: one A
+      at("B", 5, 4), //                  minute 0: one B — absent from base
+    )
+    val baseline = Map("A" -> 3L) // B missing: q148's n_base = 0 arm
+    val got = runDrift(Seq(events), baseline, "drift_planted")
+    val m0 = base * 1000L - base * 1000L % 60000000L
+    assert(got == Seq(
+      ("A", m0, 2L, 3L), ("A", m0 + 60000000L, 1L, 3L), ("B", m0, 1L, 0L)),
+      got.mkString("\n"))
+  }
+
+  test("torn replay (drift): reversed batches and shuffled dribble converge") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(tpe: String, sec: Long, id: Long) =
+      StreamEvent(new Timestamp(base + sec * 1000L), 9L, tpe, 0.0, id)
+    // Span ≤ 50 min: inside the 1h watermark horizon, so no arrival
+    // order can drop a row and every replay must converge exactly.
+    val events = (0 until 40).map(i => at(if (i % 3 == 0) "A" else "B", i * 73L % 3000L, i.toLong))
+    val baseline = Map("A" -> 5L, "B" -> 2L)
+    val allAtOnce = runDrift(Seq(events), baseline, "drift_ref")
+    assert(allAtOnce.nonEmpty)
+    assert(runDrift(Seq(events.reverse), baseline, "drift_torn") == allAtOnce,
+      "arrival order within a batch must not change the drift rows")
+    val oneByOne = new scala.util.Random(29).shuffle(events).map(Seq(_))
+    assert(runDrift(oneByOne, baseline, "drift_dribble") == allAtOnce,
+      "per-event replay must converge to the same drift rows")
+  }
+
+  test("streaming drift monitor over the real corpus reproduces the oracle-checked q148 report") {
+    val sfDir = "/root/testdata/sf0.001"
+    // The same hwm derivation as q148's oracle: 80% of the ts span.
+    val us = graft.util.Tables.events(spark, sfDir)
+      .selectExpr("unix_micros(ts) AS us", "event_type", "user_id", "value", "event_id")
+    val mm = us.selectExpr("min(us)", "max(us)").head()
+    val cutoff = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 8 / 10
+    // At-rest baseline: per-type counts of the base slice (bounded map).
+    val baseline = us.where(s"us < $cutoff").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Stream ONLY the new batch — the slice a production monitor sees.
+    val newBatch = us.where(s"us >= $cutoff")
+      .selectExpr("timestamp_micros(us) AS ts", "user_id", "event_type", "value", "event_id")
+      .as[StreamEvent].collect().toSeq
+    val rows = runDrift(Seq(newBatch), baseline, "drift_real")
+
+    // Assemble the report with q148's exact arithmetic (HALF_UP round
+    // at 4 is what Spark's round does on doubles) over the bounded
+    // emitted rows + baseline — the monitor's cheap final fold.
+    val nNew = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val types = (baseline.keySet ++ nNew.keySet).toSeq.sorted
+    val tb = baseline.values.sum.toDouble
+    val tn = nNew.values.sum.toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val assembled = types.map { tpe =>
+      val nb = baseline.getOrElse(tpe, 0L); val nn = nNew.getOrElse(tpe, 0L)
+      val sb = if (tb == 0) None else Some(nb / tb)
+      val sn = nn / tn
+      val ratio = sb.filter(_ != 0.0).map(s => sn / s)
+      val drifted =
+        if (nb == 0) (if (nn > 0) 1 else 0)
+        else if (ratio.exists(r => math.abs(r - 1.0) > 0.25)) 1 else 0
+      (tpe, nb, nn, sb.map(r4), r4(sn), ratio.map(r4), drifted)
+    }
+    val batch = graft.SparkEntry.queries("q148_snapshot_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getInt(6))).toSeq
+    assert(assembled.nonEmpty && assembled == batch,
+      s"assembled=$assembled\nbatch=$batch")
+  }
+
   test("session aggregation merges events within the 30-minute gap") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Ev]
