@@ -80,8 +80,10 @@ object Relational {
     * (q151): the l_shipdate high-water mark the base grain was built
     * to — 80% of the fact table's ship-date span in exact integer
     * microsecond arithmetic (the q145/scd2-hwm geometry applied to the
-    * fact table). Queries broadcast THIS row; the min/max corpus scan
-    * runs once at build time. l_shipdate is parquet TIMESTAMP_NTZ;
+    * fact table). Queries read THIS one row on the driver (the same
+    * bounded read as scd2-hwm) so the boundary becomes a scan-pushable
+    * literal; the min/max corpus scan runs once at build time.
+    * l_shipdate is parquet TIMESTAMP_NTZ;
     * the cast to TIMESTAMP interprets it in the session's pinned UTC,
     * the same instant DuckDB's epoch_us reads from the naive value.
     */
@@ -102,12 +104,26 @@ object Relational {
     * per-row unit prices — so folding a batch's partials into these
     * partials reconstructs the full-history aggregate exactly.
     */
+  /** Exact-micros NTZ literal for comparisons against the raw
+    * TIMESTAMP_NTZ `l_shipdate` column: comparing the bare column to a
+    * literal (instead of wrapping it in unix_micros(cast(...))) lets
+    * the predicate push into the parquet scan as a row-group filter —
+    * in UTC the two forms select identical rows, but only this one
+    * prunes. On a time-partitioned 100 TB fact table that pruning IS
+    * the incremental path: the scan touches the batch's files, not
+    * history. */
+  private def ntzUs(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+
   private def psBase(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots(s, dir, "partsupp-base") {
       val c = psHwm(s, dir).head().getLong(0)
       tbl(s, dir, "lineitem")
-        .filter(unix_micros(col("l_shipdate").cast("timestamp")) < c)
+        .filter(col("l_shipdate") < lit(ntzUs(c)))
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .agg(
           sum("l_quantity").cast("bigint").as("ps_availqty"),
@@ -2012,9 +2028,14 @@ object Relational {
         ORDER BY ps_partkey, ps_suppkey
       """),
     ) { (s, dir) =>
+      // The hwm arrives from its 1-row at-rest artifact via the same
+      // bounded driver read as scd2-hwm: as a LITERAL the batch
+      // boundary pushes into the parquet scan (PlanSpec-pinned), where
+      // the broadcast-column form decoded ALL of history to drop 80%
+      // of it — pruning is what makes "one batch scan" true at scale.
+      val cutoffUs = psHwm(s, dir).head().getLong(0)
       val batch = tbl(s, dir, "lineitem")
-        .crossJoin(broadcast(psHwm(s, dir))) // 1-row at-rest hwm literal
-        .filter(unix_micros(col("l_shipdate").cast("timestamp")) >= col("cutoff_us"))
+        .filter(col("l_shipdate") >= lit(ntzUs(cutoffUs)))
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .agg(
           sum("l_quantity").cast("bigint").as("ps_availqty"),

@@ -574,6 +574,13 @@ class PlanSpec extends SparkTestBase {
     val liScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("lineitem.parquet"))
     assert(liScans == 1, s"merge must read lineitem ONCE (the new batch); saw $liScans:\n$p")
+    // The hwm boundary must reach the scan as a pushed row-group
+    // filter — on a time-partitioned fact table that pruning IS the
+    // incremental read; an expression-wrapped or broadcast-column
+    // form decodes all of history to drop 80% of it.
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate")),
+      s"hwm filter must push into the lineitem scan:\n$p")
     val baseScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("partsupp-base"))
     assert(baseScans == 1, s"expected the at-rest grain artifact; saw $baseScans:\n$p")
