@@ -345,13 +345,33 @@ object TextOps {
     * what the previous inline formulation planned (two to three full
     * text scans per query).
     */
+  /** The digest set a document frame contributes to the at-rest index
+    * (the even-doc_id filter is the corpus's "already ingested" half —
+    * see [[digestIndex]]). Factored out so the incremental merge and
+    * the full rebuild share one definition and cannot drift.
+    */
+  private[queries] def digestsOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h"))
+      .distinct()
+
   private def digestIndex(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "digest-index") {
-      tbl(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 0)
-        .select(md5(col("text")).as("h"))
-        .distinct()
+      digestsOf(tbl(s, dir, "documents"))
     }
+
+  /** Incremental maintenance of the digest index — the SET-INSERT
+    * geometry (q145 = SCD2 rows, q151 = additive aggregate, this =
+    * distinct set): append the batch digests the at-rest index does
+    * not already hold. The anti join is the O(batch) production write —
+    * base rides in as its compact artifact, batch text is scanned
+    * once, and base ∪ (batch ∖ base) equals the full-corpus rebuild
+    * exactly (TextMaintenanceSpec proves row equality on the real
+    * corpus and pins the no-rescan plan shape).
+    */
+  private[queries] def mergeDigestIndex(base: DataFrame, batchDocs: DataFrame): DataFrame =
+    base.unionByName(digestsOf(batchDocs).join(base, Seq("h"), "left_anti"))
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(s, dir, 3)
@@ -857,19 +877,48 @@ object TextOps {
     * from sub-2-token inputs (shingles' short-input contract) are kept
     * raw here and filtered at the query.
     */
+  private[queries] def bigramFrequenciesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(shingles(tokens(col("text")), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+
   private def bigramFrequencies(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "bigram-frequencies") {
-      tbl(s, dir, "documents")
-        .select(explode(shingles(tokens(col("text")), 2)).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("c"))
+      bigramFrequenciesOf(tbl(s, dir, "documents"))
     }
+
+  /** Incremental maintenance of the corpus-global gram table — the
+    * ADDITIVE-FOLD geometry of q151 applied to the text side: counts
+    * are algebraic, so folding the batch's partial counts into the
+    * at-rest partials reconstructs the full-corpus rebuild exactly.
+    * One batch-text scan plus one pass over the compact at-rest table;
+    * corpus history is never re-tokenized (TextMaintenanceSpec pins
+    * the plan and proves row equality to the rebuild).
+    */
+  private[queries] def mergeBigramFrequencies(base: DataFrame, batchDocs: DataFrame): DataFrame =
+    base.unionByName(bigramFrequenciesOf(batchDocs))
+      .groupBy("g").agg(sum("c").as("c"))
+
+  private[queries] def termFrequenciesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
 
   private def termFrequencies(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "term-frequencies") {
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      termFrequenciesOf(tbl(s, dir, "documents"))
     }
+
+  /** Incremental maintenance of the (doc_id, term, c) tf table — the
+    * APPEND geometry: documents arrive whole, so a new batch's rows
+    * are disjoint from the at-rest grain by doc_id and the merge is a
+    * pure union — no re-aggregation, no shuffle of the base. This is
+    * the cheapest of the three maintenance geometries and exactly what
+    * an ingest pipeline does with per-doc artifacts at 100 TB: write
+    * the batch's partition, touch nothing else.
+    */
+  private[queries] def mergeTermFrequencies(base: DataFrame, batchDocs: DataFrame): DataFrame =
+    base.unionByName(termFrequenciesOf(batchDocs))
 
   /** q82 — term weighting: TF-IDF-style top-3 terms per document.
     * The idf factor is the RATIONAL form N/df, not ln(N/df): IEEE
