@@ -86,26 +86,14 @@ object Events {
       col("user_id"), unix_micros(col("ts")).as("ts_us"),
       col("event_id"), col("event_type"))
 
-  /** High-water mark for the incremental-merge scenario: the at-rest
-    * dimension covers the first 80% of the corpus ts span (exact
-    * integer arithmetic), the remaining 20% is "the new batch since
-    * the last run". Driver-side min/max runs at BUILD time only (the
-    * same ingest-time scalar derivation as the IVF nlist count).
-    */
-  private def scd2CutoffUs(s: SparkSession, dir: String): Long = {
-    val r = eventsUs(s, dir).agg(min("ts_us"), max("ts_us")).head()
-    r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 8 / 10
-  }
-
-  /** 1-row at-rest companion: the hwm the dimension was built to.
-    * Queries read THIS (broadcast), never re-deriving the cutoff with
-    * a corpus scan at query time.
+  /** 1-row at-rest hwm companion: the dimension covers the first 80%
+    * of the corpus ts span, the rest is "the new batch since the last
+    * run" — the shared [[graft.util.Hwm]] convention (one definition
+    * with the partsupp grain's hwm). Queries read THIS (broadcast),
+    * never re-deriving the cutoff with a corpus scan at query time.
     */
   private def scd2Hwm(s: SparkSession, dir: String): DataFrame =
-    graft.util.Snapshots(s, dir, "scd2-hwm") {
-      val c = scd2CutoffUs(s, dir)
-      s.range(1).select(lit(c).as("cutoff_us"))
-    }
+    graft.util.Hwm.artifact(s, dir, "scd2-hwm")(col("ts_us"), eventsUs(s, dir))
 
   /** The at-rest SCD2 dimension: history collapsed from every event
     * before the hwm — what the previous incremental run left behind.

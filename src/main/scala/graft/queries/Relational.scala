@@ -89,21 +89,9 @@ object Relational {
     */
   private def psHwm(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.util.Snapshots(s, dir, "partsupp-hwm") {
-      val r = tbl(s, dir, "lineitem")
-        .agg(min(unix_micros(col("l_shipdate").cast("timestamp"))), max(unix_micros(col("l_shipdate").cast("timestamp"))))
-        .head()
-      val c = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 8 / 10
-      s.range(1).select(lit(c).as("cutoff_us"))
-    }
+    graft.util.Hwm.artifact(s, dir, "partsupp-hwm")(
+      unix_micros(col("l_shipdate").cast("timestamp")), tbl(s, dir, "lineitem"))
 
-  /** The at-rest partsupp grain a previous incremental run left
-    * behind: the [[partsupp]] aggregate over only the lineitem rows
-    * shipped BEFORE the hwm. Both aggregates are algebraic — a BIGINT
-    * sum of integral-double quantities and a min of bit-deterministic
-    * per-row unit prices — so folding a batch's partials into these
-    * partials reconstructs the full-history aggregate exactly.
-    */
   /** Exact-micros NTZ literal for comparisons against the raw
     * TIMESTAMP_NTZ `l_shipdate` column: comparing the bare column to a
     * literal (instead of wrapping it in unix_micros(cast(...))) lets
@@ -118,6 +106,13 @@ object Relational {
       (Math.floorMod(us, 1000000L) * 1000L).toInt,
       java.time.ZoneOffset.UTC)
 
+  /** The at-rest partsupp grain a previous incremental run left
+    * behind: the [[partsupp]] aggregate over only the lineitem rows
+    * shipped BEFORE the hwm. Both aggregates are algebraic — a BIGINT
+    * sum of integral-double quantities and a min of bit-deterministic
+    * per-row unit prices — so folding a batch's partials into these
+    * partials reconstructs the full-history aggregate exactly.
+    */
   private def psBase(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots(s, dir, "partsupp-base") {
@@ -2034,8 +2029,13 @@ object Relational {
       // the broadcast-column form decoded ALL of history to drop 80%
       // of it — pruning is what makes "one batch scan" true at scale.
       val cutoffUs = psHwm(s, dir).head().getLong(0)
+      // NULL ship dates ride with the batch: both split predicates are
+      // otherwise null-rejecting, and a row landing in NEITHER partial
+      // would silently vanish from the merged grain the oracle derives
+      // over the WHOLE table (fuzz-covered). Or(≥, IsNull) still
+      // pushes into the scan.
       val batch = tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit(ntzUs(cutoffUs)))
+        .filter(col("l_shipdate") >= lit(ntzUs(cutoffUs)) || col("l_shipdate").isNull)
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .agg(
           sum("l_quantity").cast("bigint").as("ps_availqty"),

@@ -102,11 +102,14 @@ final case class Scd2Row(
     user_id: Long, state: String, valid_from_us: Long,
     valid_to_us: Long, version: Int)
 
-/** Drift-monitor state (one per event type): immature arrivals within
-  * the watermark horizon, plus open minute buckets of matured counts
-  * not yet closed by the watermark.
+/** Drift-monitor state (one per event type): open minute buckets not
+  * yet closed by the watermark. Arrivals fold straight into their
+  * bucket — an in-horizon event's bucket cannot already be closed
+  * (us > wm and us < bucketEnd force bucketEnd > wm), so unlike the
+  * SCD2/as-of operators no pending stage is needed and state is
+  * O(open minutes), never O(arrival rate × horizon).
   */
-final case class DriftBuf(pending: Vector[Long], open: Map[Long, Long])
+final case class DriftBuf(open: Map[Long, Long])
 
 /** Emitted drift observation — one per (event_type, closed minute):
   * the new-batch count for that minute next to the at-rest baseline
@@ -558,9 +561,12 @@ object EventStream {
     * share/ratio arithmetic over these bounded rows reproduces the
     * batch drift report bit-for-bit; minute grain means the monitor
     * can also flag drift MID-batch instead of once per ingest.
-    * State is O(pending in horizon + open minutes) per type; the
-    * event-time timeout wakes a type exactly when its earliest pending
-    * event matures or its oldest open bucket closes.
+    * State is O(open minutes) per type — arrivals fold directly into
+    * their bucket (see [[DriftBuf]]: an in-horizon event's bucket is
+    * provably still open, so counts need no maturation stage and a
+    * hot type holds ~61 map entries, not one Long per event); the
+    * event-time timeout wakes a type exactly when its oldest open
+    * bucket closes.
     */
   def driftWithState(
       events: Dataset[StreamEvent],
@@ -573,31 +579,28 @@ object EventStream {
     def update(
         tpe: String, rows: Iterator[StreamEvent],
         state: GroupState[DriftBuf]): Iterator[DriftRow] = {
-      var st = state.getOption.getOrElse(DriftBuf(Vector.empty, Map.empty))
+      var open = state.getOption.getOrElse(DriftBuf(Map.empty)).open
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       if (!state.hasTimedOut) rows.foreach { e =>
         val us = micros(e.ts)
-        if (us > wmUs) // beyond-horizon arrivals dropped explicitly
-          st = st.copy(pending = st.pending :+ us)
-      }
-      // Maturation strictly precedes bucket close in one invoke, so an
-      // event with us < bucketEnd <= wm can never miss its bucket.
-      val (matured, stay) = st.pending.partition(_ <= wmUs)
-      val open = matured.foldLeft(st.open) { (m, us) =>
-        val b = us - us % minuteUs
-        m.updated(b, m.getOrElse(b, 0L) + 1L)
+        if (us > wmUs) { // beyond-horizon arrivals dropped explicitly
+          // An in-horizon arrival's bucket is still open (us > wm and
+          // us < b + minute force b + minute > wm), so the count folds
+          // in directly — no per-event buffering.
+          val b = us - us % minuteUs
+          open = open.updated(b, open.getOrElse(b, 0L) + 1L)
+        }
       }
       val (closed, keep) = open.partition { case (b, _) => b + minuteUs <= wmUs }
       val out = closed.toSeq.sortBy(_._1).map { case (b, n) =>
         DriftRow(tpe, b, n, baseline.getOrElse(tpe, 0L))
       }
-      st = DriftBuf(stay, keep)
-      if (st.pending.isEmpty && st.open.isEmpty) state.remove()
+      if (keep.isEmpty) state.remove()
       else {
-        state.update(st)
-        // Wake at the earliest pending maturation or open-bucket close
-        // — both strictly past the current watermark by construction.
-        val wakeUs = (st.pending ++ st.open.keys.map(_ + minuteUs)).min
+        state.update(DriftBuf(keep))
+        // Wake when the oldest open bucket closes — strictly past the
+        // current watermark by construction.
+        val wakeUs = keep.keys.map(_ + minuteUs).min
         state.setTimeoutTimestamp(wakeUs / 1000L + 1L)
       }
       out.iterator

@@ -81,20 +81,23 @@ class Scd2PropertySpec extends SparkTestBase {
     // The query derives its own 80% hwm from the ship-date span, so
     // random spans fuzz the base/batch split too: pairs entirely in
     // base, entirely in the new batch, straddling the hwm, zero-
-    // quantity lines (NULL-division guard) on either side, and a
-    // degenerate round where every line shares one ship date (hwm =
-    // min → the whole table is the batch, base grain empty).
+    // quantity lines (NULL-division guard) on either side, NULL ship
+    // dates (which land in NEITHER null-rejecting split predicate and
+    // must ride with the batch, not vanish), and a degenerate round
+    // where every line shares one ship date (hwm = min → the whole
+    // table is the batch, base grain empty).
     (1 to 5).foreach { round =>
       val tsSpanSec = if (round == 3) 1 else 1 + rng.nextInt(2000)
       val rows = (0 until (20 + rng.nextInt(200))).map { _ =>
         (rng.nextInt(8).toLong, rng.nextInt(5).toLong,
           rng.nextInt(6).toDouble, (100 + rng.nextInt(900)) / 10.0,
-          rng.nextInt(tsSpanSec).toLong * 1000000L)
+          if (rng.nextInt(10) == 0) None
+          else Some(rng.nextInt(tsSpanSec).toLong * 1000000L))
       }
       val dir = Files.createTempDirectory(s"graft_ps_fuzz$round").toString
       rows.map { case (pk, sk, q, pr, us) =>
-        (pk, sk, q, pr, java.time.LocalDateTime.ofEpochSecond(
-          us / 1000000L, 0, java.time.ZoneOffset.UTC))
+        (pk, sk, q, pr, us.map(u => java.time.LocalDateTime.ofEpochSecond(
+          u / 1000000L, 0, java.time.ZoneOffset.UTC)).orNull)
       }.toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate")
         .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
 
