@@ -86,6 +86,21 @@ object Events {
       col("user_id"), unix_micros(col("ts")).as("ts_us"),
       col("event_id"), col("event_type"))
 
+  /** The events at-or-after a micros cutoff, selected on the RAW nanos
+    * column so the boundary pushes into the parquet scan (the q151
+    * literal-pushdown pattern): for the corpus's non-negative
+    * timestamps, ts div 1000 ≥ c ⟺ ts ≥ c·1000, so this selects
+    * exactly the rows eventsUs.filter(ts_us ≥ c) would — but the scan
+    * prunes row groups instead of decoding all of history to drop 80%
+    * of it. Same µs truncation as [[Tables.events]], so ts_us is
+    * bit-identical to the unfiltered path.
+    */
+  private def eventsUsSince(s: SparkSession, dir: String, cutoffUs: Long): DataFrame =
+    Tables.tbl(s, dir, "events")
+      .filter(col("ts") >= cutoffUs * 1000L)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+
   /** 1-row at-rest hwm companion: the dimension covers the first 80%
     * of the corpus ts span, the rest is "the new batch since the last
     * run" — the shared [[graft.util.Hwm]] convention (one definition
@@ -808,11 +823,10 @@ object Events {
       Some(Scd2OracleSql),
     ) { (s, dir) =>
       val base = scd2Base(s, dir)
-      val hwm = scd2Hwm(s, dir)
-      val newBatch = eventsUs(s, dir)
-        .crossJoin(broadcast(hwm)) // 1-row at-rest hwm: broadcast literal
-        .filter(col("ts_us") >= col("cutoff_us"))
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      // The hwm via its bounded 1-row driver read: as a literal the
+      // batch boundary pushes into the events scan (see eventsUsSince)
+      // instead of decoding history to drop 80% of it.
+      val newBatch = eventsUsSince(s, dir, scd2Hwm(s, dir).head().getLong(0))
         .withColumn("v0", lit(null).cast("int"))
       // The open interval as a pseudo-event: its ts is valid_from
       // (< hwm <= every new ts, so it always sorts first; event_id -1

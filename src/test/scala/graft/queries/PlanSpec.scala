@@ -557,6 +557,12 @@ class PlanSpec extends SparkTestBase {
     val evScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("events.parquet"))
     assert(evScans == 1, s"merge must read events ONCE (the new batch); saw $evScans:\n$p")
+    // The hwm boundary must reach the scan as a pushed filter on the
+    // raw nanos column (the q151 pattern) — row-group pruning is what
+    // makes "read only the batch" true on a time-partitioned corpus.
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(ts")),
+      s"hwm filter must push into the events scan:\n$p")
     val baseScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("scd2-base"))
     assert(baseScans == 2, s"expected closed + open slices of the at-rest dim; saw $baseScans:\n$p")
