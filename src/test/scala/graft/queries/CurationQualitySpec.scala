@@ -505,6 +505,78 @@ class CurationQualitySpec extends SparkTestBase {
       rows.mkString("\n"))
   }
 
+  test("q146 fuzz: reported pairs are true banded matches; cool blocks are complete") {
+    // Sub-block sampling makes the exact output depend on rank order
+    // inside HOT blocks, so a brute-force reference cannot predict the
+    // full result set — but two properties hold unconditionally and
+    // are what the operator promises: SOUNDNESS (every reported pair
+    // really is a ≤ LinkageMaxEdit prefix pair, at its exact distance
+    // — an independent full-matrix DP checks the banded builtin) and
+    // COOL-BLOCK COMPLETENESS (a block at-or-under the cap has one
+    // sub-block, so EVERY true pair sharing it must be reported — the
+    // graceful-degradation contract: sampling may drop hot-block
+    // pairs, never cool-block ones).
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val letters = "abcdefghij"
+    def rand(n: Int): String =
+      Seq.fill(n)(letters(rng.nextInt(letters.length))).mkString
+    (1 to 3).foreach { round =>
+      var id = -1L
+      def nid(): Long = { id += 1; id }
+      // Shared-prefix families straddle the cap (2..120 members): some
+      // cool, some hot with multiple sub-blocks.
+      val families = (1 to 6).flatMap { _ =>
+        val head = rand(16)
+        (0 until (2 + rng.nextInt(119))).map(_ => (nid(), head + rand(40)))
+      }
+      // Twins: an existing text with 0..6 random substitutions (≤ 4
+      // must be found when co-blocked; > 4 must never be reported).
+      val twins = (1 to 25).map { _ =>
+        val src = families(rng.nextInt(families.length))._2
+        val edited = (1 to rng.nextInt(7)).foldLeft(src) { (t, _) =>
+          val i = rng.nextInt(t.length)
+          t.updated(i, letters((letters.indexOf(t(i)) + 1) % letters.length))
+        }
+        (nid(), edited)
+      }
+      // Noise, including sub-16-char docs (short-prefix block keys).
+      val noise = (1 to 30).map(_ => (nid(), rand(4 + rng.nextInt(60))))
+      val docs = families ++ twins ++ noise
+      val dir = writeDocs(docs.map { case (i, t) => (i, t, "src") })
+
+      val got = SparkEntry.queries("q146_edit_distance_linkage")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val prefix = docs.map { case (i, t) => i -> t.toLowerCase.take(48) }.toMap
+      // Soundness + canonical form.
+      assert(got.distinct == got && got.forall { case (d1, d2, _) => d1 < d2 })
+      got.foreach { case (d1, d2, dist) =>
+        val truth = lev(prefix(d1), prefix(d2))
+        assert(dist == truth && dist <= 4,
+          s"round $round: reported ($d1,$d2,$dist) but true dist $truth")
+      }
+      // Cool-block completeness.
+      val keysOf = prefix.view.mapValues(p =>
+        Seq("a:" + p.take(8), "b:" + p.slice(8, 16))).toMap
+      val blockSize = docs.flatMap(d => keysOf(d._1)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val gotPairs = got.map { case (d1, d2, _) => (d1, d2) }.toSet
+      val ids = docs.map(_._1)
+      for {
+        i <- ids; j <- ids if i < j
+        if keysOf(i).exists(k => keysOf(j).contains(k) && blockSize(k) <= 50)
+        if lev(prefix(i), prefix(j)) <= 4
+      } assert(gotPairs.contains((i, j)),
+        s"round $round: cool-block pair ($i,$j) dist ${lev(prefix(i), prefix(j))} missed")
+    }
+  }
+
   test("q144 retention is monotone non-increasing on the real corpus") {
     val rows = SparkEntry.queries("q144_threshold_sweep")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(1), r.getLong(2)))
