@@ -120,8 +120,15 @@ object Bench {
     // passes are reported for transparency.
     val run1 = timeAll(1)
     val run2 = timeAll(2)
-    val results = run1.zip(run2).map { case ((name, a, _), (_, b, _)) =>
-      name -> math.min(a, b)
+    // Errored queries are EXCLUDED from the merged min-of-2 map (and
+    // from total/median/n_queries): an analysis fast-fail's ~0.05 s is
+    // not a measurement, and recording it would read as a spurious
+    // speedup this round and a large regression the round it's fixed —
+    // the errors array alone carries failures. The raw run1/run2 maps
+    // keep every attempt for forensics.
+    val results = run1.zip(run2).collect {
+      case ((name, a, _), (_, b, _)) if !errors.contains(name) =>
+        name -> math.min(a, b)
     }
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -44,19 +44,54 @@ object SparkEntry {
     * on first use.
     */
   def prepareIndexes(spark: SparkSession, sfDir: String): Unit = {
-    // The three modules build disjoint artifact sets — run them
-    // concurrently (each fans out its own independent chains too).
+    prepareIndexModules(spark, sfDir, Seq(
+      "textops" -> (() => _root_.graft.queries.TextOps.prebuildIndexes(spark, sfDir)),
+      "similarity" -> (() => _root_.graft.queries.Similarity.prebuildIndexes(spark, sfDir)),
+      "relational" -> (() => _root_.graft.queries.Relational.prebuildIndexes(spark, sfDir)),
+      "events" -> (() => _root_.graft.queries.Events.prebuildIndexes(spark, sfDir)),
+    ))
+    ()
+  }
+
+  /** Run the modules' prebuilds concurrently (the artifact sets are
+    * disjoint; each module fans out its own independent chains too),
+    * FAULT-ISOLATED per module: one module's broken table must degrade
+    * that one family — its queries build lazily or fail individually —
+    * not abort every other module's prebuild and poison the whole
+    * bench's run-1 timings (the r8 failure mode, where a single
+    * events-loader error zeroed index_build_sec for all four modules).
+    * Returns the names of modules whose prebuild failed.
+    */
+  private[graft] def prepareIndexModules(
+      spark: SparkSession, sfDir: String,
+      modules: Seq[(String, () => Unit)]): Seq[String] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.sequence(Seq(
-        Future(_root_.graft.queries.TextOps.prebuildIndexes(spark, sfDir)),
-        Future(_root_.graft.queries.Similarity.prebuildIndexes(spark, sfDir)),
-        Future(_root_.graft.queries.Relational.prebuildIndexes(spark, sfDir)),
-        Future(_root_.graft.queries.Events.prebuildIndexes(spark, sfDir)),
-      )),
-      Duration.Inf)
-    ()
+    // Fatal throwables (OOM-class) must neither be swallowed NOR hang
+    // the barrier: a fatal error escaping a Future body never completes
+    // its promise in Scala 2.13 — the thread dies and Await.result
+    // parks forever. So every Throwable is caught to keep the barrier
+    // live, and the first fatal one is rethrown after it.
+    val fatal = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val failed = Await.result(
+      Future.sequence(modules.map { case (name, build) =>
+        Future {
+          try { build(); None }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] prebuild '$name' failed — its family degrades, " +
+                  s"others proceed: $e")
+              Some(name)
+            case t: Throwable =>
+              fatal.compareAndSet(null, t)
+              Some(name)
+          }
+        }
+      }),
+      Duration.Inf).flatten
+    if (fatal.get() != null) throw fatal.get()
+    failed
   }
 }

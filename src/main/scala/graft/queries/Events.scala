@@ -86,20 +86,35 @@ object Events {
       col("user_id"), unix_micros(col("ts")).as("ts_us"),
       col("event_id"), col("event_type"))
 
-  /** The events at-or-after a micros cutoff, selected on the RAW nanos
-    * column so the boundary pushes into the parquet scan (the q151
-    * literal-pushdown pattern): for the corpus's non-negative
-    * timestamps, ts div 1000 ≥ c ⟺ ts ≥ c·1000, so this selects
-    * exactly the rows eventsUs.filter(ts_us ≥ c) would — but the scan
-    * prunes row groups instead of decoding all of history to drop 80%
-    * of it. Same µs truncation as [[Tables.events]], so ts_us is
-    * bit-identical to the unfiltered path.
+  /** At-rest micro-normalized event log: [[eventsUs]] materialized once
+    * per corpus snapshot, globally SORTED by ts_us (each parquet row
+    * group covers a tight, disjoint time range) with the timestamp as
+    * plain BIGINT micros. This layout exists because "PushedFilters in
+    * the plan" is NOT pruning — measured via scan metrics
+    * (EventsLoaderSpec) after the corpus moved to TIMESTAMP_NTZ: Spark
+    * 4's parquet predicate conversion only matches UTC-adjusted
+    * timestamp annotations (ParquetFilters' ParquetTimestampMicrosType
+    * is `timestampType(true, MICROS)`), so a boundary filter on a raw
+    * NTZ column is accepted by the source yet never becomes a
+    * row-group predicate — the scan decodes ALL of history to drop
+    * 80% of it. Integer predicates convert in every Spark version;
+    * the one-time ingest sort+rewrite is exactly what a 100 TB events
+    * table pays to make every later time-boundary read O(batch).
     */
-  private def eventsUsSince(s: SparkSession, dir: String, cutoffUs: Long): DataFrame =
-    Tables.tbl(s, dir, "events")
-      .filter(col("ts") >= cutoffUs * 1000L)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-        col("event_id"), col("event_type"))
+  private def eventsUsLog(s: SparkSession, dir: String): DataFrame =
+    graft.util.Snapshots(s, dir, "events-us-log") {
+      eventsUs(s, dir).sort("ts_us")
+    }
+
+  /** The events at-or-after a micros cutoff, read from the ts-sorted
+    * at-rest log so the boundary literal prunes row groups
+    * (metrics-proven in EventsLoaderSpec) instead of decoding all of
+    * history — and encoding drift in the raw corpus never reaches this
+    * path: whatever [[Tables.events]] adapted to, the log is always
+    * sorted BIGINT micros.
+    */
+  private[graft] def eventsUsSince(s: SparkSession, dir: String, cutoffUs: Long): DataFrame =
+    eventsUsLog(s, dir).filter(col("ts_us") >= cutoffUs)
 
   /** 1-row at-rest hwm companion: the dimension covers the first 80%
     * of the corpus ts span, the rest is "the new batch since the last
@@ -108,7 +123,7 @@ object Events {
     * never re-deriving the cutoff with a corpus scan at query time.
     */
   private def scd2Hwm(s: SparkSession, dir: String): DataFrame =
-    graft.util.Hwm.artifact(s, dir, "scd2-hwm")(col("ts_us"), eventsUs(s, dir))
+    graft.util.Hwm.artifact(s, dir, "scd2-hwm")(col("ts_us"), eventsUsLog(s, dir))
 
   /** The at-rest SCD2 dimension: history collapsed from every event
     * before the hwm — what the previous incremental run left behind.
@@ -119,13 +134,15 @@ object Events {
   private def scd2Base(s: SparkSession, dir: String): DataFrame =
     graft.util.Snapshots(s, dir, "scd2-base") {
       val c = scd2Hwm(s, dir).head().getLong(0)
-      collapseRuns(eventsUs(s, dir).filter(col("ts_us") < c))
+      collapseRuns(eventsUsLog(s, dir).filter(col("ts_us") < c))
     }
 
-  /** Force the SCD2 at-rest artifacts (called from
+  /** Force the events at-rest artifacts — the sorted µs log, then the
+    * hwm and SCD2 dimension derived from it (called from
     * SparkEntry.prepareIndexes with the other module chains).
     */
   private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
+    eventsUsLog(s, dir)
     scd2Hwm(s, dir)
     scd2Base(s, dir)
     ()
@@ -814,18 +831,19 @@ object Events {
     // DECLARED output: the full updated history — the oracle is q142's
     // recompute SQL verbatim, so the gate proves the O(batch + open
     // rows) path reconstructs the O(history) recompute bit-for-bit.
-    // Scale shape: ONE events scan (the new batch; a production run
-    // reads it as its own input), one pass over the at-rest open rows,
-    // closed history never enters a shuffle or window [PlanSpec pins
-    // the single events scan and the window input].
+    // Scale shape: ONE scan of the sorted at-rest log, row-group-pruned
+    // to the new batch (a production run reads the batch as its own
+    // input), one pass over the at-rest open rows, closed history never
+    // enters a shuffle or window [PlanSpec pins the single pruned log
+    // scan and the window input].
     QueryDef(
       "q145_scd2_merge",
       Some(Scd2OracleSql),
     ) { (s, dir) =>
       val base = scd2Base(s, dir)
-      // The hwm via its bounded 1-row driver read: as a literal the
-      // batch boundary pushes into the events scan (see eventsUsSince)
-      // instead of decoding history to drop 80% of it.
+      // The hwm via its bounded 1-row driver read: as a BIGINT literal
+      // the batch boundary prunes the sorted log's row groups (see
+      // eventsUsSince) instead of decoding history to drop 80% of it.
       val newBatch = eventsUsSince(s, dir, scd2Hwm(s, dir).head().getLong(0))
         .withColumn("v0", lit(null).cast("int"))
       // The open interval as a pseudo-event: its ts is valid_from

@@ -93,18 +93,22 @@ object Relational {
       unix_micros(col("l_shipdate").cast("timestamp")), tbl(s, dir, "lineitem"))
 
   /** Exact-micros NTZ literal for comparisons against the raw
-    * TIMESTAMP_NTZ `l_shipdate` column: comparing the bare column to a
-    * literal (instead of wrapping it in unix_micros(cast(...))) lets
-    * the predicate push into the parquet scan as a row-group filter —
-    * in UTC the two forms select identical rows, but only this one
-    * prunes. On a time-partitioned 100 TB fact table that pruning IS
-    * the incremental path: the scan touches the batch's files, not
-    * history. */
+    * TIMESTAMP_NTZ `l_shipdate` column — the shared
+    * [[graft.util.Tables.ntzUs]]. The bare-column-vs-literal form is
+    * the only one the parquet source ACCEPTS as a pushed filter
+    * (wrapping the column in unix_micros/cast blocks pushdown
+    * entirely). Honesty note, measured on this Spark (r9): accepted ≠
+    * pruned — ParquetFilters converts only UTC-adjusted timestamp
+    * annotations to row-group predicates, so on a raw NTZ corpus this
+    * boundary filters post-decode. Where the engine OWNS the layout it
+    * closes that hole with sorted BIGINT-micros at-rest tables (the
+    * events-us-log pattern, metrics-proven pruning); the raw-corpus
+    * batch read keeps the literal form so pruning engages the day the
+    * upstream conversion learns NTZ — and already engages wherever a
+    * producer writes UTC-adjusted micros.
+    */
   private def ntzUs(us: Long): java.time.LocalDateTime =
-    java.time.LocalDateTime.ofEpochSecond(
-      Math.floorDiv(us, 1000000L),
-      (Math.floorMod(us, 1000000L) * 1000L).toInt,
-      java.time.ZoneOffset.UTC)
+    graft.util.Tables.ntzUs(us)
 
   /** The at-rest partsupp grain a previous incremental run left
     * behind: the [[partsupp]] aggregate over only the lineitem rows
@@ -2025,9 +2029,12 @@ object Relational {
     ) { (s, dir) =>
       // The hwm arrives from its 1-row at-rest artifact via the same
       // bounded driver read as scd2-hwm: as a LITERAL the batch
-      // boundary pushes into the parquet scan (PlanSpec-pinned), where
-      // the broadcast-column form decoded ALL of history to drop 80%
-      // of it — pruning is what makes "one batch scan" true at scale.
+      // boundary pushes into the parquet scan (PlanSpec-pinned) — the
+      // only form the source accepts; a broadcast-column boundary
+      // decodes ALL of history to drop 80% of it. On the raw NTZ
+      // corpus the accepted filter does not yet row-group-prune (see
+      // ntzUs's honesty note); engine-owned layouts close that with
+      // sorted BIGINT micros (events-us-log).
       val cutoffUs = psHwm(s, dir).head().getLong(0)
       // NULL ship dates ride with the batch: both split predicates are
       // otherwise null-rejecting, and a row landing in NEITHER partial

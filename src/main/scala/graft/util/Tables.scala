@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table access for the driver-generated test corpus (TESTDATA.md).
   *
@@ -16,8 +17,11 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Session config every graft entry point needs:
-    * `nanosAsLong` because the events table stores TIMESTAMP(NANOS)
-    * parquet, which Spark 4 rejects outright ([PARQUET_TYPE_ILLEGAL]).
+    * `nanosAsLong` so a TIMESTAMP(NANOS) events file — one historical
+    * encoding of the corpus — reads as long instead of failing outright
+    * ([PARQUET_TYPE_ILLEGAL] in Spark 4); [[events]] then adapts to
+    * whatever type actually came off disk, so the flag is harmless for
+    * µs-encoded files and load-bearing only if a producer writes nanos.
     * Applied once at session build (Verify/Bench/RunPipeline/tests) —
     * NOT inside query functions, so no hidden global side effects.
     */
@@ -33,15 +37,54 @@ object Tables {
   def withSessionConf(b: SparkSession.Builder): SparkSession.Builder =
     sessionConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
-  /** Read nanos as long and rebuild a microsecond TimestampType column —
-    * integer `div 1000` truncates exactly like DuckDB's ns→µs read, so
-    * both engines see identical instants. Requires [[sessionConf]] to
-    * have been applied at session build.
+  /** Canonical events frame: `ts` as a microsecond TimestampType column
+    * regardless of the file's physical encoding. Producers upgrade
+    * timestamp encodings across writer versions (the corpus itself moved
+    * ns→µs between rounds), so the loader branches on the OBSERVED
+    * type instead of hard-coding one historical layout — exactly the
+    * schema-at-read adaptivity a 100 TB table with years of writer
+    * drift requires:
+    *  - nanos-as-long (TIMESTAMP(NANOS) under [[sessionConf]]'s
+    *    `nanosAsLong`): integer `div 1000` truncates exactly like
+    *    DuckDB's ns→µs read, so both engines see identical instants;
+    *  - TIMESTAMP_MICROS `isAdjustedToUTC=false` (reads as
+    *    TimestampNTZ): cast to TimestampType — the session is pinned
+    *    UTC, so the cast is micros-identity;
+    *  - TIMESTAMP_MICROS UTC-adjusted (reads as TimestampType): as-is.
+    * Anything else fails loudly — silently misreading time data is the
+    * one non-option.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    tbl(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = tbl(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet encoding $other " +
+          "(expected nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
+
+  /** Exact-micros NTZ literal for comparisons against a raw
+    * TIMESTAMP_NTZ column: comparing the bare column to a literal
+    * (instead of wrapping the column in unix_micros(cast(...))) lets
+    * the predicate push into the parquet scan as a row-group filter —
+    * in UTC the two forms select identical rows, but only this one
+    * prunes. On a time-partitioned 100 TB fact table that pruning IS
+    * the incremental path: the scan touches the batch's files, not
+    * history.
+    */
+  def ntzUs(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+
 }
 
 /** Derived-artifact materialization: build once per (corpus, name),

@@ -554,15 +554,21 @@ class PlanSpec extends SparkTestBase {
     // shuffles. A second events scan or a second hash exchange here
     // means the "incremental" path re-reads history.
     val p = plan("q145_scd2_merge")
+    val logScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events-us-log"))
+    assert(logScans == 1,
+      s"merge must read the sorted at-rest log ONCE (the new batch); saw $logScans:\n$p")
     val evScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("events.parquet"))
-    assert(evScans == 1, s"merge must read events ONCE (the new batch); saw $evScans:\n$p")
-    // The hwm boundary must reach the scan as a pushed filter on the
-    // raw nanos column (the q151 pattern) — row-group pruning is what
-    // makes "read only the batch" true on a time-partitioned corpus.
+    assert(evScans == 0,
+      s"the merge must never touch the raw corpus — encoding drift stops at ingest:\n$p")
+    // The hwm boundary must reach the log scan as a pushed BIGINT
+    // literal: on the ts-sorted log that comparison genuinely prunes
+    // row groups (metrics-proven in EventsLoaderSpec) — a raw-encoding
+    // timestamp predicate is accepted but never prunes on this Spark.
     assert(p.linesIterator.exists(l =>
-      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(ts")),
-      s"hwm filter must push into the events scan:\n$p")
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(ts_us")),
+      s"hwm filter must push into the log scan:\n$p")
     val baseScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("scd2-base"))
     assert(baseScans == 2, s"expected closed + open slices of the at-rest dim; saw $baseScans:\n$p")
@@ -580,10 +586,13 @@ class PlanSpec extends SparkTestBase {
     val liScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("lineitem.parquet"))
     assert(liScans == 1, s"merge must read lineitem ONCE (the new batch); saw $liScans:\n$p")
-    // The hwm boundary must reach the scan as a pushed row-group
-    // filter — on a time-partitioned fact table that pruning IS the
-    // incremental read; an expression-wrapped or broadcast-column
-    // form decodes all of history to drop 80% of it.
+    // The hwm boundary must reach the scan in the bare-column-vs-
+    // literal form — the only form the source accepts at all (an
+    // expression-wrapped or broadcast-column boundary never pushes).
+    // On this corpus's NTZ l_shipdate the accepted filter does not
+    // row-group-prune (upstream ParquetFilters converts only
+    // UTC-adjusted annotations — see Relational.ntzUs); the pin holds
+    // the plan SHAPE so pruning engages wherever the layout allows it.
     assert(p.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate")),
       s"hwm filter must push into the lineitem scan:\n$p")
