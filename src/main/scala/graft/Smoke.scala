@@ -17,6 +17,25 @@ object Smoke {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.headOption match {
+      case Some("--time") =>
+        // Focused scale measurement: --time <dir> <query...> — per
+        // query, one untimed warm pass (artifact builds + JIT land
+        // here, mirroring Bench's prepareIndexes split), then the min
+        // of two timed noop-sink evaluations (Bench's full-evaluation
+        // + min-of-2 methodology, without dragging the whole roster
+        // through a ×k corpus).
+        val sfDir = args(1)
+        args.drop(2).foreach { name =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          val sec = math.min(once(), once())
+          println(f"[time] $name $sec%.3f sec $sfDir")
+        }
       case Some(name) =>
         val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
         val df = SparkEntry.queries(name)(spark, sfDir)

@@ -71,13 +71,17 @@ object Tables {
   }
 
   /** Exact-micros NTZ literal for comparisons against a raw
-    * TIMESTAMP_NTZ column: comparing the bare column to a literal
-    * (instead of wrapping the column in unix_micros(cast(...))) lets
-    * the predicate push into the parquet scan as a row-group filter —
-    * in UTC the two forms select identical rows, but only this one
-    * prunes. On a time-partitioned 100 TB fact table that pruning IS
-    * the incremental path: the scan touches the batch's files, not
-    * history.
+    * TIMESTAMP_NTZ column. The bare-column-vs-literal form is the only
+    * one the parquet source even ACCEPTS as a pushed filter (wrapping
+    * the column in unix_micros/cast blocks pushdown outright); in UTC
+    * the two forms select identical rows. Measured honesty (r9):
+    * accepted ≠ pruned — this Spark's ParquetFilters converts only
+    * UTC-adjusted timestamp annotations to row-group predicates, so on
+    * raw NTZ data the accepted filter evaluates post-decode. Keep the
+    * literal form anyway: it prunes the day upstream learns NTZ, and
+    * already prunes on UTC-adjusted files; where the engine owns the
+    * layout, sorted BIGINT-micros at-rest tables close the hole for
+    * good (the events-us-log pattern, metrics-proven).
     */
   def ntzUs(us: Long): java.time.LocalDateTime =
     java.time.LocalDateTime.ofEpochSecond(
