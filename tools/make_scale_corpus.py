@@ -37,9 +37,11 @@ def main(out, k, tables):
                 sel = (f"SELECT vec_id + {i * 2000} AS vec_id, embedding, label"
                        f" FROM read_parquet('{SF}/embeddings.parquet')")
             elif t == "events":
-                # The driver layout stores ts as int64 NANOS (Tables.events
-                # does `ts div 1000` → timestamp_micros); duckdb reads it as
-                # TIMESTAMP, so convert back on write.
+                # Write ts as int64 NANOS deliberately: Tables.events is
+                # encoding-adaptive (ns-as-long / NTZ / UTC micros), and
+                # the driver fixture now covers the µs path — deriving the
+                # scale corpora in the LONG encoding keeps the nanos branch
+                # exercised at scale (round-9 methodology).
                 sel = (f"SELECT event_id + {i * 100000} AS event_id, epoch_ns(ts) AS ts,"
                        f" user_id + {i * 1500} AS user_id, event_type, value, props"
                        f" FROM read_parquet('{SF}/events.parquet')")
