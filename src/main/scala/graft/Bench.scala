@@ -80,8 +80,15 @@ object Bench {
     // timed loop and report the cost as its own metric, so per-query
     // numbers measure query evaluation, not which query sorted first.
     val idxT0 = System.nanoTime()
-    warm(SparkEntry.prepareIndexes(spark, sfDir))
+    // Degraded prebuilds must be machine-readable, not stderr-only: a
+    // failed module's artifacts lazily rebuild inside run 1 and
+    // min-of-2 hides the cost, so a small index_build_sec with a
+    // non-empty failed list is the honest signature (r8's was silent).
+    val indexFailed =
+      try SparkEntry.prepareIndexes(spark, sfDir)
+      catch { case _: Throwable => Seq("prepare-indexes-crashed") }
     val indexSec = (System.nanoTime() - idxT0) / 1e9
+    val indexFailedJson = indexFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Deterministic name order so per-query numbers compare across rounds.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Driver-JVM GC time, for stall forensics: if a query's wall time
@@ -148,7 +155,7 @@ object Bench {
     // sketch path alone and are not comparable with rounds 1-6.
     val gateOnly = """["q35b_approx_distinct","q38b_approx_percentiles"]"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","index_build_sec":$indexSec,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
     // Also persist to a file: a tail-capture of stdout can truncate the
     // (long) summary line mid-JSON (BENCH_r02 "parsed": null); the file
     // is immune to log interleaving and capture windows.
@@ -171,7 +178,7 @@ object Bench {
       val (n, v) = results.maxBy(_._2); s"""{"name":"$n","sec":$v}"""
     }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}""")
     spark.stop()
   }
 }

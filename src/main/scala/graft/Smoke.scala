@@ -24,12 +24,18 @@ object Smoke {
         // of two timed noop-sink evaluations (Bench's full-evaluation
         // + min-of-2 methodology, without dragging the whole roster
         // through a ×k corpus).
+        if (args.length < 3) {
+          System.err.println("usage: Smoke --time <sfDir> <query> [query ...]")
+          spark.stop()
+          sys.exit(2)
+        }
         val sfDir = args(1)
         args.drop(2).foreach { name =>
+          val q = SparkEntry.queries.getOrElse(name,
+            sys.error(s"unknown query '$name' — see SparkEntry.queries.keys"))
           def once(): Double = {
             val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
+            q(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
           once()

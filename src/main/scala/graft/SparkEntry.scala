@@ -43,15 +43,20 @@ object SparkEntry {
     * build). Queries are correct without this — artifacts lazily build
     * on first use.
     */
-  def prepareIndexes(spark: SparkSession, sfDir: String): Unit = {
+  /** Returns the names of modules whose prebuild FAILED (empty =
+    * healthy) so callers can surface degradation machine-readably —
+    * Bench reports it as `index_build_failed` in the JSON line; a
+    * stderr-only record disappears in the driver's stdout-tail capture
+    * and a degraded build then masquerades as a fast one (the r8
+    * signature).
+    */
+  def prepareIndexes(spark: SparkSession, sfDir: String): Seq[String] =
     prepareIndexModules(spark, sfDir, Seq(
       "textops" -> (() => _root_.graft.queries.TextOps.prebuildIndexes(spark, sfDir)),
       "similarity" -> (() => _root_.graft.queries.Similarity.prebuildIndexes(spark, sfDir)),
       "relational" -> (() => _root_.graft.queries.Relational.prebuildIndexes(spark, sfDir)),
       "events" -> (() => _root_.graft.queries.Events.prebuildIndexes(spark, sfDir)),
     ))
-    ()
-  }
 
   /** Run the modules' prebuilds concurrently (the artifact sets are
     * disjoint; each module fans out its own independent chains too),
@@ -85,7 +90,10 @@ object SparkEntry {
                   s"others proceed: $e")
               Some(name)
             case t: Throwable =>
-              fatal.compareAndSet(null, t)
+              System.err.println(s"[graft] prebuild '$name' died FATALLY: $t")
+              // Later fatals must not vanish: attach them to the one
+              // that will be rethrown (addSuppressed is synchronized).
+              if (!fatal.compareAndSet(null, t)) fatal.get().addSuppressed(t)
               Some(name)
           }
         }

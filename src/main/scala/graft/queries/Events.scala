@@ -103,7 +103,16 @@ object Events {
     */
   private def eventsUsLog(s: SparkSession, dir: String): DataFrame =
     graft.util.Snapshots(s, dir, "events-us-log") {
-      eventsUs(s, dir).sort("ts_us")
+      // Explicit partition count: a bare sort()'s range shuffle is
+      // AQE-coalescible, so the file layout (and therefore how many
+      // row groups a boundary scan can skip) would depend on adaptive
+      // heuristics and box size. With N pinned, the log is N files of
+      // disjoint sorted ts ranges on every config — deterministic for
+      // the pruning spec, and at ingest scale N is simply sized to the
+      // target file size.
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      eventsUs(s, dir).repartitionByRange(n, col("ts_us"))
+        .sortWithinPartitions("ts_us")
     }
 
   /** The events at-or-after a micros cutoff, read from the ts-sorted

@@ -92,23 +92,9 @@ object Relational {
     graft.util.Hwm.artifact(s, dir, "partsupp-hwm")(
       unix_micros(col("l_shipdate").cast("timestamp")), tbl(s, dir, "lineitem"))
 
-  /** Exact-micros NTZ literal for comparisons against the raw
-    * TIMESTAMP_NTZ `l_shipdate` column — the shared
-    * [[graft.util.Tables.ntzUs]]. The bare-column-vs-literal form is
-    * the only one the parquet source ACCEPTS as a pushed filter
-    * (wrapping the column in unix_micros/cast blocks pushdown
-    * entirely). Honesty note, measured on this Spark (r9): accepted ≠
-    * pruned — ParquetFilters converts only UTC-adjusted timestamp
-    * annotations to row-group predicates, so on a raw NTZ corpus this
-    * boundary filters post-decode. Where the engine OWNS the layout it
-    * closes that hole with sorted BIGINT-micros at-rest tables (the
-    * events-us-log pattern, metrics-proven pruning); the raw-corpus
-    * batch read keeps the literal form so pruning engages the day the
-    * upstream conversion learns NTZ — and already engages wherever a
-    * producer writes UTC-adjusted micros.
-    */
-  private def ntzUs(us: Long): java.time.LocalDateTime =
-    graft.util.Tables.ntzUs(us)
+  // l_shipdate boundary literals come from the shared Tables.ntzUs —
+  // its scaladoc carries the accepted-vs-pruned honesty note.
+  import graft.util.Tables.ntzUs
 
   /** The at-rest partsupp grain a previous incremental run left
     * behind: the [[partsupp]] aggregate over only the lineitem rows
@@ -2033,8 +2019,8 @@ object Relational {
       // only form the source accepts; a broadcast-column boundary
       // decodes ALL of history to drop 80% of it. On the raw NTZ
       // corpus the accepted filter does not yet row-group-prune (see
-      // ntzUs's honesty note); engine-owned layouts close that with
-      // sorted BIGINT micros (events-us-log).
+      // Tables.ntzUs's honesty note); engine-owned layouts close that
+      // with sorted BIGINT micros (events-us-log).
       val cutoffUs = psHwm(s, dir).head().getLong(0)
       // NULL ship dates ride with the batch: both split predicates are
       // otherwise null-rejecting, and a row landing in NEITHER partial

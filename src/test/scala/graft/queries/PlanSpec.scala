@@ -591,7 +591,7 @@ class PlanSpec extends SparkTestBase {
     // expression-wrapped or broadcast-column boundary never pushes).
     // On this corpus's NTZ l_shipdate the accepted filter does not
     // row-group-prune (upstream ParquetFilters converts only
-    // UTC-adjusted annotations — see Relational.ntzUs); the pin holds
+    // UTC-adjusted annotations — see Tables.ntzUs); the pin holds
     // the plan SHAPE so pruning engages wherever the layout allows it.
     assert(p.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate")),

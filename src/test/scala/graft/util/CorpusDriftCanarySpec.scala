@@ -42,10 +42,15 @@ class CorpusDriftCanarySpec extends SparkTestBase {
     case LongType | TimestampNTZType | TimestampType => true
     case _ => false
   }
-  // Date-like columns the queries cast/compare as timestamps: a plain
-  // integer here would coerce to WRONG instants, so it's excluded.
-  private def tsOrDate(dt: DataType) = dt match {
-    case TimestampNTZType | TimestampType | DateType => true
+  // Date-like columns the queries compare against bare-column literals
+  // (the pushdown form): only the timestamp types the code actually
+  // handles pass. A plain integer would coerce to WRONG instants, and
+  // DATE — though semantically coercible — would wrap every boundary
+  // compare in an implicit cast that kills the pushed filter and the
+  // plan pins; neither is an adaptive seam today, so both must fail
+  // here for review rather than downstream.
+  private def tsStrict(dt: DataType) = dt match {
+    case TimestampNTZType | TimestampType => true
     case _ => false
   }
   private def floatVec(dt: DataType) = dt match {
@@ -67,13 +72,13 @@ class CorpusDriftCanarySpec extends SparkTestBase {
       ("p_size", "integral", integral), ("p_retailprice", "float", frac)),
     "orders" -> Seq(("o_orderkey", "integral", integral), ("o_custkey", "integral", integral),
       ("o_orderstatus", "string", str), ("o_totalprice", "float", frac),
-      ("o_orderdate", "timestamp/date", tsOrDate), ("o_orderpriority", "string", str)),
+      ("o_orderdate", "timestamp", tsStrict), ("o_orderpriority", "string", str)),
     "lineitem" -> Seq(("l_orderkey", "integral", integral), ("l_partkey", "integral", integral),
       ("l_suppkey", "integral", integral), ("l_linenumber", "integral", integral),
       ("l_quantity", "float", frac), ("l_extendedprice", "float", frac),
       ("l_discount", "float", frac), ("l_tax", "float", frac),
       ("l_returnflag", "string", str), ("l_linestatus", "string", str),
-      ("l_shipdate", "timestamp/date", tsOrDate)),
+      ("l_shipdate", "timestamp", tsStrict)),
     "events" -> Seq(("event_id", "integral", integral),
       ("ts", "long-nanos|ntz|timestamp", tsAdaptive),
       ("user_id", "integral", integral), ("event_type", "string", str),
