@@ -100,6 +100,13 @@ object Events {
     * 80% of it. Integer predicates convert in every Spark version;
     * the one-time ingest sort+rewrite is exactly what a 100 TB events
     * table pays to make every later time-boundary read O(batch).
+    *
+    * Scope: deliberately only the four boundary-path columns. The
+    * full-corpus queries (windows, funnels, attribution) read every
+    * row regardless, so routing them through a wider log would
+    * duplicate value/props at rest for zero pruning gain — the log is
+    * the engine's time-clustered index of the event stream, not a
+    * second copy of the table.
     */
   private def eventsUsLog(s: SparkSession, dir: String): DataFrame =
     graft.util.Snapshots(s, dir, "events-us-log") {
