@@ -84,9 +84,15 @@ object Bench {
     // failed module's artifacts lazily rebuild inside run 1 and
     // min-of-2 hides the cost, so a small index_build_sec with a
     // non-empty failed list is the honest signature (r8's was silent).
+    // NonFatal ONLY: prepareIndexes already rethrows fatal throwables
+    // (OOM-class) on purpose — catching those here would run the full
+    // timed loop on a possibly-corrupted JVM and commit plausible-
+    // looking numbers with nothing but a crash marker as the hint.
+    // Letting the fatal abort the bench (no JSON at all) is the honest
+    // outcome.
     val indexFailed =
       try SparkEntry.prepareIndexes(spark, sfDir)
-      catch { case _: Throwable => Seq("prepare-indexes-crashed") }
+      catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
     val indexSec = (System.nanoTime() - idxT0) / 1e9
     val indexFailedJson = indexFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Deterministic name order so per-query numbers compare across rounds.
@@ -154,8 +160,12 @@ object Bench {
     // compares against (r7 reformulation) — they no longer measure the
     // sketch path alone and are not comparable with rounds 1-6.
     val gateOnly = """["q35b_approx_distinct","q38b_approx_percentiles"]"""
+    // n_queries/n_errors ride the long (persisted) line too, not just
+    // the compact tail: the file artifact's headline `value` sums only
+    // non-errored queries, so a cross-round diff of `value` alone would
+    // silently compare different query sets without them.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_2","n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
     // Also persist to a file: a tail-capture of stdout can truncate the
     // (long) summary line mid-JSON (BENCH_r02 "parsed": null); the file
     // is immune to log interleaving and capture windows.

@@ -108,19 +108,24 @@ object Events {
     * the engine's time-clustered index of the event stream, not a
     * second copy of the table.
     */
-  private def eventsUsLog(s: SparkSession, dir: String): DataFrame =
-    graft.util.Snapshots(s, dir, "events-us-log") {
-      // Explicit partition count: a bare sort()'s range shuffle is
-      // AQE-coalescible, so the file layout (and therefore how many
-      // row groups a boundary scan can skip) would depend on adaptive
-      // heuristics and box size. With N pinned, the log is N files of
-      // disjoint sorted ts ranges on every config — deterministic for
-      // the pruning spec, and at ingest scale N is simply sized to the
-      // target file size.
-      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+  private def eventsUsLog(s: SparkSession, dir: String): DataFrame = {
+    // Explicit partition count: a bare sort()'s range shuffle is
+    // AQE-coalescible, so the file layout (and therefore how many
+    // row groups a boundary scan can skip) would depend on adaptive
+    // heuristics and box size. With N pinned, the log is N files of
+    // disjoint sorted ts ranges on every config — deterministic for
+    // the pruning spec, and at ingest scale N is simply sized to the
+    // target file size. N is part of the artifact NAME: the Snapshots
+    // memo keys on (dir, name, corpus fingerprint) only, so two
+    // sessions with different shuffle-partition settings in one JVM
+    // would otherwise share whichever layout built first — quietly
+    // breaking the deterministic-N-files claim.
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Snapshots(s, dir, s"events-us-log-n$n") {
       eventsUs(s, dir).repartitionByRange(n, col("ts_us"))
         .sortWithinPartitions("ts_us")
     }
+  }
 
   /** The events at-or-after a micros cutoff, read from the ts-sorted
     * at-rest log so the boundary literal prunes row groups

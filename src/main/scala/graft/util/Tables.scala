@@ -58,6 +58,13 @@ object Tables {
     val raw = tbl(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
+        // A LongType ts is not ALWAYS nanos: a producer writing plain
+        // BIGINT micros reads as the same Spark type, and `div 1000`
+        // would silently shift every instant ×1000 — violating the
+        // fails-loudly contract below. Verify against the parquet
+        // footer (logical-type annotation, else column stats range)
+        // before trusting the nanos interpretation.
+        requireNanosTs(spark, sfDir)
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case TimestampNTZType =>
@@ -68,6 +75,64 @@ object Tables {
         s"events.ts: unsupported parquet encoding $other " +
           "(expected nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
+  }
+
+  /** Footer-level plausibility check that a LongType `ts` really holds
+    * epoch NANOS, without scanning any data: one parquet footer read of
+    * the first data file. Two accepted proofs, in order:
+    *   1. the column's logical-type annotation is TIMESTAMP(NANOS) —
+    *      the one encoding `nanosAsLong` exists for; definitive;
+    *   2. no usable annotation (a plain INT64 column): the footer's
+    *      row-group statistics must land in a sane epoch-nanos range
+    *      (~1973..2140). Micros/millis/seconds land 3/6/9 orders of
+    *      magnitude below the floor, so a mis-unit producer fails here
+    *      by construction rather than shifting every instant ×1000.
+    * Anything else (missing stats, out-of-range values) throws — the
+    * physical schema alone cannot distinguish the units, and guessing
+    * time units is the one non-option.
+    */
+  private def requireNanosTs(spark: SparkSession, sfDir: String): Unit = {
+    val nanosFloor = 100000000000000000L // ~1973-03 in ns; µs values are 1000× below
+    val nanosCeil = 5400000000000000000L // ~2141-02 in ns
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val dataFile =
+      if (fs.getFileStatus(root).isFile) root
+      else fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .sortBy(_.getName).headOption.getOrElse(
+          throw new IllegalStateException(s"events.ts: no data files under $root"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataFile, conf))
+    try {
+      val md = reader.getFooter
+      val schema = md.getFileMetaData.getSchema
+      val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+      val isNanosAnnotated = prim.getLogicalTypeAnnotation match {
+        case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      }
+      if (!isNanosAnnotated) {
+        import scala.jdk.CollectionConverters._
+        val stats = md.getBlocks.asScala
+          .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == "ts"))
+          .flatMap(c => Option(c.getStatistics))
+          .filter(s => !s.isEmpty && s.hasNonNullValue)
+        val inRange = stats.nonEmpty && stats.forall { s =>
+          (s.genericGetMin, s.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              mn >= nanosFloor && mx <= nanosCeil
+            case _ => false
+          }
+        }
+        if (!inRange) throw new IllegalStateException(
+          s"events.ts: BIGINT column in $dataFile is not plausibly epoch NANOS " +
+            "(no TIMESTAMP(NANOS) annotation and footer stats outside the " +
+            "~1973..2140 nanos range) — refusing to guess the time unit")
+      }
+    } finally reader.close()
   }
 
   /** Exact-micros NTZ literal for comparisons against a raw

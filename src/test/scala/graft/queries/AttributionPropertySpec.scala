@@ -77,8 +77,13 @@ class AttributionPropertySpec extends SparkTestBase {
           case Some(v)                          => s"""{"k": $v}"""
           case None                             => "{}"
         }
-        (e.id, e.user, e.tpe, e.tsUs * 1000L, 0.0, props)
+        (e.id, e.user, e.tpe, e.tsUs, 0.0, props)
       }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+        // NTZ micros — the live corpus's encoding (the loader's footer
+        // guard rightly rejects plain-BIGINT nanos at 1970-era
+        // magnitudes; encoding adaptivity has its own suite).
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts")).cast("timestamp_ntz"))
         .coalesce(1).write.parquet(s"$dir/events.parquet")
 
       val got = SparkEntry.queries("q147_multitouch_attribution")(spark, dir)

@@ -15,6 +15,16 @@ class EventsQualitySpec extends SparkTestBase {
   private val BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
   private val MinuteUs = 60L * 1000000L
 
+  /** Write an events fixture whose BIGINT-micros `ts` column becomes
+    * NTZ micros — the live corpus's encoding (the loader's footer guard
+    * rightly rejects plain-BIGINT nanos at 1970-era magnitudes;
+    * encoding adaptivity has its own suite, EventsLoaderSpec).
+    */
+  private def writeEvents(dir: String, df: org.apache.spark.sql.DataFrame): Unit =
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.col("ts")).cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
   test("q115 flags a planted order-of-magnitude spike and nothing else") {
     // Minutes 0..40 of 'click': 10 + (m % 3) events per minute (small
     // deterministic wiggle so no baseline is degenerate), except minute
@@ -23,13 +33,12 @@ class EventsQualitySpec extends SparkTestBase {
     val rows = (0 to 40).flatMap { m =>
       val n = if (m == 40) 100 else 10 + m % 3
       (0 until n).map { i =>
-        val tsNanos = (BaseUs + m * MinuteUs + i * 100000L) * 1000L
-        (m * 1000L + i, m.toLong, "click", tsNanos, 1.0)
+        val tsUs = BaseUs + m * MinuteUs + i * 100000L
+        (m * 1000L + i, m.toLong, "click", tsUs, 1.0)
       }
     }
     val dir = Files.createTempDirectory("graft_event_anomaly").toString
-    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
-      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    writeEvents(dir, rows.toDF("event_id", "user_id", "event_type", "ts", "value"))
 
     val out = SparkEntry.queries("q115_event_anomaly")(spark, dir)
       .collect()
@@ -50,15 +59,14 @@ class EventsQualitySpec extends SparkTestBase {
     // history must be the three A/B/A intervals (contiguous, half-open,
     // versions dense) and one open C interval.
     def ev(id: Long, user: Long, tpe: String, sec: Long) =
-      (id, user, tpe, sec * 1000000L * 1000L, 0.0)
+      (id, user, tpe, sec * 1000000L, 0.0)
     val rows = Seq(
       ev(1, 1, "A", 1), ev(2, 1, "A", 2), ev(3, 1, "B", 3),
       ev(4, 1, "B", 4), ev(5, 1, "A", 5),
       ev(6, 2, "C", 10),
     )
     val dir = Files.createTempDirectory("graft_scd2").toString
-    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
-      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    writeEvents(dir, rows.toDF("event_id", "user_id", "event_type", "ts", "value"))
 
     val out = SparkEntry.queries("q142_scd2_history")(spark, dir)
       .collect()
@@ -109,7 +117,7 @@ class EventsQualitySpec extends SparkTestBase {
     // (open row passes through), and a multi-change new batch on top
     // of an open run (versions rebase densely).
     def ev(id: Long, user: Long, tpe: String, sec: Long) =
-      (id, user, tpe, sec * 1000000L * 1000L, 0.0)
+      (id, user, tpe, sec * 1000000L, 0.0)
     val rows = Seq(
       ev(1, 1, "A", 0), ev(2, 1, "A", 90), // absorption
       ev(3, 2, "A", 20), ev(4, 2, "B", 85), // change at the boundary
@@ -119,8 +127,7 @@ class EventsQualitySpec extends SparkTestBase {
       ev(9, 6, "A", 50), ev(10, 6, "B", 82), ev(11, 6, "C", 88), ev(12, 6, "B", 93),
     )
     val dir = Files.createTempDirectory("graft_scd2_merge").toString
-    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
-      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    writeEvents(dir, rows.toDF("event_id", "user_id", "event_type", "ts", "value"))
 
     def collect(q: String) = SparkEntry.queries(q)(spark, dir)
       .collect()
@@ -148,7 +155,7 @@ class EventsQualitySpec extends SparkTestBase {
     // window + one ch3 click OUTSIDE it → ch2 gets the full 1000000,
     // ch3 nothing. user 3: purchase with no clicks → unattributed.
     def ev(id: Long, user: Long, tpe: String, sec: Long, k: Int) =
-      (id, user, tpe, sec * 1000000L * 1000L, 0.0, s"""{"k": $k}""")
+      (id, user, tpe, sec * 1000000L, 0.0, s"""{"k": $k}""")
     val m = 60L
     val rows = Seq(
       ev(1, 1, "click", 10 * m, 0), ev(2, 1, "click", 20 * m, 1),
@@ -159,8 +166,8 @@ class EventsQualitySpec extends SparkTestBase {
       ev(9, 3, "purchase", 500 * m, 0),
     )
     val dir = Files.createTempDirectory("graft_multitouch").toString
-    rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
-      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    writeEvents(dir,
+      rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props"))
     val out = SparkEntry.queries("q147_multitouch_attribution")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(out == Seq(
@@ -177,15 +184,14 @@ class EventsQualitySpec extends SparkTestBase {
     // must land in ITS OWN version-3 interval (valid_from ≤ ts). user 2
     // buys mid-run: C@10 purchase@12 C@14 → purchase[12,14) version 2.
     def ev(id: Long, user: Long, tpe: String, sec: Long) =
-      (id, user, tpe, sec * 1000000L * 1000L, 0.0)
+      (id, user, tpe, sec * 1000000L, 0.0)
     val rows = Seq(
       ev(1, 1, "A", 1), ev(2, 1, "A", 2), ev(3, 1, "B", 3),
       ev(4, 1, "purchase", 4), ev(5, 1, "A", 5),
       ev(6, 2, "C", 10), ev(7, 2, "purchase", 12), ev(8, 2, "C", 14),
     )
     val dir = Files.createTempDirectory("graft_scd2_lookup").toString
-    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
-      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    writeEvents(dir, rows.toDF("event_id", "user_id", "event_type", "ts", "value"))
     val out = SparkEntry.queries("q149_scd2_lookup")(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getInt(4))).toSeq
@@ -202,7 +208,7 @@ class EventsQualitySpec extends SparkTestBase {
     // ratio undefined/NULL, flag must be 1 and the query must not
     // raise ANSI DIVIDE_BY_ZERO), e vanishes (ratio 0, flag 1).
     def ev(id: Long, tpe: String, sec: Long) =
-      (id, id % 7, tpe, sec * 1000000L * 1000L, 0.0, """{"k": 1}""")
+      (id, id % 7, tpe, sec * 1000000L, 0.0, """{"k": 1}""")
     var id = 0L
     def burst(tpe: String, n: Int, fromSec: Long, toSec: Long) =
       (0 until n).map { i =>
@@ -213,8 +219,8 @@ class EventsQualitySpec extends SparkTestBase {
       burst("a", 12, 80, 100) ++ burst("b", 2, 81, 99) ++ burst("c", 6, 82, 99) ++
       burst("d", 3, 83, 98)
     val dir = Files.createTempDirectory("graft_drift").toString
-    rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
-      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    writeEvents(dir,
+      rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props"))
     val collected = SparkEntry.queries("q148_snapshot_drift")(spark, dir).collect()
     val out = collected.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(6))).toSeq
     assert(out == Seq(

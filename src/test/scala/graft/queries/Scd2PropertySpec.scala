@@ -47,8 +47,13 @@ class Scd2PropertySpec extends SparkTestBase {
         }
       }
       val dir = Files.createTempDirectory(s"graft_scd2_fuzz$round").toString
-      rows.map { case (e, u, t, us) => (e, u, t, us * 1000L, 0.0) }
+      rows.map { case (e, u, t, us) => (e, u, t, us, 0.0) }
         .toDF("event_id", "user_id", "event_type", "ts", "value")
+        // NTZ micros — the live corpus's encoding (the loader's footer
+        // guard rightly rejects plain-BIGINT nanos at 1970-era
+        // magnitudes; encoding adaptivity has its own suite).
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts")).cast("timestamp_ntz"))
         .coalesce(1).write.parquet(s"$dir/events.parquet")
 
       def collect(q: String) = SparkEntry.queries(q)(spark, dir)

@@ -26,7 +26,11 @@ import graft.SparkTestBase
   */
 class CorpusDriftCanarySpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.001"
+  // Same env var the entry points read (Verify/Bench), so the canary
+  // follows a relocated corpus instead of pinning a machine-specific
+  // path; the default matches the smoke-tier fixture.
+  private val sf =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
   private def integral(dt: DataType) = dt match {
     case ByteType | ShortType | IntegerType | LongType => true

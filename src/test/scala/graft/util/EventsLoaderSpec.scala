@@ -29,8 +29,29 @@ import graft.SparkTestBase
   * code path without needing a writer for the nanos logical type
   * (which Spark cannot produce).
   */
-class EventsLoaderSpec extends SparkTestBase {
+class EventsLoaderSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
   import sqlImplicits._
+
+  // Every fixture dir this suite creates, removed in afterAll — the
+  // per-encoding corpus copies are multi-MB of parquet and would
+  // otherwise accumulate in tmpdir across runs.
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tempCorpusDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    tmpDirs.synchronized(tmpDirs += d)
+    d
+  }
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tmpDirs.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    super.afterAll()
+  }
 
   // (event_id, user_id, event_type, ts_us) — sub-second micros that are
   // NOT millisecond-round, so a lossy ms-path would be caught.
@@ -58,7 +79,7 @@ class EventsLoaderSpec extends SparkTestBase {
       d.withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))),
     "us-utc" -> ((d: DataFrame) => d.withColumn("ts", timestamp_micros(col("ts_us")))),
   ).map { case (name, encode) =>
-    val dir = Files.createTempDirectory(s"graft_events_$name").toString
+    val dir = tempCorpusDir(s"graft_events_$name")
     encode(base)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
@@ -111,7 +132,7 @@ class EventsLoaderSpec extends SparkTestBase {
     // corpus holds — ≈full-count means the boundary silently stopped
     // pruning (fine at sf0.01, melts on 100 TB).
     val n = 50000L
-    val dir = Files.createTempDirectory("graft_events_rg").toString
+    val dir = tempCorpusDir("graft_events_rg")
     spark.range(n).toDF("event_id")
       .withColumn("ts", timestamp_micros(lit(1700000000000000L) + col("event_id") * 1000000L)
         .cast("timestamp_ntz"))
@@ -133,11 +154,25 @@ class EventsLoaderSpec extends SparkTestBase {
   }
 
   test("an unsupported ts encoding fails loudly, not by misreading time") {
-    val dir = Files.createTempDirectory("graft_events_bad").toString
+    val dir = tempCorpusDir("graft_events_bad")
     base.withColumn("ts", col("ts_us").cast("string"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     val e = intercept[IllegalStateException](Tables.events(spark, dir))
     assert(e.getMessage.contains("unsupported"), e.getMessage)
+  }
+
+  test("a plain BIGINT ts holding MICROS fails loudly instead of shifting ×1000") {
+    // The physical schema cannot distinguish BIGINT nanos from BIGINT
+    // micros — both read as LongType — and the nanos branch's div 1000
+    // would silently move every instant three orders of magnitude. The
+    // loader's footer guard must reject the micros magnitudes (~1.7e15,
+    // three decades below any sane epoch-nanos value) rather than guess.
+    val dir = tempCorpusDir("graft_events_uslong")
+    base.withColumn("ts", col("ts_us"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("not plausibly epoch NANOS"), e.getMessage)
   }
 }
