@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Scan-metrics proof for the ship-date-sorted lineitem layout — the
+  * EventsLoaderSpec row-group test applied to the fact table.
+  * "PushedFilters" in the plan proves the source ACCEPTED a predicate;
+  * this proves it PRUNES. It cannot be taken on faith: measured on this
+  * exact Spark, a date-boundary filter on the raw TIMESTAMP_NTZ
+  * l_shipdate is accepted yet NEVER becomes a parquet row-group
+  * predicate (ParquetFilters converts only UTC-adjusted annotations),
+  * so the raw scan decodes all of history to drop 80% of it. The
+  * at-rest ship-date-sorted BIGINT-micros log exists precisely to close
+  * that hole for the date-bounded lineitem family (q46/q120/q151's
+  * batch read and the partsupp-hwm/base ingest chain).
+  */
+class LineitemLayoutSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tempCorpusDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    tmpDirs.synchronized(tmpDirs += d)
+    d
+  }
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tmpDirs.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    super.afterAll()
+  }
+
+  private val baseUs = java.time.LocalDate.parse("1996-01-01").toEpochDay * 86400000000L
+
+  /** One NTZ-dated synthetic fact table: 50k rows, one second apart. */
+  private def writeCorpus(dir: String, n: Long): Unit =
+    spark.range(n).toDF("l_orderkey")
+      .withColumn("l_partkey", col("l_orderkey") % 200)
+      .withColumn("l_suppkey", col("l_orderkey") % 50)
+      .withColumn("l_quantity", (col("l_orderkey") % 7).cast("double"))
+      .withColumn("l_extendedprice", lit(10.5))
+      .withColumn("l_shipdate",
+        timestamp_micros(lit(baseUs) + col("l_orderkey") * 1000000L)
+          .cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+
+  test("the ship-date boundary actually prunes row groups of the sorted log") {
+    // Filtered to the last ~20% of the ship-date span, the scan must
+    // emit far fewer rows than the corpus holds — ≈full-count means the
+    // boundary silently stopped pruning (fine at sf0.01, melts on
+    // 100 TB). The log's N range-partitioned files each cover a tight
+    // disjoint date range, so the BIGINT cutoff skips every group
+    // entirely below it.
+    val n = 50000L
+    val dir = tempCorpusDir("graft_li_rg")
+    writeCorpus(dir, n)
+    val cutoff = baseUs + (n * 8 / 10) * 1000000L
+    val qe = Relational.lineitemSince(spark, dir, cutoff).queryExecution
+    // Drive THIS plan instance so its metrics accumulate (a fresh
+    // count() would execute a different plan object).
+    assert(qe.executedPlan.execute().count() == n / 5)
+    val scanRows = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows < n / 2,
+      s"scan emitted $scanRows of $n rows — the boundary literal is not pruning row groups")
+    // And the boundary really is the convertible BIGINT form (inside
+    // the null-keeping Or — see q151's batch semantics).
+    val pushed = qe.executedPlan.toString.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate_us"),
+      s"cutoff not pushed into the log scan: $pushed")
+  }
+
+  test("the log holds the same rows as the raw table, ship date exact to the micro") {
+    // The layout is a re-clustering, not a transformation: every row
+    // survives with l_shipdate_us equal to the NTZ instant's micros
+    // (UTC session), including the null-date rows q151's batch keeps.
+    val dir = tempCorpusDir("graft_li_roundtrip")
+    val rows = Seq(
+      (1L, Some("1996-03-15")), (2L, Some("1997-11-30")),
+      (3L, None), (4L, Some("1996-03-15")),
+    )
+    import sqlImplicits._
+    rows.toDF("l_orderkey", "d")
+      .withColumn("l_shipdate", to_timestamp(col("d")).cast("timestamp_ntz"))
+      .drop("d")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Relational.lineitemSdLog(spark, dir)
+      .select("l_orderkey", "l_shipdate_us")
+      .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    def us(d: String) = java.time.LocalDate.parse(d).toEpochDay * 86400000000L
+    assert(got == Seq(
+      1L -> Some(us("1996-03-15")), 2L -> Some(us("1997-11-30")),
+      3L -> None, 4L -> Some(us("1996-03-15"))))
+  }
+}

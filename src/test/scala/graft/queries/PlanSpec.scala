@@ -58,11 +58,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q46 (TPC-H Q6): every predicate reaches the parquet scan") {
+  test("q46 (TPC-H Q6): every predicate reaches the sorted-log scan as a convertible filter") {
     val p = plan("q46_tpch_q6")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
-    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
-      && pushed.contains("l_quantity"), pushed)
+    // The date bounds are BIGINT comparisons on the ship-date-sorted
+    // log — the form that actually row-group-prunes (a raw NTZ
+    // l_shipdate predicate is accepted but never prunes on this Spark).
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate_us")
+      && pushed.contains("LessThan(l_shipdate_us")
+      && pushed.contains("l_discount") && pushed.contains("l_quantity"), pushed)
+    assert(p.contains("lineitem-sd-log"), s"q46 must read the at-rest sorted log:\n$p")
+    val rawScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(rawScans == 0, s"q46 must not scan the raw NTZ table; saw $rawScans:\n$p")
   }
 
   test("q47 (TPC-H Q3): top-k plans as TakeOrderedAndProject with the segment filter pushed") {
@@ -72,10 +80,15 @@ class PlanSpec extends SparkTestBase {
       l.contains("PushedFilters") && l.contains("c_mktsegment")), p)
   }
 
-  test("q120 (TPC-H Q1): date filter pushed; scan pruned to the seven referenced columns") {
+  test("q120 (TPC-H Q1): date filter prunes the sorted log; scan reads the seven referenced columns") {
     val p = plan("q120_tpch_q1")
+    // The <= bound is a BIGINT row-group predicate on the at-rest
+    // ship-date-sorted log (raw NTZ accepts but never prunes).
     assert(p.linesIterator.exists(l =>
-      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+      l.contains("PushedFilters") && l.contains("LessThanOrEqual(l_shipdate_us")), p)
+    assert(p.contains("lineitem-sd-log"), s"q120 must read the at-rest sorted log:\n$p")
+    // The log carries all 11 columns; column pruning must still narrow
+    // this scan to the seven the query touches.
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("l_returnflag") && readSchema.contains("l_tax"), readSchema)
     assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
@@ -576,26 +589,29 @@ class PlanSpec extends SparkTestBase {
     assert(hashEx == 1, s"closed history leaked into the merge shuffle:\n$p")
   }
 
-  test("q151: the partsupp merge scans lineitem once; base history never rebuilds") {
+  test("q151: the partsupp merge scans the sorted log once; base history never rebuilds") {
     // Incremental aggregate maintenance: the new batch is the ONLY
-    // lineitem read (the hwm filter selects it), the at-rest grain
-    // arrives as its compact partial-aggregate artifact, and nothing
-    // re-derives the base grain from fact history. A second lineitem
-    // scan here means the "incremental" path re-aggregates history.
+    // fact read (the hwm filter selects it from the ship-date-sorted
+    // log), the at-rest grain arrives as its compact partial-aggregate
+    // artifact, and nothing re-derives the base grain from fact
+    // history. A second fact scan here means the "incremental" path
+    // re-aggregates history.
     val p = plan("q151_partsupp_merge")
-    val liScans = p.linesIterator.count(l =>
+    val logScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem-sd-log"))
+    assert(logScans == 1,
+      s"merge must read the sorted log ONCE (the new batch); saw $logScans:\n$p")
+    val rawScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("lineitem.parquet"))
-    assert(liScans == 1, s"merge must read lineitem ONCE (the new batch); saw $liScans:\n$p")
-    // The hwm boundary must reach the scan in the bare-column-vs-
-    // literal form — the only form the source accepts at all (an
-    // expression-wrapped or broadcast-column boundary never pushes).
-    // On this corpus's NTZ l_shipdate the accepted filter does not
-    // row-group-prune (upstream ParquetFilters converts only
-    // UTC-adjusted annotations — see Tables.ntzUs); the pin holds
-    // the plan SHAPE so pruning engages wherever the layout allows it.
+    assert(rawScans == 0,
+      s"the merge must never touch the raw NTZ table at query time; saw $rawScans:\n$p")
+    // The hwm boundary reaches the log scan as a pushed BIGINT literal
+    // — on the ship-date-sorted layout that comparison genuinely
+    // prunes row groups (metrics-proven in LineitemLayoutSpec); the r9
+    // accepted-but-not-pruned honesty note is closed for this path.
     assert(p.linesIterator.exists(l =>
-      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate")),
-      s"hwm filter must push into the lineitem scan:\n$p")
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate_us")),
+      s"hwm filter must push into the log scan:\n$p")
     val baseScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("partsupp-base"))
     assert(baseScans == 1, s"expected the at-rest grain artifact; saw $baseScans:\n$p")
