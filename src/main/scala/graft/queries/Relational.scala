@@ -397,9 +397,20 @@ object Relational {
 
     // ------------------------------------------------------------------
     // Ranking-function family: rank / dense_rank / ntile / percent_rank
-    // / cume_dist share ONE window (single sort per partition, all five
-    // computed in the same pass). Total order inside the window (price,
-    // key) makes every rank deterministic.
+    // / cume_dist over (PARTITION BY o_orderstatus ORDER BY price DESC,
+    // key). o_orderstatus has ≤3 values, so the naive WindowExec plan
+    // funnels ~1/3 of the table through single tasks — a straggler by
+    // construction at 100×. TwoPhaseRank (balanced range slices, local
+    // ranks, broadcast offset merge — see its scaladoc) supplies the
+    // scale-safe rank + group total; everything else is closed-form:
+    //
+    // The window ordering is TOTAL (o_orderkey is the table's key), so
+    // rank = dense_rank = row_number by construction — not a data
+    // accident — and:
+    //   ntile(4)  = closed form from (rank, group_total): the first
+    //               n%4 buckets hold n div 4 + 1 rows, the rest n div 4
+    //   pct_rank  = (rank-1)/(n-1), cume_dist = rank/n — same double
+    //               divisions the builtin evaluates, so bit-identical.
     QueryDef(
       "q33_ranking_functions",
       Some("""
@@ -414,21 +425,27 @@ object Relational {
         ORDER BY o_orderstatus, rnk
       """),
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      tbl(s, dir, "orders")
+      graft.util.TwoPhaseRank.rankAndTotal(
+        s,
+        tbl(s, dir, "orders").select("o_orderstatus", "o_orderkey", "o_totalprice"),
+        Seq("o_orderstatus"),
+        Seq(desc("o_totalprice"), asc("o_orderkey")),
+      )
         .select(
           col("o_orderstatus"),
           col("o_orderkey"),
-          // .cast(long): Spark ranking functions return INT, DuckDB's
-          // return BIGINT — equal values, different hash serialization
-          // (the q61 width seam from round 1).
-          rank().over(w).cast("long").as("rnk"),
-          dense_rank().over(w).cast("long").as("drnk"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cdist"),
+          // .cast(long): DuckDB ranking functions return BIGINT —
+          // equal values must serialize at equal widths (the q61 seam).
+          col("rnk"),
+          col("rnk").as("drnk"),
+          expr("""CASE WHEN rnk <= (n_g % 4) * ((n_g div 4) + 1)
+                  THEN (rnk - 1) div ((n_g div 4) + 1) + 1
+                  ELSE (n_g % 4) + (rnk - (n_g % 4) * ((n_g div 4) + 1) - 1) div (n_g div 4) + 1
+                  END""").cast("long").as("quartile"),
+          when(col("n_g") > 1,
+            round((col("rnk") - 1).cast("double") / (col("n_g") - 1), 6))
+            .otherwise(lit(0.0)).as("pct_rank"),
+          round(col("rnk").cast("double") / col("n_g"), 6).as("cdist"),
         )
         .orderBy("o_orderstatus", "rnk")
     },

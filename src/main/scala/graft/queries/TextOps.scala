@@ -1697,10 +1697,12 @@ object TextOps {
     * step between curation and the trainer. Packing is per-source and
     * in doc_id order, so the assignment is a pure function of the
     * corpus (greedy packers that follow arrival order are not
-    * reproducible under retries). Shape: one cumulative-sum window
-    * partitioned by source — the 100 TB variant sub-shards the
-    * partition key ((source, shard)) exactly like this plan, never a
-    * corpus-global prefix scan.
+    * reproducible under retries). Shape: `source` is a ≤handful-of-
+    * values key, so the per-source running sum rides TwoPhaseRank's
+    * prefix-sum decomposition (balanced range slices, local running
+    * sums, broadcast per-slice offsets) — no task ever holds a full
+    * source's corpus, and the assignment is identical to the one
+    * single-partition window the oracle evaluates.
     */
   private lazy val sequencePackingDef: QueryDef = QueryDef(
     "q98_sequence_packing",
@@ -1718,12 +1720,11 @@ object TextOps {
       ORDER BY source, seq_id
     """),
   ) { (s, dir) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-    tbl(s, dir, "documents")
+    val toks = tbl(s, dir, "documents")
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("bigint").as("n"))
-      .withColumn("cb", sum("n").over(w) - col("n"))
+    graft.util.TwoPhaseRank.prefixSum(s, toks, Seq("source"), Seq(asc("doc_id")), col("n"))
+      .withColumn("cb", col("psum") - col("n"))
       .withColumn("seq_id", expr(s"cb div $SeqLen"))
       .groupBy("source", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
@@ -1864,12 +1865,16 @@ object TextOps {
 
   /** q101 — adaptive per-source quality gate: keep each source's top
     * (1 − [[AdaptiveDropFrac]]) of documents by q63's quality score,
-    * via percent_rank within the source. The window partitions by
-    * source, so at 100 TB each source ranks independently (sub-shard a
-    * pathologically large source on a salt, take per-shard ranks — the
-    * cut is a rank, not a global sort). percent_rank is tie-stable:
-    * equal scores get equal ranks in both engines, so the hash compare
-    * cannot flip on tie order.
+    * via percent_rank within the source. `source` is a ≤handful-of-
+    * values key, so a naive per-source window would funnel whole-
+    * corpus-scale partitions through single tasks; TwoPhaseRank
+    * (balanced range slices, local ranks, broadcast offset merge)
+    * supplies rank + group total, and percent_rank is its closed form
+    * (rank−1)/(n−1) — the same double division the builtin evaluates,
+    * so bit-identical. Ties stay exact: the range partitioner
+    * co-locates equal (source, quality) rows, so SQL rank semantics
+    * (equal scores share a rank in both engines) survive the
+    * decomposition and the hash compare cannot flip on tie order.
     */
   private lazy val adaptiveQualityDef: QueryDef = QueryDef(
     "q101_adaptive_quality_gate",
@@ -1898,9 +1903,7 @@ object TextOps {
   ) { (s, dir) =>
     val toks = tokens(col("text"))
     val kept = col("pr") >= AdaptiveDropFrac
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("quality")
-    tbl(s, dir, "documents")
+    val scored = tbl(s, dir, "documents")
       .select(
         col("source"),
         size(toks).as("n_tokens"),
@@ -1912,7 +1915,9 @@ object TextOps {
           col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)) * 0.5)
           .as("quality"),
       )
-      .withColumn("pr", percent_rank().over(w))
+    graft.util.TwoPhaseRank.rankAndTotal(s, scored, Seq("source"), Seq(asc("quality")))
+      .withColumn("pr", when(col("n_g") > 1,
+        (col("rnk") - 1).cast("double") / (col("n_g") - 1)).otherwise(lit(0.0)))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -676,6 +676,57 @@ class PlanSpec extends SparkTestBase {
       s"aggregate must feed the Expand (got agg=$aggIds expand=$expandIds):\n$p")
   }
 
+  test("no declared query windows a full base table on a low-cardinality partition key") {
+    // A window partitioned SOLELY by a ≤handful-of-values column
+    // funnels whole-table-scale partitions through single tasks — a
+    // straggler by construction at 100× (the q33 history). Windows over
+    // bounded PRE-AGGREGATES on such keys are fine (q115's minutes ×
+    // types): the rule fires only when the window's input subtree
+    // scans a file source with no aggregation in between.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val lowCard = Set("o_orderstatus", "o_orderpriority", "l_returnflag",
+      "l_linestatus", "l_returnflag", "c_mktsegment", "event_type", "lang", "source")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      // sparkPlan (pre-AQE-wrapping): WindowExec/aggregate/scan
+      // relationships are all visible without unwrapping adaptive nodes.
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      p.foreach {
+        case w: WindowExec =>
+          val keys = w.partitionSpec.collect { case a: AttributeReference => a.name }
+          if (keys.nonEmpty && keys.forall(lowCard.contains)) {
+            val aggregatedBelow =
+              w.child.exists { case _: BaseAggregateExec => true; case _ => false }
+            val scansBase =
+              w.child.exists { case _: FileSourceScanExec => true; case _ => false }
+            assert(aggregatedBelow || !scansBase,
+              s"$name windows a full base-table input partitioned only by " +
+                s"low-cardinality ${keys.mkString(",")} — single-task straggler at scale")
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  test("q33: two-phase ranking — local windows keyed on (status, slice), merge via broadcast") {
+    val p = plan("q33_ranking_functions")
+    // The heavy input is range-partitioned on the full window ordering...
+    assert(p.contains("REPARTITION_BY_NUM") || p.contains("rangepartitioning"),
+      s"q33 lost its balanced range phase:\n$p")
+    // ...and every ranking window over it also keys on the slice id,
+    // so no task ever holds a full ≤3-value status group. (The
+    // offs-side sum windows run over the ≤N×|status|-row count
+    // aggregate — bounded.)
+    val rankWindows = p.linesIterator
+      .filter(l => l.contains("rank(")).toSeq
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("_tpr_pid")),
+      s"q33 local rank window must be keyed on (o_orderstatus, slice):\n$p")
+    // The merge side rides a broadcast join, not a shuffle of the fact.
+    assert(p.contains("BroadcastHashJoin"), s"q33 offset merge must broadcast:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
