@@ -56,7 +56,21 @@ object SparkEntry {
       "similarity" -> (() => _root_.graft.queries.Similarity.prebuildIndexes(spark, sfDir)),
       "relational" -> (() => _root_.graft.queries.Relational.prebuildIndexes(spark, sfDir)),
       "events" -> (() => _root_.graft.queries.Events.prebuildIndexes(spark, sfDir)),
-    ))
+    ).map { case (name, build) =>
+      // Chaos hook: -Dgraft.test.poison-module=<name> makes exactly
+      // that module's prebuild throw, so the end-to-end degradation
+      // path (fault isolation → index_build_failed in the bench JSON →
+      // the family's lazy rebuild) can be exercised by a spec against
+      // the REAL bench pipeline. The r8 incident was precisely a
+      // degraded build masquerading as a fast one; this keeps that
+      // signature regression-tested at the harness level, not only in
+      // unit isolation.
+      if (sys.props.get("graft.test.poison-module").contains(name))
+        name -> { () =>
+          throw new IllegalStateException(s"chaos: poisoned prebuild module '$name'")
+        }
+      else name -> build
+    })
 
   /** Run the modules' prebuilds concurrently (the artifact sets are
     * disjoint; each module fans out its own independent chains too),

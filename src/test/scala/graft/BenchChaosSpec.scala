@@ -1,0 +1,63 @@
+package graft
+
+/** End-to-end degradation drill for the bench harness — the r8 failure
+  * signature (a module's broken prebuild masquerading as a fast bench)
+  * exercised through the REAL pipeline, not just unit isolation:
+  * poison ONE module's prebuild (the chaos hook in
+  * SparkEntry.prepareIndexes), run Bench's actual core (prepare →
+  * two timed passes → JSON assembly) on a cross-module query sample,
+  * and assert the machine-readable signature comes out right:
+  * `index_build_failed:["events"]` in the JSON line, every other
+  * module's queries timed clean, AND the poisoned family still
+  * answers (its artifacts lazily rebuild — degraded means slower
+  * run 1, never wrong or absent).
+  */
+class BenchChaosSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  // One query per module family, plus one events query whose artifact
+  // chain the poisoned prebuild would have built: small enough for a
+  // unit test, wide enough that "the other modules bench clean" means
+  // something.
+  private val sample = Seq(
+    "q20_join_broadcast", // relational
+    "q60_exact_dedup", // textops
+    "q68_knn_bruteforce", // similarity
+    "q145_scd2_merge", // events — reads the sorted log + SCD2 base
+  )
+
+  override def afterAll(): Unit = {
+    sys.props -= "graft.test.poison-module"
+    super.afterAll()
+  }
+
+  test("a poisoned events prebuild degrades visibly and nothing else breaks") {
+    sys.props("graft.test.poison-module") = "events"
+    try {
+      val r = Bench.run(spark, sf,
+        SparkEntry.queries.view.filterKeys(sample.contains).toMap)
+      // The honest signature: the failure is IN the artifact...
+      assert(r.indexFailed == Seq("events"),
+        s"poisoned module must be reported, alone: ${r.indexFailed}")
+      assert(r.json.contains("\"index_build_failed\":[\"events\"]"),
+        s"bench JSON must carry the degradation marker: ${r.json.take(300)}")
+      assert(r.tail.contains("\"index_build_failed\":[\"events\"]"),
+        "the tail-capture summary must carry the marker too")
+      // ...and it is a DEGRADATION, not an outage: every sampled query
+      // (the events one included — its artifacts lazily rebuilt) timed
+      // without error.
+      assert(r.errors.isEmpty, s"no query may error: ${r.errors}")
+      assert(r.results.map(_._1).sorted == sample.sorted,
+        s"all sampled queries must report timings: ${r.results.map(_._1)}")
+    } finally sys.props -= "graft.test.poison-module"
+  }
+
+  test("with the poison lifted the same pipeline reports a healthy build") {
+    val r = Bench.run(spark, sf,
+      SparkEntry.queries.view.filterKeys(Set("q20_join_broadcast")).toMap)
+    assert(r.indexFailed.isEmpty, s"healthy prebuild must report no failures: ${r.indexFailed}")
+    assert(r.json.contains("\"index_build_failed\":[]"), r.json.take(300))
+    assert(r.errors.isEmpty && r.results.nonEmpty)
+  }
+}
