@@ -425,7 +425,10 @@ object Relational {
         ORDER BY o_orderstatus, rnk
       """),
     ) { (s, dir) =>
-      graft.util.TwoPhaseRank.rankAndTotal(
+      // Total ordering (o_orderkey unique) → the one-shuffle
+      // rowNumberAndTotal variant: ranks are offset arithmetic over
+      // the sorted slices, no ranking window anywhere in the plan.
+      graft.util.TwoPhaseRank.rowNumberAndTotal(
         s,
         tbl(s, dir, "orders").select("o_orderstatus", "o_orderkey", "o_totalprice"),
         Seq("o_orderstatus"),
@@ -976,9 +979,11 @@ object Relational {
     ) { (s, dir) =>
       val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(38,15)")
-      tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
-          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      // One-month slice of the ship-date-sorted log: the BIGINT bounds
+      // row-group-prune (raw NTZ accepts but never prunes).
+      lineitemSdLog(s, dir)
+        .filter(col("l_shipdate_us") >= dateUs("1996-09-01")
+          && col("l_shipdate_us") < dateUs("1996-10-01"))
         .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .agg(round(
           lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(38,15)"))).cast("double")
@@ -1167,9 +1172,11 @@ object Relational {
         ORDER BY s_suppkey
       """),
     ) { (s, dir) =>
-      def rev = tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
-          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      // Both rev branches read the quarter slice of the sorted log —
+      // the BIGINT bounds row-group-prune on each.
+      def rev = lineitemSdLog(s, dir)
+        .filter(col("l_shipdate_us") >= dateUs("1996-01-01")
+          && col("l_shipdate_us") < dateUs("1996-04-01"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(38,15)")).as("total_revenue"))
@@ -1221,9 +1228,9 @@ object Relational {
         .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
       val n2 = tbl(s, dir, "nation")
         .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
-      tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
-          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      lineitemSdLog(s, dir)
+        .filter(col("l_shipdate_us") >= dateUs("1996-01-01")
+          && col("l_shipdate_us") < dateUs("1998-01-01"))
         .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
         .join(tbl(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
         .join(tbl(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
@@ -1233,7 +1240,8 @@ object Relational {
           || (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
         .groupBy(
           col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"),
+          // UTC session: the micros-rebuilt instant has the NTZ year.
+          year(timestamp_micros(col("l_shipdate_us"))).as("l_year"),
         )
         .agg(
           round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -1374,11 +1382,15 @@ object Relational {
       """),
     ) { (s, dir) =>
       val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
-          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      lineitemSdLog(s, dir)
+        .filter(col("l_shipdate_us") >= dateUs("1996-01-01")
+          && col("l_shipdate_us") < dateUs("1997-01-01"))
         .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        // The late predicate needs the instant back (vs o_orderdate);
+        // UTC session makes the micros rebuild NTZ-identical. It is a
+        // post-join row filter either way — never a pushed bound.
+        .filter(timestamp_micros(col("l_shipdate_us")).cast("timestamp_ntz")
+          > col("o_orderdate") + expr("INTERVAL 90 DAY"))
         .groupBy("l_returnflag")
         .agg(
           sum(when(high, 1).otherwise(0)).as("high_line_count"),
@@ -1616,9 +1628,9 @@ object Relational {
       val redParts = tbl(s, dir, "part")
         .filter(col("p_name").like("red%"))
         .select("p_partkey")
-      val shipped = tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
-          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val shipped = lineitemSdLog(s, dir)
+        .filter(col("l_shipdate_us") >= dateUs("1996-01-01")
+          && col("l_shipdate_us") < dateUs("1997-01-01"))
         .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum("l_quantity").cast("bigint").as("qty_1996"))

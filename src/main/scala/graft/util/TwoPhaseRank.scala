@@ -72,6 +72,47 @@ object TwoPhaseRank {
       .drop("_tpr_pid", "_tpr_lrk", "_tpr_off")
   }
 
+  /** [[rankAndTotal]] for TOTAL orderings (every row has a distinct
+    * (partCols, orderCols) tuple — e.g. a unique key as the last sort
+    * term), where rank == row_number and the local phase needs no
+    * window AT ALL: after the range shuffle each partition is sorted
+    * once, `monotonically_increasing_id()` is then consecutive within
+    * it, so the in-slice position is `mid − min(mid of slice)` — plain
+    * arithmetic against a broadcast per-slice (min, offset, total)
+    * aggregate. The fact flows through ONE exchange total, vs the
+    * window form's two (range + hash): at 100 TB that halves the
+    * job's network cost. Both derived branches re-sort the reused
+    * shuffle output deterministically (the ordering is total), so the
+    * mid values agree between them. NOT valid with ties — a tie group
+    * would get distinct row numbers where SQL rank shares one; use
+    * [[rankAndTotal]] there.
+    */
+  def rowNumberAndTotal(
+      s: SparkSession, df: DataFrame,
+      partCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = partCols.map(col)
+    val sliced = df
+      .repartitionByRange(n, part ++ orderCols: _*)
+      .sortWithinPartitions(part ++ orderCols: _*)
+      .withColumn("_tpr_pid", spark_partition_id())
+      .withColumn("_tpr_mid", monotonically_increasing_id())
+    val wOff = Window.partitionBy(part: _*).orderBy("_tpr_pid")
+    val stats = sliced
+      .groupBy(part :+ col("_tpr_pid"): _*)
+      .agg(count(lit(1)).as("_tpr_cnt"), min("_tpr_mid").as("_tpr_min"))
+      .withColumn("_tpr_off", coalesce(
+        sum("_tpr_cnt").over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_g", sum("_tpr_cnt").over(Window.partitionBy(part: _*)))
+      .drop("_tpr_cnt")
+    sliced
+      .join(broadcast(stats), partCols :+ "_tpr_pid")
+      .withColumn("rnk",
+        (col("_tpr_off") + (col("_tpr_mid") - col("_tpr_min")) + 1).cast("long"))
+      .drop("_tpr_pid", "_tpr_mid", "_tpr_min", "_tpr_off")
+  }
+
   /** Append `psum` (the running `sum(valueCol) OVER (PARTITION BY
     * partCols ORDER BY orderCols)` in its default RANGE-to-current-row
     * frame) to `df`, decomposed the same two-phase way: local running

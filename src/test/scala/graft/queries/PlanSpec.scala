@@ -127,8 +127,11 @@ class PlanSpec extends SparkTestBase {
   test("q124 (TPC-H Q14): one joined pass computes both conditional sums") {
     val p = plan("q124_tpch_q14")
     val liScans = p.linesIterator.count(l =>
-      l.contains("Location") && l.contains("lineitem.parquet"))
-    assert(liScans == 1, s"ratio-of-sums must not scan lineitem twice; saw $liScans:\n$p")
+      l.contains("Location") && l.contains("lineitem-sd-log"))
+    assert(liScans == 1, s"ratio-of-sums must not scan the fact twice; saw $liScans:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate_us")),
+      s"month bounds must push into the sorted-log scan:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
@@ -171,8 +174,8 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q129_tpch_q15")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     val pushed = p.linesIterator.filter(l =>
-      l.contains("PushedFilters") && l.contains("l_shipdate")).size
-    assert(pushed >= 2, s"quarter filter must push to both rev-subtree scans:\n$p")
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate_us")).size
+    assert(pushed >= 2, s"quarter filter must push to both rev-subtree log scans:\n$p")
   }
 
   test("q130: the MMR recall phase broadcasts the query and plans top-M as top-k") {
@@ -196,7 +199,8 @@ class PlanSpec extends SparkTestBase {
       l.contains("PushedFilters") && l.contains("Or(EqualTo(n_name"))
     assert(derived == 2, s"expected the derived Or filter on both nation scans:\n$p")
     assert(p.linesIterator.exists(l =>
-      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate_us")),
+      s"date range must push into the sorted-log scan:\n$p")
   }
 
   test("q135: collocations plan zero corpus-text scans; top-20 plans as top-k") {
@@ -221,10 +225,11 @@ class PlanSpec extends SparkTestBase {
   test("q137 (TPC-H Q12): both conditional counts come from ONE joined pass") {
     val p = plan("q137_tpch_q12")
     val liScans = p.linesIterator.count(l =>
-      l.contains("Location") && l.contains("lineitem.parquet"))
-    assert(liScans == 1, s"two-count CASE must not scan lineitem twice; saw $liScans:\n$p")
+      l.contains("Location") && l.contains("lineitem-sd-log"))
+    assert(liScans == 1, s"two-count CASE must not scan the fact twice; saw $liScans:\n$p")
     assert(p.linesIterator.exists(l =>
-      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate_us")),
+      s"year bounds must push into the sorted-log scan:\n$p")
   }
 
   test("q138 (TPC-H Q2): the correlated min folds to ONE partsupp scan + a window") {
@@ -274,14 +279,14 @@ class PlanSpec extends SparkTestBase {
   test("q141 (TPC-H Q20): correlated stock threshold via semi joins, one fact scan") {
     val p = plan("q141_tpch_q20")
     val liScans = p.linesIterator.count(l =>
-      l.contains("Location") && l.contains("lineitem.parquet"))
+      l.contains("Location") && l.contains("lineitem-sd-log"))
     assert(liScans == 1,
       s"the shipped-qty aggregate is the only fact read; saw $liScans:\n$p")
     val semis = p.linesIterator.count(l => l.contains("LeftSemi"))
     assert(semis >= 2, s"part-filter and supplier-membership must plan as semi joins:\n$p")
     assert(p.linesIterator.exists(l =>
-      l.contains("PushedFilters") && l.contains("l_shipdate")),
-      s"1996 window must push to the fact scan:\n$p")
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate_us")),
+      s"1996 window must push to the sorted-log scan:\n$p")
   }
 
   test("q48: the year filter prunes partitions of the at-rest layout") {
@@ -710,20 +715,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q33: two-phase ranking — local windows keyed on (status, slice), merge via broadcast") {
+  test("q33: two-phase ranking — one balanced range shuffle, ranks by arithmetic, broadcast merge") {
     val p = plan("q33_ranking_functions")
-    // The heavy input is range-partitioned on the full window ordering...
+    // The heavy input is range-partitioned on the full window ordering
+    // (its ONLY full-data exchange)...
     assert(p.contains("REPARTITION_BY_NUM") || p.contains("rangepartitioning"),
       s"q33 lost its balanced range phase:\n$p")
-    // ...and every ranking window over it also keys on the slice id,
-    // so no task ever holds a full ≤3-value status group. (The
-    // offs-side sum windows run over the ≤N×|status|-row count
-    // aggregate — bounded.)
-    val rankWindows = p.linesIterator
-      .filter(l => l.contains("rank(")).toSeq
-    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("_tpr_pid")),
-      s"q33 local rank window must be keyed on (o_orderstatus, slice):\n$p")
-    // The merge side rides a broadcast join, not a shuffle of the fact.
+    // ...ranks come from offset arithmetic over the sorted slices —
+    // NO ranking window anywhere in the plan (the sum windows run over
+    // the ≤N×|status|-row slice aggregate; the generic low-card pin
+    // checks those sit above an aggregate)...
+    assert(!p.contains("rank("),
+      s"a ranking window over the fact reappeared in q33:\n$p")
+    // ...and the merge side rides a broadcast join, never a shuffle of
+    // the fact.
     assert(p.contains("BroadcastHashJoin"), s"q33 offset merge must broadcast:\n$p")
   }
 
