@@ -17,14 +17,50 @@ object Relational {
 
   import Tables.tbl
 
-  /** Orders materialized once per corpus partitioned by order_year —
-    * the at-rest layout q48 prunes against. */
+  /** The canonical at-rest orders layout: partitioned by order_year
+    * (directory-level pruning — q48's path) AND date-sorted within
+    * partitions with the date as BIGINT micros (row-group pruning for
+    * arbitrary date ranges — the lineitem-sd-log recipe). Every
+    * date-bounded orders read slices THIS via [[ordersSlice]]: the
+    * year bounds drop whole directories before listing, the micros
+    * bounds skip row groups inside the boundary years — the raw NTZ
+    * o_orderdate column rides along untouched for outputs and
+    * expressions, it just never carries the boundary predicate (this
+    * Spark accepts but never converts NTZ predicates to row-group
+    * filters). Partition count pinned and folded into the name, as
+    * with the other sorted logs.
+    */
   private def ordersByYear(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.util.Snapshots(s, dir, "orders-by-year", partitionBy = Seq("order_year")) {
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Snapshots(s, dir, s"orders-by-year-n$n", partitionBy = Seq("order_year")) {
       tbl(s, dir, "orders")
         .withColumn("order_year", year(col("o_orderdate").cast("date")))
+        .withColumn("o_orderdate_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .repartitionByRange(n, col("order_year"), col("o_orderdate_us"))
+        .sortWithinPartitions("order_year", "o_orderdate_us")
     }
+  }
+
+  /** A date slice of [[ordersByYear]] with both pruning predicates
+    * derived from the bounds: order_year (directory prune) and
+    * o_orderdate_us (row-group prune). Bounds are YYYY-MM-DD literals,
+    * from inclusive, until exclusive; either side open.
+    */
+  private def ordersSlice(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      fromIncl: Option[String], untilExcl: Option[String]): org.apache.spark.sql.DataFrame = {
+    val base = ordersByYear(s, dir)
+    val lower = fromIncl.map { f =>
+      col("order_year") >= f.take(4).toInt && col("o_orderdate_us") >= dateUs(f)
+    }
+    val upper = untilExcl.map { u =>
+      // Max included year = the year of the last included day.
+      val maxYear = java.time.LocalDate.parse(u).minusDays(1).getYear
+      col("order_year") <= maxYear && col("o_orderdate_us") < dateUs(u)
+    }
+    (lower.toSeq ++ upper.toSeq).reduceOption(_ && _).fold(base)(base.filter)
+  }
 
   /** Lineitem projection bucketed+sorted by l_orderkey — the at-rest
     * layout q49 aggregates over with zero hash Exchange. */
@@ -644,22 +680,23 @@ object Relational {
         LIMIT 10
       """),
     ) { (s, dir) =>
-      tbl(s, dir, "customer").createOrReplaceTempView("customer")
-      tbl(s, dir, "orders").createOrReplaceTempView("orders")
-      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      s.sql("""
-        SELECT l_orderkey,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
-        FROM customer
-          JOIN orders ON c_custkey = o_custkey
-          JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < CAST('1998-03-15' AS TIMESTAMP)
-          AND l_shipdate > CAST('1998-03-15' AS TIMESTAMP)
-        GROUP BY l_orderkey
-        ORDER BY revenue DESC, l_orderkey
-        LIMIT 10
-      """)
+      // Both date bounds ride the engine-owned layouts: the unshipped
+      // filter (l_shipdate strictly after the cutoff) keeps a vanishing
+      // tail of the fact, so row-group pruning on the ship-date-sorted
+      // log is the whole game; the orders bound slices the year-
+      // partitioned layout.
+      tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(ordersSlice(s, dir, None, Some("1998-03-15")),
+          col("c_custkey") === col("o_custkey"))
+        .join(
+          lineitemSdLog(s, dir).filter(col("l_shipdate_us") > dateUs("1998-03-15")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,15)")).cast("double"), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
     },
 
     // ------------------------------------------------------------------
@@ -692,9 +729,7 @@ object Relational {
     ) { (s, dir) =>
       tbl(s, dir, "lineitem")
         .join(
-          tbl(s, dir, "orders")
-            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
-              && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          ordersSlice(s, dir, Some("1996-01-01"), Some("1997-01-01")),
           col("l_orderkey") === col("o_orderkey"))
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(
@@ -741,9 +776,7 @@ object Relational {
       tbl(s, dir, "lineitem")
         .filter(col("l_returnflag") === "R")
         .join(
-          tbl(s, dir, "orders")
-            .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
-              && col("o_orderdate") < lit("1996-10-01").cast("timestamp")),
+          ordersSlice(s, dir, Some("1996-07-01"), Some("1996-10-01")),
           col("l_orderkey") === col("o_orderkey"))
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -943,9 +976,7 @@ object Relational {
         ORDER BY o_orderpriority
       """),
     ) { (s, dir) =>
-      tbl(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
-          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      ordersSlice(s, dir, Some("1996-07-01"), Some("1996-10-01"))
         .join(
           tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
           col("l_orderkey") === col("o_orderkey")
@@ -1065,8 +1096,7 @@ object Relational {
         .crossJoin(broadcast(avgbal))
         .filter(col("c_acctbal") > col("avgbal"))
         .join(
-          tbl(s, dir, "orders")
-            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+          ordersSlice(s, dir, Some("1999-01-01"), None),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .groupBy(col("c_nationkey").as("nation"))
         .agg(
@@ -1297,9 +1327,7 @@ object Relational {
           col("p_partkey") === col("l_partkey"))
         .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
         .join(
-          tbl(s, dir, "orders")
-            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
-              && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          ordersSlice(s, dir, Some("1996-01-01"), Some("1998-01-01")),
           col("l_orderkey") === col("o_orderkey"))
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))

@@ -73,11 +73,22 @@ class PlanSpec extends SparkTestBase {
     assert(rawScans == 0, s"q46 must not scan the raw NTZ table; saw $rawScans:\n$p")
   }
 
-  test("q47 (TPC-H Q3): top-k plans as TakeOrderedAndProject with the segment filter pushed") {
+  test("q47 (TPC-H Q3): top-k plans as TakeOrderedAndProject; both date bounds prune layouts") {
     val p = plan("q47_tpch_q3")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("c_mktsegment")), p)
+    // The unshipped tail comes off the ship-date-sorted log...
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThan(l_shipdate_us")),
+      s"unshipped cutoff must push into the sorted-log scan:\n$p")
+    // ...and the orders bound off the year-partitioned layout.
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("LessThan(o_orderdate_us")),
+      s"orders cutoff must push into the orders layout:\n$p")
+    val raw = p.linesIterator.count(l => l.contains("Location")
+      && (l.contains("lineitem.parquet") || l.contains("orders.parquet")))
+    assert(raw == 0, s"q47 must read only the at-rest layouts; saw $raw raw scans:\n$p")
   }
 
   test("q120 (TPC-H Q1): date filter prunes the sorted log; scan reads the seven referenced columns") {
@@ -117,11 +128,35 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected ≤2 hash exchanges (fact + final agg), saw $exchanges:\n$p")
   }
 
-  test("q123 (TPC-H Q4): the correlated EXISTS plans as a semi join with the date filter pushed") {
+  test("q123 (TPC-H Q4): the correlated EXISTS plans as a semi join with the date bounds pruning") {
     val p = plan("q123_tpch_q4")
     assert(p.contains("LeftSemi"), p)
     assert(p.linesIterator.exists(l =>
-      l.contains("PushedFilters") && l.contains("o_orderdate")), p)
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(o_orderdate_us")),
+      s"quarter bounds must push as BIGINT micros into the orders layout:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("order_year")),
+      s"year bounds must prune directories of the orders layout:\n$p")
+  }
+
+  test("date-bounded orders reads slice the year-partitioned date-sorted layout") {
+    // q118/q119/q126/q134 (and q47/q123, pinned individually): the
+    // year bounds prune DIRECTORIES (PartitionFilters), the micros
+    // bounds prune ROW GROUPS (pushed BIGINT filters) — the raw NTZ
+    // table, whose date predicates never convert, is out of these
+    // plans entirely.
+    for (q <- Seq("q118_tpch_q5", "q119_tpch_q10", "q126_tpch_q22", "q134_tpch_q8")) {
+      val p = plan(q)
+      assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("order_year")),
+        s"$q: no directory pruning on order_year:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("o_orderdate_us")),
+        s"$q: date bounds not pushed as BIGINT micros:\n$p")
+      val rawScans = p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("orders.parquet"))
+      assert(rawScans == 0, s"$q still scans the raw orders table ($rawScans):\n$p")
+    }
   }
 
   test("q124 (TPC-H Q14): one joined pass computes both conditional sums") {
