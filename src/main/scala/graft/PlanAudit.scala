@@ -98,12 +98,16 @@ object PlanAudit {
     // at-rest artifacts as .../graft-snap-<dirkey>-<fingerprint>-<name>
     // (and bucketed ones via their catalog table location). Both count:
     // re-scanning a 100 TB artifact is as expensive as re-scanning the
-    // table it derives from.
+    // table it derives from. The sorted logs fold the session's
+    // partition count into their physical names (a layout property);
+    // the trailing -n<N> is stripped here so gate identity and
+    // DocumentedReuse allowances stay stable across configs.
     val tableRe = "file:[^\\]\\,]*/([A-Za-z0-9_.-]+)\\.parquet".r
     val snapRe = "graft-snap-[0-9a-f]{12}-[0-9a-f]{12}-((?:bkt-)?[A-Za-z0-9_.-]+)".r
     def sourcesOf(line: String): Option[String] =
       snapRe.findFirstMatchIn(line).map(_.group(1))
         .orElse(tableRe.findFirstMatchIn(line).map(_.group(1)))
+        .map(_.replaceAll("-n\\d+$", ""))
 
     val audits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a =
@@ -119,8 +123,13 @@ object PlanAudit {
           def nodes(s: String) =
             if (exec) lines.count(_.contains(s))
             else lines.count(l => l.trim.startsWith("(") && l.contains(s))
+          // exec mode: the one-line FileScan nodes carry their paths.
+          // plan (formatted) mode: paths live on the separate
+          // "Location:" detail lines — counting "Scan parquet" lines
+          // there would always yield an EMPTY dup map and a vacuously
+          // green gate.
           val perTable = lines
-            .filter(_.contains("Scan parquet"))
+            .filter(l => if (exec) l.contains("Scan parquet") else l.contains("Location"))
             .flatMap(sourcesOf)
             .groupBy(identity).view.mapValues(_.size)
             .filter(_._2 >= 2).toMap
@@ -141,13 +150,18 @@ object PlanAudit {
       name -> a
     }
 
-    // The gate: same-source scan counts at/over the limit, discounted
-    // by visible reuse (a ReusedExchange/ReusedQueryStage means the
-    // bytes were read once), minus documented designed reuse.
+    // The gate: same-source scan counts at/over the limit, minus
+    // documented designed reuse. No reuse discount here: in the
+    // post-AQE plan a reused subtree prints ReusedExchange/
+    // ReusedQueryStage INSTEAD of its scan nodes, so the counted scans
+    // already reflect distinct materializations — subtracting the
+    // query-global reuse count again would let reuse on one source
+    // mask undocumented multi-scans of another. `reused` stays in the
+    // artifact as forensics.
     val violations = audits.flatMap { case (name, a) =>
       a.dup.collect {
         case (src, cnt)
-            if cnt - a.reused >= GateMaxSameSourceScans
+            if cnt >= GateMaxSameSourceScans
               && DocumentedReuse.get((name, src)).forall(cnt > _._1) =>
           val doc = DocumentedReuse.get((name, src))
             .map(d => s", documented allowance ${d._1}").getOrElse("")
@@ -156,7 +170,20 @@ object PlanAudit {
     }
     val errors = audits.collect { case (n, a) if a.err.nonEmpty => n }
 
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Full control-character escaping: error strings carry multi-line
+    // Spark exception messages, and a raw newline inside a JSON string
+    // literal makes the per-round artifact unparseable exactly in the
+    // failure round where the machine-readable record matters most.
+    def jstr(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }.mkString("\"", "", "\"")
     val queriesJson = audits.map { case (name, a) =>
       val dup = a.dup.toSeq.sorted
         .map { case (t, n) => s"${jstr(t)}:$n" }.mkString("{", ",", "}")
@@ -177,8 +204,10 @@ object PlanAudit {
         java.nio.file.Paths.get(path),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    val modeTag =
+      if (exec) "" else " (plan mode: pre-AQE counts, self-join reuse not discounted)"
     println(s"""[planaudit] gate ${if (violations.isEmpty && errors.isEmpty) "PASS"
-      else s"FAIL: ${(violations ++ errors.map(_ + " ERRORED")).mkString("; ")}"}""")
+      else s"FAIL: ${(violations ++ errors.map(_ + " ERRORED")).mkString("; ")}"}$modeTag""")
     spark.stop()
   }
 }

@@ -97,12 +97,23 @@ object Tables {
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
+    // Recursive listing (the Snapshots.fingerprint pattern): a
+    // partitioned table root keeps its data files under partition
+    // subdirectories — a top-level-only listing would reject a layout
+    // the loader otherwise reads fine.
     val dataFile =
       if (fs.getFileStatus(root).isFile) root
-      else fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-        .sortBy(_.getName).headOption.getOrElse(
+      else {
+        val it = fs.listFiles(root, true)
+        var best: Option[org.apache.hadoop.fs.Path] = None
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_")
+            && best.forall(_.toString > p.toString)) best = Some(p)
+        }
+        best.getOrElse(
           throw new IllegalStateException(s"events.ts: no data files under $root"))
+      }
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataFile, conf))
     try {

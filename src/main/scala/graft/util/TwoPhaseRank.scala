@@ -139,14 +139,28 @@ object TwoPhaseRank {
     val wOff = Window.partitionBy(part: _*).orderBy("_tpr_pid")
     val offs = sliced
       .groupBy(part :+ col("_tpr_pid"): _*)
-      .agg(sum("_tpr_v").as("_tpr_cnt"))
+      // Per-slice value total AND non-null count: the builtin running
+      // sum is NULL exactly while ZERO non-null values have been seen,
+      // then ignores later NULLs — so the merge below needs to know
+      // whether any earlier slice contributed a value, not just the
+      // (null-skipping) sum of slice totals.
+      .agg(sum("_tpr_v").as("_tpr_cnt"), count("_tpr_v").as("_tpr_nn"))
       .withColumn("_tpr_off", coalesce(
         sum("_tpr_cnt").over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .drop("_tpr_cnt")
+      .withColumn("_tpr_nnb", coalesce(
+        sum("_tpr_nn").over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("_tpr_cnt", "_tpr_nn")
     local
       .join(broadcast(offs), partCols :+ "_tpr_pid")
-      .withColumn("psum", col("_tpr_off") + col("_tpr_lsum"))
-      .drop("_tpr_pid", "_tpr_v", "_tpr_lsum", "_tpr_off")
+      // A row whose slice-local running sum is still NULL (only NULLs
+      // so far in-slice) must inherit the prior slices' sum — or stay
+      // NULL when no prior slice held a value, exactly the builtin's
+      // all-NULL-prefix behavior.
+      .withColumn("psum",
+        when(col("_tpr_lsum").isNotNull, col("_tpr_off") + col("_tpr_lsum"))
+          .otherwise(when(col("_tpr_nnb") > 0, col("_tpr_off"))))
+      .drop("_tpr_pid", "_tpr_v", "_tpr_lsum", "_tpr_off", "_tpr_nnb")
   }
 }

@@ -13,6 +13,30 @@ trait SparkTestBase extends AnyFunSuite {
   val sqlImplicits: org.apache.spark.sql.SQLImplicits = SparkTestBase.session.implicits
 }
 
+/** Per-suite temp corpus dirs with deep cleanup in afterAll — fixture
+  * parquet is multi-MB per encoding and would otherwise accumulate in
+  * tmpdir across runs. Mix in, create dirs via [[tempCorpusDir]].
+  */
+trait TempCorpusDirs extends org.scalatest.BeforeAndAfterAll {
+  this: org.scalatest.Suite =>
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  def tempCorpusDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpDirs.synchronized(tmpDirs += d)
+    d
+  }
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tmpDirs.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    super.afterAll()
+  }
+}
+
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = graft.util.Tables.withSessionConf(

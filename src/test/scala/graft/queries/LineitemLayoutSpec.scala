@@ -18,25 +18,7 @@ import graft.SparkTestBase
   * that hole for the date-bounded lineitem family (q46/q120/q151's
   * batch read and the partsupp-hwm/base ingest chain).
   */
-class LineitemLayoutSpec extends SparkTestBase
-    with org.scalatest.BeforeAndAfterAll {
-
-  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-  private def tempCorpusDir(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix).toString
-    tmpDirs.synchronized(tmpDirs += d)
-    d
-  }
-  override def afterAll(): Unit = {
-    import scala.jdk.CollectionConverters._
-    tmpDirs.foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    super.afterAll()
-  }
+class LineitemLayoutSpec extends SparkTestBase with graft.TempCorpusDirs {
 
   private val baseUs = java.time.LocalDate.parse("1996-01-01").toEpochDay * 86400000000L
 

@@ -728,7 +728,7 @@ class PlanSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
     val lowCard = Set("o_orderstatus", "o_orderpriority", "l_returnflag",
-      "l_linestatus", "l_returnflag", "c_mktsegment", "event_type", "lang", "source")
+      "l_linestatus", "c_mktsegment", "event_type", "lang", "source")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // sparkPlan (pre-AQE-wrapping): WindowExec/aggregate/scan
       // relationships are all visible without unwrapping adaptive nodes.

@@ -29,29 +29,8 @@ import graft.SparkTestBase
   * code path without needing a writer for the nanos logical type
   * (which Spark cannot produce).
   */
-class EventsLoaderSpec extends SparkTestBase
-    with org.scalatest.BeforeAndAfterAll {
+class EventsLoaderSpec extends SparkTestBase with graft.TempCorpusDirs {
   import sqlImplicits._
-
-  // Every fixture dir this suite creates, removed in afterAll — the
-  // per-encoding corpus copies are multi-MB of parquet and would
-  // otherwise accumulate in tmpdir across runs.
-  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-  private def tempCorpusDir(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix).toString
-    tmpDirs.synchronized(tmpDirs += d)
-    d
-  }
-  override def afterAll(): Unit = {
-    import scala.jdk.CollectionConverters._
-    tmpDirs.foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    super.afterAll()
-  }
 
   // (event_id, user_id, event_type, ts_us) — sub-second micros that are
   // NOT millisecond-round, so a lossy ms-path would be caught.

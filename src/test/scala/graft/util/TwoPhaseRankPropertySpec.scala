@@ -87,6 +87,34 @@ class TwoPhaseRankPropertySpec extends SparkTestBase {
     }
   }
 
+  test("prefixSum matches the builtin on NULL values, all-NULL prefixes included") {
+    // The builtin running sum is NULL exactly while zero non-null
+    // values have been seen, then ignores later NULLs. Random NULLs
+    // land on slice heads often enough to exercise the cross-slice
+    // merge; key "z" pins the all-NULL-prefix case deterministically.
+    (1 to 4).foreach { round =>
+      val n = 100 + rng.nextInt(300)
+      val df = ((0 until n).map { i =>
+        val k = s"k${rng.nextInt(2)}"
+        (k, rng.nextInt(6).toDouble, i.toLong,
+          if (rng.nextInt(4) == 0) None else Some(rng.nextInt(100).toLong))
+      } ++ Seq(
+        ("z", 1.0, 100000L, None), ("z", 2.0, 100001L, None),
+        ("z", 3.0, 100002L, Some(5L)), ("z", 4.0, 100003L, None),
+      )).toDF("key", "v1", "v2", "v3")
+      val w = Window.partitionBy("key").orderBy(asc("v1"), asc("v2"))
+      val expected = df
+        .withColumn("psum", sum("v3").over(w))
+        .select("key", "v2", "psum")
+        .as[(String, Long, Option[Long])].collect().toSeq.sorted
+      val got = TwoPhaseRank
+        .prefixSum(spark, df, Seq("key"), Seq(asc("v1"), asc("v2")), col("v3"))
+        .select("key", "v2", "psum")
+        .as[(String, Long, Option[Long])].collect().toSeq.sorted
+      assert(got == expected, s"round $round: prefixSum diverged on NULL values")
+    }
+  }
+
   test("a single-row group and an empty frame stay exact") {
     val one = Seq(("a", 1.0, 1L)).toDF("key", "v1", "v2")
     val r = TwoPhaseRank.rankAndTotal(spark, one, Seq("key"), Seq(asc("v1")))
