@@ -62,13 +62,53 @@ object Relational {
     (lower.toSeq ++ upper.toSeq).reduceOption(_ && _).fold(base)(base.filter)
   }
 
-  /** Lineitem projection bucketed+sorted by l_orderkey — the at-rest
-    * layout q49 aggregates over with zero hash Exchange. */
+  /** Bucket count of the orderkey co-location pair. A CONSTANT, not a
+    * session setting (the layout must not depend on who built it —
+    * the events-us-log lesson), and shared by BOTH tables: co-located
+    * joins require identical bucketing. At 100 TB the constant scales
+    * to O(thousands); what matters is that it is a property of the
+    * corpus, pinned once at ingest.
+    */
+  private val OrderkeyBuckets = 16
+
+  /** Lineitem projection bucketed+sorted by l_orderkey — one half of
+    * the orderkey co-location pair (the other is [[ordersBucketed]]).
+    * Carries the orderkey-join family's columns (q49's aggregate,
+    * q121's quantity rollup, q122's lateness probe, q123's semi-join
+    * condition); column pruning still narrows each individual scan.
+    * The pre-write repartition on the bucket key puts each bucket's
+    * rows in exactly one task — one file per bucket, so the scan
+    * reports its sort order and co-located merge joins skip even the
+    * local sort.
+    */
   private def lineitemBucketed(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(
-      s, dir, "lineitem-by-orderkey", "l_orderkey", buckets = 16) {
-      tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+      s, dir, "lineitem-by-orderkey", "l_orderkey", buckets = OrderkeyBuckets) {
+      tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_suppkey", "l_shipdate")
+        .repartition(OrderkeyBuckets, col("l_orderkey"))
+    }
+
+  /** Orders bucketed+sorted by o_orderkey — the co-located twin of
+    * [[lineitemBucketed]]. The lineitem⋈orders equi-join on orderkey
+    * is the single largest shuffle in the TPC-H family at 100 TB
+    * (both sides are fact-scaled); with both tables bucketed on the
+    * join key the shuffle is paid ONCE at ingest and every keyed join
+    * and per-order window thereafter consumes the scan's hash
+    * distribution directly. Queries that need orders DATE pruning
+    * instead ride [[ordersByYear]] — a warehouse keeps both: clustering
+    * serves scans, co-location serves joins.
+    */
+  private def ordersBucketed(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.Snapshots.bucketedTable(
+      s, dir, "orders-by-orderkey", "o_orderkey", buckets = OrderkeyBuckets) {
+      tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_totalprice")
+        .repartition(OrderkeyBuckets, col("o_orderkey"))
     }
 
   /** Partsupp-shaped at-rest artifact (supplier×part grain): this corpus
@@ -222,6 +262,7 @@ object Relational {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     ordersByYear(s, dir)
     lineitemBucketed(s, dir)
+    ordersBucketed(s, dir)
     lineitemSdLog(s, dir)
     partsupp(s, dir)
     psHwm(s, dir)
@@ -869,13 +910,20 @@ object Relational {
         LIMIT 100
       """),
     ) { (s, dir) =>
-      val big = tbl(s, dir, "lineitem")
+      // Both fact-scaled sides ride the orderkey co-location pair: the
+      // per-order quantity rollup consumes the bucketed scan's hash
+      // distribution (zero exchange — the q49 shape), and the join
+      // against orders is bucket-co-located, so no orderkey shuffle
+      // exists anywhere in the plan. The post-HAVING survivor set is a
+      // vanishing fraction at every scale, so the customer hop stays
+      // broadcast-sized.
+      val big = lineitemBucketed(s, dir)
         .groupBy("l_orderkey")
         .agg(sum(col("l_quantity").cast("decimal(38,15)")).as("tq"))
         .filter(col("tq") > 300)
         .select(col("l_orderkey"), round(col("tq").cast("double"), 2).as("total_qty"))
       big
-        .join(tbl(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(ordersBucketed(s, dir), col("o_orderkey") === col("l_orderkey"))
         .join(tbl(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .select(
           col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
@@ -934,9 +982,14 @@ object Relational {
           broadcast(tbl(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select("s_suppkey", "s_name")
-      tbl(s, dir, "lineitem")
+      // The fact⋈fact hop rides the orderkey co-location pair: the
+      // join meets both bucketed scans in place, and the per-order
+      // windows run on the SAME key distribution the scans already
+      // hold — so the whole correlated-EXISTS reformulation touches
+      // the wire only for the final tiny s_name aggregate.
+      lineitemBucketed(s, dir)
         .join(
-          tbl(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          ordersBucketed(s, dir).filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .select(
           col("l_orderkey"), col("l_suppkey"),
@@ -976,9 +1029,13 @@ object Relational {
         ORDER BY o_orderpriority
       """),
     ) { (s, dir) =>
+      // The probe side reads the orderkey-bucketed lineitem projection:
+      // at 100 TB the quarter's orders slice (the small side) shuffles
+      // to the fact's at-rest bucket layout — the fact itself never
+      // crosses the wire for this semi join.
       ordersSlice(s, dir, Some("1996-07-01"), Some("1996-10-01"))
         .join(
-          tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          lineitemBucketed(s, dir).select("l_orderkey", "l_shipdate"),
           col("l_orderkey") === col("o_orderkey")
             && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
           "left_semi")

@@ -106,26 +106,40 @@ class PlanSpec extends SparkTestBase {
       s"column pruning regressed: $readSchema")
   }
 
-  test("q121 (TPC-H Q18): the HAVING reuses ONE lineitem aggregate, no second scan") {
+  test("q121 (TPC-H Q18): one co-located aggregate+join, no orderkey shuffle anywhere") {
     val p = plan("q121_tpch_q18")
-    val liScans = p.linesIterator.count(l =>
-      l.contains("Location") && l.contains("lineitem.parquet"))
-    assert(liScans == 1,
-      s"the literal IN-subquery transcription would scan lineitem twice; saw $liScans:\n$p")
+    // Both fact-scaled sides ride the orderkey co-location pair — the
+    // raw tables are out of the plan entirely (and the literal
+    // IN-subquery transcription's second lineitem scan with them).
+    val raw = p.linesIterator.count(l => l.contains("Location")
+      && (l.contains("lineitem.parquet") || l.contains("orders.parquet")))
+    assert(raw == 0, s"q121 must read only the bucketed pair; saw $raw raw scans:\n$p")
+    assert(p.contains("Bucketed: true"), s"bucketed layout not in play:\n$p")
+    // The whole point of the pair: the per-order rollup and the
+    // orders join consume the scans' hash distribution — no exchange
+    // repartitions on the order key.
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
+    assert(keyShuffles == 0, s"orderkey shuffle reappeared:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q122 (TPC-H Q21): both correlated EXISTS fold into ONE scan + ONE fact shuffle") {
+  test("q122 (TPC-H Q21): both correlated EXISTS fold into ONE co-located scan pair, zero fact shuffle") {
     val p = plan("q122_tpch_q21")
     val liScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("lineitem.parquet"))
-    assert(liScans == 1,
-      s"the literal EXISTS transcription plans three lineitem scans; saw $liScans:\n$p")
+    assert(liScans == 0,
+      s"the fact side must read the bucketed layout; saw $liScans raw scans:\n$p")
+    assert(p.contains("Bucketed: true"), s"bucketed layout not in play:\n$p")
     assert(p.contains("Window"), s"expected window-aggregate reformulation:\n$p")
-    // One hash exchange for the fact side (join key = window key, so the
-    // windows reuse it) and one for the final tiny s_name aggregate.
+    // The join meets the co-bucketed scans in place and the per-order
+    // windows run on that same distribution, so the only hash exchange
+    // left is the final tiny s_name aggregate.
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
+    assert(keyShuffles == 0, s"orderkey shuffle reappeared:\n$p")
     val exchanges = p.linesIterator.count(_.trim.matches(raw"\(\d+\) Exchange.*"))
-    assert(exchanges <= 2, s"expected ≤2 hash exchanges (fact + final agg), saw $exchanges:\n$p")
+    assert(exchanges <= 2, s"expected ≤2 exchanges (final agg + broadcasts), saw $exchanges:\n$p")
   }
 
   test("q123 (TPC-H Q4): the correlated EXISTS plans as a semi join with the date bounds pruning") {
@@ -137,6 +151,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("order_year")),
       s"year bounds must prune directories of the orders layout:\n$p")
+    // The probe side reads the orderkey-bucketed projection: at scale
+    // the quarter's orders slice shuffles to the fact's at-rest bucket
+    // layout, never the reverse.
+    val liRaw = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liRaw == 0, s"q123's probe side must read the bucketed layout:\n$p")
   }
 
   test("date-bounded orders reads slice the year-partitioned date-sorted layout") {
