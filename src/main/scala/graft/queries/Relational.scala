@@ -111,6 +111,40 @@ object Relational {
         .repartition(OrderkeyBuckets, col("o_orderkey"))
     }
 
+  /** Orders projection bucketed+sorted by o_custkey — the fact half of
+    * the CUSTKEY co-location pair (the dim half is
+    * [[customerByCustkey]]). Q13's customer⋈orders hop groups the full
+    * orders table by customer; without co-location that is a
+    * fact-scaled shuffle on every run. A warehouse keeps one
+    * projection per hot join key (the C-Store/Vertica projection
+    * model): orders already has a year-partitioned clustering for date
+    * slices and an orderkey bucketing for the lineitem hop — this is
+    * the third and last hot key. Carries exactly the custkey family's
+    * columns; growing the family is a column-add here.
+    */
+  private def ordersByCustkey(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.Snapshots.bucketedTable(
+      s, dir, "orders-by-custkey", "o_custkey", buckets = OrderkeyBuckets) {
+      tbl(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+        .repartition(OrderkeyBuckets, col("o_custkey"))
+    }
+
+  /** Customer keyed projection co-bucketed with [[ordersByCustkey]]:
+    * the dimension side of the custkey pair. Dim-scaled, so the
+    * at-rest copy is cheap — and with it the Q13 shape touches the
+    * wire only for its final bounded histogram.
+    */
+  private def customerByCustkey(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.Snapshots.bucketedTable(
+      s, dir, "customer-by-custkey", "c_custkey", buckets = OrderkeyBuckets) {
+      tbl(s, dir, "customer")
+        .select("c_custkey")
+        .repartition(OrderkeyBuckets, col("c_custkey"))
+    }
+
   /** Partsupp-shaped at-rest artifact (supplier×part grain): this corpus
     * ships no partsupp table, so the four TPC-H shapes that need one
     * (Q2/Q9/Q11/Q20) had no home through round 6. The artifact derives
@@ -263,6 +297,8 @@ object Relational {
     ordersByYear(s, dir)
     lineitemBucketed(s, dir)
     ordersBucketed(s, dir)
+    ordersByCustkey(s, dir)
+    customerByCustkey(s, dir)
     lineitemSdLog(s, dir)
     partsupp(s, dir)
     psHwm(s, dir)
@@ -319,9 +355,17 @@ object Relational {
         ORDER BY revenue DESC, n_name
       """),
     ) { (s, dir) =>
-      tbl(s, dir, "customer")
-        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      // Join order chosen for the 100 TB wire bill: the two
+      // fact-scaled sides meet FIRST on the co-bucketed orderkey pair
+      // (zero shuffle), and only the joined fact then crosses the wire
+      // once for the customer hop — versus the naive
+      // customer→orders→lineitem order, which shuffles orders AND the
+      // c⋈o result AND lineitem. (Catalyst keeps the declared join
+      // order without CBO; at these SFs customer broadcasts and even
+      // that one shuffle disappears.)
+      lineitemBucketed(s, dir)
+        .join(ordersBucketed(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
@@ -1185,9 +1229,13 @@ object Relational {
         ORDER BY custdist DESC, c_count DESC
       """),
     ) { (s, dir) =>
-      tbl(s, dir, "customer")
+      // Both sides ride the custkey co-location pair: the outer join
+      // meets the co-bucketed scans in place and the per-customer
+      // count consumes that same distribution, so the only wire
+      // crossing is the bounded c_count histogram at the end.
+      customerByCustkey(s, dir)
         .join(
-          tbl(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          ordersByCustkey(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
           col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("c_count"))

@@ -213,6 +213,47 @@ class PlanSpec extends SparkTestBase {
     // right-side-only condition) — it must reach the orders scan.
     assert(p.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("o_orderpriority")), p)
+    // Both sides ride the custkey co-location pair: no raw scans, and
+    // no exchange repartitions on the customer key — the per-customer
+    // count consumes the co-bucketed join's distribution.
+    val raw = p.linesIterator.count(l => l.contains("Location")
+      && (l.contains("customer.parquet") || l.contains("orders.parquet")))
+    assert(raw == 0, s"q127 must read only the custkey pair; saw $raw raw scans:\n$p")
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("custkey"))
+    assert(keyShuffles == 0, s"custkey shuffle reappeared:\n$p")
+  }
+
+  test("co-located joins survive the at-scale geometry: zero key exchanges with broadcasts off") {
+    // At the test SFs the planner hides shuffles by broadcasting small
+    // sides — at 100 TB nothing fact-scaled broadcasts. Disabling
+    // auto-broadcast simulates that geometry: the co-location pairs
+    // must STILL plan their keyed joins/aggregates/windows with no
+    // exchange on the bucket key (sort-merge in place). Exchanges on
+    // OTHER keys (the dimension hops) are expected and allowed.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((q, key) <- Seq(
+          "q121_tpch_q18" -> "orderkey", "q122_tpch_q21" -> "orderkey",
+          "q21_join_multi" -> "orderkey", "q49_bucketed_agg" -> "orderkey",
+          "q127_tpch_q13" -> "custkey")) {
+        val p = plan(q)
+        val keyShuffles = p.linesIterator.count(l =>
+          l.contains("Exchange hashpartitioning") && l.contains(key))
+        assert(keyShuffles == 0,
+          s"$q: $key shuffle appears once broadcasts are off — the co-location is cosmetic:\n$p")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q21: the fact sides meet on the co-bucketed orderkey pair before any dimension hop") {
+    val p = plan("q21_join_multi")
+    val raw = p.linesIterator.count(l => l.contains("Location")
+      && (l.contains("lineitem.parquet") || l.contains("orders.parquet")))
+    assert(raw == 0, s"q21's fact sides must read the bucketed pair; saw $raw raw scans:\n$p")
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
+    assert(keyShuffles == 0, s"orderkey shuffle reappeared:\n$p")
   }
 
   test("q128 (TPC-H Q17): the correlated average folds into ONE scan + a window on the join key") {
