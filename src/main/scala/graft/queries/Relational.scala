@@ -69,25 +69,25 @@ object Relational {
     * to O(thousands); what matters is that it is a property of the
     * corpus, pinned once at ingest.
     */
-  private val OrderkeyBuckets = 16
+  private val OrderkeyBuckets = 32
 
-  /** Lineitem projection bucketed+sorted by l_orderkey — one half of
+  /** Full-width lineitem bucketed+sorted by l_orderkey — one half of
     * the orderkey co-location pair (the other is [[ordersBucketed]]).
-    * Carries the orderkey-join family's columns (q49's aggregate,
-    * q121's quantity rollup, q122's lateness probe, q123's semi-join
-    * condition); column pruning still narrows each individual scan.
-    * The pre-write repartition on the bucket key puts each bucket's
-    * rows in exactly one task — one file per bucket, so the scan
-    * reports its sort order and co-located merge joins skip even the
-    * local sort.
+    * Lineitem keeps exactly TWO at-rest layouts, both full-width, and
+    * queries pick by access pattern: [[lineitemSdLog]] (date-clustered
+    * — date-bounded scans prune row groups) and this one (the hot join
+    * key — keyed joins/aggregates/windows consume the scan's hash
+    * distribution). Column pruning narrows every individual scan, so
+    * full width costs storage, not read bandwidth. The pre-write
+    * repartition on the bucket key puts each bucket's rows in exactly
+    * one task — one file per bucket, so the scan reports its sort
+    * order and co-located merge joins skip even the local sort.
     */
-  private def lineitemBucketed(
+  private[graft] def lineitemBucketed(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(
       s, dir, "lineitem-by-orderkey", "l_orderkey", buckets = OrderkeyBuckets) {
       tbl(s, dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
-          "l_suppkey", "l_shipdate")
         .repartition(OrderkeyBuckets, col("l_orderkey"))
     }
 
@@ -101,7 +101,7 @@ object Relational {
     * instead ride [[ordersByYear]] — a warehouse keeps both: clustering
     * serves scans, co-location serves joins.
     */
-  private def ordersBucketed(
+  private[graft] def ordersBucketed(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(
       s, dir, "orders-by-orderkey", "o_orderkey", buckets = OrderkeyBuckets) {
@@ -122,7 +122,7 @@ object Relational {
     * the third and last hot key. Carries exactly the custkey family's
     * columns; growing the family is a column-add here.
     */
-  private def ordersByCustkey(
+  private[graft] def ordersByCustkey(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(
       s, dir, "orders-by-custkey", "o_custkey", buckets = OrderkeyBuckets) {
@@ -136,7 +136,7 @@ object Relational {
     * at-rest copy is cheap — and with it the Q13 shape touches the
     * wire only for its final bounded histogram.
     */
-  private def customerByCustkey(
+  private[graft] def customerByCustkey(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(
       s, dir, "customer-by-custkey", "c_custkey", buckets = OrderkeyBuckets) {
@@ -812,7 +812,13 @@ object Relational {
         ORDER BY revenue DESC, n_name
       """),
     ) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      // Asymmetric co-location: the fact side reads the orderkey-
+      // bucketed layout (no shuffle), the year's orders slice — pruned
+      // at the scan by the year-partitioned layout — shuffles to the
+      // fact's at-rest buckets. Pruned-scan + small-shuffle beats both
+      // alternatives (full-orders co-location reads every year;
+      // raw-vs-raw shuffles the whole fact).
+      lineitemBucketed(s, dir)
         .join(
           ordersSlice(s, dir, Some("1996-01-01"), Some("1997-01-01")),
           col("l_orderkey") === col("o_orderkey"))
@@ -858,7 +864,9 @@ object Relational {
         LIMIT 20
       """),
     ) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      // Same asymmetric co-location as q118: bucketed fact in place,
+      // the pruned quarter slice shuffles to it.
+      lineitemBucketed(s, dir)
         .filter(col("l_returnflag") === "R")
         .join(
           ordersSlice(s, dir, Some("1996-07-01"), Some("1996-10-01")),
@@ -1709,7 +1717,11 @@ object Relational {
         .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(ps, col("ps_partkey") === col("l_partkey")
           && col("ps_suppkey") === col("l_suppkey"))
-        .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        // Asymmetric co-location, reversed roles: here ORDERS is the
+        // side that stays at rest (bucketed layout, no shuffle) and
+        // the part-reduced lineitem stream — a vanishing fraction
+        // after the %bolt% semi-reduction — shuffles to its buckets.
+        .join(ordersBucketed(s, dir).select("o_orderkey", "o_orderdate"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(
           col("n_name").as("nation"),

@@ -83,4 +83,44 @@ class LineitemLayoutSpec extends SparkTestBase with graft.TempCorpusDirs {
       1L -> Some(us("1996-03-15")), 2L -> Some(us("1997-11-30")),
       3L -> None, 4L -> Some(us("1996-03-15"))))
   }
+
+  test("the orderkey co-location pair preserves every row and joins with no key exchange") {
+    // The bucketed layouts are re-clusterings too: full-width lineitem
+    // and the orders projection must hold exactly the raw rows
+    // (duplicates included — a lost or doubled row here corrupts every
+    // co-located query silently). And the pair must actually co-locate:
+    // joined on the bucket key with broadcasts disabled, the plan may
+    // not hash-repartition either side.
+    val dir = tempCorpusDir("graft_li_bkt")
+    writeCorpus(dir, 5000L) // includes duplicate (partkey, suppkey) rows
+    spark.range(2000L).toDF("o_orderkey")
+      .withColumn("o_custkey", col("o_orderkey") % 300)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 3 === 0, "F").otherwise("O"))
+      .withColumn("o_orderdate",
+        timestamp_micros(lit(baseUs) + col("o_orderkey") * 86400000000L)
+          .cast("timestamp_ntz"))
+      .withColumn("o_totalprice", col("o_orderkey").cast("double") * 1.5)
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+
+    val rawLi = spark.read.parquet(s"$dir/lineitem.parquet")
+    val bktLi = Relational.lineitemBucketed(spark, dir)
+    assert(bktLi.columns.sorted.toSeq == rawLi.columns.sorted.toSeq)
+    assert(rawLi.exceptAll(bktLi.select(rawLi.columns.map(col).toSeq: _*)).isEmpty
+      && bktLi.select(rawLi.columns.map(col).toSeq: _*).exceptAll(rawLi).isEmpty,
+      "bucketed lineitem is not a row-exact re-clustering")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bktLi.join(Relational.ordersBucketed(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-located join repartitioned a side:\n$plan")
+      // Same answer as the raw-vs-raw join.
+      val expected = rawLi.join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

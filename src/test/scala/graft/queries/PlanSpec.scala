@@ -179,6 +179,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("asymmetric co-location: the fact side stays at rest, only the reduced side shuffles") {
+    // q118/q119: lineitem reads the orderkey-bucketed layout (no
+    // shuffle); the date-pruned orders slice shuffles to it. q140: the
+    // roles reverse — orders stays at rest and the %bolt%-reduced
+    // lineitem stream shuffles to ITS buckets. Either way the full
+    // fact table never crosses the wire for the orderkey hop.
+    for (q <- Seq("q118_tpch_q5", "q119_tpch_q10")) {
+      val p = plan(q)
+      val liRaw = p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("lineitem.parquet"))
+      assert(liRaw == 0, s"$q's fact side must read the bucketed layout:\n$p")
+    }
+    val p140 = plan("q140_tpch_q9")
+    val oRaw = p140.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders.parquet"))
+    assert(oRaw == 0, s"q140's orders side must read the bucketed layout:\n$p140")
+  }
+
   test("q124 (TPC-H Q14): one joined pass computes both conditional sums") {
     val p = plan("q124_tpch_q14")
     val liScans = p.linesIterator.count(l =>
