@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductFloat, RollingMinHash, SimHash}
+import graft.functions.{DotProductFloat, GramStats, RollingMinHash, SimHash}
 
 /** Session-extension entry point (SparkSessionExtensions): registers
   * the engine's native expressions with the SQL function registry, so
@@ -82,6 +82,25 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
             case other => throw new IllegalArgumentException(
               s"graft_simhash: bits must be a non-null integer, got $other")
           }
+        },
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_gram_stats"),
+        new ExpressionInfo(
+          classOf[GramStats].getCanonicalName,
+          null,
+          "graft_gram_stats",
+          "graft_gram_stats(text) - struct(n_tokens, top_uni, n_bigrams, top_bi): " +
+            "one-pass per-document n-gram repetition statistics",
+          "",
+        ),
+        (children: Seq[Expression]) => {
+          if (children.length != 1)
+            throw new IllegalArgumentException(
+              "graft_gram_stats(text) takes exactly 1 argument")
+          GramStats(children.head)
         },
       )
     )

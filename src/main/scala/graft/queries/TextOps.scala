@@ -801,8 +801,8 @@ object TextOps {
     * fractions per document. Highly templated / looping text shows a
     * heavy head in its n-gram distribution long before exact or
     * near-dup detectors fire, so pipelines gate on these BEFORE dedup.
-    * Shape: explode → two-level aggregate — all partial-aggregated
-    * map-side, shuffle keys are (doc_id, gram); nothing corpus-global.
+    * Shape: a pure per-row map (sorted-run-length fold over each
+    * document's gram arrays) — zero shuffles; nothing corpus-global.
     */
   private lazy val repetitionDef: QueryDef = QueryDef(
     "q81_repetition_signals",
@@ -827,37 +827,33 @@ object TextOps {
       ORDER BY doc_id
     """),
   ) { (s, dir) =>
-    // Group on xxhash64(gram), not the gram text: the count/max per
-    // (doc, gram) are unchanged unless two distinct grams of ONE
-    // document collide in 64 bits (~n²/2⁶⁵ per doc — vanishing), and
-    // the partial-agg shuffle then carries 8-byte keys instead of
-    // n-gram strings — at 100 TB that is most of the exchange's bytes.
-    //
-    // ONE corpus scan: unigrams and bigrams are tagged (kind 0/1) and
-    // exploded together — the two-branch formulation planned two full
-    // text scans because exchange reuse does not fire across
-    // differently-keyed aggregates, i.e. it read the corpus payload
-    // twice. The conditional final aggregate replaces the join.
-    val t = tokens(col("text"))
-    def tag(k: Int, grams: Column): Column =
-      transform(grams, g => struct(lit(k).as("kind"), xxhash64(g).as("g")))
-    val agg = tbl(s, dir, "documents")
+    // Per-DOCUMENT statistics need no shuffle at all: every gram of a
+    // document lives in that document's single row, so the top-gram
+    // multiplicities come from the native [[graft.functions.GramStats]]
+    // expression — one O(tokens) counting pass per row, inside
+    // whole-stage codegen. The explode form this replaces paid two
+    // hash exchanges to regroup rows that were never apart (at 100 TB
+    // those exchanges carry the corpus's full gram stream); the
+    // interpreted higher-order-fold alternative measured 6× slower
+    // than even that (per-step struct allocation, no codegen). Exact
+    // gram strings as a bonus — the previous xxhash64 grouping's
+    // (vanishing) collision caveat disappears.
+    val uniFrac = col("st.top_uni") * 1.0 / col("st.n_tokens")
+    val biFrac = col("st.top_bi") * 1.0 / col("st.n_bigrams")
+    tbl(s, dir, "documents")
+      // The old explode form dropped null-text docs (explode of a null
+      // array emits no rows); made explicit here.
+      .filter(col("text").isNotNull)
+      // explode(array(..)) is a 1:1 Generate — a PROJECTION BARRIER.
+      // Without it CollapseProject inlines the opaque struct into the
+      // final select, one compute() per field REFERENCE (codegen
+      // subexpression elimination usually rescues this, but the
+      // barrier makes single-evaluation a plan property, not a
+      // codegen-path accident).
       .select(col("doc_id"),
-        explode(concat(tag(0, t), tag(1, shingles(t, 2)))).as("kg"))
-      .select(col("doc_id"), col("kg.kind").as("kind"), col("kg.g").as("g"))
-      .groupBy("doc_id", "kind", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum(when(col("kind") === 0, col("c"))).as("n_tokens"),
-        max(when(col("kind") === 0, col("c"))).as("top_uni"),
-        sum(when(col("kind") === 1, col("c"))).as("n_bigrams"),
-        max(when(col("kind") === 1, col("c"))).as("top_bi"),
-      )
-    val uniFrac = col("top_uni") * 1.0 / col("n_tokens")
-    val biFrac = col("top_bi") * 1.0 / col("n_bigrams")
-    agg
+        explode(array(graft.functions.GramStats.gramStats(col("text")))).as("st"))
       .select(
-        col("doc_id"), col("n_tokens"),
+        col("doc_id"), col("st.n_tokens").as("n_tokens"),
         round(uniFrac, 4).as("top_unigram_frac"),
         round(biFrac, 4).as("top_bigram_frac"),
         when(uniFrac > 0.2 || biFrac > 0.18, 1).otherwise(0).as("repetitive"),

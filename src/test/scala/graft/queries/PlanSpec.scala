@@ -546,6 +546,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q81: per-document repetition statistics plan with zero hash exchanges") {
+    // The native graft_gram_stats expression computes each document's
+    // top-gram multiplicities where the row is — the only exchange
+    // allowed is the final presentation sort. A hash exchange here
+    // means the explode → regroup shape (two full gram-stream
+    // shuffles at 100 TB) crept back.
+    val p = plan("q81_repetition_signals")
+    assert(p.contains("graft_gram_stats") || p.contains("gramstats"),
+      s"q81 must use the native expression:\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0, s"q81 regained a hash exchange:\n$p")
+  }
+
   test("q82: df is a groupBy over the tf snapshot — no window keyed on raw term") {
     // A count window partitioned by term buffers one partition per
     // term: for a stopword that is O(N_docs) rows on one task at
