@@ -1364,18 +1364,25 @@ object TextOps {
     """),
   ) { (s, dir) =>
     // Cross-source n-gram contamination (the train/benchmark overlap
-    // check every training-data pipeline runs): distinct (source,
-    // shingle-hash) pairs, self-joined on the hash. Scale-safe by
-    // construction — cardinality per hash is bounded by the number of
-    // SOURCES (a small fixed set), not by document frequency, so no
-    // rare-shingle cap is needed.
-    val sd = shingleHashes(s, dir, 3)
+    // check every training-data pipeline runs). Per hash the distinct
+    // SOURCE set is bounded by the number of sources (a small fixed
+    // set), so instead of the distinct + self-join-on-hash shape —
+    // which planned the shingle⋈documents lineage twice and five
+    // exchanges — ONE groupBy(h) collects each hash's source set
+    // (collect_set dedups map-side, so the exchange carries ≤|sources|
+    // entries per hash) and the unordered source pairs explode from
+    // the sorted set: identical multiset of (s1 < s2) pairs, half the
+    // scans, one fact-scaled exchange. collect_set drops NULL sources
+    // exactly as the self-join's null-rejecting < did.
+    val perHash = shingleHashes(s, dir, 3)
       .join(tbl(s, dir, "documents").select("doc_id", "source"), "doc_id")
-      .select("source", "h")
-      .distinct()
-    sd.as("a")
-      .join(sd.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+    perHash
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("shared_shingles"))
       .orderBy(desc("shared_shingles"), asc("s1"), asc("s2"))
       .limit(20)

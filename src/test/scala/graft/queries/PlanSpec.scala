@@ -546,6 +546,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q74: one shingle lineage — source pairs explode from per-hash sets, no self-join") {
+    // The per-hash source set is bounded by |sources|, so the pair
+    // generation needs no second pass over the shingle table. Two
+    // Location lines for one source = the distinct + self-join shape
+    // (duplicate shingle⋈documents lineages) crept back.
+    val p = plan("q74_contamination")
+    for (src <- Seq("shingles-k3", "documents.parquet")) {
+      val n = p.linesIterator.count(l => l.contains("Location") && l.contains(src))
+      assert(n == 1, s"q74 must scan $src exactly once, saw $n:\n$p")
+    }
+  }
+
   test("q81: per-document repetition statistics plan with zero hash exchanges") {
     // The native graft_gram_stats expression computes each document's
     // top-gram multiplicities where the row is — the only exchange
