@@ -53,12 +53,10 @@ object PlanAudit {
       "q88_knn_ivf_multiprobe" -> 3, "q89_embedding_dedup_materialize" -> 5,
       "q111_ivfpq_ann" -> 3, "q131_hard_negatives" -> 4,
       "q132_label_noise_knn" -> 8) ++
-      fam("shingles-k3",
-        "band roles over the compact 8-byte shingle-hash artifact")(
-        "q65_minhash_lsh" -> 4, "q92_incremental_neardup" -> 4) ++
-      fam("shingles-k4",
-        "band/df/verification roles over the compact shingle-hash artifact")(
-        "q67_ngram_jaccard" -> 6) ++
+      // (r10: the shingles-k3/k4 band+verification allowances for
+      // q65/q67/q92 are gone — exact-Jaccard verification now joins
+      // the forward doc-shingle-sets artifact twice, a dup of 2 that
+      // sits under the gate without documentation.)
       fam("simhash-sigs-60",
         "band-bucket roles over the compact signature artifact")(
         "q80_simhash_neardup" -> 4) ++

@@ -46,6 +46,20 @@ object TextFunctions {
       when(size(t) >= k, win).otherwise(array(array_join(t, " ")))
     }))
 
+  /** All ordered pairs (a < b by array position) from a SORTED array:
+    * array<struct<a, b>>. The bounded-set pair-generation primitive —
+    * when a join key's value set is bounded (sources per shingle,
+    * docs per RARE shingle), exploding pairs from one collected set
+    * replaces a self-join that re-plans the whole input lineage.
+    * Lambda hygiene: `arr` must be a cheap reference (an attribute or
+    * lambda variable), not a computed subtree — higher-order functions
+    * re-evaluate referenced subtrees per element.
+    */
+  def orderedPairs(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + 2, size(arr)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Document quality score in [0, 1]: half length saturation (100
     * tokens → full marks), half lexical diversity (distinct/total
     * tokens). The single formula behind q63 (scoring), q77 (gating)

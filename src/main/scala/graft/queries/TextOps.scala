@@ -228,18 +228,35 @@ object TextOps {
     * actually is small. Intersections join on the 60-bit hash `h`, so
     * the shuffle carries 8-byte keys, not shingle text.
     */
-  private def jaccardOfCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  /** Forward per-document shingle-set artifact (doc_id → sorted hash
+    * array + size): the inverted shingle table turned back into one
+    * row per document, built once per corpus at ingest. Exact-Jaccard
+    * verification joins THIS on the two candidate doc_ids — two
+    * doc-cardinality lookups and an in-row array intersection —
+    * instead of re-exploding the full shingle table twice and
+    * regrouping every candidate's matches through a (d1, d2) hash
+    * aggregate. Shingle hashes are distinct within a document
+    * (array_distinct at shingle build), so set intersection equals the
+    * oracle's join-count form term for term.
+    */
+  private def docShingleSets(s: SparkSession, dir: String, k: Int): DataFrame =
+    snapshot(s, dir, s"doc-shingle-sets-k$k") {
+      shingleHashes(s, dir, k)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
+        .withColumn("n", size(col("hs")).cast("bigint"))
+    }
+
+  private def jaccardOfCandidates(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val a = sets.select(col("doc_id").as("_ad"), col("hs").as("_ahs"), col("n").as("_an"))
+    val b = sets.select(col("doc_id").as("_bd"), col("hs").as("_bhs"), col("n").as("_bn"))
+    val inter = size(array_intersect(col("_ahs"), col("_bhs"))).cast("bigint")
     cand
-      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
-      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+      .join(a, col("d1") === col("_ad"))
+      .join(b, col("d2") === col("_bd"))
       .select(
         col("d1"), col("d2"),
-        (col("inter") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"),
+        (inter / (col("_an") + col("_bn") - inter)).as("jaccard"),
       )
   }
 
@@ -296,6 +313,8 @@ object TextOps {
     val chains: Seq[() => Any] = Seq(
       () => { shingleHashes(s, dir, 3); minhashBands(s, dir); lshClusterLabels(s, dir) },
       () => { shingleHashes(s, dir, 4); shingleDf(s, dir, 4) },
+      () => docShingleSets(s, dir, 3),
+      () => docShingleSets(s, dir, 4),
       () => simhash60Sigs(s, dir),
       () => digestIndex(s, dir),
       () => termFrequencies(s, dir),
@@ -374,14 +393,13 @@ object TextOps {
     base.unionByName(digestsOf(batchDocs).join(base, Seq("h"), "left_anti"))
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(s, dir, 3)
     val bands = minhashBands(s, dir)
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    jaccardOfCandidates(cand, sh).filter(col("jaccard") >= 0.6)
+    jaccardOfCandidates(cand, docShingleSets(s, dir, 3)).filter(col("jaccard") >= 0.6)
   }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -639,16 +657,21 @@ object TextOps {
         ORDER BY d1, d2
       """),
     ) { (s, dir) =>
-      val sh = shingleHashes(s, dir, 4)
-      val rare = shingleDf(s, dir, 4)
-        .filter(col("df") <= RareShingleCap)
-        .select("h")
-      val rareSh = sh.select("doc_id", "h").join(rare, Seq("h"))
-      val cand = rareSh.as("s1")
-        .join(rareSh.as("s2"), col("s1.h") === col("s2.h") && col("s1.doc_id") < col("s2.doc_id"))
-        .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
+      // Candidate generation is the q74 bounded-set shape: per shingle
+      // hash the doc list is capped at RareShingleCap by the rarity
+      // rule itself, so ONE groupBy(h) collects it (map-side-deduped)
+      // and the ordered doc pairs explode from the sorted set — the
+      // same pair multiset the rare-filtered self-join produced, with
+      // one shingle scan instead of three (the df artifact's count is
+      // size(doc set): hashes are distinct within a doc). Verification
+      // then joins the forward doc-set artifact on each side.
+      val cand = shingleHashes(s, dir, 4)
+        .groupBy("h").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, RareShingleCap))
+        .select(explode(orderedPairs(col("ds"))).as("p"))
+        .select(col("p.a").as("d1"), col("p.b").as("d2"))
         .distinct()
-      jaccardOfCandidates(cand, sh)
+      jaccardOfCandidates(cand, docShingleSets(s, dir, 4))
         .filter(col("jaccard") >= 0.3)
         .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("d1", "d2")
@@ -1330,13 +1353,12 @@ object TextOps {
       ORDER BY new_id, old_id
     """),
   ) { (s, dir) =>
-    val sh = shingleHashes(s, dir, 3)
     val bands = minhashBands(s, dir)
     val cand = bands.filter(col("doc_id") % 2 === 1).as("x")
       .join(bands.filter(col("doc_id") % 2 === 0).as("y"), Seq("band", "key"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    jaccardOfCandidates(cand, sh)
+    jaccardOfCandidates(cand, docShingleSets(s, dir, 3))
       .filter(col("jaccard") >= 0.6)
       .select(col("d1").as("new_id"), col("d2").as("old_id"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -1379,10 +1401,8 @@ object TextOps {
       .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
     perHash
       .filter(size(col("ss")) >= 2)
-      .select(explode(flatten(transform(col("ss"), (x, i) =>
-        transform(slice(col("ss"), i + 2, size(col("ss"))),
-          y => struct(x.as("s1"), y.as("s2")))))).as("p"))
-      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .select(explode(orderedPairs(col("ss"))).as("p"))
+      .groupBy(col("p.a").as("s1"), col("p.b").as("s2"))
       .agg(count(lit(1)).as("shared_shingles"))
       .orderBy(desc("shared_shingles"), asc("s1"), asc("s2"))
       .limit(20)
