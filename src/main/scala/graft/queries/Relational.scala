@@ -122,13 +122,20 @@ object Relational {
     * the third and last hot key. Carries exactly the custkey family's
     * columns; growing the family is a column-add here.
     */
+  /** Bucket count of the custkey pair — its OWN constant: the two
+    * pairs are independent layouts, and co-location holds only while
+    * both tables of ONE pair share a count. Retuning the orderkey
+    * family must not silently re-bucket this one (or vice versa).
+    */
+  private val CustkeyBuckets = 32
+
   private[graft] def ordersByCustkey(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(
-      s, dir, "orders-by-custkey", "o_custkey", buckets = OrderkeyBuckets) {
+      s, dir, "orders-by-custkey", "o_custkey", buckets = CustkeyBuckets) {
       tbl(s, dir, "orders")
         .select("o_custkey", "o_orderkey", "o_orderpriority")
-        .repartition(OrderkeyBuckets, col("o_custkey"))
+        .repartition(CustkeyBuckets, col("o_custkey"))
     }
 
   /** Customer keyed projection co-bucketed with [[ordersByCustkey]]:
@@ -139,10 +146,10 @@ object Relational {
   private[graft] def customerByCustkey(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(
-      s, dir, "customer-by-custkey", "c_custkey", buckets = OrderkeyBuckets) {
+      s, dir, "customer-by-custkey", "c_custkey", buckets = CustkeyBuckets) {
       tbl(s, dir, "customer")
         .select("c_custkey")
-        .repartition(OrderkeyBuckets, col("c_custkey"))
+        .repartition(CustkeyBuckets, col("c_custkey"))
     }
 
   /** Partsupp-shaped at-rest artifact (supplier×part grain): this corpus

@@ -219,15 +219,6 @@ object TextOps {
         shd AS (SELECT doc_id, unnest(list_distinct(${duckShingles("t", k)})) AS sh FROM toks),
         shh AS (SELECT doc_id, sh, ${duckHash("sh")} AS h FROM shd)"""
 
-  /** Exact-Jaccard verification of candidate pairs — shared by the LSH
-    * and n-gram queries: |∩| via shingle-hash equi-join, sizes via
-    * groupBy. No broadcast hints anywhere: `sizes` is one row per
-    * document (grows with the corpus, unbroadcastable at 10⁹ docs) and
-    * `cand` is unbounded on adversarial corpora — shuffle-join on
-    * doc_id and let AQE downgrade to broadcast at runtime when a side
-    * actually is small. Intersections join on the 60-bit hash `h`, so
-    * the shuffle carries 8-byte keys, not shingle text.
-    */
   /** Forward per-document shingle-set artifact (doc_id → sorted hash
     * array + size): the inverted shingle table turned back into one
     * row per document, built once per corpus at ingest. Exact-Jaccard
@@ -247,6 +238,11 @@ object TextOps {
         .withColumn("n", size(col("hs")).cast("bigint"))
     }
 
+  /** No broadcast hints here: `sets` is one row per document (grows
+    * with the corpus, unbroadcastable at 10⁹ docs) and `cand` is
+    * unbounded on adversarial corpora — shuffle-join on doc_id and let
+    * AQE downgrade to broadcast at runtime when a side actually is
+    * small. */
   private def jaccardOfCandidates(cand: DataFrame, sets: DataFrame): DataFrame = {
     val a = sets.select(col("doc_id").as("_ad"), col("hs").as("_ahs"), col("n").as("_an"))
     val b = sets.select(col("doc_id").as("_bd"), col("hs").as("_bhs"), col("n").as("_bn"))

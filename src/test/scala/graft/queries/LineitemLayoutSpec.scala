@@ -92,7 +92,19 @@ class LineitemLayoutSpec extends SparkTestBase with graft.TempCorpusDirs {
     // joined on the bucket key with broadcasts disabled, the plan may
     // not hash-repartition either side.
     val dir = tempCorpusDir("graft_li_bkt")
-    writeCorpus(dir, 5000L) // includes duplicate (partkey, suppkey) rows
+    // writeCorpus's rows are range-derived and therefore all UNIQUE —
+    // append an exact copy of every 50th row so the multiset check
+    // below really can catch a deduplicating re-clustering.
+    val base = spark.range(5000L).toDF("l_orderkey")
+      .withColumn("l_partkey", col("l_orderkey") % 200)
+      .withColumn("l_suppkey", col("l_orderkey") % 50)
+      .withColumn("l_quantity", (col("l_orderkey") % 7).cast("double"))
+      .withColumn("l_extendedprice", lit(10.5))
+      .withColumn("l_shipdate",
+        timestamp_micros(lit(baseUs) + col("l_orderkey") * 1000000L)
+          .cast("timestamp_ntz"))
+    base.unionAll(base.filter(col("l_orderkey") % 50 === 0))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
     spark.range(2000L).toDF("o_orderkey")
       .withColumn("o_custkey", col("o_orderkey") % 300)
       .withColumn("o_orderstatus",

@@ -115,6 +115,12 @@ class PlanSpec extends SparkTestBase {
       && (l.contains("lineitem.parquet") || l.contains("orders.parquet")))
     assert(raw == 0, s"q121 must read only the bucketed pair; saw $raw raw scans:\n$p")
     assert(p.contains("Bucketed: true"), s"bucketed layout not in play:\n$p")
+    // ...and exactly ONCE each: the literal IN-subquery transcription
+    // would plan a second full fact scan over the bucketed layout too.
+    for (src <- Seq("bkt-lineitem-by-orderkey", "bkt-orders-by-orderkey")) {
+      val n = p.linesIterator.count(l => l.contains("Location") && l.contains(src))
+      assert(n == 1, s"q121 must scan $src exactly once, saw $n:\n$p")
+    }
     // The whole point of the pair: the per-order rollup and the
     // orders join consume the scans' hash distribution — no exchange
     // repartitions on the order key.
@@ -131,6 +137,12 @@ class PlanSpec extends SparkTestBase {
     assert(liScans == 0,
       s"the fact side must read the bucketed layout; saw $liScans raw scans:\n$p")
     assert(p.contains("Bucketed: true"), s"bucketed layout not in play:\n$p")
+    // Exactly ONE bucketed fact scan: the literal EXISTS transcription
+    // planned three lineitem lineages, and a bucketed re-scan is just
+    // as expensive at 100 TB as a raw one.
+    val bktScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("bkt-lineitem-by-orderkey"))
+    assert(bktScans == 1, s"q122 must scan the bucketed fact once, saw $bktScans:\n$p")
     assert(p.contains("Window"), s"expected window-aggregate reformulation:\n$p")
     // The join meets the co-bucketed scans in place and the per-order
     // windows run on that same distribution, so the only hash exchange
