@@ -171,9 +171,20 @@ object Relational {
     *                   both engines, so the guard is value-neutral).
     * The DuckDB oracles derive the identical table inline ([[psCte]]).
     */
+  /** Bucket count of the partsupp grain — its own constant (the
+    * co-location-constant rule: one constant per layout family). */
+  private val PartkeyBuckets = 32
+
   private def partsupp(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.util.Snapshots(s, dir, "partsupp") {
+    // Bucketed by ps_partkey at build: the grain's hot consumers key
+    // on the part — Q2's min-cost window and Q11's two per-part
+    // aggregates consume the scan's distribution with no exchange.
+    // (The composite-key joins in Q9/Q20 are indifferent: Spark
+    // shuffles both sides on the full (partkey, suppkey) pair, so a
+    // partkey-only bucketing neither helps nor hurts them.)
+    graft.util.Snapshots.bucketedTable(
+      s, dir, "partsupp", "ps_partkey", buckets = PartkeyBuckets) {
       tbl(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .agg(
@@ -181,6 +192,7 @@ object Relational {
           min(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0)))
             .as("ps_supplycost"),
         )
+        .repartition(PartkeyBuckets, col("ps_partkey"))
     }
 
   /** Oracle-side twin of the [[partsupp]] artifact, spliced into each

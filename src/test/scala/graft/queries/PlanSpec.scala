@@ -372,6 +372,11 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // The min-cost window consumes the partkey-bucketed scan — no
+    // exchange repartitions on ps_partkey.
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ps_partkey"))
+    assert(keyShuffles == 0, s"ps_partkey shuffle reappeared in q138:\n$p")
   }
 
   test("q139 (TPC-H Q11): group-vs-global-scalar scans the small artifact, never lineitem") {
@@ -386,6 +391,11 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the 1-row total must ride a broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    // Both per-part aggregation passes consume the partkey-bucketed
+    // scan — no exchange repartitions on ps_partkey.
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ps_partkey"))
+    assert(keyShuffles == 0, s"ps_partkey shuffle reappeared in q139:\n$p")
   }
 
   test("q140 (TPC-H Q9): one fact scan; the name filter prunes both composite-join sides") {
