@@ -32,6 +32,24 @@ class TextFunctionsPropertySpec extends SparkTestBase {
     }
   }
 
+  test("orderedPairs yields exactly the i<j position pairs, duplicates preserved") {
+    // The bounded-set pair primitive behind q67/q74: every unordered
+    // pair once (by position, so equal VALUES still pair — candidate
+    // generation must not silently dedup a doc list), no self-pairs,
+    // empty and singleton arrays yield no pairs.
+    (1 to 25).foreach { _ =>
+      val xs = Seq.fill(rng.nextInt(8))(token)
+      val got = Seq(Tuple1(xs)).toDF("xs")
+        .select(TextFunctions.orderedPairs($"xs").as("p"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1)))
+      val want = for {
+        i <- xs.indices; j <- (i + 1) until xs.length
+      } yield (xs(i), xs(j))
+      assert(got == want, s"xs=$xs")
+    }
+  }
+
   test("stringHash60 stays in [0, 2^60) and is deterministic") {
     val toks = Seq.fill(50)(token)
     val hash = (ts: Seq[String]) =>
