@@ -52,20 +52,31 @@ object PlanAudit {
       "q71_embedding_neardup" -> 4, "q73_ivf_recall" -> 5,
       "q88_knn_ivf_multiprobe" -> 3, "q89_embedding_dedup_materialize" -> 5,
       "q111_ivfpq_ann" -> 3, "q131_hard_negatives" -> 4,
-      "q132_label_noise_knn" -> 8) ++
-      // (r10: the shingles-k3/k4 band+verification allowances for
-      // q65/q67/q92 are gone — exact-Jaccard verification now joins
-      // the forward doc-shingle-sets artifact twice, a dup of 2 that
-      // sits under the gate without documentation.)
+      // r11: was 8 — both directed-neighbor directions now explode
+      // from ONE cellPairs subtree (assignment + cell sizes + two join
+      // sides = 4) instead of unioning the frame with its own swap.
+      "q132_label_noise_knn" -> 4) ++
+      // Designed dup-of-2 pins, BELOW the gate: exact-Jaccard
+      // verification joins the forward doc-shingle-sets artifact once
+      // per candidate side (d1/d2). These entries record design
+      // intent — a regression from 2 to ≥3 scans fails the gate WITH
+      // this allowance cited, instead of as an anonymous fresh
+      // violation.
+      fam("doc-shingle-sets-k3",
+        "exact-Jaccard verification: one forward doc-set join per pair side")(
+        "q65_minhash_lsh" -> 2, "q92_incremental_neardup" -> 2) ++
+      fam("doc-shingle-sets-k4",
+        "exact-Jaccard verification: one forward doc-set join per pair side")(
+        "q67_ngram_jaccard" -> 2) ++
       fam("simhash-sigs-60",
         "band-bucket roles over the compact signature artifact")(
         "q80_simhash_neardup" -> 4) ++
       fam("term-frequencies",
         "unigram/bigram/total roles over the compact tf snapshot")(
         "q108_unigram_rarity" -> 3, "q135_collocations" -> 3) ++
-      fam("documents",
-        "doc_id-only checkpoint scans; PlanSpec pins text never enters")(
-        "q143_vocab_growth" -> 4) ++
+      // (r11: q143's documents×4 allowance is gone — the corpus count
+      // is a plan-time footer-metadata scalar now, so the plan holds
+      // ONE doc_id-only documents scan.)
       fam("lineitem",
         "multi-distinct as k narrow single-column scans, no Expand")(
         "q35_distinct_agg" -> 3, "q35b_approx_distinct" -> 3) ++

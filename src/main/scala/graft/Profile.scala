@@ -1,17 +1,99 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Dev profiler: runs selected queries twice (cold = builds per-corpus
-  * snapshots, warm = reads them) so snapshot-build cost is separable
-  * from query cost. Usage: runMain graft.Profile [sfDir] [name ...]
+/** Dev profiler, two modes:
+  *
+  * 1. Interactive (the historical mode): runs selected queries twice
+  *    (cold = builds per-corpus snapshots, warm = reads them) so
+  *    snapshot-build cost is separable from query cost.
+  *    Usage: runMain graft.Profile [sfDir] [name ...]
+  *
+  * 2. Steady-state artifact (`out=path` present): prepares indexes,
+  *    runs one untimed warm-up pass, then [[DefaultReps]] timed passes
+  *    over every query and writes per-query MEDIANS (plus all raw
+  *    runs) as one JSON object. This is the committed per-round
+  *    `PROFILE_r{N}.json`: the driver-box bench inflates some queries
+  *    2-4× under box contention (q110/q111/q143 in r9/r10 showed
+  *    driver times with FLAT gc deltas while five quiet-box runs sat
+  *    at steady state) — a committed quiet-box median makes that
+  *    class a diffable artifact instead of a changelog argument.
+  *    Medians, not minima: the bench's min-of-N answers "steady-state
+  *    floor under noise"; the profile's median answers "typical warm
+  *    run", and comparing the two separates noise from drift.
+  *    Usage: runMain graft.Profile [sfDir] out=PROFILE_rN.json [reps=5]
   */
 object Profile {
+
+  /** Timed passes in steady-state mode (after the untimed warm-up). */
+  val DefaultReps = 5
+
+  /** Steady-state core, exposed for the schema spec: warm-up pass then
+    * `reps` timed passes per query (name order, like the bench), and
+    * the artifact JSON. Query errors are recorded per-query (`err`)
+    * rather than failing the whole profile — an artifact with one
+    * broken query and 138 medians beats no artifact.
+    */
+  private[graft] def steadyState(
+      spark: SparkSession, sfDir: String, reps: Int,
+      queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries,
+  ): String = {
+    val t0 = System.nanoTime()
+    val prepFailed =
+      try SparkEntry.prepareIndexes(spark, sfDir)
+      catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
+    val prepareSec = (System.nanoTime() - t0) / 1e9
+    val byName = queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
+      val s0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - s0) / 1e9)
+      } catch { case e: Throwable => Left(String.valueOf(e.getMessage)) }
+    }
+    // Untimed warm-up pass: first-touch page decode, codegen, and any
+    // lazily-built snapshot land here, not in run 1's sample.
+    byName.foreach { case (_, fn) => once(fn) }
+    val rows = byName.map { case (name, fn) =>
+      val runs = (1 to reps).map(_ => once(fn))
+      val ok = runs.collect { case Right(v) => v }
+      val err = runs.collectFirst { case Left(e) => e }
+      val sorted = ok.sorted
+      val median =
+        if (sorted.isEmpty) -1.0
+        else (sorted((sorted.size - 1) / 2) + sorted(sorted.size / 2)) / 2
+      println(f"[profile] $name%-35s median=$median%.3f s runs=${ok.map(v => f"$v%.2f").mkString(",")}")
+      (name, median, ok, err)
+    }
+    def jstr(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }.mkString("\"", "", "\"")
+    val qjson = rows.map { case (name, median, ok, err) =>
+      s"${jstr(name)}:{" +
+        s""""median_sec":$median,"runs":${ok.mkString("[", ",", "]")}""" +
+        err.map(e => s""","err":${jstr(e)}""").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val medians = rows.map(_._2).filter(_ >= 0)
+    s"""{"mode":"steady_state","sf":${jstr(sfDir)},"reps":$reps,""" +
+      s""""prepare_sec":$prepareSec,""" +
+      s""""prepare_failed":${prepFailed.map(jstr).mkString("[", ",", "]")},""" +
+      s""""n_queries":${rows.size},"total_median_sec":${medians.sum},""" +
+      s""""queries":$qjson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names =
-      if (args.length > 1) args.drop(1).toSeq
-      else Seq("q64_fingerprint", "q65_minhash_lsh", "q67_ngram_jaccard", "q71_embedding_neardup")
+    val out = args.find(_.startsWith("out=")).map(_.stripPrefix("out="))
+    val reps = args.find(_.startsWith("reps="))
+      .map(_.stripPrefix("reps=").toInt).getOrElse(DefaultReps)
+    val names = args.drop(1).filterNot(a => a.startsWith("out=") || a.startsWith("reps=")).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.util.Tables.withSessionConf(
       SparkSession.builder()
@@ -21,12 +103,24 @@ object Profile {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, label: String): Unit = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    out match {
+      case Some(path) =>
+        val json = steadyState(spark, sfDir, reps)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(json)
+      case None =>
+        val sel =
+          if (names.nonEmpty) names
+          else Seq("q64_fingerprint", "q65_minhash_lsh", "q67_ngram_jaccard", "q71_embedding_neardup")
+        def run(name: String, label: String): Unit = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          println(f"[profile] $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        sel.foreach { n => run(n, "cold"); run(n, "warm") }
     }
-    names.foreach { n => run(n, "cold"); run(n, "warm") }
     spark.stop()
   }
 }

@@ -82,6 +82,21 @@ object Relational {
     * repartition on the bucket key puts each bucket's rows in exactly
     * one task — one file per bucket, so the scan reports its sort
     * order and co-located merge joins skip even the local sort.
+    *
+    * Skew: co-located plans have no query-time exchange, so AQE skew
+    * splitting never sees them — the layout must carry its own story.
+    * A hot key hashes to exactly ONE bucket (bucketing cannot split a
+    * key; that is the co-location contract) and the uniform remainder
+    * stays balanced, so skew concentrates rather than contaminates;
+    * TPC-H's orderkey grain is additionally schema-bounded (≤7 lines
+    * per order), so no orderkey can be hot here. For corpora whose key
+    * grain IS unbounded, the escape hatch is a local query rewrite,
+    * never a re-layout: two-phase salted aggregation over this same
+    * scan — partials on (key, salt), merge on key — splits a hot key's
+    * grain across tasks with bit-identical results. All three claims
+    * (skew-blind correctness, one-hot-bucket geometry, salted-rewrite
+    * equivalence) are pinned by BucketSkewSpec on a corpus where one
+    * orderkey owns ~83% of the fact rows.
     */
   private[graft] def lineitemBucketed(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
@@ -111,6 +126,13 @@ object Relational {
         .repartition(OrderkeyBuckets, col("o_orderkey"))
     }
 
+  /** Bucket count of the custkey pair — its OWN constant: the two
+    * pairs are independent layouts, and co-location holds only while
+    * both tables of ONE pair share a count. Retuning the orderkey
+    * family must not silently re-bucket this one (or vice versa).
+    */
+  private val CustkeyBuckets = 32
+
   /** Orders projection bucketed+sorted by o_custkey — the fact half of
     * the CUSTKEY co-location pair (the dim half is
     * [[customerByCustkey]]). Q13's customer⋈orders hop groups the full
@@ -122,13 +144,6 @@ object Relational {
     * the third and last hot key. Carries exactly the custkey family's
     * columns; growing the family is a column-add here.
     */
-  /** Bucket count of the custkey pair — its OWN constant: the two
-    * pairs are independent layouts, and co-location holds only while
-    * both tables of ONE pair share a count. Retuning the orderkey
-    * family must not silently re-bucket this one (or vice versa).
-    */
-  private val CustkeyBuckets = 32
-
   private[graft] def ordersByCustkey(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(

@@ -1048,10 +1048,19 @@ object Similarity {
     """),
   ) { (s, dir) =>
     val lab = tbl(s, dir, "embeddings").select("vec_id", "label")
-    // Both directions of the capped pair set: (d1→d2) ∪ (d2→d1).
-    val pairs = cellPairs(s, dir)
-    val directed = pairs.select(col("d1").as("src"), col("d2").as("nbr"), col("cos"))
-      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("nbr"), col("cos")))
+    // Both directions of the capped pair set — emitted by EXPLODING
+    // each undirected pair into its two directed rows inside one
+    // projection, not by unioning the frame with its own swap: a
+    // self-union duplicates the whole cellPairs lineage (assignment +
+    // cell-size + both join sides) into two plan branches, which was
+    // the 8× ivf-assigned scan allowance; the explode keeps ONE
+    // scanned subtree and the row doubling is a per-row generator.
+    val directed = cellPairs(s, dir)
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("nbr"), col("cos")),
+        struct(col("d2").as("src"), col("d1").as("nbr"), col("cos")),
+      )).as("e"))
+      .select(col("e.src").as("src"), col("e.nbr").as("nbr"), col("e.cos").as("cos"))
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("nbr"))
     directed
       .withColumn("rk", row_number().over(w))

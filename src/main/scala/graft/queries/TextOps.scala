@@ -191,15 +191,23 @@ object TextOps {
     */
   private def shingleHashes(s: SparkSession, dir: String, k: Int): DataFrame =
     snapshot(s, dir, s"shingles-k$k") {
-      tbl(s, dir, "documents")
-        .repartition(col("doc_id")) // corpus arrives as one file → fan out before the CPU-heavy explode+hash
-        .select(
-          col("doc_id"),
-          explode(array_distinct(shingles(tokens(col("text")), k))).as("sh"),
-        )
-        .select(col("doc_id"), md5(col("sh")).as("m")) // text projected away pre-write
-        .withColumn("h", conv(substring(col("m"), 1, 15), 16, 10).try_cast("bigint"))
+      shingleHashesOf(tbl(s, dir, "documents"), k)
     }
+
+  /** The shingle-hash build over an arbitrary document frame — the
+    * "Of" form the maintenance paths feed a BATCH into (the snapshot
+    * above feeds it the whole corpus). One text scan of whatever
+    * `docs` is.
+    */
+  private[queries] def shingleHashesOf(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .repartition(col("doc_id")) // corpus arrives as one file → fan out before the CPU-heavy explode+hash
+      .select(
+        col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), k))).as("sh"),
+      )
+      .select(col("doc_id"), md5(col("sh")).as("m")) // text projected away pre-write
+      .withColumn("h", conv(substring(col("m"), 1, 15), 16, 10).try_cast("bigint"))
 
   /** Per-corpus k-shingle document-frequency table (h → df) — the
     * inverted-index statistic behind rare-shingle candidate generation
@@ -242,7 +250,19 @@ object TextOps {
     * with the corpus, unbroadcastable at 10⁹ docs) and `cand` is
     * unbounded on adversarial corpora — shuffle-join on doc_id and let
     * AQE downgrade to broadcast at runtime when a side actually is
-    * small. */
+    * small.
+    *
+    * Contract notes: (1) candidate pairs with EMPTY shingle
+    * intersection are dropped here (jaccard = 0 rows never emitted) —
+    * that matches the inner-join-on-hash formulation this helper
+    * replaced, so callers may but need not apply a positive jaccard
+    * threshold. (2) Each candidate row ships BOTH documents' full hash
+    * arrays through the two doc_id joins — per-pair wire cost is
+    * proportional to document shingle count, vs the 8-byte matched
+    * hashes of the join-count form. That trade buys one scan and one
+    * (d1, d2) aggregation; it is the right one while candidate counts
+    * are band/rarity-bounded, and the wrong one for an UNBOUNDED cand
+    * — keep candidate generation capped upstream. */
   private def jaccardOfCandidates(cand: DataFrame, sets: DataFrame): DataFrame = {
     val a = sets.select(col("doc_id").as("_ad"), col("hs").as("_ahs"), col("n").as("_an"))
     val b = sets.select(col("doc_id").as("_bd"), col("hs").as("_bhs"), col("n").as("_bn"))
@@ -250,6 +270,9 @@ object TextOps {
     cand
       .join(a, col("d1") === col("_ad"))
       .join(b, col("d2") === col("_bd"))
+      // Contract note (1): empty-intersection pairs are dropped, like
+      // the inner hash-join form this replaced would have.
+      .filter(inter > 0)
       .select(
         col("d1"), col("d2"),
         (inter / (col("_an") + col("_bn") - inter)).as("jaccard"),
@@ -269,14 +292,39 @@ object TextOps {
     * the signatures emits all 4 band keys (posexplode) instead of 4
     * unioned projections re-reading the frame.
     */
+  /** The 16-column minhash signature aggregate over a shingle-hash
+    * frame — shared by the full-corpus snapshot (fed the at-rest
+    * shingle artifact) and the batch maintenance path (fed
+    * [[shingleHashesOf]] of the arriving docs).
+    */
+  private def minhashSigsFromShingles(sh: DataFrame): DataFrame = {
+    val minAggs = (0 until NumHashes)
+      .map(i => min(minhashExpr(col("h"), i)).as(s"m$i"))
+    sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Minhash signatures of an arbitrary document frame (batch form —
+    * one text scan, no artifacts touched). */
+  private[queries] def minhashSigsOf(docs: DataFrame): DataFrame =
+    minhashSigsFromShingles(shingleHashesOf(docs, 3))
+
+  /** Incremental maintenance of the minhash-sigs artifact — the
+    * APPEND geometry ([[mergeTermFrequencies]]): a document's
+    * signature depends on ITS shingles only, and documents arrive
+    * whole, so a batch's signature rows are disjoint from the at-rest
+    * grain by doc_id and the merge is a pure union. One batch-text
+    * scan; no history re-shingled, no base shuffle
+    * (TextMaintenanceSpec pins the plan and row equality).
+    */
+  private[queries] def mergeMinhashSigs(base: DataFrame, batchDocs: DataFrame): DataFrame =
+    base.unionByName(minhashSigsOf(batchDocs))
+
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(s, dir, 3)
     // Signatures are a per-corpus artifact → parquet snapshot (the
     // band joins read them from multiple plan branches).
     val sigs = snapshot(s, dir, "minhash-sigs") {
-      val minAggs = (0 until NumHashes)
-        .map(i => min(minhashExpr(col("h"), i)).as(s"m$i"))
-      sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      minhashSigsFromShingles(sh)
     }
     val bandKeys = (0 until Bands).map { b =>
       val keyCols = (0 until Rows).map(r => col(s"m${Rows * b + r}"))
@@ -653,17 +701,27 @@ object TextOps {
         ORDER BY d1, d2
       """),
     ) { (s, dir) =>
-      // Candidate generation is the q74 bounded-set shape: per shingle
-      // hash the doc list is capped at RareShingleCap by the rarity
-      // rule itself, so ONE groupBy(h) collects it (map-side-deduped)
-      // and the ordered doc pairs explode from the sorted set — the
-      // same pair multiset the rare-filtered self-join produced, with
-      // one shingle scan instead of three (the df artifact's count is
-      // size(doc set): hashes are distinct within a doc). Verification
-      // then joins the forward doc-set artifact on each side.
+      // Candidate generation is the q74 bounded-set shape with the
+      // rarity filter applied BEFORE any doc list is collected: the
+      // at-rest df artifact names the rare hashes (df is the doc count
+      // — hashes are distinct within a doc), a semi-join keeps only
+      // their postings, and THEN one groupBy(h) collects each rare
+      // hash's ≤ RareShingleCap doc set (map-side-deduped) and the
+      // ordered pairs explode from the sorted set — the same pair
+      // multiset the rare-filtered self-join produced. Ordering
+      // matters at 100 TB: collect-then-filter would buffer a
+      // boilerplate shingle's O(N_docs) posting list in one
+      // aggregation buffer before discarding it (executor OOM / skew
+      // hot-spot); filter-then-collect bounds build-time state per key
+      // at RareShingleCap, so no frequent shingle's doc list is ever
+      // held anywhere. Verification then joins the forward doc-set
+      // artifact on each side.
+      val rareHashes = shingleDf(s, dir, 4)
+        .filter(col("df").between(2, RareShingleCap))
+        .select("h")
       val cand = shingleHashes(s, dir, 4)
+        .join(rareHashes, Seq("h"), "left_semi")
         .groupBy("h").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, RareShingleCap))
         .select(explode(orderedPairs(col("ds"))).as("p"))
         .select(col("p.a").as("d1"), col("p.b").as("d2"))
         .distinct()
@@ -1192,9 +1250,21 @@ object TextOps {
     */
   private def simhash60Sigs(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "simhash-sigs-60") {
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), simhashNative(col("text"), SimBits).as("sig"))
+      simhash60SigsOf(tbl(s, dir, "documents"))
     }
+
+  /** SimHash signatures of an arbitrary document frame (batch form —
+    * one text scan through the native one-pass expression). */
+  private[queries] def simhash60SigsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashNative(col("text"), SimBits).as("sig"))
+
+  /** Incremental maintenance of the simhash-sigs-60 artifact — APPEND
+    * geometry, same argument as [[mergeMinhashSigs]]: per-doc grain,
+    * whole-document arrival, batch rows doc_id-disjoint from the base
+    * → pure union, one batch-text scan, base never re-hashed.
+    */
+  private[queries] def mergeSimhash60Sigs(base: DataFrame, batchDocs: DataFrame): DataFrame =
+    base.unionByName(simhash60SigsOf(batchDocs))
 
   /** q80 — SimHash near-dup PAIRS (q66 only emits signatures): banded
     * band-bucket self-join for candidates, exact Hamming verification
@@ -2541,20 +2611,26 @@ object TextOps {
     """),
   ) { (s, dir) =>
     val docs = tbl(s, dir, "documents")
-    // 1-row corpus count: parquet footer metadata, broadcast everywhere.
-    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    // Corpus count as a plan-time scalar: parquet footer metadata only
+    // (no data pages decode — the assignedVectors/HWM-read precedent
+    // for bounded driver materialization). Embedding it as a literal
+    // instead of cross-joining a 1-row aggregate matters for lineage:
+    // the aggregate subtree was replicated into each of the three
+    // decile branches, which is what put FOUR documents scans in the
+    // executed plan (r10 allowance); with the literal, `documents`
+    // appears exactly once (dcount's doc_id-only scan).
+    val nDocs = docs.count()
     val tf = termFrequencies(s, dir)
     def decile(of: String): Column =
-      least(expr(s"($of * 10) div n_docs") + 1, lit(10)).as("decile")
+      least(expr(s"($of * 10) div ${nDocs}L") + 1, lit(10)).as("decile")
     // New types per checkpoint: first occurrence from the at-rest tf
     // snapshot (groupBy term has map-side combine; no posting list is
     // ever buffered on one task).
     val newTypes = tf.groupBy("term").agg(min("doc_id").as("first_doc"))
-      .crossJoin(broadcast(nDocs))
       .groupBy(decile("first_doc")).agg(count(lit(1)).as("v"))
-    val toks = tf.crossJoin(broadcast(nDocs))
+    val toks = tf
       .groupBy(decile("doc_id")).agg(sum("c").as("t"))
-    val dcount = docs.select("doc_id").crossJoin(broadcast(nDocs))
+    val dcount = docs.select("doc_id")
       .groupBy(decile("doc_id")).agg(count(lit(1)).as("d"))
     val spine = s.range(1, 11).select(col("id").as("decile"))
     // 10-row cumulative frame: the single-partition window is bounded

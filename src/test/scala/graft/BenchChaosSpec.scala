@@ -60,4 +60,24 @@ class BenchChaosSpec extends SparkTestBase
     assert(r.json.contains("\"index_build_failed\":[]"), r.json.take(300))
     assert(r.errors.isEmpty && r.results.nonEmpty)
   }
+
+  test("both JSON lines carry the like-for-like gate fields (r10 verdict item 1)") {
+    val sample = Set("q20_join_broadcast", "q145_scd2_merge")
+    val r = Bench.run(spark, sf,
+      SparkEntry.queries.view.filterKeys(sample.contains).toMap)
+    // The 2× gate reads baseline43_sec, never `value`; measure names
+    // the three-pass merge so a cross-round diff knows what it compares.
+    Seq(r.json, r.tail).foreach { line =>
+      assert(line.contains("\"measure\":\"min_of_3_interleaved\""), line.take(300))
+      assert(line.contains("\"baseline43_sec\":"), line.take(300))
+      assert(line.contains("\"baseline43_n\":"), line.take(300))
+    }
+    // On this sample only q20 is in the frozen roster: the subtotal
+    // counts it alone — partial runs must SAY they are partial.
+    assert(r.json.contains("\"baseline43_n\":1"), r.json.take(400))
+    val b43 = r.json.split("\"baseline43_sec\":")(1).split(",")(0).toDouble
+    val q20 = r.results.toMap.apply("q20_join_broadcast")
+    assert(math.abs(b43 - q20) < 1e-9,
+      s"subset subtotal must equal the roster queries' min sum: $b43 vs $q20")
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Schema drill for the committed steady-state profile artifact
+  * (`PROFILE_r{N}.json`) — the BenchChaos pattern applied to
+  * `graft.Profile`: run the REAL steady-state core on a cross-module
+  * query sample and assert the artifact parses and carries exactly the
+  * fields the cross-round diff reads (per-query `median_sec` + raw
+  * `runs`, the prepare ledger, the headline total). A schema drift
+  * here would otherwise surface as an unreadable artifact in the round
+  * where the driver-box-inflation argument needs it.
+  */
+class ProfileArtifactSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val sample = Seq(
+    "q20_join_broadcast", // relational
+    "q60_exact_dedup", // textops
+    "q68_knn_bruteforce", // similarity
+  )
+
+  test("steadyState emits parseable JSON with the diffable schema") {
+    val json = Profile.steadyState(spark, sf, reps = 2,
+      SparkEntry.queries.view.filterKeys(sample.contains).toMap)
+    val root = JsonMethods.parse(json)
+
+    assert((root \ "mode") == JString("steady_state"))
+    assert((root \ "sf") == JString(sf))
+    assert((root \ "reps") == JInt(2))
+    val JInt(n) = root \ "n_queries"
+    assert(n.toInt == sample.size)
+    val JArray(prepFailed) = root \ "prepare_failed"
+    assert(prepFailed.isEmpty, s"healthy prepare must report no failures: $prepFailed")
+    val JDouble(prep) = root \ "prepare_sec"
+    assert(prep >= 0)
+
+    val JObject(queries) = root \ "queries"
+    assert(queries.map(_._1).sorted == sample.sorted,
+      s"every sampled query needs a row: ${queries.map(_._1)}")
+    queries.foreach { case (name, q) =>
+      val JDouble(med) = q \ "median_sec"
+      assert(med > 0, s"$name median must be a positive time, got $med")
+      val JArray(runs) = q \ "runs"
+      assert(runs.size == 2, s"$name must report reps raw runs: $runs")
+      runs.foreach { r =>
+        val JDouble(v) = r
+        assert(v > 0, s"$name raw run must be positive: $v")
+      }
+      assert((q \ "err") == JNothing, s"$name must not carry err: ${q \ "err"}")
+      // The median of the reported runs IS the reported median — the
+      // artifact is self-consistent, not two divergent code paths.
+      val vs = runs.collect { case JDouble(v) => v }.sorted
+      val expect = (vs((vs.size - 1) / 2) + vs(vs.size / 2)) / 2
+      assert(math.abs(med - expect) < 1e-9)
+    }
+
+    // The headline total is the sum of the medians (what the
+    // cross-round one-liner diff reads).
+    val JDouble(total) = root \ "total_median_sec"
+    val meds = queries.map { case (_, q) => val JDouble(m) = q \ "median_sec"; m }
+    assert(math.abs(total - meds.sum) < 1e-9)
+  }
+
+  test("a broken query degrades to a per-query err, not a lost artifact") {
+    val poisoned: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map(
+        "q60_exact_dedup" -> SparkEntry.queries("q60_exact_dedup"),
+        "q_broken" -> ((s, _) => s.sql("SELECT * FROM graft_no_such_table")),
+      )
+    val json = Profile.steadyState(spark, sf, reps = 2, poisoned)
+    val root = JsonMethods.parse(json)
+    val healthy = root \ "queries" \ "q60_exact_dedup"
+    val JDouble(med) = healthy \ "median_sec"
+    assert(med > 0)
+    val broken = root \ "queries" \ "q_broken"
+    assert((broken \ "err") != JNothing, "the broken query must carry err")
+    val JDouble(bmed) = broken \ "median_sec"
+    assert(bmed == -1.0, "no successful runs → sentinel median")
+  }
+}

@@ -78,4 +78,30 @@ class TextMaintenanceSpec extends SparkTestBase {
     assert(docScans(merged) == 1, "insert merge must digest ONLY the batch")
     assert(rows(merged) == rows(TextOps.digestsOf(Tables.tbl(spark, sf, "documents"))))
   }
+
+  // The signature artifacts (r10 verdict item 6): per-doc grain like
+  // the tf table, so both take the APPEND geometry — a signature
+  // depends only on its own document's text, and documents arrive
+  // whole, so batch rows are doc_id-disjoint from the base and the
+  // merge is a pure union. The pin that matters is the plan one: the
+  // merge must shingle/hash the BATCH text only — an accidental
+  // full-corpus dependency would re-run the costliest build in the
+  // text module on every ingest tick.
+
+  test("minhash-sigs merge (append geometry) equals the full rebuild; batch is the only text scan") {
+    val base = atRest(TextOps.minhashSigsOf(baseDocs), "minhash-sigs")
+    val merged = TextOps.mergeMinhashSigs(base, batchDocs)
+    assert(docScans(merged) == 1, "signature merge must shingle ONLY the batch")
+    assert(rows(merged) == rows(TextOps.minhashSigsOf(Tables.tbl(spark, sf, "documents"))))
+    // Both sides contributed signature rows (hwm split non-trivial).
+    assert(base.count() > 0 && merged.count() > base.count())
+  }
+
+  test("simhash-sigs-60 merge (append geometry) equals the full rebuild; batch is the only text scan") {
+    val base = atRest(TextOps.simhash60SigsOf(baseDocs), "simhash-sigs-60")
+    val merged = TextOps.mergeSimhash60Sigs(base, batchDocs)
+    assert(docScans(merged) == 1, "signature merge must hash ONLY the batch")
+    assert(rows(merged) == rows(TextOps.simhash60SigsOf(Tables.tbl(spark, sf, "documents"))))
+    assert(base.count() > 0 && merged.count() > base.count())
+  }
 }
