@@ -61,6 +61,17 @@ class BenchChaosSpec extends SparkTestBase
     assert(r.errors.isEmpty && r.results.nonEmpty)
   }
 
+  test("the frozen baseline roster names only declared queries, all 43 of them") {
+    // A rename in SparkEntry would silently shrink baseline43_n and
+    // the gate subtotal with it — the dangling-allowance failure mode
+    // (PlanAuditSpec) applied to the bench roster.
+    assert(Bench.Baseline43.size == 43)
+    assert(Bench.Baseline43.distinct.size == 43, "roster must not repeat names")
+    val undeclared = Bench.Baseline43.filterNot(SparkEntry.queries.keySet)
+    assert(undeclared.isEmpty,
+      s"baseline roster names undeclared queries (renamed? removed?): $undeclared")
+  }
+
   test("both JSON lines carry the like-for-like gate fields (r10 verdict item 1)") {
     val sample = Set("q20_join_broadcast", "q145_scd2_merge")
     val r = Bench.run(spark, sf,

@@ -899,4 +899,30 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
   }
+
+  test("q67: the rarity filter sits BELOW every posting-list collect (bounded build state)") {
+    // The r10 HIGH advice shape: collect_set over every shingle hash
+    // BEFORE the rarity filter buffers a boilerplate shingle's
+    // O(N_docs) posting list in one aggregation buffer — the filter
+    // must reach the postings via the df-artifact semi-join first, so
+    // per-key aggregation state is capped at RareShingleCap by
+    // construction. Pin: every collect_set aggregate in the optimized
+    // plan has a LeftSemi join somewhere beneath it.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val opt = SparkEntry.queries("q67_ngram_jaccard")(spark, sf)
+      .queryExecution.optimizedPlan
+    val collectAggs = opt.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.find(_.toString.contains("collect_set")).isDefined) => a
+    }
+    assert(collectAggs.nonEmpty, "q67 lost its posting-set aggregate — update this pin")
+    collectAggs.foreach { a =>
+      val semiBelow = a.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semiBelow.isDefined,
+        s"q67 collects posting lists without the rarity semi-join below it:\n$a")
+    }
+  }
 }
