@@ -50,8 +50,12 @@ object PlanAudit {
     (fam("ivf-assigned-i2",
       "IVF branches: narrow cell-filtered slices of the at-rest assignment")(
       "q71_embedding_neardup" -> 4, "q73_ivf_recall" -> 5,
-      "q88_knn_ivf_multiprobe" -> 3, "q89_embedding_dedup_materialize" -> 5,
-      "q111_ivfpq_ann" -> 3, "q131_hard_negatives" -> 4,
+      // r11: q88/q111 dropped 3 → 2 — probe selection now reads the
+      // at-rest ivf-cell-means artifact instead of re-deriving cell
+      // means from the assignment per query. Sub-gate PINS (the
+      // doc-shingle-sets convention): a regression to ≥3 cites this.
+      "q88_knn_ivf_multiprobe" -> 2, "q89_embedding_dedup_materialize" -> 5,
+      "q111_ivfpq_ann" -> 2, "q131_hard_negatives" -> 4,
       // r11: was 8 — both directed-neighbor directions now explode
       // from ONE cellPairs subtree (assignment + cell sizes + two join
       // sides = 4) instead of unioning the frame with its own swap.

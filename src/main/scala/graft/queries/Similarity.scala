@@ -349,7 +349,7 @@ object Similarity {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val chains: Seq[() => Any] = Seq(
-      () => assignedVectors(s, dir),
+      () => { assignedVectors(s, dir); cellMeansAtRest(s, dir) }, // means depend on the assignment
       () => pqCodes(s, dir), // forces the pq-codebooks snapshot too
       () => halfIndexAssigned(s, dir), // q112's frozen index (forces centroids too)
     )
@@ -509,6 +509,24 @@ object Similarity {
         x => x.getField("mv")).as("c_emb"))
       .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
 
+  /** The cell-mean centroid table AT REST (nlist rows: cid, c_emb,
+    * c_nrm) — the probe-selection artifact an IVF deployment persists
+    * next to the assignment itself. Until r11 q88/q111 re-derived it
+    * per query, which is an O(N·d) posexplode aggregation over the
+    * full assignment on EVERY search — per-corpus work billed per
+    * query, and the single biggest term in q111's steady-state median.
+    * Snapshotted it is ingest-time work (index_build_sec) and the
+    * probe branch reads an nlist-row parquet: broadcastable by
+    * construction, no assignment scan, no explode. Decimal-exact sums
+    * make the means shuffle-order-independent, so the written values
+    * are bit-identical to the inline derivation the oracle still
+    * performs.
+    */
+  private def cellMeansAtRest(s: SparkSession, dir: String): DataFrame =
+    graft.util.Snapshots(s, dir, "ivf-cell-means") {
+      cellMeans(assignedVectors(s, dir))
+    }
+
   /** DuckDB twin of [[cellMeans]] over CTE `av`, emitted as `cm`. */
   private val duckCellMeansCte: String =
     """cm0 AS (
@@ -560,7 +578,7 @@ object Similarity {
       """),
     ) { (s, dir) =>
       val assigned = assignedVectors(s, dir)
-      val cm = cellMeans(assigned)
+      val cm = cellMeansAtRest(s, dir) // nlist-row at-rest centroid table
       val q = assigned.filter(col("vec_id") < 10)
         .select(
           col("vec_id").as("query_id"),
@@ -1530,7 +1548,7 @@ object Similarity {
     """),
   ) { (s, dir) =>
     val assigned = assignedVectors(s, dir)
-    val cm = cellMeans(assigned)
+    val cm = cellMeansAtRest(s, dir) // nlist-row at-rest centroid table
     val codes = pqCodes(s, dir)
     val dtab = pqDistanceTables(s, dir)
     val q = assigned.filter(col("vec_id") < 10)

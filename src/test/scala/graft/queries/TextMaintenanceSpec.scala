@@ -104,4 +104,89 @@ class TextMaintenanceSpec extends SparkTestBase {
     assert(rows(merged) == rows(TextOps.simhash60SigsOf(Tables.tbl(spark, sf, "documents"))))
     assert(base.count() > 0 && merged.count() > base.count())
   }
+
+  // The shingle-chain artifacts, closing the family: with these three,
+  // EVERY at-rest text artifact has a maintenance path whose geometry
+  // matches its grain — per-(doc,shingle) rows and per-doc set/signature
+  // rows APPEND; the corpus-global df and gram counts FOLD.
+
+  test("shingle-table merge (append geometry) equals the full rebuild; batch is the only text scan") {
+    val base = atRest(TextOps.shingleHashesOf(baseDocs, 3), "shingles-k3")
+    val merged = TextOps.mergeShingleHashes(base, batchDocs, 3)
+    assert(docScans(merged) == 1, "shingle merge must shingle ONLY the batch")
+    assert(rows(merged) == rows(TextOps.shingleHashesOf(Tables.tbl(spark, sf, "documents"), 3)))
+    assert(base.count() > 0 && merged.count() > base.count())
+  }
+
+  test("shingle-df merge (additive fold) equals the full rebuild; batch is the only text scan") {
+    val base = atRest(TextOps.shingleDfOf(baseDocs, 4), "shingle-df-k4")
+    val merged = TextOps.mergeShingleDf(base, batchDocs, 4)
+    assert(docScans(merged) == 1, "df fold must shingle ONLY the batch")
+    assert(rows(merged) == rows(TextOps.shingleDfOf(Tables.tbl(spark, sf, "documents"), 4)))
+    // The fold genuinely merged: some hash has df contributions on both
+    // sides of the hwm (otherwise only the append path is exercised).
+    val overlap = base.join(TextOps.shingleDfOf(batchDocs, 4), Seq("h"), "left_semi").count()
+    assert(overlap > 0, "hwm split produced no shared shingle hashes — fold untested")
+  }
+
+  test("doc-shingle-sets merge (append geometry) equals the full rebuild; batch is the only text scan") {
+    val base = atRest(TextOps.docShingleSetsOf(baseDocs, 4), "doc-shingle-sets-k4")
+    val merged = TextOps.mergeDocShingleSets(base, batchDocs, 4)
+    assert(docScans(merged) == 1, "doc-set merge must shingle ONLY the batch")
+    assert(rows(merged) == rows(TextOps.docShingleSetsOf(Tables.tbl(spark, sf, "documents"), 4)))
+    assert(base.count() > 0 && merged.count() > base.count())
+  }
+
+  test("span-window merge (append geometry) equals the full rebuild; batch is the only text scan") {
+    val base = atRest(TextOps.spanWindowsOf(baseDocs), "span-windows")
+    val merged = TextOps.mergeSpanWindows(base, batchDocs)
+    assert(docScans(merged) == 1, "span merge must tokenize ONLY the batch")
+    assert(rows(merged) == rows(TextOps.spanWindowsOf(Tables.tbl(spark, sf, "documents"))))
+    assert(base.count() > 0 && merged.count() > base.count())
+  }
+
+  test("chunk-table merge (append geometry) equals the full rebuild; batch is the only text scan") {
+    val base = atRest(TextOps.chunkFrameOf(baseDocs), "context-chunks")
+    val merged = TextOps.mergeChunkTable(base, batchDocs)
+    assert(docScans(merged) == 1, "chunk merge must tokenize ONLY the batch")
+    assert(rows(merged) == rows(TextOps.chunkFrameOf(Tables.tbl(spark, sf, "documents"))))
+    assert(base.count() > 0 && merged.count() > base.count())
+  }
+
+  test("linkage-blocks merge (partitioned refresh) equals the full rebuild; batch is the only text scan") {
+    // The fourth geometry: the sub-block rank makes this the one text
+    // artifact where arriving rows can CHANGE existing rows — but only
+    // within the blocks the batch lands in. The merge must (a) rebuild
+    // exactly, (b) read batch text only (the base artifact carries the
+    // keyed columns), and (c) genuinely exercise the refresh: some
+    // base row's sub must change, and some block must survive verbatim
+    // through the anti-join path.
+    val base = atRest(
+      TextOps.linkageRank(TextOps.linkageKeyed(baseDocs)), "linkage-blocks")
+    val merged = TextOps.mergeLinkageBlocks(base, batchDocs)
+    // THREE batch-text scans, not one: the batch's keys play three
+    // roles (anti-join vs untouched blocks, semi-join selecting the
+    // touched base rows, the re-rank union) and Catalyst plans a
+    // shared subtree once per reference. All three scan the BATCH —
+    // at ingest that is 3× a small arriving batch; the pin that
+    // matters is that history text never appears (the base side reads
+    // only the staged artifact, which this count proves) and that the
+    // count stays 3 (a 4th = a lineage regression). A production
+    // pipeline that stages the batch's keyed rows as their own table
+    // pays the keying once — the spec exercises the unstaged worst
+    // case.
+    assert(docScans(merged) == 3, "block refresh must normalize ONLY the batch text")
+    // Row equality to the full rebuild through the production rank
+    // definition itself — no locally re-stated cap to drift.
+    val rebuild = TextOps.linkageRank(
+      TextOps.linkageKeyed(Tables.tbl(spark, sf, "documents")))
+    assert(rows(merged) == rows(rebuild))
+    // The refresh is non-trivial both ways: touched and untouched
+    // blocks both exist in this corpus split.
+    val touched = TextOps.linkageKeyed(batchDocs).select("b").distinct()
+    val nTouchedBase = base.join(touched, Seq("b"), "left_semi").count()
+    val nUntouched = base.join(touched, Seq("b"), "left_anti").count()
+    assert(nTouchedBase > 0, "no base block touched — refresh path untested")
+    assert(nUntouched > 0, "every block touched — anti-join path untested")
+  }
 }
