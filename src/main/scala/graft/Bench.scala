@@ -136,7 +136,18 @@ object Bench {
     // which case the subtotal is partial and says so).
     val b43 = results.filter(r => Baseline43.contains(r._1))
     val baseline43Sec = b43.map(_._2).sum
-    val baseline43Json = s""""baseline43_sec":$baseline43Sec,"baseline43_n":${b43.size}"""
+    // Protocol caveat (r11 review): a min over MORE passes is
+    // stochastically ≤ one over fewer, so baseline43_sec carries a
+    // small downward bias vs the single-pass 54.06 s baseline run.
+    // baseline43_run1_sec is the protocol-closest number — pass 1
+    // only, same sorted order r1 ran — so the gate can be checked
+    // under either reading; the headroom (≈0.4× vs a 2× gate) dwarfs
+    // the bias either way.
+    val b43run1 = run1.collect {
+      case (name, t, _) if Baseline43.contains(name) && !errors.contains(name) => t
+    }.sum
+    val baseline43Json =
+      s""""baseline43_sec":$baseline43Sec,"baseline43_run1_sec":$b43run1,"baseline43_n":${b43.size}"""
     // The driver archives a 2000-char TAIL of stdout, so a capture can
     // start anywhere inside this (long) line. Two consequences: every
     // gc-map entry carries its own ".gc_delta_sec" suffix (a bare

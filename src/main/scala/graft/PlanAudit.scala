@@ -183,20 +183,11 @@ object PlanAudit {
     }
     val errors = audits.collect { case (n, a) if a.err.nonEmpty => n }
 
-    // Full control-character escaping: error strings carry multi-line
+    // Shared escaper (graft.util.Json): error strings carry multi-line
     // Spark exception messages, and a raw newline inside a JSON string
     // literal makes the per-round artifact unparseable exactly in the
     // failure round where the machine-readable record matters most.
-    def jstr(s: String): String =
-      s.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }.mkString("\"", "", "\"")
+    def jstr(s: String): String = graft.util.Json.str(s)
     val queriesJson = audits.map { case (name, a) =>
       val dup = a.dup.toSeq.sorted
         .map { case (t, n) => s"${jstr(t)}:$n" }.mkString("{", ",", "}")

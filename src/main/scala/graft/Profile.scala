@@ -44,12 +44,19 @@ object Profile {
       catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
     val prepareSec = (System.nanoTime() - t0) / 1e9
     val byName = queries.toSeq.sortBy(_._1)
+    // NonFatal ONLY (the Bench prepare-phase rule): catching an
+    // OOM-class Throwable here would keep timing later reps and
+    // queries on a possibly-corrupted JVM and commit their medians as
+    // authoritative — letting the fatal abort the profile (no
+    // artifact) is the honest outcome.
     def once(fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
       val s0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - s0) / 1e9)
-      } catch { case e: Throwable => Left(String.valueOf(e.getMessage)) }
+      } catch {
+        case scala.util.control.NonFatal(e) => Left(String.valueOf(e.getMessage))
+      }
     }
     // Untimed warm-up pass: first-touch page decode, codegen, and any
     // lazily-built snapshot land here, not in run 1's sample.
@@ -65,16 +72,7 @@ object Profile {
       println(f"[profile] $name%-35s median=$median%.3f s runs=${ok.map(v => f"$v%.2f").mkString(",")}")
       (name, median, ok, err)
     }
-    def jstr(s: String): String =
-      s.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }.mkString("\"", "", "\"")
+    def jstr(s: String): String = graft.util.Json.str(s)
     val qjson = rows.map { case (name, median, ok, err) =>
       s"${jstr(name)}:{" +
         s""""median_sec":$median,"runs":${ok.mkString("[", ",", "]")}""" +
@@ -89,11 +87,23 @@ object Profile {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = args.find(_.startsWith("out=")).map(_.stripPrefix("out="))
-    val reps = args.find(_.startsWith("reps="))
-      .map(_.stripPrefix("reps=").toInt).getOrElse(DefaultReps)
-    val names = args.drop(1).filterNot(a => a.startsWith("out=") || a.startsWith("reps=")).toSeq
+    // key=value args are options wherever they appear; sfDir is the
+    // first POSITIONAL arg (r11 review: a blind headOption consumed
+    // "out=..." as the corpus dir when sfDir was omitted, and wrote a
+    // syntactically-valid artifact full of error rows).
+    val (opts, positional) = args.toSeq.partition(a =>
+      a.startsWith("out=") || a.startsWith("reps="))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = opts.find(_.startsWith("out=")).map(_.stripPrefix("out="))
+    val reps = opts.find(_.startsWith("reps="))
+      .map { r =>
+        val v = r.stripPrefix("reps=")
+        v.toIntOption.getOrElse(
+          sys.error(s"reps= needs a positive integer, got '$v'"))
+      }
+      .getOrElse(DefaultReps)
+    require(reps > 0, s"reps must be positive, got $reps")
+    val names = positional.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.util.Tables.withSessionConf(
       SparkSession.builder()

@@ -126,17 +126,5 @@ class HttpChunkedSink(
     case other => quote(other.toString)
   }
 
-  private def quote(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').toString()
-  }
+  private def quote(s: String): String = graft.util.Json.str(s)
 }

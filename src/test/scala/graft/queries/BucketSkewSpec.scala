@@ -72,34 +72,44 @@ class BucketSkewSpec extends SparkTestBase with TempCorpusDirs {
       .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
 
   test("skewed corpus: co-located join answers match the shuffle join, zero orderkey exchanges") {
-    val liB = Relational.lineitemBucketed(spark, skewDir)
-    val oB = Relational.ordersBucketed(spark, skewDir)
-    val got = coLocatedAgg(liB, oB)
+    // Broadcasts OFF: at this SF the planner would broadcast the tiny
+    // synthetic orders side, which hides the exchange the test exists
+    // to pin — at 100 TB nothing fact-scaled broadcasts, so the
+    // at-scale geometry is sort-merge over the co-bucketed scans
+    // (the LineitemLayoutSpec/PlanSpec broadcasts-off convention).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val liB = Relational.lineitemBucketed(spark, skewDir)
+      val oB = Relational.ordersBucketed(spark, skewDir)
+      val got = coLocatedAgg(liB, oB)
 
-    // Plan: both sides consume the at-rest bucket distribution — the
-    // join and the per-order aggregate add NO orderkey exchange, hot
-    // key or not (that is precisely why AQE skew splitting never sees
-    // this plan).
-    val p = got.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("Bucketed: true"), s"bucketed layout not in play:\n$p")
-    val keyExchanges = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
-    assert(keyExchanges == 0, s"co-located join must not re-shuffle on orderkey:\n$p")
+      // Plan: both sides consume the at-rest bucket distribution — the
+      // join and the per-order aggregate add NO orderkey exchange, hot
+      // key or not (that is precisely why AQE skew splitting never sees
+      // this plan). Count via the Arguments line: formatted mode prints
+      // the Exchange header and its hashpartitioning args on SEPARATE
+      // lines (PlanSpec.keyExchanges documents the r11 review find).
+      val p = got.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("Bucketed: true"), s"bucketed layout not in play:\n$p")
+      val keyEx = p.linesIterator.count(l =>
+        l.contains("Arguments: hashpartitioning(") && l.contains("orderkey"))
+      assert(keyEx == 0, s"co-located join must not re-shuffle on orderkey:\n$p")
 
-    // Answers: row-identical to the plain shuffle join over the raw
-    // parquet (doubles sum in a different partition order here, so
-    // compare at a rounding the grain supports).
-    val raw = coLocatedAgg(
-      spark.read.parquet(s"$skewDir/lineitem.parquet"),
-      spark.read.parquet(s"$skewDir/orders.parquet"))
-    def canon(df: DataFrame) = df
-      .select(col("o_orderkey"), round(col("qty"), 6).as("qty"), col("n"))
-      .orderBy("o_orderkey").collect().toSeq
-    assert(canon(got) == canon(raw))
-    // And the hot key really is pathological in this corpus.
-    val hotN = raw.filter(col("o_orderkey") === HotKey).collect()(0).getAs[Long]("n")
-    assert(hotN == HotRows)
+      // Answers: row-identical to the plain shuffle join over the raw
+      // parquet (doubles sum in a different partition order here, so
+      // compare at a rounding the grain supports).
+      val raw = coLocatedAgg(
+        spark.read.parquet(s"$skewDir/lineitem.parquet"),
+        spark.read.parquet(s"$skewDir/orders.parquet"))
+      def canon(df: DataFrame) = df
+        .select(col("o_orderkey"), round(col("qty"), 6).as("qty"), col("n"))
+        .orderBy("o_orderkey").collect().toSeq
+      assert(canon(got) == canon(raw))
+      // And the hot key really is pathological in this corpus.
+      val hotN = raw.filter(col("o_orderkey") === HotKey).collect()(0).getAs[Long]("n")
+      assert(hotN == HotRows)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("skew concentrates in one bucket and does not contaminate the rest") {

@@ -17,6 +17,29 @@ class PlanSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Exchanges that hash-partition on a column matching `key`. In
+    * formatted mode the node header "(n) Exchange" and its
+    * "Arguments: hashpartitioning(...)" print on SEPARATE lines, so a
+    * single-line contains("Exchange hashpartitioning") matches nothing
+    * — the r10 co-location pins were vacuously green until the r11
+    * review caught it (verified against this Spark's output). Only
+    * Exchange nodes carry hashpartitioning Arguments in formatted
+    * mode, so counting those lines counts key exchanges exactly.
+    */
+  private[queries] def keyExchanges(p: String, key: String): Int = {
+    val n = p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning(") && l.contains(key))
+    // Self-check that the pattern still matches how THIS Spark prints
+    // plans: if hashpartitioning ever appears without a matchable
+    // Arguments line, the counter is blind again — fail loudly rather
+    // than return a vacuous zero.
+    if (p.contains("hashpartitioning(")) {
+      assert(p.linesIterator.exists(_.contains("Arguments: hashpartitioning(")),
+        s"explain format changed — keyExchanges counter needs updating:\n$p")
+    }
+    n
+  }
+
   test("q05: the conjunctive filter is pushed into the parquet scan") {
     val p = plan("q05_filter_conjunctive")
     assert(p.contains("PushedFilters: ["), p)
@@ -124,9 +147,7 @@ class PlanSpec extends SparkTestBase {
     // The whole point of the pair: the per-order rollup and the
     // orders join consume the scans' hash distribution — no exchange
     // repartitions on the order key.
-    val keyShuffles = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
-    assert(keyShuffles == 0, s"orderkey shuffle reappeared:\n$p")
+    assert(keyExchanges(p, "orderkey") == 0, s"orderkey shuffle reappeared:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
@@ -147,9 +168,7 @@ class PlanSpec extends SparkTestBase {
     // The join meets the co-bucketed scans in place and the per-order
     // windows run on that same distribution, so the only hash exchange
     // left is the final tiny s_name aggregate.
-    val keyShuffles = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
-    assert(keyShuffles == 0, s"orderkey shuffle reappeared:\n$p")
+    assert(keyExchanges(p, "orderkey") == 0, s"orderkey shuffle reappeared:\n$p")
     val exchanges = p.linesIterator.count(_.trim.matches(raw"\(\d+\) Exchange.*"))
     assert(exchanges <= 2, s"expected ≤2 exchanges (final agg + broadcasts), saw $exchanges:\n$p")
   }
@@ -249,9 +268,7 @@ class PlanSpec extends SparkTestBase {
     val raw = p.linesIterator.count(l => l.contains("Location")
       && (l.contains("customer.parquet") || l.contains("orders.parquet")))
     assert(raw == 0, s"q127 must read only the custkey pair; saw $raw raw scans:\n$p")
-    val keyShuffles = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("custkey"))
-    assert(keyShuffles == 0, s"custkey shuffle reappeared:\n$p")
+    assert(keyExchanges(p, "custkey") == 0, s"custkey shuffle reappeared:\n$p")
   }
 
   test("co-located joins survive the at-scale geometry: zero key exchanges with broadcasts off") {
@@ -268,9 +285,7 @@ class PlanSpec extends SparkTestBase {
           "q21_join_multi" -> "orderkey", "q49_bucketed_agg" -> "orderkey",
           "q127_tpch_q13" -> "custkey")) {
         val p = plan(q)
-        val keyShuffles = p.linesIterator.count(l =>
-          l.contains("Exchange hashpartitioning") && l.contains(key))
-        assert(keyShuffles == 0,
+        assert(keyExchanges(p, key) == 0,
           s"$q: $key shuffle appears once broadcasts are off — the co-location is cosmetic:\n$p")
       }
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -281,9 +296,7 @@ class PlanSpec extends SparkTestBase {
     val raw = p.linesIterator.count(l => l.contains("Location")
       && (l.contains("lineitem.parquet") || l.contains("orders.parquet")))
     assert(raw == 0, s"q21's fact sides must read the bucketed pair; saw $raw raw scans:\n$p")
-    val keyShuffles = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
-    assert(keyShuffles == 0, s"orderkey shuffle reappeared:\n$p")
+    assert(keyExchanges(p, "orderkey") == 0, s"orderkey shuffle reappeared:\n$p")
   }
 
   test("q128 (TPC-H Q17): the correlated average folds into ONE scan + a window on the join key") {
@@ -374,9 +387,7 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     // The min-cost window consumes the partkey-bucketed scan — no
     // exchange repartitions on ps_partkey.
-    val keyShuffles = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("ps_partkey"))
-    assert(keyShuffles == 0, s"ps_partkey shuffle reappeared in q138:\n$p")
+    assert(keyExchanges(p, "ps_partkey") == 0, s"ps_partkey shuffle reappeared in q138:\n$p")
   }
 
   test("q139 (TPC-H Q11): group-vs-global-scalar scans the small artifact, never lineitem") {
@@ -393,9 +404,7 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     // Both per-part aggregation passes consume the partkey-bucketed
     // scan — no exchange repartitions on ps_partkey.
-    val keyShuffles = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("ps_partkey"))
-    assert(keyShuffles == 0, s"ps_partkey shuffle reappeared in q139:\n$p")
+    assert(keyExchanges(p, "ps_partkey") == 0, s"ps_partkey shuffle reappeared in q139:\n$p")
   }
 
   test("q140 (TPC-H Q9): one fact scan; the name filter prunes both composite-join sides") {
@@ -438,7 +447,7 @@ class PlanSpec extends SparkTestBase {
 
   test("q49: the keyed aggregate over the bucketed table plans with no hash exchange") {
     val p = plan("q49_bucketed_agg")
-    assert(!p.contains("Exchange hashpartitioning"),
+    assert(keyExchanges(p, "") == 0, // "" = count EVERY hash exchange
       s"bucketed agg should consume the scan's distribution:\n$p")
     // The layout is really in play: the scan must be a bucketed scan.
     assert(p.contains("Bucketed: true"), s"scan is not bucketed:\n$p")
@@ -589,8 +598,7 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q81_repetition_signals")
     assert(p.contains("graft_gram_stats") || p.contains("gramstats"),
       s"q81 must use the native expression:\n$p")
-    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges == 0, s"q81 regained a hash exchange:\n$p")
+    assert(keyExchanges(p, "") == 0, s"q81 regained a hash exchange:\n$p")
   }
 
   test("q82: df is a groupBy over the tf snapshot — no window keyed on raw term") {
