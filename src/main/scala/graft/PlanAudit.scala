@@ -49,17 +49,22 @@ object PlanAudit {
       qs.map { case (q, max) => (q, src) -> (max, reason) }
     (fam("ivf-assigned-i2",
       "IVF branches: narrow cell-filtered slices of the at-rest assignment")(
-      "q71_embedding_neardup" -> 4, "q73_ivf_recall" -> 5,
-      // r11: q88/q111 dropped 3 → 2 — probe selection now reads the
-      // at-rest ivf-cell-means artifact instead of re-deriving cell
-      // means from the assignment per query. Sub-gate PINS (the
-      // doc-shingle-sets convention): a regression to ≥3 cites this.
-      "q88_knn_ivf_multiprobe" -> 2, "q89_embedding_dedup_materialize" -> 5,
-      "q111_ivfpq_ann" -> 2, "q131_hard_negatives" -> 4,
-      // r11: was 8 — both directed-neighbor directions now explode
-      // from ONE cellPairs subtree (assignment + cell sizes + two join
-      // sides = 4) instead of unioning the frame with its own swap.
-      "q132_label_noise_knn" -> 4) ++
+      // r11 collapses, all sub-gate PINS at their observed counts (the
+      // doc-shingle-sets convention — a regression past the gate cites
+      // the recorded intent): q88/q111 read the at-rest ivf-cell-means
+      // instead of re-deriving centroid means per query; the
+      // sub-bucketing family (q71/q89/q131/q132) reads the at-rest
+      // ivf-cell-sizes occupancy instead of re-counting cells per
+      // query; q132 additionally explodes both directed-neighbor
+      // directions from ONE cellPairs subtree (was 8 via self-union).
+      "q71_embedding_neardup" -> 2, "q73_ivf_recall" -> 5,
+      "q88_knn_ivf_multiprobe" -> 2, "q89_embedding_dedup_materialize" -> 3,
+      "q111_ivfpq_ann" -> 2, "q131_hard_negatives" -> 2,
+      "q132_label_noise_knn" -> 2) ++
+      fam("ivf-cell-sizes",
+        "hot-cell sub-bucketing: one occupancy read per cellPairs side")(
+        "q71_embedding_neardup" -> 2, "q89_embedding_dedup_materialize" -> 2,
+        "q131_hard_negatives" -> 2, "q132_label_noise_knn" -> 2) ++
       // Designed dup-of-2 pins, BELOW the gate: exact-Jaccard
       // verification joins the forward doc-shingle-sets artifact once
       // per candidate side (d1/d2). These entries record design

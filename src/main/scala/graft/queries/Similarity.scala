@@ -313,12 +313,25 @@ object Similarity {
     * whose per-row candidate set is "my cell" — restricting to "my
     * (cell, sub-bucket)" is what keeps that set bounded under skew.
     */
+  /** Per-cell occupancy counts AT REST (nlist rows: cluster, cell_n)
+    * — the ivf-cell-means story applied to the cell-size frame: every
+    * consumer of the hot-cell sub-bucketing re-derived these counts
+    * with a full assignment scan + aggregate per query (six queries ×
+    * one redundant fact scan each). At rest it is a broadcastable
+    * footnote built once beside the assignment (prepareIndexes), and
+    * the occupancy table is an artifact an IVF deployment keeps anyway
+    * — cell balance drives its re-training decisions.
+    */
+  private def cellSizesAtRest(s: SparkSession, dir: String): DataFrame =
+    graft.util.Snapshots(s, dir, "ivf-cell-sizes") {
+      assignedVectors(s, dir).groupBy("cluster").agg(count(lit(1)).as("cell_n"))
+    }
+
   private[graft] def subBucketedVectors(s: SparkSession, dir: String): DataFrame = {
     val av = assignedVectors(s, dir)
     val n = tbl(s, dir, "embeddings").count() // row-group metadata; no data scan
     val cap = HotCellFactor.toDouble * nlistFor(n)
-    val sizes = av.groupBy("cluster").agg(count(lit(1)).as("cell_n"))
-    av.join(broadcast(sizes), Seq("cluster"))
+    av.join(broadcast(cellSizesAtRest(s, dir)), Seq("cluster"))
       .withColumn("sub", col("vec_id") %
         greatest(lit(1L), ceil(col("cell_n").cast("double") / cap).cast("bigint")))
       .drop("cell_n")
@@ -349,7 +362,8 @@ object Similarity {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val chains: Seq[() => Any] = Seq(
-      () => { assignedVectors(s, dir); cellMeansAtRest(s, dir) }, // means depend on the assignment
+      // means + occupancy depend on the assignment, so they chain.
+      () => { assignedVectors(s, dir); cellMeansAtRest(s, dir); cellSizesAtRest(s, dir) },
       () => pqCodes(s, dir), // forces the pq-codebooks snapshot too
       () => halfIndexAssigned(s, dir), // q112's frozen index (forces centroids too)
     )
