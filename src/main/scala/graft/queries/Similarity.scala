@@ -243,7 +243,7 @@ object Similarity {
       .agg(max(col("sc")).as("best"))
       .select(col("vec_id"), (-col("best.ncid")).as("cluster"))
 
-  private def assign(vs: DataFrame, cents: DataFrame): DataFrame =
+  private[queries] def assign(vs: DataFrame, cents: DataFrame): DataFrame =
     vs.join(bestCluster(vs, cents), "vec_id")
 
   /** One Lloyd step (Spark twin of [[duckLloydCte]]): per-cell
@@ -324,8 +324,28 @@ object Similarity {
     */
   private def cellSizesAtRest(s: SparkSession, dir: String): DataFrame =
     graft.util.Snapshots(s, dir, "ivf-cell-sizes") {
-      assignedVectors(s, dir).groupBy("cluster").agg(count(lit(1)).as("cell_n"))
+      cellSizesOf(assignedVectors(s, dir))
     }
+
+  /** Occupancy counts of an arbitrary assignment frame (batch form). */
+  private[queries] def cellSizesOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster").agg(count(lit(1)).as("cell_n"))
+
+  /** Incremental maintenance of the occupancy table under a FROZEN
+    * quantizer — the ADDITIVE-FOLD geometry (the q151/shingle-df
+    * algebra on the ANN side): cell counts add, so folding the
+    * arriving batch's per-cell partials into the at-rest table
+    * reconstructs the rebuild over the union exactly, without
+    * re-scoring a single at-rest vector. Valid precisely while the
+    * quantizer is frozen (the q112 ingest regime — assignment depends
+    * only on the vector and the centroids); re-training rebuilds the
+    * assignment and its footnote artifacts wholesale, which is the
+    * documented lifecycle for every assignment-derived table
+    * (AnnQualitySpec pins merge == rebuild on the planted corpus).
+    */
+  private[queries] def mergeCellSizes(base: DataFrame, batchAssigned: DataFrame): DataFrame =
+    base.unionByName(cellSizesOf(batchAssigned))
+      .groupBy("cluster").agg(sum("cell_n").as("cell_n"))
 
   private[graft] def subBucketedVectors(s: SparkSession, dir: String): DataFrame = {
     val av = assignedVectors(s, dir)

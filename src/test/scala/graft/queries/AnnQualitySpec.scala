@@ -453,4 +453,30 @@ class AnnQualitySpec extends SparkTestBase {
       assert(nt == ni + nn, s"cell $c totals don't add up")
     }
   }
+
+  test("occupancy table folds incrementally under a frozen quantizer (merge == rebuild)") {
+    // The r11 at-rest occupancy artifact (ivf-cell-sizes) gets the
+    // same maintenance proof as the text artifacts: under a FROZEN
+    // quantizer (the q112 regime) assignment depends only on the
+    // vector and the centroids, so cell counts fold additively — the
+    // merge never re-scores an at-rest vector.
+    import graft.functions.VectorFunctions.l2Norm
+    import org.apache.spark.sql.functions.{count, lit}
+    val cents = Similarity.halfIndexCentroids(spark, plantedDir)
+    val v = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val half = 32L
+    val base = Similarity.cellSizesOf(Similarity.assign(v.filter(col("vec_id") < half), cents))
+    val batchAssigned = Similarity.assign(v.filter(col("vec_id") >= half), cents)
+    val merged = Similarity.mergeCellSizes(base, batchAssigned)
+    val rebuild = Similarity.cellSizesOf(Similarity.assign(v, cents))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows(merged) == rows(rebuild))
+    // Non-trivial fold: at least one cell receives members from BOTH
+    // sides of the split (otherwise only the append path is exercised).
+    val overlap = base.join(Similarity.cellSizesOf(batchAssigned), Seq("cluster"), "left_semi").count()
+    assert(overlap > 0, "no cell shared between halves — fold untested")
+  }
 }
