@@ -908,6 +908,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("no declared query degrades to a CartesianProduct when auto-broadcast is off") {
+    // The at-scale reading of the no-cartesian gate: at the test SFs
+    // the planner auto-broadcasts anything under the threshold, which
+    // can silently rescue a query whose join would otherwise have no
+    // equi-condition path — at 100 TB nothing un-hinted broadcasts,
+    // and such a query would plan a corpus-squared cartesian. With the
+    // threshold off, every surviving broadcast is an EXPLICIT
+    // broadcast() hint (a bounded-by-construction claim the scaladocs
+    // make: query sets, centroid tables, 1-row parameter frames), and
+    // no plan may fall back to CartesianProduct.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product once broadcasts are off — " +
+            s"it depends on a small-SF auto-broadcast that cannot exist at scale:\n$p")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q67: the rarity filter sits BELOW every posting-list collect (bounded build state)") {
     // The r10 HIGH advice shape: collect_set over every shingle hash
     // BEFORE the rarity filter buffers a boilerplate shingle's
