@@ -82,7 +82,12 @@ object PlanAudit {
         "q80_simhash_neardup" -> 4) ++
       fam("term-frequencies",
         "unigram/bigram/total roles over the compact tf snapshot")(
-        "q108_unigram_rarity" -> 3, "q135_collocations" -> 3) ++
+        // (r11: q108's tf allowance is gone — its global term counts
+        // now come from the at-rest term-stats artifact.)
+        "q135_collocations" -> 3) ++
+      fam("term-stats",
+        "rank + count roles over the vocabulary-sized stats artifact")(
+        "q108_unigram_rarity" -> 2) ++
       // (r11: q143's documents×4 allowance is gone — the corpus count
       // is a plan-time footer-metadata scalar now, so the plan holds
       // ONE doc_id-only documents scan.)

@@ -398,7 +398,7 @@ object TextOps {
       () => docShingleSets(s, dir, 4),
       () => simhash60Sigs(s, dir),
       () => digestIndex(s, dir),
-      () => termFrequencies(s, dir),
+      () => { termFrequencies(s, dir); termStats(s, dir) }, // stats chain on tf
       () => bigramFrequencies(s, dir),
       () => chunkTable(s, dir),
       () => spanWindows(s, dir),
@@ -1031,6 +1031,43 @@ object TextOps {
       termFrequenciesOf(tbl(s, dir, "documents"))
     }
 
+  /** Per-term corpus statistics AT REST (|vocabulary| rows: term, df,
+    * ct, first_doc) — the ivf-cell-means pattern on the text side:
+    * q82 (df for tf-idf), q108 (global term counts for rarity ranks)
+    * and q143 (first occurrence for vocab growth) each re-aggregated
+    * the ENTIRE tf table per query — a full corpus-scale shuffle on
+    * `term` billed per query for what is one per-corpus statistic.
+    * One ingest-time pass computes all three columns; queries read a
+    * vocabulary-sized columnar table instead. All three stats are
+    * additive/associative (counts add, min folds), so the artifact
+    * carries the same fold maintenance as shingle-df
+    * ([[mergeTermStats]], TextMaintenanceSpec-pinned).
+    */
+  private def termStats(s: SparkSession, dir: String): DataFrame =
+    snapshot(s, dir, "term-stats") {
+      termStatsOf(termFrequencies(s, dir))
+    }
+
+  /** The term-stats aggregate over an arbitrary tf frame (batch form). */
+  private[queries] def termStatsOf(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum("c").as("ct"),
+      min("doc_id").as("first_doc"))
+
+  /** Incremental maintenance of term-stats — ADDITIVE FOLD: df and ct
+    * are counts over doc-disjoint batches (they add) and first_doc is
+    * an associative min, so folding the batch tf's partial stats into
+    * the at-rest table reconstructs the rebuild exactly with one
+    * batch-tf pass.
+    */
+  private[queries] def mergeTermStats(base: DataFrame, batchTf: DataFrame): DataFrame =
+    base.unionByName(termStatsOf(batchTf))
+      .groupBy("term").agg(
+        sum("df").as("df"),
+        sum("ct").as("ct"),
+        min("first_doc").as("first_doc"))
+
   /** Incremental maintenance of the (doc_id, term, c) tf table — the
     * APPEND geometry: documents arrive whole, so a new batch's rows
     * are disjoint from the at-rest grain by doc_id and the merge is a
@@ -1081,11 +1118,11 @@ object TextOps {
     """),
   ) { (s, dir) =>
     val docs = tbl(s, dir, "documents")
-    // tf has exactly one row per (doc, term), so the per-term row count
-    // over it IS the document frequency — df needs no second corpus
-    // read, only a groupBy over the snapshot.
+    // df comes from the at-rest term-stats artifact (tf has one row
+    // per (doc, term), so its per-term row count IS the document
+    // frequency — computed once at ingest, not re-shuffled per query).
     val tf = termFrequencies(s, dir)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = termStats(s, dir).select("term", "df")
     // n_docs prunes every column — a parquet footer count, metadata
     // not payload.
     val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
@@ -2491,7 +2528,9 @@ object TextOps {
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val tf = termFrequencies(s, dir)
-    val ct = tf.groupBy("term").agg(sum("c").as("ct"))
+    // Global term counts from the at-rest term-stats artifact — the
+    // full-tf shuffle on `term` is ingest-time work, not per-query.
+    val ct = termStats(s, dir).select("term", "ct")
     // Ties share a rank (rank() over the count only), so equal-
     // frequency terms are interchangeable — rank is order-key-stable,
     // not tie-order-dependent. rank−1 ∈ [0, n_terms−1]; the weighted
@@ -2679,10 +2718,10 @@ object TextOps {
     val tf = termFrequencies(s, dir)
     def decile(of: String): Column =
       least(expr(s"($of * 10) div ${nDocs}L") + 1, lit(10)).as("decile")
-    // New types per checkpoint: first occurrence from the at-rest tf
-    // snapshot (groupBy term has map-side combine; no posting list is
-    // ever buffered on one task).
-    val newTypes = tf.groupBy("term").agg(min("doc_id").as("first_doc"))
+    // New types per checkpoint: first occurrence from the at-rest
+    // term-stats artifact (one vocabulary-sized read; the min-by-term
+    // over the full tf table happened once at ingest).
+    val newTypes = termStats(s, dir).select("term", "first_doc")
       .groupBy(decile("first_doc")).agg(count(lit(1)).as("v"))
     val toks = tf
       .groupBy(decile("doc_id")).agg(sum("c").as("t"))

@@ -118,6 +118,22 @@ class TextMaintenanceSpec extends SparkTestBase {
     assert(base.count() > 0 && merged.count() > base.count())
   }
 
+  test("term-stats merge (additive fold) equals the full rebuild; batch is the only text scan") {
+    // df and ct are counts over doc-disjoint batches (they add) and
+    // first_doc is an associative min — all three columns fold.
+    val base = atRest(TextOps.termStatsOf(TextOps.termFrequenciesOf(baseDocs)), "term-stats")
+    val merged = TextOps.mergeTermStats(base, TextOps.termFrequenciesOf(batchDocs))
+    assert(docScans(merged) == 1, "stats fold must tokenize ONLY the batch")
+    assert(rows(merged) == rows(TextOps.termStatsOf(
+      TextOps.termFrequenciesOf(Tables.tbl(spark, sf, "documents")))))
+    // The fold is non-trivial in all three columns: some term appears
+    // on both sides of the hwm, and some batch-side term has an
+    // earlier base-side first_doc (the min path genuinely folds).
+    val batchStats = TextOps.termStatsOf(TextOps.termFrequenciesOf(batchDocs))
+    val overlap = base.join(batchStats, Seq("term"), "left_semi").count()
+    assert(overlap > 0, "hwm split produced no shared terms — fold untested")
+  }
+
   test("shingle-df merge (additive fold) equals the full rebuild; batch is the only text scan") {
     val base = atRest(TextOps.shingleDfOf(baseDocs, 4), "shingle-df-k4")
     val merged = TextOps.mergeShingleDf(base, batchDocs, 4)
