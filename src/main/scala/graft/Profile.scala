@@ -29,10 +29,28 @@ object Profile {
   val DefaultReps = 5
 
   /** Steady-state core, exposed for the schema spec: warm-up pass then
-    * `reps` timed passes per query (name order, like the bench), and
-    * the artifact JSON. Query errors are recorded per-query (`err`)
+    * `reps` timed PASSES over the whole query set — each pass in a
+    * different (rotated / alternately reversed) order — and the
+    * artifact JSON. Query errors are recorded per-query (`err`)
     * rather than failing the whole profile — an artifact with one
     * broken query and 138 medians beats no artifact.
+    *
+    * Pass-structured, NOT back-to-back reps (the r11 PROFILE-vs-BENCH
+    * reconciliation): the old shape ran each query's 5 reps
+    * consecutively, so one multi-second box stall spanned several
+    * consecutive runs of the SAME query and poisoned ≥3 of its 5
+    * samples — the median itself, which is exactly how q21's r11
+    * median read 2.34 s while three decorrelated bench passes put its
+    * min under 1.1 s on the same tree. A pass structure is the bench's
+    * own noise geometry: a wall-clock-localized stall lands on
+    * DIFFERENT queries in different passes, so a 5-pass median
+    * tolerates ⌊(reps-1)/2⌋ poisoned passes per query. Rotating the
+    * start offset per pass (and reversing odd passes) additionally
+    * decorrelates PERIODIC box noise, which a fixed order would land
+    * on the same queries every pass. Each per-query row also carries
+    * `min_sec` — the bench-comparable floor — so residual noise is
+    * self-documenting as the median/min ratio instead of needing a
+    * cross-artifact argument.
     */
   private[graft] def steadyState(
       spark: SparkSession, sfDir: String, reps: Int,
@@ -41,7 +59,12 @@ object Profile {
     val t0 = System.nanoTime()
     val prepFailed =
       try SparkEntry.prepareIndexes(spark, sfDir)
-      catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
+      catch {
+        // Keep the exception message: the committed artifact is the
+        // one forensic record of a prepare crash (r11 advice).
+        case scala.util.control.NonFatal(e) =>
+          Seq("prepare-indexes-crashed: " + e.getMessage)
+      }
     val prepareSec = (System.nanoTime() - t0) / 1e9
     val byName = queries.toSeq.sortBy(_._1)
     // NonFatal ONLY (the Bench prepare-phase rule): catching an
@@ -59,27 +82,41 @@ object Profile {
       }
     }
     // Untimed warm-up pass: first-touch page decode, codegen, and any
-    // lazily-built snapshot land here, not in run 1's sample.
+    // lazily-built snapshot land here, not in pass 1's sample.
     byName.foreach { case (_, fn) => once(fn) }
-    val rows = byName.map { case (name, fn) =>
-      val runs = (1 to reps).map(_ => once(fn))
+    // Pass i runs every query once, order rotated by i·n/reps and
+    // reversed on odd passes (see scaladoc).
+    def passOrder(i: Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
+      val n = byName.size
+      val rot =
+        if (n == 0) byName
+        else { val off = ((i.toLong * n) / reps).toInt % n; byName.drop(off) ++ byName.take(off) }
+      if (i % 2 == 1) rot.reverse else rot
+    }
+    val samples = (0 until reps).flatMap { i =>
+      passOrder(i).map { case (name, fn) => name -> once(fn) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = byName.map { case (name, _) =>
+      val runs = samples.getOrElse(name, Nil)
       val ok = runs.collect { case Right(v) => v }
       val err = runs.collectFirst { case Left(e) => e }
       val sorted = ok.sorted
       val median =
         if (sorted.isEmpty) -1.0
         else (sorted((sorted.size - 1) / 2) + sorted(sorted.size / 2)) / 2
-      println(f"[profile] $name%-35s median=$median%.3f s runs=${ok.map(v => f"$v%.2f").mkString(",")}")
-      (name, median, ok, err)
+      val minSec = if (sorted.isEmpty) -1.0 else sorted.head
+      println(f"[profile] $name%-35s median=$median%.3f s min=$minSec%.3f s runs=${ok.map(v => f"$v%.2f").mkString(",")}")
+      (name, median, minSec, ok, err)
     }
     def jstr(s: String): String = graft.util.Json.str(s)
-    val qjson = rows.map { case (name, median, ok, err) =>
+    val qjson = rows.map { case (name, median, minSec, ok, err) =>
       s"${jstr(name)}:{" +
-        s""""median_sec":$median,"runs":${ok.mkString("[", ",", "]")}""" +
+        s""""median_sec":$median,"min_sec":$minSec,"runs":${ok.mkString("[", ",", "]")}""" +
         err.map(e => s""","err":${jstr(e)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val medians = rows.map(_._2).filter(_ >= 0)
     s"""{"mode":"steady_state","sf":${jstr(sfDir)},"reps":$reps,""" +
+      s""""measure":"median_of_${reps}_decorrelated_passes",""" +
       s""""prepare_sec":$prepareSec,""" +
       s""""prepare_failed":${prepFailed.map(jstr).mkString("[", ",", "]")},""" +
       s""""n_queries":${rows.size},"total_median_sec":${medians.sum},""" +

@@ -242,7 +242,12 @@ object TextOps {
     */
   private[queries] def mergeShingleDf(base: DataFrame, batchDocs: DataFrame, k: Int): DataFrame =
     base.unionByName(shingleDfOf(batchDocs, k))
-      .groupBy("h").agg(sum("df").as("df"))
+      // coalesce: sum() is nullable where the rebuild's count() is not;
+      // row values are identical (every group has ≥1 row) but a
+      // schema-strict consumer or a parquet schema-merge across ticks
+      // would see the nullability drift — pin the merged schema to the
+      // rebuild's.
+      .groupBy("h").agg(coalesce(sum("df"), lit(0L)).as("df"))
 
   /** Shared DuckDB prefix for k-shingle pipelines. */
   private def duckShinglePrefix(k: Int): String =
@@ -316,19 +321,6 @@ object TextOps {
       )
   }
 
-  /** MinHash+LSH near-dup pairs with exact Jaccard ≥ 0.6 — the shared
-    * candidate machine behind q65 (pair report) and q87 (cluster
-    * labeling): 3-shingles → 16 minhashes → 4 bands × 4 rows →
-    * band-bucket self-join → exact-Jaccard verification. The banded
-    * join is the scale path: candidates ∝ colliding buckets, never
-    * all-pairs over the corpus.
-    */
-  /** LSH band-key rows (doc_id, band, key) over the per-corpus minhash
-    * signature snapshot — THE near-dup index artifact: q65/q87 self-join
-    * it, q92 joins an arriving batch's keys against it. One pass over
-    * the signatures emits all 4 band keys (posexplode) instead of 4
-    * unioned projections re-reading the frame.
-    */
   /** The 16-column minhash signature aggregate over a shingle-hash
     * frame — shared by the full-corpus snapshot (fed the at-rest
     * shingle artifact) and the batch maintenance path (fed
@@ -356,6 +348,12 @@ object TextOps {
   private[queries] def mergeMinhashSigs(base: DataFrame, batchDocs: DataFrame): DataFrame =
     base.unionByName(minhashSigsOf(batchDocs))
 
+  /** LSH band-key rows (doc_id, band, key) over the per-corpus minhash
+    * signature snapshot — THE near-dup index artifact: q65/q87 self-join
+    * it, q92 joins an arriving batch's keys against it. One pass over
+    * the signatures emits all 4 band keys (posexplode) instead of 4
+    * unioned projections re-reading the frame.
+    */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(s, dir, 3)
     // Signatures are a per-corpus artifact → parquet snapshot (the
@@ -485,6 +483,13 @@ object TextOps {
   private[queries] def mergeDigestIndex(base: DataFrame, batchDocs: DataFrame): DataFrame =
     base.unionByName(digestsOf(batchDocs).join(base, Seq("h"), "left_anti"))
 
+  /** MinHash+LSH near-dup pairs with exact Jaccard ≥ 0.6 — the shared
+    * candidate machine behind q65 (pair report) and q87 (cluster
+    * labeling): 3-shingles → 16 minhashes → 4 bands × 4 rows →
+    * band-bucket self-join → exact-Jaccard verification. The banded
+    * join is the scale path: candidates ∝ colliding buckets, never
+    * all-pairs over the corpus.
+    */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(s, dir)
     val cand = bands.as("x")
@@ -1063,8 +1068,12 @@ object TextOps {
     */
   private[queries] def mergeTermStats(base: DataFrame, batchTf: DataFrame): DataFrame =
     base.unionByName(termStatsOf(batchTf))
+      // coalesce on df only: the rebuild's df is a non-nullable count()
+      // while sum() is nullable — pin the merged schema to the
+      // rebuild's ([[mergeShingleDf]] note). ct/first_doc are sum/min
+      // in BOTH paths, so their nullability already matches.
       .groupBy("term").agg(
-        sum("df").as("df"),
+        coalesce(sum("df"), lit(0L)).as("df"),
         sum("ct").as("ct"),
         min("first_doc").as("first_doc"))
 
@@ -2715,6 +2724,11 @@ object TextOps {
     // executed plan (r10 allowance); with the literal, `documents`
     // appears exactly once (dcount's doc_id-only scan).
     val nDocs = docs.count()
+    // The count above is an eager (footer-metadata) action at query
+    // CONSTRUCTION time, and nDocs becomes a `div` literal below — an
+    // empty corpus would bake div-0 into codegen. Fail loudly at build
+    // instead: vocab growth over zero documents has no defined deciles.
+    require(nDocs > 0, s"q143_vocab_growth: documents table at $dir is empty")
     val tf = termFrequencies(s, dir)
     def decile(of: String): Column =
       least(expr(s"($of * 10) div ${nDocs}L") + 1, lit(10)).as("decile")

@@ -49,12 +49,20 @@ class ProfileArtifactSpec extends SparkTestBase {
         assert(v > 0, s"$name raw run must be positive: $v")
       }
       assert((q \ "err") == JNothing, s"$name must not carry err: ${q \ "err"}")
-      // The median of the reported runs IS the reported median — the
-      // artifact is self-consistent, not two divergent code paths.
+      // The median/min of the reported runs ARE the reported stats —
+      // the artifact is self-consistent, not two divergent code paths.
+      // min_sec is the bench-comparable floor (r11 PROFILE-vs-BENCH
+      // reconciliation): median/min per query exposes residual box
+      // noise inside the artifact itself.
       val vs = runs.collect { case JDouble(v) => v }.sorted
       val expect = (vs((vs.size - 1) / 2) + vs(vs.size / 2)) / 2
       assert(math.abs(med - expect) < 1e-9)
+      val JDouble(mn) = q \ "min_sec"
+      assert(math.abs(mn - vs.head) < 1e-9, s"$name min_sec must be the min run")
     }
+    // The decorrelated-pass measure is declared in the artifact so a
+    // cross-round diff knows which noise geometry produced the medians.
+    assert((root \ "measure") == JString("median_of_2_decorrelated_passes"))
 
     // The headline total is the sum of the medians (what the
     // cross-round one-liner diff reads).
