@@ -81,7 +81,7 @@ object Events {
       )
   }
 
-  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def eventsUs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("user_id"), unix_micros(col("ts")).as("ts_us"),
       col("event_id"), col("event_type"))
@@ -122,9 +122,32 @@ object Events {
     // breaking the deterministic-N-files claim.
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
     graft.util.Snapshots(s, dir, s"events-us-log-n$n") {
-      eventsUs(s, dir).repartitionByRange(n, col("ts_us"))
-        .sortWithinPartitions("ts_us")
+      usLogFrame(eventsUs(s, dir), n)
     }
+  }
+
+  /** The ts-clustering recipe — shared verbatim by the one-shot
+    * snapshot build above and the segment-append maintenance path
+    * ([[appendEventsUsLogSegment]]), the lineitem-sd-log discipline on
+    * the event stream: every segment's files carry tight disjoint
+    * ts_us stats over the batch's span.
+    */
+  private[graft] def usLogFrame(e: DataFrame, n: Int): DataFrame =
+    e.repartitionByRange(n, col("ts_us")).sortWithinPartitions("ts_us")
+
+  /** Segment-append for the events µs log: an arriving event batch
+    * (raw events shape — ts in whatever encoding the producer wrote;
+    * normalization is the batch frame's own `unix_micros` projection)
+    * lands as new sorted files under the layout root. O(batch) per
+    * ingest tick; boundary pruning holds across segments
+    * ([[graft.util.Segments]]; measured in SegmentAppendSpec). Event
+    * streams are append-only by nature, so this is the layout's ONLY
+    * maintenance operation — there is no update path to design for.
+    */
+  private[graft] def appendEventsUsLogSegment(
+      s: SparkSession, root: String, batchEventsUs: DataFrame): Unit = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Segments.appendSorted(usLogFrame(batchEventsUs, n), root)
   }
 
   /** The events at-or-after a micros cutoff, read from the ts-sorted

@@ -34,12 +34,36 @@ object Relational {
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
     graft.util.Snapshots(s, dir, s"orders-by-year-n$n", partitionBy = Seq("order_year")) {
-      tbl(s, dir, "orders")
-        .withColumn("order_year", year(col("o_orderdate").cast("date")))
-        .withColumn("o_orderdate_us", unix_micros(col("o_orderdate").cast("timestamp")))
-        .repartitionByRange(n, col("order_year"), col("o_orderdate_us"))
-        .sortWithinPartitions("order_year", "o_orderdate_us")
+      ordersYearFrame(tbl(s, dir, "orders"), n)
     }
+  }
+
+  /** The year-partitioned date-clustering recipe — shared verbatim by
+    * the one-shot snapshot build above and the segment-append
+    * maintenance path ([[appendOrdersByYearSegment]]), so a layout
+    * built by N appends is file-for-file the same KIND of object as a
+    * rebuild: same columns, same per-file sort, same stats tightness.
+    */
+  private[graft] def ordersYearFrame(
+      orders: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
+    orders
+      .withColumn("order_year", year(col("o_orderdate").cast("date")))
+      .withColumn("o_orderdate_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .repartitionByRange(n, col("order_year"), col("o_orderdate_us"))
+      .sortWithinPartitions("order_year", "o_orderdate_us")
+
+  /** Segment-append for the orders-by-year layout: the arriving orders
+    * batch lands as new files INSIDE the existing year directories
+    * (directories are shared between segments — [[graft.util.Segments]]
+    * for the geometry argument and the compaction bound). O(batch) per
+    * ingest tick; history files untouched.
+    */
+  private[graft] def appendOrdersByYearSegment(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      batchOrders: org.apache.spark.sql.DataFrame): Unit = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Segments.appendSorted(
+      ordersYearFrame(batchOrders, n), root, partitionDirs = Seq("order_year"))
   }
 
   /** A date slice of [[ordersByYear]] with both pruning predicates
@@ -116,15 +140,40 @@ object Relational {
     * instead ride [[ordersByYear]] — a warehouse keeps both: clustering
     * serves scans, co-location serves joins.
     */
+  /** The orderkey family's orders projection — shared by the one-shot
+    * build and the segment-append path so a batch lands with exactly
+    * the at-rest columns. */
+  private val OrdersOrderkeyCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+
   private[graft] def ordersBucketed(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.util.Snapshots.bucketedTable(
       s, dir, "orders-by-orderkey", "o_orderkey", buckets = OrderkeyBuckets) {
       tbl(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
-          "o_totalprice")
+        .select(OrdersOrderkeyCols.map(col): _*)
         .repartition(OrderkeyBuckets, col("o_orderkey"))
     }
+
+  /** Segment-append for the orderkey co-location pair: each arriving
+    * batch becomes new bucket FILES of the two at-rest tables — same
+    * pinned hash and [[OrderkeyBuckets]] count, so every future row
+    * lands in its key's bucket and co-located plans stay exchange-free
+    * across segments ([[graft.util.Segments]] for the geometry and the
+    * compaction bound; SegmentAppendSpec pins no-exchange + row
+    * fidelity + query-level merge==rebuild on q121).
+    */
+  private[graft] def appendLineitemBucketSegment(
+      batchLi: org.apache.spark.sql.DataFrame, table: String): Unit =
+    graft.util.Segments.appendBucketed(batchLi, table, "l_orderkey", OrderkeyBuckets)
+
+  /** [[appendLineitemBucketSegment]]'s orders twin (applies the
+    * family's projection before the bucketed write). */
+  private[graft] def appendOrdersBucketSegment(
+      batchOrders: org.apache.spark.sql.DataFrame, table: String): Unit =
+    graft.util.Segments.appendBucketed(
+      batchOrders.select(OrdersOrderkeyCols.map(col): _*),
+      table, "o_orderkey", OrderkeyBuckets)
 
   /** Bucket count of the custkey pair — its OWN constant: the two
     * pairs are independent layouts, and co-location holds only while
@@ -166,6 +215,21 @@ object Relational {
         .select("c_custkey")
         .repartition(CustkeyBuckets, col("c_custkey"))
     }
+
+  /** Segment-append for the custkey pair — the orderkey pair's
+    * maintenance story with this family's own constant and
+    * projections. */
+  private[graft] def appendOrdersCustkeyBucketSegment(
+      batchOrders: org.apache.spark.sql.DataFrame, table: String): Unit =
+    graft.util.Segments.appendBucketed(
+      batchOrders.select("o_custkey", "o_orderkey", "o_orderpriority"),
+      table, "o_custkey", CustkeyBuckets)
+
+  /** [[appendOrdersCustkeyBucketSegment]]'s customer twin. */
+  private[graft] def appendCustomerBucketSegment(
+      batchCustomer: org.apache.spark.sql.DataFrame, table: String): Unit =
+    graft.util.Segments.appendBucketed(
+      batchCustomer.select("c_custkey"), table, "c_custkey", CustkeyBuckets)
 
   /** Partsupp-shaped at-rest artifact (supplier×part grain): this corpus
     * ships no partsupp table, so the four TPC-H shapes that need one
@@ -273,12 +337,35 @@ object Relational {
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
     graft.util.Snapshots(s, dir, s"lineitem-sd-log-n$n") {
-      tbl(s, dir, "lineitem")
-        .withColumn("l_shipdate_us", unix_micros(col("l_shipdate").cast("timestamp")))
-        .drop("l_shipdate")
-        .repartitionByRange(n, col("l_shipdate_us"))
-        .sortWithinPartitions("l_shipdate_us")
+      sdLogFrame(tbl(s, dir, "lineitem"), n)
     }
+  }
+
+  /** The ship-date clustering recipe — shared verbatim by the one-shot
+    * snapshot build above and the segment-append maintenance path
+    * ([[appendLineitemSdLogSegment]]): BIGINT-micros boundary column,
+    * range-partitioned and sorted within partitions, so every file a
+    * segment writes carries tight disjoint l_shipdate_us stats over
+    * its span.
+    */
+  private[graft] def sdLogFrame(
+      li: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
+    li.withColumn("l_shipdate_us", unix_micros(col("l_shipdate").cast("timestamp")))
+      .drop("l_shipdate")
+      .repartitionByRange(n, col("l_shipdate_us"))
+      .sortWithinPartitions("l_shipdate_us")
+
+  /** Segment-append for the ship-date-sorted lineitem log: the
+    * arriving fact batch is clustered by the shared recipe and lands
+    * as new files under the layout root — O(batch) per ingest tick,
+    * history files untouched, boundary pruning intact across segments
+    * ([[graft.util.Segments]]; measured in SegmentAppendSpec).
+    */
+  private[graft] def appendLineitemSdLogSegment(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      batchLi: org.apache.spark.sql.DataFrame): Unit = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Segments.appendSorted(sdLogFrame(batchLi, n), root)
   }
 
   /** The lineitem batch shipped at-or-after a micros cutoff (NULL ship

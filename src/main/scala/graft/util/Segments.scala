@@ -1,0 +1,101 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Segment-append maintenance for the engine-owned at-rest fact
+  * layouts (the sorted logs and the bucketed co-location tables) —
+  * the lifecycle primitive that makes a corpus append O(batch)
+  * instead of a 100 TB layout rewrite.
+  *
+  * The one-shot builders (`Relational.lineitemSdLog`,
+  * `Relational.ordersByYear`, `Events.eventsUsLog`, the
+  * `Snapshots.bucketedTable` pairs) produce a layout whose value is
+  * GEOMETRY: tight disjoint min/max per file (row-group pruning), a
+  * partition directory per year (directory pruning), or a pinned
+  * hash-bucket assignment (co-located joins). None of that geometry is
+  * global-order-dependent, which is exactly why appends can be
+  * segments:
+  *
+  *  - '''Sorted logs''' (ship-date/ts/orders-date clustering): parquet
+  *    row-group statistics are per file. A batch clustered by the SAME
+  *    recipe and appended as new files gives every new file its own
+  *    tight disjoint range over the batch's span; a boundary scan then
+  *    prunes old segments by their stats and new segments by theirs.
+  *    What is lost vs a full rewrite is only inter-segment disjointness
+  *    (two segments may overlap a date range), which widens the scan by
+  *    at most the overlapping segments' selected groups — never a
+  *    rescan of history. SegmentAppendSpec measures this: the boundary
+  *    scan over a 2-segment log emits batch-sized row counts.
+  *
+  *  - '''Bucketed tables''': the bucket function (Murmur3 hash mod N,
+  *    both pinned constants of the layout family) assigns every future
+  *    row to the same bucket id forever, so a batch written as new
+  *    bucket FILES extends each bucket without touching its history.
+  *    Spark groups all files of a bucket into one scan partition, so
+  *    co-located joins/aggregations still plan with NO hash exchange.
+  *    The one property multi-file buckets give up is the scan's
+  *    REPORTED sort order (per-file sortBy survives, the concatenation
+  *    is not globally sorted), so a co-located sort-merge join pays a
+  *    local per-partition sort — bounded by the bucket's rows, no wire
+  *    cost. SegmentAppendSpec pins both: zero `Exchange
+  *    hashpartitioning` with broadcasts disabled, and row fidelity.
+  *
+  * '''Compaction policy''' (the file-count bound): every append adds
+  * ≤ N files (N = the layout's pinned partition/bucket count), so K
+  * appends put K files in a bucket / K·N in the log, and scan task
+  * setup plus footer reads grow with file count even when pruning is
+  * perfect. The policy is the standard LSM bound applied at the layout
+  * grain: when a bucket (or a sorted log's date range / a year
+  * partition) accumulates more than `CompactAfterSegments` segment
+  * files, rewrite THAT grain — one bucket, one partition directory —
+  * by reading its files and writing one replacement segment with the
+  * same recipe; never the whole table. Rewriting a grain is the same
+  * code as building it (the recipe functions are shared), so
+  * compaction needs no third write path. The sandbox corpus never
+  * reaches the bound; the constant documents the production trigger.
+  */
+object Segments {
+
+  /** Segment files per grain (bucket / partition / log range) above
+    * which that grain should be compacted by a single-grain rewrite.
+    * 16 bounds footer+task overhead at ~16× the ideal file count —
+    * small enough that scan setup stays O(ideal), large enough that
+    * compaction amortizes over many appends (each compaction halves
+    * write amplification vs compacting every tick).
+    */
+  val CompactAfterSegments = 16
+
+  /** Append one clustered segment to a sorted-log layout root (creates
+    * the root on first call — the one-shot build IS the first
+    * segment). `segment` must already carry the layout's clustering
+    * (the caller applies its recipe function: range-partitioned and
+    * sorted within partitions on the boundary column), so every file
+    * this writes has tight disjoint min/max stats over the batch's
+    * span. `partitionDirs` adds directory-level partitioning (the
+    * orders-by-year layout) — partition directories are SHARED between
+    * segments: a batch's rows land as new files inside the existing
+    * year directories, so directory pruning sees one tree.
+    */
+  def appendSorted(segment: DataFrame, root: String,
+      partitionDirs: Seq[String] = Nil): Unit = {
+    val w = segment.write.mode("append")
+    (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
+      .parquet(root)
+  }
+
+  /** Append one segment of new bucket files to a bucketed catalog
+    * table (creates the table on first call). The pre-write
+    * repartition on the bucket key uses the SAME hash Spark's bucketBy
+    * applies, so each task holds exactly one bucket's rows and the
+    * segment adds ONE file per non-empty bucket. Append mode validates
+    * the bucket spec against the existing table — a mismatched count
+    * or key fails loudly instead of silently breaking co-location.
+    */
+  def appendBucketed(segment: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    segment.repartition(buckets, col(key))
+      .write.mode("append")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+}

@@ -254,6 +254,29 @@ object Snapshots {
     spark.table(cell.value)
   }
 
+  /** Ingest-pipeline seam: register an externally maintained at-rest
+    * layout (e.g. a SEGMENT-APPENDED parquet root — [[Segments]]) as
+    * the artifact for (dir, name), replacing any memoized build. This
+    * is how the maintenance path and the query path compose: queries
+    * consume whatever is at rest under the artifact's key, so an
+    * ingest pipeline that appends segments installs the layout root
+    * once and no query ever triggers a rebuild. SegmentAppendSpec
+    * drives the round-trip: one-shot build and segmented layout answer
+    * the TPC-H family hash-identically.
+    */
+  private[graft] def install(spark: SparkSession, dir: String, name: String,
+      path: String): Unit =
+    paths.put((dir, name, fingerprint(spark, dir)), new Cell(() => path))
+
+  /** [[install]] for bucketed catalog-table artifacts: `table` is the
+    * catalog name of an externally maintained bucketed table (same
+    * bucket key/count as the one-shot build — append-mode bucketBy
+    * validates this at every segment write).
+    */
+  private[graft] def installTable(spark: SparkSession, dir: String, name: String,
+      table: String): Unit =
+    paths.put((dir, s"bkt-$name", fingerprint(spark, dir)), new Cell(() => table))
+
   /** Content fingerprint of the corpus dir: md5 over the sorted
     * recursive (path, length, mtime) listing. Cheap relative to any
     * build (one namenode/dirent sweep, no data read).

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Segment-append lifecycle for the sorted/bucketed fact layouts — the
+  * r11 verdict's top item: `lineitem-sd-log`, `orders-by-year`,
+  * `events-us-log`, and the orderkey co-location pair were the last
+  * artifacts whose maintenance story implied a full-layout rewrite per
+  * corpus append. Proof obligations, per the TextMaintenanceSpec
+  * discipline:
+  *   (a) GEOMETRY holds across segments — the boundary literal still
+  *       prunes row groups of a 2-segment sorted log (scan metrics,
+  *       not PushedFilters faith), year-directory pruning still holds
+  *       on a 2-segment partitioned layout, and the bucket pair still
+  *       joins with ZERO hash exchange when every bucket has one file
+  *       per segment;
+  *   (b) merged read == rebuild read at the QUERY level: q46/q47/
+  *       q121/q151 answer row-identically over one-shot and
+  *       segment-appended layouts (the `Snapshots.install` seam — the
+  *       query path consumes whatever is at rest).
+  */
+class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
+
+  private val baseUs = java.time.LocalDate.parse("1996-01-01").toEpochDay * 86400000000L
+
+  private def shufflePartitions: Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  /** Synthetic NTZ-dated lineitem frame (the LineitemLayoutSpec shape). */
+  private def syntheticLineitem(n: Long): DataFrame =
+    spark.range(n).toDF("l_orderkey")
+      .withColumn("l_partkey", col("l_orderkey") % 200)
+      .withColumn("l_suppkey", col("l_orderkey") % 50)
+      .withColumn("l_quantity", (col("l_orderkey") % 7).cast("double"))
+      .withColumn("l_extendedprice", lit(10.5))
+      .withColumn("l_shipdate",
+        timestamp_micros(lit(baseUs) + col("l_orderkey") * 1000000L)
+          .cast("timestamp_ntz"))
+
+  test("sd-log boundary pruning survives a segment append (scan metrics)") {
+    val n = 50000L
+    val li = syntheticLineitem(n)
+    val splitUs = baseUs + (n * 8 / 10) * 1000000L
+    val splitTs = timestamp_micros(lit(splitUs))
+    val root = s"${tempCorpusDir("graft_seg_sdlog")}/lineitem-sd-log"
+    // Two ingest ticks: the one-shot build IS the first segment.
+    Relational.appendLineitemSdLogSegment(
+      spark, root, li.filter(col("l_shipdate") < splitTs))
+    Relational.appendLineitemSdLogSegment(
+      spark, root, li.filter(col("l_shipdate") >= splitTs))
+    val log = spark.read.parquet(root)
+    // The layout is genuinely multi-segment: more files than one
+    // range-partitioned write could produce.
+    assert(log.inputFiles.length > shufflePartitions,
+      s"expected 2 segments' files, got ${log.inputFiles.length}")
+    // Boundary in the LAST 10% — inside the second segment's span, so
+    // pruning must skip the first segment wholesale by its stats and
+    // most of the second by its per-file sort.
+    val cutoff = baseUs + (n * 9 / 10) * 1000000L
+    val qe = log.filter(col("l_shipdate_us") >= cutoff).queryExecution
+    assert(qe.executedPlan.execute().count() == n / 10)
+    val scanRows = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows < n / 2,
+      s"scan emitted $scanRows of $n rows — segment append broke row-group pruning")
+    val pushed = qe.executedPlan.toString.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate_us"),
+      s"cutoff not pushed into the segmented log scan: $pushed")
+  }
+
+  test("orders-by-year keeps directory pruning across segments (shared year dirs)") {
+    val years = 4
+    val perYear = 5000L
+    val orders = spark.range(years * perYear).toDF("o_orderkey")
+      .withColumn("o_custkey", col("o_orderkey") % 300)
+      .withColumn("o_orderdate",
+        timestamp_micros(lit(baseUs)
+          // ~366-day year stride keeps every synthetic order inside a
+          // distinct calendar year: o_orderkey / perYear picks the year.
+          + expr(s"o_orderkey div $perYear") * 31622400000000L
+          + (col("o_orderkey") % perYear) * 1000000L)
+          .cast("timestamp_ntz"))
+    val root = s"${tempCorpusDir("graft_seg_oby")}/orders-by-year"
+    // Split ACROSS years (even/odd orderkey): both segments write into
+    // the SAME year directories — the shared-dir claim, not just
+    // "new year, new dir".
+    Relational.appendOrdersByYearSegment(
+      spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    Relational.appendOrdersByYearSegment(
+      spark, root, orders.filter(col("o_orderkey") % 2 === 1))
+    val layout = spark.read.parquet(root)
+    assert(layout.inputFiles.length > years,
+      s"expected multi-segment files across year dirs, got ${layout.inputFiles.length}")
+    // One-year slice: directory pruning must drop the other years'
+    // files before the scan (inputFiles is the full layout; the
+    // executed scan's row metric sees one year only).
+    val y1997 = layout.filter(col("order_year") === 1997)
+    val qe = y1997.queryExecution
+    assert(qe.executedPlan.execute().count() == perYear)
+    val scanRows = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows == perYear,
+      s"scan emitted $scanRows rows for a $perYear-row year — partition pruning lost across segments")
+    // Both segments contributed to the year (the dirs are genuinely shared).
+    assert(y1997.filter(col("o_orderkey") % 2 === 0).count() > 0)
+    assert(y1997.filter(col("o_orderkey") % 2 === 1).count() > 0)
+  }
+
+  test("the bucket pair stays exchange-free and row-exact with multi-file buckets") {
+    val li = syntheticLineitem(5000L)
+    val orders = spark.range(2000L).toDF("o_orderkey")
+      .withColumn("o_custkey", col("o_orderkey") % 300)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 3 === 0, "F").otherwise("O"))
+      .withColumn("o_orderdate",
+        timestamp_micros(lit(baseUs) + col("o_orderkey") * 86400000000L)
+          .cast("timestamp_ntz"))
+      .withColumn("o_totalprice", col("o_orderkey").cast("double") * 1.5)
+    val tag = System.nanoTime()
+    val liTable = s"graft_seg_li_$tag"
+    val ordTable = s"graft_seg_ord_$tag"
+    // Two segments per table, split so both segments hit EVERY bucket
+    // (key mod 2 is independent of the bucket hash) — each bucket
+    // holds one file per segment.
+    Relational.appendLineitemBucketSegment(li.filter(col("l_orderkey") % 2 === 0), liTable)
+    Relational.appendLineitemBucketSegment(li.filter(col("l_orderkey") % 2 === 1), liTable)
+    Relational.appendOrdersBucketSegment(orders.filter(col("o_orderkey") % 2 === 0), ordTable)
+    Relational.appendOrdersBucketSegment(orders.filter(col("o_orderkey") % 2 === 1), ordTable)
+    val bktLi = spark.table(liTable)
+    val bktOrd = spark.table(ordTable)
+    // Multi-file buckets genuinely exercised: more files than buckets.
+    assert(bktLi.inputFiles.length > 32,
+      s"lineitem buckets are single-file (${bktLi.inputFiles.length}) — append produced no second segment")
+    // Row fidelity: the segmented table is a re-clustering of the union.
+    assert(rows(bktLi) == rows(li))
+    assert(bktOrd.count() == orders.count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bktLi.join(bktOrd, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"segment append broke co-location:\n$plan")
+      val expected = li.join(orders, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("events-us-log boundary pruning survives a segment append") {
+    val n = 40000L
+    val ev = spark.range(n).toDF("event_id")
+      .withColumn("user_id", col("event_id") % 500)
+      .withColumn("ts_us", lit(baseUs) + col("event_id") * 1000000L)
+      .withColumn("event_type",
+        when(col("event_id") % 2 === 0, "view").otherwise("click"))
+      .select("user_id", "ts_us", "event_id", "event_type")
+    val splitUs = baseUs + (n * 8 / 10) * 1000000L
+    val root = s"${tempCorpusDir("graft_seg_evlog")}/events-us-log"
+    Events.appendEventsUsLogSegment(spark, root, ev.filter(col("ts_us") < splitUs))
+    Events.appendEventsUsLogSegment(spark, root, ev.filter(col("ts_us") >= splitUs))
+    val log = spark.read.parquet(root)
+    assert(log.inputFiles.length > shufflePartitions)
+    val cutoff = baseUs + (n * 9 / 10) * 1000000L
+    val qe = log.filter(col("ts_us") >= cutoff).queryExecution
+    assert(qe.executedPlan.execute().count() == n / 10)
+    val scanRows = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows < n / 2,
+      s"scan emitted $scanRows of $n rows — segment append broke ts pruning")
+  }
+
+  test("q46/q47/q121/q151 answer identically over one-shot and segment-appended layouts") {
+    val sf = "/root/testdata/sf0.001"
+    val queries = Seq("q46_tpch_q6", "q47_tpch_q3", "q121_tpch_q18", "q151_partsupp_merge")
+    // Expected: the one-shot artifact path on the pristine corpus.
+    val expected = queries.map(q => q -> rows(graft.SparkEntry.queries(q)(spark, sf)))
+    // A byte-identical corpus COPY gets its layouts built by
+    // segment-append (80%/20% date split), installed over the copy's
+    // artifact keys — then the same queries run against it. Copying
+    // keeps the pristine dir's memoized one-shot artifacts intact for
+    // every other suite in this JVM.
+    val dir = tempCorpusDir("graft_seg_corpus")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$sf/$t.parquet"),
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$t.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    val n = shufflePartitions
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+
+    // lineitem-sd-log: 80/20 ship-date split, nulls ride the base.
+    val liSplit = li.agg(
+      min(unix_micros(col("l_shipdate").cast("timestamp"))),
+      max(unix_micros(col("l_shipdate").cast("timestamp")))).head()
+    val liCut = timestamp_micros(
+      lit(liSplit.getLong(0) + (liSplit.getLong(1) - liSplit.getLong(0)) * 8 / 10))
+    val sdRoot = s"${tempCorpusDir("graft_seg_sd")}/lineitem-sd-log"
+    Relational.appendLineitemSdLogSegment(
+      spark, sdRoot, li.filter(coalesce(col("l_shipdate") < liCut, lit(true))))
+    Relational.appendLineitemSdLogSegment(
+      spark, sdRoot, li.filter(col("l_shipdate") >= liCut))
+    assert(spark.read.parquet(sdRoot).inputFiles.length > n, "sd-log is not multi-segment")
+    graft.util.Snapshots.install(spark, dir, s"lineitem-sd-log-n$n", sdRoot)
+
+    // orders-by-year: 80/20 order-date split.
+    val oSplit = orders.agg(
+      min(unix_micros(col("o_orderdate").cast("timestamp"))),
+      max(unix_micros(col("o_orderdate").cast("timestamp")))).head()
+    val oCut = timestamp_micros(
+      lit(oSplit.getLong(0) + (oSplit.getLong(1) - oSplit.getLong(0)) * 8 / 10))
+    val obyRoot = s"${tempCorpusDir("graft_seg_ob")}/orders-by-year"
+    Relational.appendOrdersByYearSegment(
+      spark, obyRoot, orders.filter(coalesce(col("o_orderdate") < oCut, lit(true))))
+    Relational.appendOrdersByYearSegment(
+      spark, obyRoot, orders.filter(col("o_orderdate") >= oCut))
+    graft.util.Snapshots.install(spark, dir, s"orders-by-year-n$n", obyRoot)
+
+    // The orderkey co-location pair: orderkey-parity split so both
+    // segments land files in every bucket.
+    val tag = System.nanoTime()
+    val liTable = s"graft_seg_q_li_$tag"
+    val ordTable = s"graft_seg_q_ord_$tag"
+    Relational.appendLineitemBucketSegment(li.filter(col("l_orderkey") % 2 === 0), liTable)
+    Relational.appendLineitemBucketSegment(li.filter(col("l_orderkey") % 2 === 1), liTable)
+    Relational.appendOrdersBucketSegment(orders.filter(col("o_orderkey") % 2 === 0), ordTable)
+    Relational.appendOrdersBucketSegment(orders.filter(col("o_orderkey") % 2 === 1), ordTable)
+    graft.util.Snapshots.installTable(spark, dir, "lineitem-by-orderkey", liTable)
+    graft.util.Snapshots.installTable(spark, dir, "orders-by-orderkey", ordTable)
+
+    queries.zip(expected).foreach { case (q, (_, exp)) =>
+      val got = rows(graft.SparkEntry.queries(q)(spark, dir))
+      assert(got == exp, s"$q diverged between one-shot and segmented layouts")
+    }
+  }
+}
