@@ -1084,6 +1084,20 @@ object TextOps {
     * the cheapest of the three maintenance geometries and exactly what
     * an ingest pipeline does with per-doc artifacts at 100 TB: write
     * the batch's partition, touch nothing else.
+    *
+    * Compaction (applies to every APPEND/INSERT-geometry artifact in
+    * this family — tf, shingle tables, doc-sets, signatures, digests,
+    * span-windows, chunks): each materialized tick adds files at the
+    * artifact root, so K ticks put K segments on disk and footer/task
+    * overhead grows with file count even though no tick rescans
+    * history. The bound and the per-grain rewrite recipe are the
+    * layout-level policy, stated once at
+    * [[graft.util.Segments.CompactAfterSegments]]. FOLD-geometry
+    * artifacts (shingle-df, term-stats, gram counts) are
+    * vocabulary-sized and rewritten whole per tick — never compacted
+    * because they never fragment. N-sequential-tick convergence for
+    * both geometries (each tick at rest, like production) is pinned by
+    * TextMultiBatchSpec.
     */
   private[queries] def mergeTermFrequencies(base: DataFrame, batchDocs: DataFrame): DataFrame =
     base.unionByName(termFrequenciesOf(batchDocs))
