@@ -121,7 +121,7 @@ object Similarity {
   private val PqIters = 2
 
   /** nlist = ⌈√N⌉ capped: cells stay ~√N-sized as the corpus grows. */
-  private def nlistFor(n: Long): Int =
+  private[graft] def nlistFor(n: Long): Int =
     math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong, MaxNList.toLong)).toInt
 
   /** Deterministic training-sample modulus: keep ~64 vectors per
@@ -280,22 +280,29 @@ object Similarity {
   private[graft] def assignedVectors(
       s: SparkSession, dir: String, iters: Int = LloydIters): DataFrame =
     graft.util.Snapshots(s, dir, s"ivf-assigned-i$iters") {
-      val v = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", l2Norm(col("embedding")))
-      val n = v.count() // parquet row-group metadata; no data scan
-      val nlist = nlistFor(n)
-      val smod = sampleModFor(n, nlist)
-      val sample = v.filter(col("vec_id") % smod === 0)
-      var cents = v.filter(col("vec_id") < nlist)
-        .select(
-          col("vec_id").as("cid"),
-          transform(col("embedding"), _.cast("double")).as("c_emb"),
-          col("nrm").as("c_nrm"),
-        )
-      for (_ <- 1 to iters) cents = lloydStep(sample, cents)
-      assign(v, cents).select("vec_id", "embedding", "nrm", "cluster")
+      buildAssigned(s, dir, iters)
     }
+
+  /** The train-and-assign recipe behind [[assignedVectors]] — factored
+    * so the memoized build and the quantizer REFRESH
+    * ([[retrainIndex]]) derive the index identically. */
+  private def buildAssigned(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val v = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val n = v.count() // parquet row-group metadata; no data scan
+    val nlist = nlistFor(n)
+    val smod = sampleModFor(n, nlist)
+    val sample = v.filter(col("vec_id") % smod === 0)
+    var cents = v.filter(col("vec_id") < nlist)
+      .select(
+        col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("c_emb"),
+        col("nrm").as("c_nrm"),
+      )
+    for (_ <- 1 to iters) cents = lloydStep(sample, cents)
+    assign(v, cents).select("vec_id", "embedding", "nrm", "cluster")
+  }
 
   /** Same-cell candidate pairs (cluster, d1 < d2, cos) for the SemDeDup
     * pairwise stage, with the hot-cell cap engaged: members of a cell
@@ -328,7 +335,7 @@ object Similarity {
     }
 
   /** Occupancy counts of an arbitrary assignment frame (batch form). */
-  private[queries] def cellSizesOf(assigned: DataFrame): DataFrame =
+  private[graft] def cellSizesOf(assigned: DataFrame): DataFrame =
     assigned.groupBy("cluster").agg(count(lit(1)).as("cell_n"))
 
   /** Incremental maintenance of the occupancy table under a FROZEN
@@ -343,9 +350,57 @@ object Similarity {
     * documented lifecycle for every assignment-derived table
     * (AnnQualitySpec pins merge == rebuild on the planted corpus).
     */
-  private[queries] def mergeCellSizes(base: DataFrame, batchAssigned: DataFrame): DataFrame =
+  private[graft] def mergeCellSizes(base: DataFrame, batchAssigned: DataFrame): DataFrame =
     base.unionByName(cellSizesOf(batchAssigned))
       .groupBy("cluster").agg(sum("cell_n").as("cell_n"))
+
+  /** Quantizer-refresh trigger: the frozen-quantizer regime (q112's
+    * ingest path + the [[mergeCellSizes]] fold) is valid while the
+    * centroids still describe the corpus; the at-rest occupancy table
+    * is THE drift signal an IVF deployment watches. Stated threshold:
+    * re-train when the hottest cell exceeds RetrainOccupancyFactor ×
+    * the ideal per-cell occupancy (N/nlist). Below it, the hot-cell
+    * sub-bucketing keeps search work bounded and recall degrades
+    * gracefully; past it, one cell holds ≳ factor/nlist of the corpus
+    * — probe pruning stops pruning and the sub-bucket count grows per
+    * tick, so retraining (a per-corpus ingest-time cost) beats paying
+    * the hot cell on every query. The 1-row aggregate over the
+    * nlist-row occupancy table is a bounded driver read (the hwm
+    * pattern).
+    */
+  private[graft] val RetrainOccupancyFactor = 4L
+
+  private[graft] def quantizerDrifted(cellSizes: DataFrame, nTotal: Long,
+      nlist: Int): Boolean = {
+    val ideal = math.max(1L, nTotal / nlist)
+    val maxCell = cellSizes.agg(max(col("cell_n"))).head().getLong(0)
+    maxCell > RetrainOccupancyFactor * ideal
+  }
+
+  /** Quantizer REFRESH — the frozen regime's documented exit: when
+    * [[quantizerDrifted]] trips, re-train the coarse quantizer on the
+    * FULL current corpus and rebuild every quantizer-derived artifact
+    * from the one new assignment — assignment, probe centroids
+    * (cell-means), occupancy (cell-sizes), PQ codebooks and codes —
+    * replacing the at-rest state under the standard artifact keys so
+    * every consumer (q69/q71/q73/q88/q89/q110/q111, the SemDeDup and
+    * curation families) reads the refreshed index. Consistency is by
+    * CONSTRUCTION: means/sizes derive from the returned assignment
+    * frame, codes from the returned codebooks — never from a memo that
+    * could still hold the pre-refresh state
+    * (QuantizerRefreshSpec pins artifact consistency and query-level
+    * refresh==rebuild equality on q69/q88/q111).
+    */
+  private[graft] def retrainIndex(s: SparkSession, dir: String): Unit = {
+    val assigned = graft.util.Snapshots.rebuild(s, dir, s"ivf-assigned-i$LloydIters") {
+      buildAssigned(s, dir, LloydIters)
+    }
+    graft.util.Snapshots.rebuild(s, dir, "ivf-cell-means")(cellMeans(assigned))
+    graft.util.Snapshots.rebuild(s, dir, "ivf-cell-sizes")(cellSizesOf(assigned))
+    val cb = graft.util.Snapshots.rebuild(s, dir, "pq-codebooks")(buildPqCodebooks(s, dir))
+    graft.util.Snapshots.rebuild(s, dir, "pq-codes")(buildPqCodes(s, dir, cb))
+    ()
+  }
 
   private[graft] def subBucketedVectors(s: SparkSession, dir: String): DataFrame = {
     val av = assignedVectors(s, dir)
@@ -1355,20 +1410,26 @@ object Similarity {
     */
   private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     graft.util.Snapshots(s, dir, "pq-codebooks") {
-      val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val n = v.count() // parquet footer count
-      val smod = math.max(1L, n / (64L * PqKsub))
-      val sv = pqSubVectors(v)
-      var cb = sv.filter(col("vec_id") < PqKsub)
-        .select(
-          col("sub"), col("vec_id").as("cid"),
-          transform(col("sv"), _.cast("double")).as("c_emb"),
-        )
-        .withColumn("c_nrm2", dotBuiltin(col("c_emb"), col("c_emb")))
-      val sample = sv.filter(col("vec_id") % smod === 0)
-      for (_ <- 1 to PqIters) cb = pqLloydStep(sample, cb)
-      cb
+      buildPqCodebooks(s, dir)
     }
+
+  /** The PQ training recipe behind [[pqCodebooks]] — factored for the
+    * quantizer refresh ([[retrainIndex]]). */
+  private def buildPqCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = v.count() // parquet footer count
+    val smod = math.max(1L, n / (64L * PqKsub))
+    val sv = pqSubVectors(v)
+    var cb = sv.filter(col("vec_id") < PqKsub)
+      .select(
+        col("sub"), col("vec_id").as("cid"),
+        transform(col("sv"), _.cast("double")).as("c_emb"),
+      )
+      .withColumn("c_nrm2", dotBuiltin(col("c_emb"), col("c_emb")))
+    val sample = sv.filter(col("vec_id") % smod === 0)
+    for (_ <- 1 to PqIters) cb = pqLloydStep(sample, cb)
+    cb
+  }
 
   /** The at-rest PQ code table (vec_id, codes[PqSubs]) — the artifact
     * a PQ deployment persists instead of raw vectors (4 small ints vs
@@ -1378,13 +1439,20 @@ object Similarity {
     */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     graft.util.Snapshots(s, dir, "pq-codes") {
-      val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      pqAssign(pqSubVectors(v), pqCodebooks(s, dir))
-        .groupBy("vec_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("sub"), col("code")))),
-          x => x.getField("code")).as("codes"))
+      buildPqCodes(s, dir, pqCodebooks(s, dir))
     }
+
+  /** Full-corpus PQ encoding against a given codebook table — factored
+    * so the refresh path encodes against the RE-TRAINED codebooks, not
+    * whatever the memo holds. */
+  private def buildPqCodes(s: SparkSession, dir: String, cb: DataFrame): DataFrame = {
+    val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    pqAssign(pqSubVectors(v), cb)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
 
   /** DuckDB twin of the PQ construction: subvector CTE, L2 Lloyd
     * training, full-corpus encoding. Same derivation literals spliced

@@ -209,22 +209,43 @@ object Snapshots {
       build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
     val cell = paths.computeIfAbsent(
-      (dir, name, fp),
-      _ => new Cell(() => {
-        // md5 of the corpus dir, not hashCode: hashCode collisions
-        // between two corpus dirs would silently serve wrong-corpus
-        // artifacts (and abs(Int.MinValue) is negative).
-        val dirKey = md5Hex(dir).take(12)
-        val out =
-          s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-$name"
-        val w = build.write.mode("overwrite")
-        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-          .parquet(out)
-        out
-      }),
-    )
+      (dir, name, fp), _ => writeCell(spark, dir, name, fp, partitionBy, () => build))
     spark.read.parquet(cell.value)
   }
+
+  /** Unconditional REBUILD of an artifact, replacing whatever the memo
+    * holds for (dir, name) — the refresh half of the maintenance
+    * lifecycle ([[install]] is the append half): when an incremental
+    * regime's validity condition breaks (the IVF quantizer-drift
+    * canary is the canonical case), the owning module re-derives the
+    * artifact from the current corpus and every later consumer reads
+    * the refreshed state. Same path scheme and write discipline as the
+    * memoized build.
+    */
+  private[graft] def rebuild(spark: SparkSession, dir: String, name: String,
+      partitionBy: Seq[String] = Nil)(
+      build: => DataFrame): DataFrame = {
+    val fp = fingerprint(spark, dir)
+    val cell = writeCell(spark, dir, name, fp, partitionBy, () => build)
+    cell.value // force the write before replacing the memo
+    paths.put((dir, name, fp), cell)
+    spark.read.parquet(cell.value)
+  }
+
+  private def writeCell(spark: SparkSession, dir: String, name: String,
+      fp: String, partitionBy: Seq[String], build: () => DataFrame): Cell =
+    new Cell(() => {
+      // md5 of the corpus dir, not hashCode: hashCode collisions
+      // between two corpus dirs would silently serve wrong-corpus
+      // artifacts (and abs(Int.MinValue) is negative).
+      val dirKey = md5Hex(dir).take(12)
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-$name"
+      val w = build().write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(out)
+      out
+    })
 
   /** Bucketed-table variant: materialize the artifact as a catalog
     * table bucketed (and sorted) by `key`, data at an external tmpdir
