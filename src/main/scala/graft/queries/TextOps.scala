@@ -361,6 +361,13 @@ object TextOps {
     val sigs = snapshot(s, dir, "minhash-sigs") {
       minhashSigsFromShingles(sh)
     }
+    bandKeysOf(sigs)
+  }
+
+  /** Band-key rows of an arbitrary signature frame (batch form of the
+    * [[minhashBands]] projection — shared with the incremental label
+    * path, which bands the ARRIVING batch's signatures only). */
+  private[queries] def bandKeysOf(sigs: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map { b =>
       val keyCols = (0 until Rows).map(r => col(s"m${Rows * b + r}"))
       md5(concat_ws(",", keyCols: _*))
@@ -1699,8 +1706,17 @@ object TextOps {
   private def lshClusterLabels(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "lsh-cluster-labels")(computeLshClusterLabels(s, dir))
 
-  private def computeLshClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir).select("d1", "d2")
+  private def computeLshClusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelFixpoint(minhashPairs(s, dir).select("d1", "d2"))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+
+  /** Min-label propagation to fixpoint over an undirected pair list
+    * (d1, d2): every vertex ends carrying the minimum id reachable
+    * from it. Factored from the full-corpus label build so the
+    * incremental path ([[mergeLshClusterLabels]]) can run the SAME
+    * loop over its contracted batch-touched graph.
+    */
+  private def labelFixpoint(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .select(col("d1").as("v"), col("d2").as("u"))
@@ -1724,7 +1740,117 @@ object TextOps {
       labels = next
       rounds += 1
     }
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    labels
+  }
+
+  /** Verified near-dup pairs of an arbitrary document frame (batch
+    * form of [[minhashPairs]]): same shingle→signature→band→verify
+    * machine, one text scan, no corpus artifacts touched. Used by the
+    * maintenance spec as the from-scratch rebuild definition.
+    */
+  private[queries] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleHashesOf(docs, 3)
+    val bands = bandKeysOf(minhashSigsFromShingles(sh))
+    val cand = bands.as("x")
+      .join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    jaccardOfCandidates(cand, docShingleSetsFromHashes(sh))
+      .filter(col("jaccard") >= 0.6)
+  }
+
+  /** Cluster labels of an arbitrary document frame (batch form). */
+  private[queries] def lshClusterLabelsOf(docs: DataFrame): DataFrame =
+    labelFixpoint(minhashPairsOf(docs).select("d1", "d2"))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+
+  /** Incremental maintenance of lsh-cluster-labels — SEEDED COMPONENT
+    * MERGE, the fifth maintenance geometry: arriving documents can
+    * join existing clusters and BRIDGE previously separate ones, but
+    * base–base edges never change (signatures are immutable and pairs
+    * depend on nothing else), so only batch-touched components can
+    * move. The merge therefore:
+    *   1. shingles the BATCH once (one text scan; signatures, band
+    *      keys and verification sets all derive from the checkpointed
+    *      shingle frame) and generates candidates banded as always —
+    *      batch×batch self-join plus batch×at-rest-band-index join,
+    *      never all-pairs;
+    *   2. verifies candidates by exact Jaccard against the at-rest
+    *      doc-set artifact ∪ the batch's own sets;
+    *   3. CONTRACTS each base endpoint to its component label (its
+    *      at-rest cluster_id; a previously edge-less base doc is its
+    *      own singleton). Contraction is sound because a base
+    *      component is already fully connected under its min label,
+    *      and preserves mins because the label IS the component min;
+    *   4. runs the same [[labelFixpoint]] over the contracted graph —
+    *      O(batch + touched components) vertices, NOT the corpus;
+    *   5. reassembles: batch rows and touched-component member rows
+    *      take their fixpoint label; untouched base rows pass through
+    *      verbatim via one anti-join (no per-round participation, no
+    *      re-verification, no text).
+    * TextMaintenanceSpec pins merge == rebuild on the real corpus, a
+    * zero-documents-scan final plan, and that every changed row lies
+    * in a batch-touched component.
+    */
+  private[queries] def mergeLshClusterLabels(
+      baseLabels: DataFrame, baseBands: DataFrame, baseSets: DataFrame,
+      batchDocs: DataFrame): DataFrame = {
+    // One batch text scan, checkpointed: three consumers below.
+    val sh = shingleHashesOf(batchDocs, 3).localCheckpoint()
+    val batchBands = bandKeysOf(minhashSigsFromShingles(sh))
+    val batchSets = docShingleSetsFromHashes(sh)
+    val bb = batchBands.as("x")
+      .join(batchBands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val xb = batchBands.as("x")
+      .join(baseBands.as("y"), Seq("band", "key"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+    val cand = bb.union(xb).distinct()
+    val newEdges = jaccardOfCandidates(cand, baseSets.unionByName(batchSets))
+      .filter(col("jaccard") >= 0.6)
+      .select("d1", "d2")
+    // Contract base endpoints to their component label; batch docs and
+    // base singletons (no at-rest label) keep their own id.
+    val edges = newEdges
+      .join(baseLabels.select(col("doc_id").as("d1"), col("cluster_id").as("_ld1")), Seq("d1"), "left")
+      .join(baseLabels.select(col("doc_id").as("d2"), col("cluster_id").as("_ld2")), Seq("d2"), "left")
+      .select(
+        coalesce(col("_ld1"), col("d1")).as("d1"),
+        coalesce(col("_ld2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .distinct()
+    val fix = labelFixpoint(edges) // (v, lbl) over the contracted graph
+    // Checkpointed like the shingle frame: the id list partitions the
+    // fixpoint's nodes into batch-vs-base from FOUR assembly branches
+    // below — one doc_id-only batch read at merge time instead of four
+    // batch scans in the final plan.
+    val batchIds = batchDocs.select(col("doc_id").as("v")).localCheckpoint()
+    val batchRows = fix.join(batchIds, "v")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    val baseNodes = fix.join(batchIds, Seq("v"), "left_anti")
+    // Touched components: every member row relabels to the fixpoint
+    // label of its contracted node (covers the min member itself).
+    val compRelabel = baseLabels
+      .join(baseNodes.select(col("v").as("cluster_id"), col("lbl")), "cluster_id")
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+    // Base singletons gaining their first edge: their node id is not a
+    // base cluster label (singletons never appear in the base table).
+    val singletonRows = baseNodes
+      .join(baseLabels.select(col("doc_id").as("v")), Seq("v"), "left_anti")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    // Untouched components pass through verbatim: one anti-join, no
+    // fixpoint participation.
+    val untouched = baseLabels.join(
+      baseNodes.select(col("v").as("cluster_id")), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    untouched
+      .unionByName(compRelabel)
+      .unionByName(singletonRows)
+      .unionByName(batchRows)
   }
 
   /** Oracle for q66 — 32 bit-balance sums + signature reassembly. */

@@ -169,6 +169,47 @@ class TextMaintenanceSpec extends SparkTestBase {
     assert(base.count() > 0 && merged.count() > base.count())
   }
 
+  test("lsh-cluster-labels merge (seeded component merge) equals the full rebuild") {
+    // The fifth geometry (r11 verdict item 5): arriving docs can join
+    // and BRIDGE existing clusters, but base–base edges never change,
+    // so the merge contracts touched components to their labels, runs
+    // the fixpoint over the contracted batch graph only, and passes
+    // untouched components through verbatim.
+    val base = atRest(TextOps.lshClusterLabelsOf(baseDocs), "lsh-labels")
+    val baseBands = atRest(
+      TextOps.bandKeysOf(TextOps.minhashSigsOf(baseDocs)), "lsh-bands")
+    val baseSets = atRest(TextOps.docShingleSetsOf(baseDocs, 3), "lsh-sets")
+    val merged = TextOps.mergeLshClusterLabels(base, baseBands, baseSets, batchDocs)
+    val rebuild = TextOps.lshClusterLabelsOf(Tables.tbl(spark, sf, "documents"))
+    assert(rows(merged) == rows(rebuild))
+    // Final-plan text pin: the one batch scan happened eagerly at
+    // merge time (the checkpointed shingle frame); the assembled
+    // output reads at-rest artifacts and fixpoint checkpoints only.
+    assert(docScans(merged) == 0,
+      "label merge must not re-tokenize anything in the final plan")
+    // Untouched components genuinely passed through: every row that
+    // differs from the base belongs to a batch doc or a batch-touched
+    // component, and at least one base component survived verbatim.
+    val batchIds = batchDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseRows = base.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mergedRows = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val changed = mergedRows.filter { case (d, l) => baseRows.get(d) != Some(l) }
+    val touchedComps = changed.collect {
+      case (d, _) if !batchIds.contains(d) => baseRows.get(d) }.flatten.toSet
+    val untouchedComps = baseRows.values.toSet -- touchedComps
+    assert(untouchedComps.nonEmpty, "every base component touched — pass-through path untested")
+    untouchedComps.foreach { c =>
+      baseRows.filter(_._2 == c).foreach { case (d, l) =>
+        assert(mergedRows.get(d) == Some(l), s"untouched component $c row $d changed")
+      }
+    }
+    // The merge genuinely exercised cluster ADMISSION: some batch doc
+    // landed in a component labeled by a base doc.
+    val joinedBase = mergedRows.exists { case (d, l) =>
+      batchIds.contains(d) && !batchIds.contains(l) }
+    assert(joinedBase, "no batch doc joined an existing cluster — admission path untested")
+  }
+
   test("linkage-blocks merge (partitioned refresh) equals the full rebuild; batch is the only text scan") {
     // The fourth geometry: the sub-block rank makes this the one text
     // artifact where arriving rows can CHANGE existing rows — but only
