@@ -78,7 +78,7 @@ object DocStream {
     fresh.select("h").write.mode("overwrite").parquet(idxStage)
     publishStaged(fs, curStage, curatedDir, batchId)
     publishStaged(fs, idxStage, indexDir, batchId)
-    fs.mkdirs(marker) // the commit point: marker present ⇔ both tables hold the batch
+    commit(fs, indexDir, batchId) // the commit point: marker present ⇔ both tables hold the batch
   }
 
   /** Watch `srcDir` for document parquet drops and run the curation

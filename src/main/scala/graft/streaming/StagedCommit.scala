@@ -29,6 +29,18 @@ private[streaming] object StagedCommit {
   def commitMarker(indexDir: String, batchId: Long): Path =
     new Path(s"$indexDir/_commits/$batchId")
 
+  /** Crash-drill seam: invoked at the entry of every publish and
+    * commit step with the step's target dir. Identity (no-op) in
+    * production; the crash-drill specs install a throwing hook to
+    * simulate a JVM death at an EXACT point inside the two-table
+    * transaction — between table A's and table B's publish, or after
+    * both publishes but before the marker — and then prove the
+    * checkpointed replay converges to the clean-run state. A function
+    * field rather than a config flag so the drill composes with any
+    * stream and any step without production branching.
+    */
+  @volatile private[streaming] var failpoint: (String, Long) => Unit = (_, _) => ()
+
   /** Live data files carry their batchId as a name prefix so a replay
     * can identify (and remove) exactly its own partial publish.
     */
@@ -45,6 +57,7 @@ private[streaming] object StagedCommit {
     */
   def publishStaged(
       fs: FileSystem, stageDir: String, liveDir: String, batchId: Long): Unit = {
+    failpoint(s"publish:$liveDir", batchId)
     val stage = new Path(stageDir)
     fs.listStatus(stage)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
@@ -54,6 +67,17 @@ private[streaming] object StagedCommit {
           throw new java.io.IOException(s"publish rename failed: ${st.getPath} -> $dst")
       }
     fs.delete(stage, true)
+  }
+
+  /** Step 5 — create the commit marker LAST (marker present ⇔ both
+    * tables hold the batch). Routed through here so the crash drill
+    * can kill the transaction after both publishes but before the
+    * commit point.
+    */
+  def commit(fs: FileSystem, indexDir: String, batchId: Long): Unit = {
+    failpoint(s"commit:$indexDir", batchId)
+    fs.mkdirs(commitMarker(indexDir, batchId))
+    ()
   }
 
   /** The digest index, or an empty frame before the first batch lands.

@@ -77,7 +77,7 @@ object VecStream {
     fresh.select("h").write.mode("overwrite").parquet(idxStage)
     publishStaged(fs, asgStage, assignedDir, batchId)
     publishStaged(fs, idxStage, indexDir, batchId)
-    fs.mkdirs(marker) // commit point: marker present ⇔ both tables hold the batch
+    commit(fs, indexDir, batchId) // commit point: marker present ⇔ both tables hold the batch
   }
 
   /** Watch `srcDir` for embedding parquet drops and run the ingest
