@@ -98,4 +98,57 @@ object Segments {
       .write.mode("append")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Spark maps a data file to its bucket by NAME (the trailing
+    * `_NNNNN` id before the extensions) — the contract both the append
+    * path (bucketBy names its files) and [[compactBucket]]'s
+    * replacement file rely on.
+    */
+  private val BucketFileName = """.*_(\d+)(?:\..*)?$""".r
+  private def bucketIdOf(name: String): Option[Int] = name match {
+    case BucketFileName(id) => Some(id.toInt)
+    case _ => None
+  }
+
+  /** Compact ONE bucket of a segment-appended bucketed table back to a
+    * single file — the per-grain rewrite the
+    * [[CompactAfterSegments]] policy prescribes: read exactly that
+    * bucket's segment files, sort by the bucket key (restoring the
+    * per-file sort the layout advertises), write one replacement file
+    * carrying the bucket's id suffix, and swap. Touches nothing
+    * outside the grain: other buckets' files are never read, never
+    * listed into the rewrite, never invalidated. Like the append path
+    * itself, compaction is an ingest-pipeline operation — bare parquet
+    * dirs have no snapshot isolation, so it must not run concurrently
+    * with readers of the same layout instance (the Snapshots
+    * fingerprint keying re-keys a mutated layout for new sessions).
+    */
+  def compactBucket(spark: org.apache.spark.sql.SparkSession, table: String,
+      key: String, bucketId: Int): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val olds = fs.listStatus(loc).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        bucketIdOf(n).contains(bucketId)
+    }
+    if (olds.length <= 1) return // grain already compact
+    val merged = spark.read.parquet(olds.map(_.getPath.toString).toSeq: _*).sort(key)
+    val tmp = new org.apache.hadoop.fs.Path(loc, s".compact-$bucketId")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-"))
+      .getOrElse(throw new java.io.IOException(s"compaction wrote no part file under $tmp"))
+    // The replacement keeps a name whose trailing _NNNNN parses to this
+    // bucket (prefixing an old file's name preserves the suffix parse).
+    val dst = new org.apache.hadoop.fs.Path(loc, s"compact-${olds.head.getPath.getName}")
+    olds.foreach(st => fs.delete(st.getPath, false))
+    if (!fs.rename(part, dst))
+      throw new java.io.IOException(s"compaction rename failed: $part -> $dst")
+    fs.delete(tmp, true)
+    // New files on disk → stale cached file listing otherwise.
+    spark.catalog.refreshTable(table)
+  }
 }

@@ -149,6 +149,26 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
         s"segment append broke co-location:\n$plan")
       val expected = li.join(orders, col("l_orderkey") === col("o_orderkey")).count()
       assert(joined.count() == expected)
+
+      // Per-grain COMPACTION (Segments.CompactAfterSegments's rewrite):
+      // every lineitem bucket collapses back to one file; rows, bucket
+      // mapping, and co-location must all survive the rewrite.
+      val filesBefore = spark.table(liTable).inputFiles.length
+      (0 until 32).foreach(b =>
+        graft.util.Segments.compactBucket(spark, liTable, "l_orderkey", b))
+      val compacted = spark.table(liTable)
+      assert(compacted.inputFiles.length <= 32 &&
+        compacted.inputFiles.length < filesBefore,
+        s"compaction left ${compacted.inputFiles.length} files (was $filesBefore)")
+      assert(rows(compacted) == rows(li),
+        "compaction is not a row-exact rewrite")
+      val joined2 = compacted.join(bktOrd, col("l_orderkey") === col("o_orderkey"))
+      val plan2 = joined2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange hashpartitioning"),
+        s"compaction broke co-location:\n$plan2")
+      // A row landing in the WRONG bucket file would silently drop join
+      // matches here — count equality proves the name-suffix mapping.
+      assert(joined2.count() == expected)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
@@ -175,9 +195,10 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
       s"scan emitted $scanRows of $n rows — segment append broke ts pruning")
   }
 
-  test("q46/q47/q121/q151 answer identically over one-shot and segment-appended layouts") {
+  test("q46/q47/q121/q127/q151 answer identically over one-shot and segment-appended layouts") {
     val sf = "/root/testdata/sf0.001"
-    val queries = Seq("q46_tpch_q6", "q47_tpch_q3", "q121_tpch_q18", "q151_partsupp_merge")
+    val queries = Seq("q46_tpch_q6", "q47_tpch_q3", "q121_tpch_q18",
+      "q127_tpch_q13", "q151_partsupp_merge")
     // Expected: the one-shot artifact path on the pristine corpus.
     val expected = queries.map(q => q -> rows(graft.SparkEntry.queries(q)(spark, sf)))
     // A byte-identical corpus COPY gets its layouts built by
@@ -236,6 +257,17 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
     Relational.appendOrdersBucketSegment(orders.filter(col("o_orderkey") % 2 === 1), ordTable)
     graft.util.Snapshots.installTable(spark, dir, "lineitem-by-orderkey", liTable)
     graft.util.Snapshots.installTable(spark, dir, "orders-by-orderkey", ordTable)
+
+    // The custkey pair (q127's layout) — custkey-parity split.
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val ordCkTable = s"graft_seg_q_ock_$tag"
+    val custTable = s"graft_seg_q_cust_$tag"
+    Relational.appendOrdersCustkeyBucketSegment(orders.filter(col("o_custkey") % 2 === 0), ordCkTable)
+    Relational.appendOrdersCustkeyBucketSegment(orders.filter(col("o_custkey") % 2 === 1), ordCkTable)
+    Relational.appendCustomerBucketSegment(customer.filter(col("c_custkey") % 2 === 0), custTable)
+    Relational.appendCustomerBucketSegment(customer.filter(col("c_custkey") % 2 === 1), custTable)
+    graft.util.Snapshots.installTable(spark, dir, "orders-by-custkey", ordCkTable)
+    graft.util.Snapshots.installTable(spark, dir, "customer-by-custkey", custTable)
 
     queries.zip(expected).foreach { case (q, (_, exp)) =>
       val got = rows(graft.SparkEntry.queries(q)(spark, dir))
