@@ -479,4 +479,35 @@ class AnnQualitySpec extends SparkTestBase {
     val overlap = base.join(Similarity.cellSizesOf(batchAssigned), Seq("cluster"), "left_semi").count()
     assert(overlap > 0, "no cell shared between halves — fold untested")
   }
+
+  test("occupancy fold converges over 4 sequential ingest ticks (N merges == rebuild)") {
+    // The TextMultiBatchSpec discipline on the ANN side: production
+    // batches arrive as many small ticks, each tick's folded table
+    // materialized to parquet (what a pipeline persists), and the
+    // final at-rest state must equal the one-shot rebuild — fold
+    // associativity plus tick-over-tick schema stability.
+    import graft.functions.VectorFunctions.l2Norm
+    val cents = Similarity.halfIndexCentroids(spark, plantedDir)
+    val v = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    def atRest(df: org.apache.spark.sql.DataFrame, tick: Int) = {
+      val out = s"${Files.createTempDirectory("graft_ann_mb")}/sizes-t$tick"
+      df.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+    val half = 32L
+    var state = atRest(
+      Similarity.cellSizesOf(Similarity.assign(v.filter(col("vec_id") < half), cents)), 0)
+    (0 until 4).foreach { i =>
+      val batch = v.filter(col("vec_id") >= half + i * 8 && col("vec_id") < half + (i + 1) * 8)
+      state = atRest(
+        Similarity.mergeCellSizes(state, Similarity.assign(batch, cents)), i + 1)
+    }
+    val rebuild = Similarity.cellSizesOf(Similarity.assign(v, cents))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows(state) == rows(rebuild),
+      "4 sequential occupancy folds diverged from the rebuild")
+  }
 }
