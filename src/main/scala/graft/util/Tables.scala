@@ -298,6 +298,57 @@ object Snapshots {
       table: String): Unit =
     paths.put((dir, s"bkt-$name", fingerprint(spark, dir)), new Cell(() => table))
 
+  /** Garbage-collect superseded artifact generations for a corpus dir
+    * — the disposal end of the lifecycle (build → [[install]] append →
+    * [[rebuild]] refresh → gc): when the corpus at `dir` is rewritten,
+    * its content fingerprint changes, every artifact rebuilds under
+    * the new fingerprint, and the previous generation's parquet
+    * snapshots and bucketed tables become unreachable (the memo keys
+    * on the current fingerprint) yet occupy disk forever. gc removes
+    * exactly the stale generations of THIS corpus dir: tmpdir
+    * snapshot dirs and catalog tables whose key carries this dir's
+    * hash but a different fingerprint, plus their memo entries. Other
+    * corpus dirs' artifacts are untouched by construction (the dir
+    * hash prefixes every key). Like compaction, gc is an
+    * ingest-pipeline operation: it must not run concurrently with a
+    * session still reading the old generation. Returns what it
+    * removed, for the caller's ledger.
+    */
+  private[graft] def gc(spark: SparkSession, dir: String): Seq[String] = {
+    val fp = fingerprint(spark, dir)
+    val dirKey = md5Hex(dir).take(12)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Stale bucketed tables first (their external data dirs fall in
+    // the path sweep below): graft_snap_<dirKey>_<fp>_<name>.
+    val tPrefix = s"graft_snap_${dirKey}_"
+    val tKeep = s"$tPrefix${fp}_"
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith(tPrefix) && !n.startsWith(tKeep))
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        removed += s"table:$t"
+      }
+    // Stale parquet snapshot dirs: graft-snap-<dirKey>-<fp>-<name>.
+    val tmp = new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir"))
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pPrefix = s"graft-snap-$dirKey-"
+    val pKeep = s"$pPrefix$fp-"
+    if (fs.exists(tmp))
+      fs.listStatus(tmp)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith(pPrefix) && !p.getName.startsWith(pKeep))
+        .foreach { p =>
+          fs.delete(p, true)
+          removed += s"path:$p"
+        }
+    // Stale memo cells (same dir, superseded fingerprint) — without
+    // this, a session that GCs and then touches an old-generation key
+    // would read a deleted path instead of rebuilding.
+    paths.keySet().removeIf { case (d, _, f) => d == dir && f != fp }
+    removed.toSeq
+  }
+
   /** Content fingerprint of the corpus dir: md5 over the sorted
     * recursive (path, length, mtime) listing. Cheap relative to any
     * build (one namenode/dirent sweep, no data read).

@@ -71,6 +71,37 @@ class ProfileArtifactSpec extends SparkTestBase {
     assert(math.abs(total - meds.sum) < 1e-9)
   }
 
+  test("bench= embeds a reconciliation block with per-query ratios and exceptions") {
+    // Synthetic bench artifact: q20 matches the profile closely (under
+    // threshold), q60's bench min is tiny so its ratio lands over
+    // threshold and it must be listed individually.
+    val benchPath = java.nio.file.Files.createTempFile("graft_prof_bench", ".json")
+    java.nio.file.Files.write(benchPath,
+      """{"metric":"total","queries":{"q20_join_broadcast":1000.0,"q60_exact_dedup":0.000001}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val json = Profile.steadyState(spark, sf, reps = 2,
+      SparkEntry.queries.view.filterKeys(sample.contains).toMap,
+      benchPath = Some(benchPath.toString))
+    val root = JsonMethods.parse(json)
+    assert((root \ "bench_ref") == JString(benchPath.toString))
+    val rec = root \ "reconciliation"
+    assert((rec \ "threshold") == JDouble(Profile.ReconcileThreshold))
+    // q68 is absent from the bench file → only the two shared queries compare.
+    val JInt(n) = rec \ "n_compared"
+    assert(n.toInt == 2, s"expected 2 compared queries, got $n")
+    val JInt(nOver) = rec \ "n_over"
+    assert(nOver.toInt == 1, s"only q60 should breach the threshold: $rec")
+    val over = rec \ "over" \ "q60_exact_dedup"
+    assert(over != JNothing, "the breaching query must be listed individually")
+    val JDouble(ratio) = over \ "ratio"
+    assert(ratio > Profile.ReconcileThreshold)
+    Seq("median_sec", "profile_min_sec", "bench_min_sec").foreach { f =>
+      assert((over \ f) != JNothing, s"exception row must carry $f")
+    }
+    val JDouble(off) = rec \ "session_offset_mean_ratio"
+    assert(off > 0)
+  }
+
   test("a broken query degrades to a per-query err, not a lost artifact") {
     val poisoned: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map(
