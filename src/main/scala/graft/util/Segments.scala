@@ -99,6 +99,72 @@ object Segments {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Compact ONE date-range grain of a segment-appended sorted log:
+    * select the data files whose footer min/max statistics for
+    * `boundCol` lie FULLY inside [loIncl, hiExcl) — K appends leave up
+    * to K files per range — globally sort their rows on the boundary
+    * column, and replace them with a single file whose stats span the
+    * grain tightly. Straddling files (range crossing a grain edge) and
+    * files holding NULL boundary values are left alone: compacting
+    * them would widen some grain's stats, and the null rows live in
+    * the log's leading files by the recipe's nulls-first sort. Like
+    * [[compactBucket]], a single-writer ingest-side operation.
+    */
+  def compactSortedRange(spark: org.apache.spark.sql.SparkSession, root: String,
+      boundCol: String, loIncl: Long, hiExcl: Long): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val selected = fs.listStatus(rootPath).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+        fileRange(st.getPath, boundCol, conf).exists { case (mn, mx) =>
+          mn >= loIncl && mx < hiExcl
+        }
+    }
+    if (selected.length <= 1) return // grain already compact
+    val merged = spark.read
+      .parquet(selected.map(_.getPath.toString).toSeq: _*)
+      .repartitionByRange(1, col(boundCol))
+      .sortWithinPartitions(boundCol)
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".compact-$loIncl")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    selected.foreach(st => fs.delete(st.getPath, false))
+    parts.foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(rootPath, s"compact-$loIncl-${p.getName}")
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"compaction rename failed: $p -> $dst")
+    }
+    fs.delete(tmp, true)
+  }
+
+  /** Footer min/max of a BIGINT column in one parquet file — None when
+    * any row group lacks usable stats or holds nulls (the conservative
+    * answer: such a file is never selected for compaction). One footer
+    * read, no data pages.
+    */
+  private def fileRange(file: org.apache.hadoop.fs.Path, column: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val perBlock = reader.getFooter.getBlocks.asScala.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column)
+          .flatMap(c => Option(c.getStatistics))
+          .filter(s => !s.isEmpty && s.hasNonNullValue && s.getNumNulls == 0)
+          .flatMap(s => (s.genericGetMin, s.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) => Some((mn.toLong, mx.toLong))
+            case _ => None
+          })
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+    } finally reader.close()
+  }
+
   /** Spark maps a data file to its bucket by NAME (the trailing
     * `_NNNNN` id before the extensions) — the contract both the append
     * path (bucketBy names its files) and [[compactBucket]]'s

@@ -75,6 +75,44 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
       s"cutoff not pushed into the segmented log scan: $pushed")
   }
 
+  test("sorted-log grain compaction merges only fully-in-range files and keeps pruning") {
+    // Two orderkey-parity segments spanning the SAME date range → every
+    // date quarter holds one file per segment. Compacting the grain
+    // [lo, lo+60%) must merge exactly the files whose footer stats lie
+    // fully inside (straddlers stay), preserve the multiset, and leave
+    // boundary pruning intact.
+    val n = 50000L
+    val li = syntheticLineitem(n)
+    val root = s"${tempCorpusDir("graft_seg_compact")}/lineitem-sd-log"
+    Relational.appendLineitemSdLogSegment(spark, root, li.filter(col("l_orderkey") % 2 === 0))
+    Relational.appendLineitemSdLogSegment(spark, root, li.filter(col("l_orderkey") % 2 === 1))
+    val before = spark.read.parquet(root)
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore > shufflePartitions, "fixture must be multi-segment")
+    val rowsBefore = rows(before.select("l_orderkey", "l_shipdate_us"))
+
+    graft.util.Segments.compactSortedRange(
+      spark, root, "l_shipdate_us", baseUs, baseUs + (n * 6 / 10) * 1000000L)
+    val after = spark.read.parquet(root)
+    assert(after.inputFiles.length < filesBefore - 1,
+      s"compaction merged nothing: $filesBefore -> ${after.inputFiles.length} files")
+    assert(rows(after.select("l_orderkey", "l_shipdate_us")) == rowsBefore,
+      "grain compaction is not a row-exact rewrite")
+    // Boundary pruning still holds over the compacted layout.
+    val cutoff = baseUs + (n * 9 / 10) * 1000000L
+    val qe = after.filter(col("l_shipdate_us") >= cutoff).queryExecution
+    assert(qe.executedPlan.execute().count() == n / 10)
+    val scanRows = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows < n / 2,
+      s"scan emitted $scanRows of $n rows — compaction broke row-group pruning")
+    // Idempotent: the grain is compact now.
+    val files2 = after.inputFiles.length
+    graft.util.Segments.compactSortedRange(
+      spark, root, "l_shipdate_us", baseUs, baseUs + (n * 6 / 10) * 1000000L)
+    assert(spark.read.parquet(root).inputFiles.length == files2)
+  }
+
   test("orders-by-year keeps directory pruning across segments (shared year dirs)") {
     val years = 4
     val perYear = 5000L
