@@ -130,4 +130,28 @@ class TextMultiBatchSpec extends SparkTestBase {
       (base, batch) => TextOps.mergeBigramFrequencies(base, batch),
       TextOps.bigramFrequenciesOf(allDocs))
   }
+
+  test("lsh-cluster-labels (seeded component merge): sequential ticks == rebuild") {
+    // The hardest maintenance geometry under the multi-batch lens: the
+    // label merge READS two other at-rest artifacts (band index,
+    // doc-set table), so each tick maintains all three — labels via
+    // the contracted-graph merge, signatures and doc-sets via their
+    // append merges — exactly the artifact state an ingest pipeline
+    // carries between ticks. Clusters that grow across several ticks
+    // (batch doc bridging into a component formed two ticks earlier)
+    // only converge if contraction composes, which is what this pins.
+    var labels = atRest(TextOps.lshClusterLabelsOf(batches.head), "lsh-labels", 0)
+    var sigs = atRest(TextOps.minhashSigsOf(batches.head), "lsh-sigs", 0)
+    var sets = atRest(TextOps.docShingleSetsOf(batches.head, 3), "lsh-sets", 0)
+    batches.tail.zipWithIndex.foreach { case (batch, i) =>
+      labels = atRest(
+        TextOps.mergeLshClusterLabels(labels, TextOps.bandKeysOf(sigs), sets, batch),
+        "lsh-labels", i + 1)
+      sigs = atRest(TextOps.mergeMinhashSigs(sigs, batch), "lsh-sigs", i + 1)
+      sets = atRest(TextOps.mergeDocShingleSets(sets, batch, 3), "lsh-sets", i + 1)
+    }
+    val rebuild = TextOps.lshClusterLabelsOf(allDocs)
+    assert(rows(labels) == rows(rebuild),
+      s"$NumBatches sequential label merges diverged from the rebuild")
+  }
 }
