@@ -187,6 +187,11 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
         s"segment append broke co-location:\n$plan")
       val expected = li.join(orders, col("l_orderkey") === col("o_orderkey")).count()
       assert(joined.count() == expected)
+      // The q49 shape: a keyed aggregation must also consume the
+      // multi-file bucketed scan's distribution with no exchange.
+      val agg = bktLi.groupBy("l_orderkey").agg(sum("l_quantity"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "segment append broke the exchange-free keyed aggregation")
 
       // Per-grain COMPACTION (Segments.CompactAfterSegments's rewrite):
       // every lineitem bucket collapses back to one file; rows, bucket
@@ -310,6 +315,35 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
     queries.zip(expected).foreach { case (q, (_, exp)) =>
       val got = rows(graft.SparkEntry.queries(q)(spark, dir))
       assert(got == exp, s"$q diverged between one-shot and segmented layouts")
+    }
+  }
+
+  test("the SCD2 family answers identically over a segment-appended events log") {
+    // events-us-log is the UPSTREAM of derived artifacts (scd2-hwm,
+    // scd2-base build FROM it), so installing a segmented log on a
+    // corpus copy exercises the whole derivation chain over segments.
+    val sf = "/root/testdata/sf0.001"
+    val queries = Seq("q145_scd2_merge", "q148_snapshot_drift", "q149_scd2_lookup")
+    val expected = queries.map(q => rows(graft.SparkEntry.queries(q)(spark, sf)))
+    val dir = tempCorpusDir("graft_seg_events")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$sf/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val ev = Events.eventsUs(spark, dir)
+    val span = ev.agg(min("ts_us"), max("ts_us")).head()
+    val cut = span.getLong(0) + (span.getLong(1) - span.getLong(0)) * 8 / 10
+    val root = s"${tempCorpusDir("graft_seg_evroot")}/events-us-log"
+    Events.appendEventsUsLogSegment(spark, root, ev.filter(col("ts_us") < cut))
+    Events.appendEventsUsLogSegment(spark, root, ev.filter(col("ts_us") >= cut))
+    assert(spark.read.parquet(root).inputFiles.length > shufflePartitions,
+      "events log is not multi-segment")
+    graft.util.Snapshots.install(spark, dir, s"events-us-log-n$shufflePartitions", root)
+    queries.zip(expected).foreach { case (q, exp) =>
+      val got = rows(graft.SparkEntry.queries(q)(spark, dir))
+      assert(got == exp, s"$q diverged over the segmented events log")
     }
   }
 }
