@@ -83,7 +83,11 @@ object Profile {
       case JObject(fields) => fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
       case _ => Map.empty
     }
-    val compared = rows.flatMap { case (name, median, minSec) =>
+    // Erred queries carry the -1.0 sentinel median — excluding them
+    // here keeps one broken query from dragging the mean offset
+    // negative and padding n_compared (the err field in the per-query
+    // map already records the failure).
+    val compared = rows.filter(_._2 >= 0).flatMap { case (name, median, minSec) =>
       mins.get(name).filter(_ > 0).map(b => (name, median, minSec, b, median / b))
     }
     val over = compared.filter(_._5 > ReconcileThreshold).sortBy(-_._5)
@@ -170,9 +174,18 @@ object Profile {
         err.map(e => s""","err":${jstr(e)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val medians = rows.map(_._2).filter(_ >= 0)
-    val reconcile = benchPath
-      .map(b => reconciliationJson(rows.map(r => (r._1, r._2, r._3)), b) + ",")
-      .getOrElse("")
+    // Reconciliation must never cost the artifact: a missing/corrupt
+    // bench file surfaces as a recorded error field, not a crash after
+    // the timed passes already ran (the broken-query degradation rule
+    // applied to the bench reference).
+    val reconcile = benchPath.map { b =>
+      try reconciliationJson(rows.map(r => (r._1, r._2, r._3)), b) + ","
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          s""""bench_ref":${jstr(b)},"reconciliation_error":${jstr(
+            String.valueOf(e.getMessage))},"""
+      }
+    }.getOrElse("")
     s"""{"mode":"steady_state","sf":${jstr(sfDir)},"reps":$reps,""" +
       s""""measure":"median_of_${reps}_decorrelated_passes",""" +
       s""""prepare_sec":$prepareSec,""" +

@@ -373,8 +373,11 @@ object Similarity {
   private[graft] def quantizerDrifted(cellSizes: DataFrame, nTotal: Long,
       nlist: Int): Boolean = {
     val ideal = math.max(1L, nTotal / nlist)
-    val maxCell = cellSizes.agg(max(col("cell_n"))).head().getLong(0)
-    maxCell > RetrainOccupancyFactor * ideal
+    // max over zero rows is NULL — an empty occupancy table (canary
+    // evaluated before the first ingest tick) reports no drift rather
+    // than NPE-ing the ingest driver.
+    val maxRow = cellSizes.agg(max(col("cell_n"))).head()
+    !maxRow.isNullAt(0) && maxRow.getLong(0) > RetrainOccupancyFactor * ideal
   }
 
   /** Quantizer REFRESH — the frozen regime's documented exit: when

@@ -115,29 +115,26 @@ object Segments {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val conf = spark.sessionState.newHadoopConf()
     val fs = rootPath.getFileSystem(conf)
-    val selected = fs.listStatus(rootPath).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-        fileRange(st.getPath, boundCol, conf).exists { case (mn, mx) =>
-          mn >= loIncl && mx < hiExcl
-        }
-    }
+    def grain(): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(rootPath).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          fileRange(st.getPath, boundCol, conf).exists { case (mn, mx) =>
+            mn >= loIncl && mx < hiExcl
+          }
+      }.map(_.getPath)
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".compact-$loIncl")
+    def dst(partName: String) =
+      new org.apache.hadoop.fs.Path(rootPath, s"compact-$loIncl-$partName")
+    if (recoverStaged(fs, tmp, grain, dst)) return
+    val selected = grain()
     if (selected.length <= 1) return // grain already compact
-    val merged = spark.read
-      .parquet(selected.map(_.getPath.toString).toSeq: _*)
+    spark.read
+      .parquet(selected.map(_.toString): _*)
       .repartitionByRange(1, col(boundCol))
       .sortWithinPartitions(boundCol)
-    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".compact-$loIncl")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val parts = fs.listStatus(tmp).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-    selected.foreach(st => fs.delete(st.getPath, false))
-    parts.foreach { p =>
-      val dst = new org.apache.hadoop.fs.Path(rootPath, s"compact-$loIncl-${p.getName}")
-      if (!fs.rename(p, dst))
-        throw new java.io.IOException(s"compaction rename failed: $p -> $dst")
-    }
-    fs.delete(tmp, true)
+      .write.mode("overwrite").parquet(tmp.toString)
+    swapStaged(fs, tmp, () => selected, dst)
   }
 
   /** Footer min/max of a BIGINT column in one parquet file — None when
@@ -195,26 +192,85 @@ object Segments {
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    val olds = fs.listStatus(loc).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-        bucketIdOf(n).contains(bucketId)
-    }
-    if (olds.length <= 1) return // grain already compact
-    val merged = spark.read.parquet(olds.map(_.getPath.toString).toSeq: _*).sort(key)
+    def grain(): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(loc).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          bucketIdOf(n).contains(bucketId)
+      }.map(_.getPath)
     val tmp = new org.apache.hadoop.fs.Path(loc, s".compact-$bucketId")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-"))
-      .getOrElse(throw new java.io.IOException(s"compaction wrote no part file under $tmp"))
-    // The replacement keeps a name whose trailing _NNNNN parses to this
-    // bucket (prefixing an old file's name preserves the suffix parse).
-    val dst = new org.apache.hadoop.fs.Path(loc, s"compact-${olds.head.getPath.getName}")
-    olds.foreach(st => fs.delete(st.getPath, false))
-    if (!fs.rename(part, dst))
-      throw new java.io.IOException(s"compaction rename failed: $part -> $dst")
+    // The replacement must keep a trailing _NNNNN that parses to this
+    // bucket: splice the id between the staged part's stem and its
+    // extensions ("part-...-c000" + "_00007" + ".snappy.parquet").
+    def dst(partName: String) = {
+      val dot = partName.indexOf('.')
+      val (stem, ext) = partName.splitAt(if (dot < 0) partName.length else dot)
+      new org.apache.hadoop.fs.Path(loc, f"$stem%s_$bucketId%05d$ext%s")
+    }
+    def done(): Unit = spark.catalog.refreshTable(table)
+    if (recoverStaged(fs, tmp, grain, dst)) { done(); return }
+    val olds = grain()
+    if (olds.length <= 1) return // grain already compact
+    spark.read.parquet(olds.map(_.toString): _*).sort(key)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    swapStaged(fs, tmp, () => olds, dst)
+    done()
+  }
+
+  /** Crash-drill seam (the StagedCommit.failpoint pattern): invoked
+    * between the swap's steps with a step tag; identity in
+    * production. The recovery drill installs a throwing hook to kill
+    * the swap at an exact point, then proves a re-run converges.
+    */
+  @volatile private[util] var failpoint: String => Unit = _ => ()
+
+  /** The crash-safe grain swap shared by both compaction paths. The
+    * staged output under `tmp` is the recovery source: it is written
+    * COMPLETELY (committer `_SUCCESS` marker) before the first live
+    * file is touched, so every crash window re-converges on the next
+    * compaction call via [[recoverStaged]] — delete-then-rename alone
+    * would lose the grain to a crash between the two steps (the
+    * StagedCommit lesson applied at the layout grain). Single-writer
+    * contract, one notch stronger than append's: after a compaction
+    * crash, re-run compaction (or any call that triggers recovery)
+    * BEFORE appending to the same grain — recovery supersedes every
+    * live grain file with the staged content, and a file appended
+    * into the crash window would be superseded too.
+    */
+  private def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      grain: () => Seq[org.apache.hadoop.fs.Path],
+      dst: String => org.apache.hadoop.fs.Path): Unit = {
+    failpoint(s"staged:$tmp")
+    grain().foreach(p => fs.delete(p, false))
+    failpoint(s"deleted:$tmp")
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .foreach { p =>
+        if (!fs.rename(p, dst(p.getName)))
+          throw new java.io.IOException(s"compaction rename failed: $p -> ${dst(p.getName)}")
+      }
+    failpoint(s"renamed:$tmp")
     fs.delete(tmp, true)
-    // New files on disk → stale cached file listing otherwise.
-    spark.catalog.refreshTable(table)
+  }
+
+  /** Entry-point recovery for a crashed swap. Returns true when the
+    * grain is already compacted (a completed staged attempt was
+    * finished or had only its cleanup pending); false when there is
+    * nothing to recover (no staged attempt, or an INCOMPLETE staged
+    * write — no `_SUCCESS` — which is discarded: the live grain was
+    * never touched before staging completed).
+    */
+  private def recoverStaged(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      grain: () => Seq[org.apache.hadoop.fs.Path],
+      dst: String => org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(tmp)) return false
+    val complete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!complete) { fs.delete(tmp, true); return false }
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    if (parts.isEmpty) { fs.delete(tmp, true); true } // crash after rename: cleanup only
+    else { swapStaged(fs, tmp, grain, dst); true } // crash before/mid swap: finish it
   }
 }

@@ -108,7 +108,15 @@ class ProfileArtifactSpec extends SparkTestBase {
         "q60_exact_dedup" -> SparkEntry.queries("q60_exact_dedup"),
         "q_broken" -> ((s, _) => s.sql("SELECT * FROM graft_no_such_table")),
       )
-    val json = Profile.steadyState(spark, sf, reps = 2, poisoned)
+    // Bench file listing BOTH queries: the erred one must be excluded
+    // from the reconciliation (its -1.0 sentinel would otherwise drag
+    // the mean offset negative and pad n_compared).
+    val benchPath = java.nio.file.Files.createTempFile("graft_prof_bench_err", ".json")
+    java.nio.file.Files.write(benchPath,
+      """{"queries":{"q60_exact_dedup":0.3,"q_broken":0.3}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val json = Profile.steadyState(spark, sf, reps = 2, poisoned,
+      benchPath = Some(benchPath.toString))
     val root = JsonMethods.parse(json)
     val healthy = root \ "queries" \ "q60_exact_dedup"
     val JDouble(med) = healthy \ "median_sec"
@@ -117,5 +125,22 @@ class ProfileArtifactSpec extends SparkTestBase {
     assert((broken \ "err") != JNothing, "the broken query must carry err")
     val JDouble(bmed) = broken \ "median_sec"
     assert(bmed == -1.0, "no successful runs → sentinel median")
+    val rec = root \ "reconciliation"
+    val JInt(n) = rec \ "n_compared"
+    assert(n.toInt == 1, s"erred query must not enter the reconciliation: $rec")
+    val JDouble(off) = rec \ "session_offset_mean_ratio"
+    assert(off > 0, s"sentinel median corrupted the mean offset: $off")
+  }
+
+  test("a bad bench= path degrades to reconciliation_error, not a lost artifact") {
+    val json = Profile.steadyState(spark, sf, reps = 2,
+      SparkEntry.queries.view.filterKeys(Set("q60_exact_dedup")).toMap,
+      benchPath = Some("/nonexistent/BENCH_typo.json"))
+    val root = JsonMethods.parse(json)
+    assert((root \ "reconciliation_error") != JNothing,
+      "missing bench file must surface as a recorded error")
+    // The medians themselves survived.
+    val JDouble(med) = root \ "queries" \ "q60_exact_dedup" \ "median_sec"
+    assert(med > 0)
   }
 }
