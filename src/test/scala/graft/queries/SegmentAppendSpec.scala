@@ -149,6 +149,21 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
     // Both segments contributed to the year (the dirs are genuinely shared).
     assert(y1997.filter(col("o_orderkey") % 2 === 0).count() > 0)
     assert(y1997.filter(col("o_orderkey") % 2 === 1).count() > 0)
+
+    // Per-grain compaction of the partitioned layout: a year DIRECTORY
+    // is the grain, and compactSortedRange over it (full micros range)
+    // merges that year's segment files without touching other years.
+    val yearDir = s"$root/order_year=1997"
+    val filesBefore = spark.read.parquet(yearDir).inputFiles.length
+    assert(filesBefore > 1, "year dir must be multi-segment for the compaction check")
+    graft.util.Segments.compactSortedRange(
+      spark, yearDir, "o_orderdate_us", Long.MinValue, Long.MaxValue)
+    val yAfter = spark.read.parquet(root).filter(col("order_year") === 1997)
+    assert(spark.read.parquet(yearDir).inputFiles.length < filesBefore,
+      "year-dir compaction merged nothing")
+    assert(yAfter.count() == perYear, "year-dir compaction lost rows")
+    val othersAfter = spark.read.parquet(root).filter(col("order_year") =!= 1997)
+    assert(othersAfter.count() == (years - 1) * perYear, "compaction touched other years")
   }
 
   test("the bucket pair stays exchange-free and row-exact with multi-file buckets") {
