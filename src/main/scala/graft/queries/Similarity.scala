@@ -354,6 +354,21 @@ object Similarity {
     base.unionByName(cellSizesOf(batchAssigned))
       .groupBy("cluster").agg(sum("cell_n").as("cell_n"))
 
+  /** Retraction of deleted vectors from the occupancy table — the
+    * negative fold (the TextOps retraction family's geometry on the
+    * ANN side): valid under the same frozen-quantizer regime as
+    * [[mergeCellSizes]], with the deleted vectors' per-cell partials
+    * read from the AT-REST assignment (an anti-join away from being
+    * the surviving assignment — per-vec_id grain, so assignment and
+    * pq-codes retract by one anti-join each, no re-scoring). Cells
+    * emptied by the delete leave the table, like a survivors rebuild's.
+    */
+  private[graft] def retractCellSizes(base: DataFrame, deletedAssigned: DataFrame): DataFrame =
+    base.unionByName(
+      cellSizesOf(deletedAssigned).withColumn("cell_n", -col("cell_n")))
+      .groupBy("cluster").agg(sum("cell_n").as("cell_n"))
+      .filter(col("cell_n") > 0)
+
   /** Quantizer-refresh trigger: the frozen-quantizer regime (q112's
     * ingest path + the [[mergeCellSizes]] fold) is valid while the
     * centroids still describe the corpus; the at-rest occupancy table

@@ -3128,4 +3128,202 @@ object TextOps {
       .distinct()
       .orderBy("d1", "d2")
   }
+
+  // --------------------------------------------------------------------
+  // Retraction — the DELETE half of the maintenance lifecycle (the
+  // merge family's inverse). A production corpus doesn't only grow:
+  // takedown requests, licensing changes, and right-to-be-forgotten
+  // deletes remove documents, and every at-rest artifact must shed the
+  // deleted docs' contribution WITHOUT re-deriving history. Each merge
+  // geometry has a retraction inverse:
+  //
+  //   - APPEND (per-doc grain: tf, shingle table, doc-sets, minhash /
+  //     simhash signatures, span-windows, context-chunks): a doc's rows
+  //     are self-contained, so retraction is one anti-join on doc_id —
+  //     NO text is read at all. At 100 TB the artifact is partitioned
+  //     by a doc_id bucket, so the rewrite touches only the buckets
+  //     holding deleted ids, not the artifact body.
+  //   - ADDITIVE FOLD (corpus-global counts: shingle-df, term-stats,
+  //     gram table): counts subtract as well as they add. The deleted
+  //     docs' partial counts fold in NEGATED, and groups that reach
+  //     zero drop out. Where a per-doc grain already exists at rest
+  //     (shingle table → shingle-df, tf → term-stats) the partials come
+  //     from THAT artifact — zero text scans; the gram table has no
+  //     per-doc grain at rest, so its retraction re-tokenizes exactly
+  //     the deleted docs (one bounded scan), never the survivors.
+  //   - SET INSERT (digest-index): NOT retractable from the set alone —
+  //     a deleted doc's digest must survive if any surviving duplicate
+  //     still claims it, and the set has forgotten how many claimants
+  //     each digest has. The production form is the REFCOUNTED index
+  //     ([[digestCountsOf]]): inserts and deletes are both folds on the
+  //     count, and the set the dedup queries probe is its projection.
+  //   - PARTITIONED REFRESH (linkage-blocks): deletion shifts ranks
+  //     only inside the deleted docs' own blocks; untouched blocks pass
+  //     through verbatim and touched blocks re-rank from the at-rest
+  //     keyed rows — zero text scans (the merge path's batch-keyed
+  //     union, minus the batch).
+  //   - SEEDED COMPONENT MERGE (lsh-cluster-labels): deletion can SPLIT
+  //     a cluster (the deleted doc may be the only bridge), so touched
+  //     components re-run the fixpoint over their surviving members'
+  //     edges — regenerated from the at-rest band index and verified
+  //     against the at-rest doc-sets, zero text scans. Contraction (the
+  //     merge path's trick) is unsound here: the base component is
+  //     exactly the thing that may no longer be connected.
+  //
+  // RetractionSpec proves retract == rebuild-on-survivors (rows AND
+  // at-rest schema) for every family on the real corpus and pins the
+  // no-survivor-rescan plans.
+
+  /** Anti-join retraction shared by every APPEND-geometry artifact:
+    * the tombstone request (an id list, the cheapest possible input)
+    * against the at-rest grain. Zero text scans by construction.
+    */
+  private[queries] def retractByDocId(base: DataFrame, deletedIds: DataFrame): DataFrame =
+    base.join(deletedIds.select("doc_id"), Seq("doc_id"), "left_anti")
+
+  /** Negative fold for the df table, partials drawn from the AT-REST
+    * shingle grain (not text): a deleted doc's distinct shingles each
+    * lose one claimant; hashes whose df reaches zero leave the table.
+    * Schema pinned to the rebuild's ([[mergeShingleDf]] note).
+    */
+  private[queries] def retractShingleDf(base: DataFrame, shingleTable: DataFrame,
+      deletedIds: DataFrame): DataFrame =
+    base.unionByName(
+      shingleTable.join(deletedIds.select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy("h").agg((-count(lit(1))).as("df")))
+      .groupBy("h").agg(coalesce(sum("df"), lit(0L)).as("df"))
+      .filter(col("df") > 0)
+
+  /** Negative fold for term-stats, partials drawn from the AT-REST tf
+    * grain. df and ct subtract; `first_doc` is a MIN — not invertible
+    * by subtraction — so exactly the terms whose recorded first_doc
+    * was deleted recompute it from the surviving tf rows of THOSE
+    * terms (df > 0 after the fold guarantees a survivor exists). Zero
+    * text scans: every input is an at-rest artifact.
+    */
+  private[queries] def retractTermStats(base: DataFrame, tf: DataFrame,
+      deletedIds: DataFrame): DataFrame = {
+    val ids = deletedIds.select("doc_id")
+    val negs = tf.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg((-count(lit(1))).as("_df_d"), (-sum("c")).as("_ct_d"))
+    val folded = base.join(negs, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") + coalesce(col("_df_d"), lit(0L))).as("df"),
+        (col("ct") + coalesce(col("_ct_d"), lit(0L))).as("ct"),
+        col("first_doc"))
+      .filter(col("df") > 0)
+    val affected = folded
+      .join(ids.withColumnRenamed("doc_id", "first_doc"), Seq("first_doc"), "left_semi")
+      .select("term")
+    val survFirst = tf.join(ids, Seq("doc_id"), "left_anti")
+      .join(affected, Seq("term"), "left_semi")
+      .groupBy("term").agg(min("doc_id").as("_new_first"))
+    folded.join(survFirst, Seq("term"), "left")
+      .select(col("term"), col("df"), col("ct"),
+        coalesce(col("_new_first"), col("first_doc")).as("first_doc"))
+  }
+
+  /** Negative fold for the corpus-global gram table. No per-doc gram
+    * artifact exists at rest (the table is vocabulary-sized precisely
+    * because the per-doc grain was never kept), so the partials
+    * re-tokenize the DELETED docs only — one bounded text scan, the
+    * batch-merge cost mirrored, never a survivor re-read.
+    */
+  private[queries] def retractBigramFrequencies(base: DataFrame,
+      deletedDocs: DataFrame): DataFrame =
+    base.unionByName(bigramFrequenciesOf(deletedDocs).withColumn("c", -col("c")))
+      .groupBy("g").agg(coalesce(sum("c"), lit(0L)).as("c"))
+      .filter(col("c") > 0)
+
+  /** Refcounted digest index (h → claimant count) — the delete-capable
+    * form of [[digestsOf]]'s distinct set: a digest leaves only when
+    * its LAST claimant does, which the set cannot know but the count
+    * can. Same even-doc_id "already ingested" population; the set the
+    * dedup probes consume is [[digestSetView]].
+    */
+  private[queries] def digestCountsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+
+  /** Insert fold for the refcounted index (the [[mergeDigestIndex]]
+    * geometry made count-preserving). */
+  private[queries] def mergeDigestCounts(base: DataFrame, batchDocs: DataFrame): DataFrame =
+    base.unionByName(digestCountsOf(batchDocs))
+      .groupBy("h").agg(coalesce(sum("n"), lit(0L)).as("n"))
+
+  /** Delete fold for the refcounted index: deleted claimants subtract;
+    * a digest with surviving claimants STAYS — the case the plain set's
+    * anti-join would get wrong (RetractionSpec plants exactly that
+    * scenario and proves the refcount keeps it).
+    */
+  private[queries] def retractDigestCounts(base: DataFrame, deletedDocs: DataFrame): DataFrame =
+    base.unionByName(digestCountsOf(deletedDocs).withColumn("n", -col("n")))
+      .groupBy("h").agg(coalesce(sum("n"), lit(0L)).as("n"))
+      .filter(col("n") > 0)
+
+  /** The distinct-set projection of the refcounted index — row-equal to
+    * [[digestsOf]] over the same corpus (RetractionSpec pins it). */
+  private[queries] def digestSetView(counts: DataFrame): DataFrame =
+    counts.select("h")
+
+  /** Partitioned-refresh retraction for the blocking index: untouched
+    * blocks pass through verbatim; the deleted docs' blocks re-rank
+    * from the at-rest keyed rows minus the deleted ids. Zero text
+    * scans — the base artifact already carries (doc_id, p, b).
+    */
+  private[queries] def retractLinkageBlocks(base: DataFrame, deletedIds: DataFrame): DataFrame = {
+    val ids = deletedIds.select("doc_id")
+    val touched = base.join(ids, Seq("doc_id"), "left_semi").select("b").distinct()
+    val untouched = base.join(touched, Seq("b"), "left_anti")
+    val reranked = linkageRank(
+      base.join(touched, Seq("b"), "left_semi")
+        .join(ids, Seq("doc_id"), "left_anti")
+        .select("doc_id", "p", "b"))
+    untouched.unionByName(reranked)
+      .select(base.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Retraction for lsh-cluster-labels — the split-capable inverse of
+    * [[mergeLshClusterLabels]]: components holding a deleted doc
+    * re-run [[labelFixpoint]] over their surviving members' edges,
+    * regenerated from the at-rest band index (candidates) and at-rest
+    * doc-sets (exact-Jaccard verification); untouched components pass
+    * through via one anti-join. Sound because base–base edges are
+    * immutable and cross-component edges never existed, so the
+    * survivor graph is exactly the base graph minus the deleted
+    * vertices: untouched components keep their min (no member left)
+    * and touched ones relabel from scratch — members that lose their
+    * last edge drop out of the table, like the rebuild's. Zero text
+    * scans; work bounded by the touched components' size.
+    */
+  private[queries] def retractLshClusterLabels(
+      baseLabels: DataFrame, baseBands: DataFrame, baseSets: DataFrame,
+      deletedIds: DataFrame): DataFrame = {
+    val ids = deletedIds.select("doc_id")
+    val touched = baseLabels.join(ids, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val members = baseLabels.join(touched, Seq("cluster_id"), "left_semi")
+      .join(ids, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val mBands = baseBands.join(members, Seq("doc_id"), "left_semi")
+    val cand = mBands.as("x")
+      .join(mBands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val survEdges = jaccardOfCandidates(cand, baseSets)
+      .filter(col("jaccard") >= 0.6)
+      .select("d1", "d2")
+    val relabeled = labelFixpoint(survEdges)
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    baseLabels.join(touched, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+      .unionByName(relabeled)
+  }
+
+  /** At-rest band index rows of an arbitrary signature frame — exposed
+    * for the retraction spec, which feeds [[retractLshClusterLabels]]
+    * the same at-rest inputs production holds. */
+  private[queries] def minhashBandsOf(docs: DataFrame): DataFrame =
+    bandKeysOf(minhashSigsOf(docs))
 }
