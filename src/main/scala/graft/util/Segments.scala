@@ -137,6 +137,119 @@ object Segments {
     swapStaged(fs, tmp, () => selected, dst)
   }
 
+  /** Restate ONE date-range grain of a sorted log — the CORRECTION
+    * primitive (upstream restated history: late fixes, recomputed
+    * amounts, takedown edits): replace the grain's files with a
+    * corrected batch, never rewriting the rest of the log. The
+    * replacement is re-clustered here (range-partitioned to ONE file,
+    * sorted on the boundary column) so the grain keeps tight stats AND
+    * the swap has the same single-rename crash geometry as compaction
+    * — every crash window re-converges via the shared staged protocol
+    * ([[swapStaged]]; SegmentRestatementSpec drills each window).
+    *
+    * Alignment contract: files fully inside [loIncl, hiExcl) are
+    * superseded; files fully outside (and all-null leading files —
+    * null boundaries live outside every value range) are untouched;
+    * anything else — a straddling file, a null-bearing in-range file,
+    * or a file without trustworthy stats — throws: restating over it
+    * would leave stale rows alive next to their corrections, the one
+    * silent-corruption mode a restatement must not have. Compact the
+    * grain (or restate at a wider, segment-aligned range) first. The
+    * corrected batch must be non-empty and lie entirely inside the
+    * grain — both checked loudly. For the year-partitioned layout,
+    * restate within the year directory (pass it as `root`).
+    * Single-writer, like append and compaction.
+    */
+  def restateSortedRange(spark: org.apache.spark.sql.SparkSession, root: String,
+      boundCol: String, loIncl: Long, hiExcl: Long,
+      replacement: DataFrame): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    def grain(): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(rootPath).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && {
+          containment(st.getPath, boundCol, loIncl, hiExcl, conf) match {
+            case Containment.Contained => true
+            case Containment.Disjoint => false
+            case Containment.Unknown => throw new IllegalStateException(
+              s"restatement grain [$loIncl, $hiExcl) is not segment-aligned at " +
+                s"'$n' (straddling range, in-range nulls, or unusable stats) — " +
+                "compact the grain or restate a segment-aligned range")
+          }
+        }
+      }.map(_.getPath)
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".restate-$loIncl")
+    def dst(partName: String) =
+      new org.apache.hadoop.fs.Path(rootPath, s"restate-$loIncl-$partName")
+    // A crashed prior restatement of this grain finishes first; the
+    // current call then supersedes its outcome like any other grain
+    // content.
+    recoverStaged(fs, tmp, grain, dst)
+    require(!replacement.isEmpty,
+      "restatement batch is empty — a whole-grain delete is not expressible " +
+        "as a restatement (the staged recovery could not tell it from a torn swap)")
+    val strays = replacement.filter(
+      col(boundCol).isNull || col(boundCol) < loIncl || col(boundCol) >= hiExcl).count()
+    require(strays == 0,
+      s"$strays replacement row(s) fall outside the grain [$loIncl, $hiExcl) — " +
+        "a restatement replaces exactly its own grain")
+    replacement
+      .repartitionByRange(1, col(boundCol))
+      .sortWithinPartitions(boundCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    swapStaged(fs, tmp, grain, dst)
+  }
+
+  private sealed trait Containment
+  private object Containment {
+    case object Contained extends Containment
+    case object Disjoint extends Containment
+    case object Unknown extends Containment
+  }
+
+  /** Footer classification of one file against a value grain: fully
+    * inside, fully outside (all-null files count as outside — null
+    * boundaries sort into the log's leading files and belong to no
+    * value range), or not decidable from trustworthy stats. One footer
+    * read, no data pages.
+    */
+  private def containment(file: org.apache.hadoop.fs.Path, column: String,
+      lo: Long, hi: Long,
+      conf: org.apache.hadoop.conf.Configuration): Containment = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      var nulls = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var anyValue = false
+      var unusable = false
+      reader.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column)
+          .flatMap(c => Option(c.getStatistics)) match {
+          case Some(s) if s.getNumNulls >= 0 =>
+            nulls += s.getNumNulls
+            if (s.hasNonNullValue) (s.genericGetMin, s.genericGetMax) match {
+              case (a: java.lang.Long, z: java.lang.Long) =>
+                anyValue = true
+                mn = math.min(mn, a.toLong)
+                mx = math.max(mx, z.toLong)
+              case _ => unusable = true
+            }
+          case _ => unusable = true
+        }
+      }
+      if (unusable) Containment.Unknown
+      else if (!anyValue) Containment.Disjoint
+      else if (mx < lo || mn >= hi) Containment.Disjoint
+      else if (mn >= lo && mx < hi && nulls == 0) Containment.Contained
+      else Containment.Unknown
+    } finally reader.close()
+  }
+
   /** Footer min/max of a BIGINT column in one parquet file — None when
     * any row group lacks usable stats or holds nulls (the conservative
     * answer: such a file is never selected for compaction). One footer
