@@ -69,7 +69,7 @@ object Events {
     * recompute), the at-rest dimension build, and q145's merge. Both
     * windows share one (user_id) partitioning and one sort.
     */
-  private def collapseRuns(e: DataFrame): DataFrame = {
+  private[queries] def collapseRuns(e: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     e.withColumn("prev", lag("event_type", 1).over(byUser))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
@@ -180,6 +180,37 @@ object Events {
       val c = scd2Hwm(s, dir).head().getLong(0)
       collapseRuns(eventsUsLog(s, dir).filter(col("ts_us") < c))
     }
+
+  /** Retraction for the SCD2 dimension, whole-user grain — the
+    * right-to-be-forgotten case an events dimension actually receives:
+    * the dimension is per-user-independent (every window partitions by
+    * user_id), so forgetting users is one anti-join, the
+    * append-geometry inverse of the TextOps retraction family. Zero
+    * event scans.
+    */
+  private[queries] def forgetUsersScd2(base: DataFrame, userIds: DataFrame): DataFrame =
+    base.join(userIds.select("user_id"), Seq("user_id"), "left_anti")
+
+  /** Event-level retraction for the SCD2 dimension — the PARTITIONED
+    * REFRESH geometry (the linkage-blocks discipline on the time
+    * dimension): deleting an event can merge two adjacent runs of the
+    * same state and renumbers versions, but only within the deleted
+    * events' own users. Untouched users pass through verbatim; touched
+    * users re-collapse from their surviving events — read from the
+    * at-rest µs log restricted by one semi-join, never all of history.
+    */
+  private[queries] def retractScd2Events(base: DataFrame, eventsUs: DataFrame,
+      deletedEventIds: DataFrame): DataFrame = {
+    val ids = deletedEventIds.select("event_id")
+    val touched = eventsUs.join(ids, Seq("event_id"), "left_semi")
+      .select("user_id").distinct()
+    val untouched = base.join(touched, Seq("user_id"), "left_anti")
+    val surv = eventsUs
+      .join(touched, Seq("user_id"), "left_semi")
+      .join(ids, Seq("event_id"), "left_anti")
+    untouched.unionByName(collapseRuns(surv))
+      .select(base.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** Force the events at-rest artifacts — the sorted µs log, then the
     * hwm and SCD2 dimension derived from it (called from

@@ -264,15 +264,44 @@ object Relational {
     // partkey-only bucketing neither helps nor hurts them.)
     graft.util.Snapshots.bucketedTable(
       s, dir, "partsupp", "ps_partkey", buckets = PartkeyBuckets) {
-      tbl(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .agg(
-          sum("l_quantity").cast("bigint").as("ps_availqty"),
-          min(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0)))
-            .as("ps_supplycost"),
-        )
+      partsuppAggOf(tbl(s, dir, "lineitem"))
         .repartition(PartkeyBuckets, col("ps_partkey"))
     }
+
+  /** The partsupp aggregate recipe over an arbitrary lineitem frame —
+    * factored so the at-rest build and the retraction's per-group
+    * refresh share one definition and cannot drift. */
+  private[queries] def partsuppAggOf(li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        sum("l_quantity").cast("bigint").as("ps_availqty"),
+        min(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0)))
+          .as("ps_supplycost"),
+      )
+
+  /** Retraction for the partsupp grain — the PARTITIONED REFRESH
+    * geometry: ps_availqty is an invertible sum but ps_supplycost is a
+    * MIN, so instead of tracking which row held each group's minimum,
+    * the groups the deleted rows touch re-aggregate from their
+    * surviving lineitem rows (two semi-joins bound the work by the
+    * deleted batch's groups) and every other group passes through
+    * verbatim. Groups that lose their last row leave the grain, like a
+    * survivors rebuild's.
+    */
+  private[queries] def retractPartsupp(base: org.apache.spark.sql.DataFrame,
+      survivingLi: org.apache.spark.sql.DataFrame,
+      deletedLi: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val touched = deletedLi
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+    val untouched = base.join(touched, Seq("ps_partkey", "ps_suppkey"), "left_anti")
+    val keys = touched
+      .select(col("ps_partkey").as("l_partkey"), col("ps_suppkey").as("l_suppkey"))
+    val refreshed = partsuppAggOf(
+      survivingLi.join(keys, Seq("l_partkey", "l_suppkey"), "left_semi"))
+    untouched.unionByName(refreshed)
+      .select(base.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** Oracle-side twin of the [[partsupp]] artifact, spliced into each
     * partsupp query's WITH clause (declared above `defs` — the strict

@@ -63,10 +63,12 @@ class RetractionSpec extends SparkTestBase {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).toSeq.sorted
 
-  private def docScans(df: DataFrame): Int =
+  private def docScans(df: DataFrame): Int = scansOf(df, "documents.parquet")
+
+  private def scansOf(df: DataFrame, file: String): Int =
     df.queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      .linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet"))
+      .linesIterator.count(l => l.contains("Location") && l.contains(file))
 
   /** At-rest schema equality (what a downstream consumer of the
     * maintained artifact sees tick over tick): both frames written to
@@ -208,6 +210,53 @@ class RetractionSpec extends SparkTestBase {
     assert(untouched.count() > 0)
     assert(rows(retracted.join(untouched.select("cluster_id").distinct(), Seq("cluster_id"), "left_semi"))
       == rows(untouched))
+  }
+
+  test("SCD2 forget-user retraction equals the survivors rebuild with no event scan") {
+    val e = Events.eventsUs(spark, sf)
+    val base = atRest(Events.collapseRuns(e), "scd2-dim")
+    val userIds = atRest(
+      e.select("user_id").distinct().filter(col("user_id") % 9 === 2), "forgotten-users")
+    assert(userIds.count() > 0)
+    val retracted = Events.forgetUsersScd2(base, userIds)
+    assert(scansOf(retracted, "events.parquet") == 0, "forget-user must not read events")
+    assert(rows(retracted) ==
+      rows(Events.collapseRuns(e.join(userIds, Seq("user_id"), "left_anti"))))
+  }
+
+  test("SCD2 event-level retraction re-collapses only the touched users") {
+    val eAtRest = atRest(Events.eventsUs(spark, sf), "events-us")
+    val base = atRest(Events.collapseRuns(eAtRest), "scd2-dim")
+    // Sampled events of a user SUBSET — the touched/untouched split
+    // must be non-trivial (15 users at this sf, so an unrestricted
+    // event sample touches everyone).
+    val ids = atRest(
+      eAtRest.filter(col("user_id") % 3 === 0 && col("event_id") % 11 === 4)
+        .select("event_id"), "deleted-events")
+    assert(ids.count() > 0)
+    val retracted = Events.retractScd2Events(base, eAtRest, ids)
+    assert(scansOf(retracted, "events.parquet") == 0,
+      "event retraction reads the at-rest log, not raw events")
+    val surv = eAtRest.join(ids, Seq("event_id"), "left_anti")
+    assert(rows(retracted) == rows(Events.collapseRuns(surv)))
+    // Both refresh branches ran.
+    val touched = eAtRest.join(ids, Seq("event_id"), "left_semi").select("user_id").distinct()
+    assert(touched.count() > 0 &&
+      touched.count() < eAtRest.select("user_id").distinct().count())
+  }
+
+  test("partsupp retraction refreshes only the deleted rows' groups") {
+    val li = Tables.tbl(spark, sf, "lineitem")
+    val base = atRest(Relational.partsuppAggOf(li), "partsupp")
+    val deleted = li.filter(col("l_orderkey") % 13 === 5)
+    val surviving = li.filter(col("l_orderkey") % 13 =!= 5)
+    assert(deleted.count() > 0)
+    val retracted = Relational.retractPartsupp(base, surviving, deleted)
+    assert(rows(retracted) == rows(Relational.partsuppAggOf(surviving)))
+    val touched = deleted
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey")).distinct()
+    assert(touched.count() > 0 && touched.count() < base.count(),
+      "split trivial: every group touched or none")
   }
 
   test("ANN occupancy retraction (frozen quantizer) equals the survivors rebuild") {
