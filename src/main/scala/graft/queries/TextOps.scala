@@ -462,16 +462,24 @@ object TextOps {
     * what the previous inline formulation planned (two to three full
     * text scans per query).
     */
+  /** One claimant row per (even-doc_id, digest) — the shared
+    * projection under BOTH index forms: [[digestsOf]] (the distinct
+    * set the dedup queries probe) and [[digestCountsOf]] (the
+    * refcounted form retraction needs). The population filter and the
+    * digest function live only here, so the two forms cannot drift.
+    */
+  private def digestClaimantsOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h"))
+
   /** The digest set a document frame contributes to the at-rest index
     * (the even-doc_id filter is the corpus's "already ingested" half —
     * see [[digestIndex]]). Factored out so the incremental merge and
     * the full rebuild share one definition and cannot drift.
     */
   private[queries] def digestsOf(docs: DataFrame): DataFrame =
-    docs
-      .filter(col("doc_id") % 2 === 0)
-      .select(md5(col("text")).as("h"))
-      .distinct()
+    digestClaimantsOf(docs).distinct()
 
   private def digestIndex(s: SparkSession, dir: String): DataFrame =
     snapshot(s, dir, "digest-index") {
@@ -3242,8 +3250,7 @@ object TextOps {
     * dedup probes consume is [[digestSetView]].
     */
   private[queries] def digestCountsOf(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id") % 2 === 0)
-      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+    digestClaimantsOf(docs).groupBy("h").agg(count(lit(1)).as("n"))
 
   /** Insert fold for the refcounted index (the [[mergeDigestIndex]]
     * geometry made count-preserving). */

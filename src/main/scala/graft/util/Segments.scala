@@ -123,10 +123,14 @@ object Segments {
             mn >= loIncl && mx < hiExcl
           }
       }.map(_.getPath)
-    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".compact-$loIncl")
+    // The staged name carries the FULL range: a crashed transaction is
+    // only ever replayed against its own grain — a later call for a
+    // different range that happens to share loIncl must not install
+    // this range's staged content over its wider/narrower file set.
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".compact-$loIncl-$hiExcl")
     def dst(partName: String) =
-      new org.apache.hadoop.fs.Path(rootPath, s"compact-$loIncl-$partName")
-    if (recoverStaged(fs, tmp, grain, dst)) return
+      new org.apache.hadoop.fs.Path(rootPath, s"compact-$loIncl-$hiExcl-$partName")
+    recoverPendingRanges(fs, rootPath, boundCol, conf)
     val selected = grain()
     if (selected.length <= 1) return // grain already compact
     spark.read
@@ -136,6 +140,43 @@ object Segments {
       .write.mode("overwrite").parquet(tmp.toString)
     swapStaged(fs, tmp, () => selected, dst)
   }
+
+  /** Staged range-transaction dirs: `.compact-<lo>-<hi>` /
+    * `.restate-<lo>-<hi>`. */
+  private val StagedRangeDir = """^\.(compact|restate)-(-?\d+)-(-?\d+)$""".r
+
+  /** Recover EVERY pending staged range transaction under `root` —
+    * called at the entry of both range ops, so a crash in one grain is
+    * healed by the next call on ANY grain, not only a retry of the
+    * same range (a torn grain would otherwise stay torn until someone
+    * happened to re-run that exact range). Each staged dir's name
+    * carries its own grain, so replay re-derives that grain's
+    * contained files and converges; files the footer classifier cannot
+    * decide are SKIPPED here (recovery must converge, not judge — the
+    * ops' own grain listings stay strict about them).
+    */
+  private def recoverPendingRanges(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path, boundCol: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .foreach { st =>
+        st.getPath.getName match {
+          case StagedRangeDir(kind, loS, hiS) =>
+            val (lo, hi) = (loS.toLong, hiS.toLong)
+            def grain(): Seq[org.apache.hadoop.fs.Path] =
+              fs.listStatus(rootPath).toSeq.filter { f =>
+                val n = f.getPath.getName
+                f.isFile && n.endsWith(".parquet") &&
+                  !n.startsWith("_") && !n.startsWith(".") &&
+                  containment(f.getPath, boundCol, lo, hi, conf) == Containment.Contained
+              }.map(_.getPath)
+            def dst(partName: String) =
+              new org.apache.hadoop.fs.Path(rootPath, s"$kind-$lo-$hi-$partName")
+            recoverStaged(fs, st.getPath, grain, dst)
+          case _ => ()
+        }
+      }
 
   /** Restate ONE date-range grain of a sorted log — the CORRECTION
     * primitive (upstream restated history: late fixes, recomputed
@@ -180,26 +221,38 @@ object Segments {
           }
         }
       }.map(_.getPath)
-    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".restate-$loIncl")
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".restate-$loIncl-$hiExcl")
     def dst(partName: String) =
-      new org.apache.hadoop.fs.Path(rootPath, s"restate-$loIncl-$partName")
-    // A crashed prior restatement of this grain finishes first; the
-    // current call then supersedes its outcome like any other grain
-    // content.
-    recoverStaged(fs, tmp, grain, dst)
-    require(!replacement.isEmpty,
+      new org.apache.hadoop.fs.Path(rootPath, s"restate-$loIncl-$hiExcl-$partName")
+    // Crashed prior transactions (this grain's or any other's) finish
+    // first; the current call then supersedes their outcome like any
+    // other grain content.
+    recoverPendingRanges(fs, rootPath, boundCol, conf)
+    // EVERY validation runs before anything is staged: a staged dir is
+    // a live recovery source the moment its _SUCCESS lands, so writing
+    // it first and then rejecting the call would leave a
+    // fully-committed transaction a later call silently installs.
+    val selected = grain() // throws on a non-aligned grain
+    // One evaluation of the (possibly expensive) upstream plan; the
+    // validation aggregate and the staged write both read the
+    // checkpointed blocks.
+    val batch = replacement.localCheckpoint()
+    val checks = batch.agg(
+      count(lit(1)).as("total"),
+      count(when(
+        col(boundCol).isNull || col(boundCol) < loIncl || col(boundCol) >= hiExcl,
+        lit(1))).as("strays")).head()
+    require(checks.getLong(0) > 0,
       "restatement batch is empty — a whole-grain delete is not expressible " +
         "as a restatement (the staged recovery could not tell it from a torn swap)")
-    val strays = replacement.filter(
-      col(boundCol).isNull || col(boundCol) < loIncl || col(boundCol) >= hiExcl).count()
-    require(strays == 0,
-      s"$strays replacement row(s) fall outside the grain [$loIncl, $hiExcl) — " +
-        "a restatement replaces exactly its own grain")
-    replacement
+    require(checks.getLong(1) == 0,
+      s"${checks.getLong(1)} replacement row(s) fall outside the grain " +
+        s"[$loIncl, $hiExcl) — a restatement replaces exactly its own grain")
+    batch
       .repartitionByRange(1, col(boundCol))
       .sortWithinPartitions(boundCol)
       .write.mode("overwrite").parquet(tmp.toString)
-    swapStaged(fs, tmp, grain, dst)
+    swapStaged(fs, tmp, () => selected, dst)
   }
 
   private sealed trait Containment

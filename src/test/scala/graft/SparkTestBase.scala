@@ -37,6 +37,35 @@ trait TempCorpusDirs extends org.scalatest.BeforeAndAfterAll {
   }
 }
 
+/** Shared fixtures for the at-rest maintenance/retraction specs: the
+  * parquet round-trip (merges and retractions must read the compact
+  * AT-REST artifact, as production would, and the round-trip lets the
+  * plan pins count source scans), canonical row strings, and the
+  * explain-based scan counter. One definition — the helpers were
+  * previously copied per suite, where the scan-counting convention
+  * could drift — with [[TempCorpusDirs]] cleanup underneath.
+  */
+trait ArtifactSpecHelpers extends TempCorpusDirs {
+  this: SparkTestBase =>
+
+  def atRest(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val out = s"${tempCorpusDir(s"graft_atrest_$name")}/$name"
+    df.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  /** How many scan nodes of `file` the final plan holds. */
+  def scansOf(df: org.apache.spark.sql.DataFrame, file: String): Int =
+    df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.count(l => l.contains("Location") && l.contains(file))
+
+  def docScans(df: org.apache.spark.sql.DataFrame): Int = scansOf(df, "documents.parquet")
+}
+
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = graft.util.Tables.withSessionConf(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
+
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -26,7 +26,7 @@ import graft.util.Tables
   *     from at-rest bands + doc-sets (deletion can SPLIT a cluster,
   *     so the merge path's contraction trick is unsound here).
   */
-class RetractionSpec extends SparkTestBase {
+class RetractionSpec extends SparkTestBase with graft.ArtifactSpecHelpers {
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -50,25 +50,6 @@ class RetractionSpec extends SparkTestBase {
 
   private lazy val deletedDocs: DataFrame = docs.filter(isDeleted)
   private lazy val survivors: DataFrame = docs.filter(!isDeleted)
-
-  /** Round-trip an artifact through parquet: retraction must read the
-    * compact AT-REST table, and the round-trip lets docScans count
-    * document-text reads in the retraction plan. */
-  private def atRest(df: DataFrame, name: String): DataFrame = {
-    val out = s"${Files.createTempDirectory(s"graft_retract_$name")}/$name"
-    df.write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
-  }
-
-  private def rows(df: DataFrame): Seq[String] =
-    df.collect().map(_.mkString("|")).toSeq.sorted
-
-  private def docScans(df: DataFrame): Int = scansOf(df, "documents.parquet")
-
-  private def scansOf(df: DataFrame, file: String): Int =
-    df.queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      .linesIterator.count(l => l.contains("Location") && l.contains(file))
 
   /** At-rest schema equality (what a downstream consumer of the
     * maintained artifact sees tick over tick): both frames written to

@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
+
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -31,20 +31,11 @@ import graft.util.Tables
   * coalesce-wrapped folds), and it forces each tick to read the
   * AT-REST artifact rather than re-planning prior ticks.
   */
-class TextLifecycleSpec extends SparkTestBase {
+class TextLifecycleSpec extends SparkTestBase with graft.ArtifactSpecHelpers {
 
   private val sf = "/root/testdata/sf0.001"
 
   private def docs: DataFrame = Tables.tbl(spark, sf, "documents")
-
-  private def atRest(df: DataFrame, name: String): DataFrame = {
-    val out = s"${Files.createTempDirectory(s"graft_cycle_$name")}/$name"
-    df.write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
-  }
-
-  private def rows(df: DataFrame): Seq[String] =
-    df.collect().map(_.mkString("|")).toSeq.sorted
 
   // The schedule over the real corpus, split by doc_id quartile:
   //   tick 1: append Q1∪Q2       tick 2: retract the mod-5 slice of Q1

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -21,7 +19,7 @@ import graft.util.Tables
   *     corpus-global gram counts);
   *   - digest-index: SET INSERT (anti-join append of unseen digests).
   */
-class TextMaintenanceSpec extends SparkTestBase {
+class TextMaintenanceSpec extends SparkTestBase with graft.ArtifactSpecHelpers {
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -33,24 +31,6 @@ class TextMaintenanceSpec extends SparkTestBase {
     val cutoff = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 8 / 10
     (docs.filter(col("doc_id") < cutoff), docs.filter(col("doc_id") >= cutoff))
   }
-
-  /** Round-trip the base artifact through parquet: the merge must read
-    * the compact AT-REST table (as production would), not re-plan the
-    * base build — and it lets the plan pin count documents scans.
-    */
-  private def atRest(df: DataFrame, name: String): DataFrame = {
-    val out = s"${Files.createTempDirectory(s"graft_maint_$name")}/$name"
-    df.write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
-  }
-
-  private def rows(df: DataFrame): Seq[String] =
-    df.collect().map(_.mkString("|")).toSeq.sorted
-
-  private def docScans(df: DataFrame): Int =
-    df.queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      .linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet"))
 
   test("tf-table merge (append geometry) equals the full rebuild; batch is the only text scan") {
     val base = atRest(TextOps.termFrequenciesOf(baseDocs), "tf")

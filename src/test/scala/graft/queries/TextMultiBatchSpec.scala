@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,7 +31,7 @@ import graft.util.Tables
   * Fold-geometry artifacts (df/stats/grams) are vocabulary-sized and
   * rewritten whole per tick — no compaction needed by construction.
   */
-class TextMultiBatchSpec extends SparkTestBase {
+class TextMultiBatchSpec extends SparkTestBase with graft.ArtifactSpecHelpers {
 
   private val sf = "/root/testdata/sf0.001"
   private val NumBatches = 4
@@ -54,14 +52,8 @@ class TextMultiBatchSpec extends SparkTestBase {
     }
   }
 
-  private def atRest(df: DataFrame, name: String, tick: Int): DataFrame = {
-    val out = s"${Files.createTempDirectory(s"graft_mb_$name")}/$name-t$tick"
-    df.write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
-  }
-
-  private def rows(df: DataFrame): Seq[String] =
-    df.collect().map(_.mkString("|")).toSeq.sorted
+  private def atRest(df: DataFrame, name: String, tick: Int): DataFrame =
+    atRest(df, s"$name-t$tick")
 
   /** Fold batches 1..N-1 into build(batch 0), materializing each tick;
     * assert the final at-rest state equals the one-shot rebuild in

@@ -63,7 +63,7 @@ class SegmentsRecoverySpec extends SparkTestBase with graft.TempCorpusDirs {
     val (root, rows) = freshLog()
     // Fake a crash DURING the staged write: a tmp dir with a part file
     // but no _SUCCESS marker.
-    val tmp = java.nio.file.Paths.get(root, ".compact-0")
+    val tmp = java.nio.file.Paths.get(root, ".compact-0-3000000")
     java.nio.file.Files.createDirectories(tmp)
     java.nio.file.Files.write(tmp.resolve("part-00000-bogus.parquet"), Array[Byte](1, 2, 3))
     Segments.compactSortedRange(spark, root, "ts", 0L, 3000000L)
