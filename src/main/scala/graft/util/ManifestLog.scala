@@ -1,0 +1,325 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed generations for the sorted-log layouts — the
+  * snapshot-isolation upgrade over [[Segments]]' staged-swap protocol
+  * (the public Iceberg/Delta idea reduced to what a parquet log needs).
+  *
+  * A bare parquet directory equates "visible" with "listed": the
+  * directory listing IS the table state, so any maintenance that
+  * deletes or replaces files (compaction, restatement) has a window
+  * where a concurrent reader's listing sees a gap or a double — which
+  * is why every [[Segments]] mutation carries a single-writer,
+  * no-concurrent-readers contract. A manifested log separates the two:
+  * the live state is the highest `_manifests/vNNNNNNNNN.manifest`
+  * (one relative data-file path per line), and every mutation is
+  * (1) write new files nobody can see yet, then (2) publish ONE new
+  * manifest via the filesystem's atomic single-file rename. Readers
+  * resolve the current manifest once at DataFrame construction and
+  * scan exactly that file set; superseded files are RETIRED, not
+  * deleted — [[vacuum]] is the only deleter, so a reader pinned at any
+  * kept generation stays consistent through any number of concurrent
+  * appends/compactions/restatements. Crash-safety collapses to one
+  * argument: no crash window contains a visible intermediate state,
+  * because visibility is a single rename; everything a crash strands
+  * is an orphan [[vacuum]] removes.
+  *
+  * What this costs at 100 TB: one small text file per commit and a
+  * vacuum pass amortized over maintenance — against which it buys
+  * lock-free readers, O(1) atomic commits regardless of grain size,
+  * and time travel ([[readAt]]) for audits and reproducible training
+  * runs. The bucketed co-location pairs stay on the staged-swap
+  * protocol: their reads flow through the session catalog's bucketed
+  * file index (that is what buys the exchange-free joins), which
+  * resolves by directory listing, not by manifest.
+  *
+  * Single-WRITER is still the contract (one ingest pipeline owns a
+  * layout); it is the readers that the manifest frees.
+  */
+object ManifestLog {
+
+  private val ManifestDirName = "_manifests"
+  private val Header = "graft-manifest-v1"
+  private val VersionFile = """^v(\d{9})\.manifest$""".r
+
+  /** Crash-drill seam (the [[Segments.failpoint]] pattern): invoked
+    * with a step tag at each mutation step; identity in production.
+    */
+  @volatile private[util] var failpoint: String => Unit = _ => ()
+
+  private def hadoop(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p, p.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  private def manifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ManifestDirName)
+
+  /** Whether `root` is a manifested log (the [[Segments]] entry points
+    * route on this, so adopting a layout upgrades every later
+    * maintenance call transparently).
+    */
+  def isManifested(spark: SparkSession, root: String): Boolean = {
+    val (p, fs) = hadoop(spark, root)
+    fs.exists(manifestDir(p))
+  }
+
+  /** All committed versions, ascending (empty when not manifested). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (p, fs) = hadoop(spark, root)
+    val dir = manifestDir(p)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case VersionFile(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Adopt an existing parquet log root: commit v1 = the current
+    * recursive data-file listing. The one-shot build IS the first
+    * generation; every later mutation goes through manifest commits.
+    */
+  def adopt(spark: SparkSession, root: String): Unit = {
+    val (p, fs) = hadoop(spark, root)
+    require(!fs.exists(manifestDir(p)), s"$root is already manifested")
+    fs.mkdirs(manifestDir(p))
+    commit(fs, p, 1L, listDataFiles(fs, p).sorted)
+  }
+
+  /** The current generation as a DataFrame: resolve the highest
+    * manifest ONCE, scan exactly its files. `basePath` keeps partition
+    * directory columns (the orders-by-year layout) visible and
+    * prunable exactly as a directory read would.
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readAt(spark, root, currentVersion(spark, root))
+
+  /** Time travel: the log exactly as generation `version` committed it
+    * — valid as long as the generation is within [[vacuum]]'s kept
+    * window (audits, repro of a training run against the corpus state
+    * it actually saw).
+    */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val (p, fs) = hadoop(spark, root)
+    val files = readManifest(fs, p, version)
+    require(files.nonEmpty, s"manifest v$version of $root lists no files")
+    spark.read.option("basePath", root)
+      .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root has no committed manifest — adopt() it first")
+    vs.max
+  }
+
+  /** Segment append, manifest-committed: write the recipe-clustered
+    * batch as new files (invisible — the current manifest does not
+    * list them), then publish prev ∪ new as one atomic commit. A crash
+    * before the commit leaves the current generation untouched and the
+    * new files as vacuumable orphans; there is no torn state to
+    * recover.
+    */
+  def appendSorted(segment: DataFrame, root: String,
+      partitionDirs: Seq[String] = Nil): Unit = {
+    val spark = segment.sparkSession
+    val (p, fs) = hadoop(spark, root)
+    val v = currentVersion(spark, root)
+    val before = listDataFiles(fs, p).toSet
+    val w = segment.write.mode("append")
+    (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
+      .parquet(root)
+    failpoint("written:append")
+    // Single-writer: everything new on disk is this append's output.
+    val added = (listDataFiles(fs, p).toSet -- before).toSeq.sorted
+    commit(fs, p, v + 1, (readManifest(fs, p, v) ++ added).sorted)
+  }
+
+  /** Per-grain compaction, manifest-committed: the grain is the LIVE
+    * (manifest-listed) files of `relDir` whose footer stats lie fully
+    * inside [loIncl, hiExcl) — straddlers and null-bearing files stay,
+    * exactly as in [[Segments.compactSortedRange]]. The key-sorted
+    * replacement lands under a unique name, the commit swaps grain →
+    * replacement in the file LIST, and the grain's files stay on disk
+    * for pinned readers until [[vacuum]]. `relDir` selects a partition
+    * directory of the year-partitioned layout ("" for flat logs).
+    */
+  def compactRange(spark: SparkSession, root: String, relDir: String,
+      boundCol: String, loIncl: Long, hiExcl: Long): Unit = {
+    val (p, fs) = hadoop(spark, root)
+    val conf = spark.sessionState.newHadoopConf()
+    val v = currentVersion(spark, root)
+    val live = readManifest(fs, p, v)
+    val grain = live.filter { rel =>
+      dirOf(rel) == relDir &&
+        Segments.containment(new org.apache.hadoop.fs.Path(p, rel), boundCol,
+          loIncl, hiExcl, conf) == Segments.Containment.Contained
+    }
+    if (grain.length <= 1) return // already compact
+    val replacement = stageIntoRoot(spark, p, fs, relDir,
+      spark.read.parquet(grain.map(new org.apache.hadoop.fs.Path(p, _).toString): _*)
+        .repartitionByRange(1, org.apache.spark.sql.functions.col(boundCol))
+        .sortWithinPartitions(boundCol))
+    failpoint("written:compact")
+    commit(fs, p, v + 1, (live.diff(grain) ++ replacement).sorted)
+  }
+
+  /** Grain restatement (the correction primitive), manifest-committed.
+    * Same alignment contract as [[Segments.restateSortedRange]]: live
+    * files fully inside the grain are superseded, fully-outside (and
+    * all-null) files untouched, anything undecidable throws — but here
+    * the superseded history REMAINS READABLE at the prior generation,
+    * which is exactly what an auditable correction wants.
+    */
+  def restateRange(spark: SparkSession, root: String, relDir: String,
+      boundCol: String, loIncl: Long, hiExcl: Long,
+      replacement: DataFrame): Unit = {
+    val (p, fs) = hadoop(spark, root)
+    val conf = spark.sessionState.newHadoopConf()
+    val v = currentVersion(spark, root)
+    val live = readManifest(fs, p, v)
+    val grain = live.filter { rel =>
+      dirOf(rel) == relDir && {
+        Segments.containment(new org.apache.hadoop.fs.Path(p, rel), boundCol,
+            loIncl, hiExcl, conf) match {
+          case Segments.Containment.Contained => true
+          case Segments.Containment.Disjoint => false
+          case Segments.Containment.Unknown => throw new IllegalStateException(
+            s"restatement grain [$loIncl, $hiExcl) is not segment-aligned at " +
+              s"'$rel' (straddling range, in-range nulls, or unusable stats) — " +
+              "compact the grain or restate a segment-aligned range")
+        }
+      }
+    }
+    val batch = Segments.validatedRestateBatch(replacement, boundCol, loIncl, hiExcl)
+    val staged = stageIntoRoot(spark, p, fs, relDir,
+      batch.repartitionByRange(1, org.apache.spark.sql.functions.col(boundCol))
+        .sortWithinPartitions(boundCol))
+    failpoint("written:restate")
+    commit(fs, p, v + 1, (live.diff(grain) ++ staged).sorted)
+  }
+
+  /** The disposal end: delete data files no KEPT generation references
+    * (retired grains, crash orphans, stranded stage dirs) and the
+    * superseded manifests themselves, keeping the newest `keepLast`
+    * generations readable. The grace policy is explicit: run vacuum
+    * only when no reader pins a generation older than the kept window.
+    * Returns the deleted paths (the specs' audit trail).
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "vacuum must keep at least the current generation")
+    val (p, fs) = hadoop(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root has no committed manifest")
+    val kept = vs.takeRight(keepLast)
+    val referenced = kept.flatMap(readManifest(fs, p, _)).toSet
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    // Orphan/retired data files.
+    listDataFiles(fs, p).filterNot(referenced).foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, rel), false)
+      deleted += rel
+    }
+    // Stranded stage dirs (a crash between stage and publish).
+    fs.listStatus(p).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".stage-")).foreach { st =>
+      fs.delete(st.getPath, true)
+      deleted += st.getPath.getName
+    }
+    // Superseded manifests, plus any crash-stranded commit temp.
+    vs.dropRight(keepLast).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(manifestDir(p), manifestName(v)), false)
+      deleted += s"$ManifestDirName/${manifestName(v)}"
+    }
+    fs.listStatus(manifestDir(p))
+      .filter(_.getPath.getName.startsWith(".tmp-")).foreach { st =>
+        fs.delete(st.getPath, false)
+        deleted += s"$ManifestDirName/${st.getPath.getName}"
+      }
+    deleted.toSeq
+  }
+
+  // ---- internals ----
+
+  private def manifestName(v: Long) = f"v$v%09d.manifest"
+
+  private def dirOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.take(i)
+  }
+
+  /** Write `df` into a hidden stage dir, then rename its parts into
+    * `relDir` under the root. The renamed files are INVISIBLE until a
+    * manifest lists them (data-file listings matter only to appends'
+    * before/after diff, which this helper's outputs never race —
+    * single-writer), so the rename is free to happen pre-commit; part
+    * names carry a job UUID, so collisions cannot occur.
+    */
+  private def stageIntoRoot(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, relDir: String,
+      df: DataFrame): Seq[String] = {
+    val stage = new org.apache.hadoop.fs.Path(p, s".stage-${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val dstDir = if (relDir.isEmpty) p else new org.apache.hadoop.fs.Path(p, relDir)
+    val out = fs.listStatus(stage).map(_.getPath)
+      .filter(q => q.getName.startsWith("part-") && q.getName.endsWith(".parquet"))
+      .map { q =>
+        val dst = new org.apache.hadoop.fs.Path(dstDir, q.getName)
+        if (!fs.rename(q, dst))
+          throw new java.io.IOException(s"stage rename failed: $q -> $dst")
+        if (relDir.isEmpty) q.getName else s"$relDir/${q.getName}"
+      }.toSeq
+    fs.delete(stage, true)
+    out
+  }
+
+  /** Recursive relative data-file listing (skips `_`/`.`-prefixed
+    * names at every level — committer markers, manifest dir, stage
+    * dirs).
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    def walk(dir: org.apache.hadoop.fs.Path, prefix: String): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath, s"$prefix$n/")
+        else if (n.endsWith(".parquet")) Seq(s"$prefix$n")
+        else Nil
+      }
+    if (fs.exists(root)) walk(root, "") else Nil
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(manifestDir(root), manifestName(v))
+    val in = fs.open(f)
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      require(lines.headOption.contains(Header),
+        s"$f is not a ${Header} manifest")
+      lines.tail.filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** The ONE visibility step every mutation funnels through: write the
+    * manifest body to a dot-tmp sibling, fsync-close, then a single
+    * atomic rename to its final version name. Rename-onto-existing
+    * fails, so a duplicate version (a second writer, or a replayed
+    * crash) is loud, never a silent overwrite.
+    */
+  private def commit(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long, files: Seq[String]): Unit = {
+    val dir = manifestDir(root)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-${manifestName(v)}")
+    val dst = new org.apache.hadoop.fs.Path(dir, manifestName(v))
+    val out = fs.create(tmp, true)
+    try out.write((Header +: files).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    failpoint("staged:manifest")
+    if (fs.exists(dst) || !fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"manifest commit failed: v$v already exists or rename refused " +
+          s"($tmp -> $dst) — a second writer is mutating this log")
+  }
+}

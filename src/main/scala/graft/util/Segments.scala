@@ -1,7 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Segment-append maintenance for the engine-owned at-rest fact
   * layouts (the sorted logs and the bucketed co-location tables) —
@@ -79,6 +79,11 @@ object Segments {
     */
   def appendSorted(segment: DataFrame, root: String,
       partitionDirs: Seq[String] = Nil): Unit = {
+    // An adopted root upgrades transparently: same recipe, same files,
+    // but visibility moves to the manifest's atomic commit.
+    if (ManifestLog.isManifested(segment.sparkSession, root)) {
+      ManifestLog.appendSorted(segment, root, partitionDirs); return
+    }
     val w = segment.write.mode("append")
     (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
       .parquet(root)
@@ -93,11 +98,24 @@ object Segments {
     * or key fails loudly instead of silently breaking co-location.
     */
   def appendBucketed(segment: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    // Heal any torn compaction swap BEFORE adding files: a file
+    // appended into a crashed bucket's recovery window would be
+    // superseded when that bucket's staged content is finally
+    // installed (see [[swapStaged]]'s single-writer contract).
+    val spark = segment.sparkSession
+    if (spark.catalog.tableExists(table)) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (recoverPendingBuckets(fs, loc)) spark.catalog.refreshTable(table)
+    }
     segment.repartition(buckets, col(key))
       .write.mode("append")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Compact ONE date-range grain of a segment-appended sorted log:
     * select the data files whose footer min/max statistics for
@@ -112,6 +130,10 @@ object Segments {
     */
   def compactSortedRange(spark: org.apache.spark.sql.SparkSession, root: String,
       boundCol: String, loIncl: Long, hiExcl: Long): Unit = {
+    if (ManifestLog.isManifested(spark, root)) {
+      ManifestLog.compactRange(spark, root, "", boundCol, loIncl, hiExcl); return
+    }
+    guardNotInsideManifestedLog(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val conf = spark.sessionState.newHadoopConf()
     val fs = rootPath.getFileSystem(conf)
@@ -139,6 +161,23 @@ object Segments {
       .sortWithinPartitions(boundCol)
       .write.mode("overwrite").parquet(tmp.toString)
     swapStaged(fs, tmp, () => selected, dst)
+  }
+
+  /** A staged-swap range op on a partition SUBDIR of a manifested
+    * layout (the per-year compaction call shape) would delete/rename
+    * files the manifest still lists — readers of every generation
+    * would break. Throw toward the manifest-native per-partition API
+    * instead. One parent level is the layout family's actual nesting
+    * depth (root/year=YYYY).
+    */
+  private def guardNotInsideManifestedLog(
+      spark: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    val parent = new org.apache.hadoop.fs.Path(root).getParent
+    if (parent != null && ManifestLog.isManifested(spark, parent.toString))
+      throw new IllegalStateException(
+        s"$root is a partition directory of the manifested log $parent — " +
+          "staged-swap maintenance here would strand the manifest; use " +
+          "ManifestLog.compactRange/restateRange(root, relDir, ...) instead")
   }
 
   /** Staged range-transaction dirs: `.compact-<lo>-<hi>` /
@@ -204,6 +243,11 @@ object Segments {
   def restateSortedRange(spark: org.apache.spark.sql.SparkSession, root: String,
       boundCol: String, loIncl: Long, hiExcl: Long,
       replacement: DataFrame): Unit = {
+    if (ManifestLog.isManifested(spark, root)) {
+      ManifestLog.restateRange(spark, root, "", boundCol, loIncl, hiExcl, replacement)
+      return
+    }
+    guardNotInsideManifestedLog(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val conf = spark.sessionState.newHadoopConf()
     val fs = rootPath.getFileSystem(conf)
@@ -236,6 +280,24 @@ object Segments {
     // One evaluation of the (possibly expensive) upstream plan; the
     // validation aggregate and the staged write both read the
     // checkpointed blocks.
+    val batch = validatedRestateBatch(replacement, boundCol, loIncl, hiExcl)
+    batch
+      .repartitionByRange(1, col(boundCol))
+      .sortWithinPartitions(boundCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    swapStaged(fs, tmp, () => selected, dst)
+  }
+
+  /** The restatement batch contract, shared by the staged-swap path
+    * and the manifest path ([[ManifestLog.restateRange]]): non-empty
+    * (a whole-grain delete is not a restatement) and entirely inside
+    * the grain — both checked loudly BEFORE anything is written.
+    * Returns the batch locally checkpointed so the (possibly
+    * expensive) upstream plan evaluates once for both the validation
+    * aggregate and the write.
+    */
+  private[util] def validatedRestateBatch(replacement: DataFrame,
+      boundCol: String, loIncl: Long, hiExcl: Long): DataFrame = {
     val batch = replacement.localCheckpoint()
     val checks = batch.agg(
       count(lit(1)).as("total"),
@@ -249,14 +311,10 @@ object Segments {
       s"${checks.getLong(1)} replacement row(s) fall outside the grain " +
         s"[$loIncl, $hiExcl) — a restatement replaces exactly its own grain")
     batch
-      .repartitionByRange(1, col(boundCol))
-      .sortWithinPartitions(boundCol)
-      .write.mode("overwrite").parquet(tmp.toString)
-    swapStaged(fs, tmp, () => selected, dst)
   }
 
-  private sealed trait Containment
-  private object Containment {
+  private[util] sealed trait Containment
+  private[util] object Containment {
     case object Contained extends Containment
     case object Disjoint extends Containment
     case object Unknown extends Containment
@@ -268,7 +326,7 @@ object Segments {
     * value range), or not decidable from trustworthy stats. One footer
     * read, no data pages.
     */
-  private def containment(file: org.apache.hadoop.fs.Path, column: String,
+  private[util] def containment(file: org.apache.hadoop.fs.Path, column: String,
       lo: Long, hi: Long,
       conf: org.apache.hadoop.conf.Configuration): Containment = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -358,29 +416,69 @@ object Segments {
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    def grain(): Seq[org.apache.hadoop.fs.Path] =
-      fs.listStatus(loc).toSeq.filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-          bucketIdOf(n).contains(bucketId)
-      }.map(_.getPath)
+    def grain(): Seq[org.apache.hadoop.fs.Path] = bucketGrain(fs, loc, bucketId)
     val tmp = new org.apache.hadoop.fs.Path(loc, s".compact-$bucketId")
-    // The replacement must keep a trailing _NNNNN that parses to this
-    // bucket: splice the id between the staged part's stem and its
-    // extensions ("part-...-c000" + "_00007" + ".snappy.parquet").
-    def dst(partName: String) = {
-      val dot = partName.indexOf('.')
-      val (stem, ext) = partName.splitAt(if (dot < 0) partName.length else dot)
-      new org.apache.hadoop.fs.Path(loc, f"$stem%s_$bucketId%05d$ext%s")
-    }
+    def dst(partName: String) = bucketDst(loc, bucketId, partName)
     def done(): Unit = spark.catalog.refreshTable(table)
-    if (recoverStaged(fs, tmp, grain, dst)) { done(); return }
+    // Sweep EVERY pending bucket transaction, not only this bucket's —
+    // a crash in bucket N's delete window must not leave N's rows
+    // missing until someone happens to retry compactBucket(N).
+    if (recoverPendingBuckets(fs, loc)) done()
     val olds = grain()
     if (olds.length <= 1) return // grain already compact
     spark.read.parquet(olds.map(_.toString): _*).sort(key)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     swapStaged(fs, tmp, () => olds, dst)
     done()
+  }
+
+  /** One bucket's live data files: everything whose trailing `_NNNNN`
+    * id parses to `bucketId` (K appends leave up to K such files). */
+  private def bucketGrain(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, bucketId: Int): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(loc).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        bucketIdOf(n).contains(bucketId)
+    }.map(_.getPath)
+
+  /** The replacement must keep a trailing _NNNNN that parses to its
+    * bucket: splice the id between the staged part's stem and its
+    * extensions ("part-...-c000" + "_00007" + ".snappy.parquet").
+    */
+  private def bucketDst(loc: org.apache.hadoop.fs.Path, bucketId: Int,
+      partName: String): org.apache.hadoop.fs.Path = {
+    val dot = partName.indexOf('.')
+    val (stem, ext) = partName.splitAt(if (dot < 0) partName.length else dot)
+    new org.apache.hadoop.fs.Path(loc, f"$stem%s_$bucketId%05d$ext%s")
+  }
+
+  /** Staged bucket-transaction dirs: `.compact-<bucketId>` — one
+    * integer; the range transactions' names ([[StagedRangeDir]]) carry
+    * two, so the patterns are disjoint. */
+  private val StagedBucketDir = """^\.compact-(\d+)$""".r
+
+  /** Recover EVERY pending staged bucket transaction under `loc` — the
+    * bucket-table mirror of [[recoverPendingRanges]]: a crash in
+    * bucket N's swap is healed by the next maintenance call on ANY
+    * bucket (or the next append), not only a retry of the same id.
+    * Returns true when any transaction was installed or cleaned up
+    * (the caller refreshes the catalog's file listing).
+    */
+  private def recoverPendingBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Boolean = {
+    var recovered = false
+    fs.listStatus(loc).toSeq.filter(_.isDirectory).foreach { st =>
+      st.getPath.getName match {
+        case StagedBucketDir(idS) =>
+          val id = idS.toInt
+          if (recoverStaged(fs, st.getPath,
+              () => bucketGrain(fs, loc, id), bucketDst(loc, id, _)))
+            recovered = true
+        case _ => ()
+      }
+    }
+    recovered
   }
 
   /** Crash-drill seam (the StagedCommit.failpoint pattern): invoked

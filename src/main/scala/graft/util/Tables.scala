@@ -210,8 +210,18 @@ object Snapshots {
     val fp = fingerprint(spark, dir)
     val cell = paths.computeIfAbsent(
       (dir, name, fp), _ => writeCell(spark, dir, name, fp, partitionBy, () => build))
-    spark.read.parquet(cell.value)
+    readArtifact(spark, cell.value)
   }
+
+  /** Every parquet-artifact read funnels here: a manifested root
+    * ([[ManifestLog]] — an [[install]]ed, maintenance-owned layout)
+    * resolves its CURRENT manifest's exact file set, so queries built
+    * mid-maintenance see one committed generation, never a directory
+    * listing's torn in-between. Plain snapshot paths read as before.
+    */
+  private def readArtifact(spark: SparkSession, path: String): DataFrame =
+    if (ManifestLog.isManifested(spark, path)) ManifestLog.read(spark, path)
+    else spark.read.parquet(path)
 
   /** Unconditional REBUILD of an artifact, replacing whatever the memo
     * holds for (dir, name) — the refresh half of the maintenance
@@ -229,7 +239,7 @@ object Snapshots {
     val cell = writeCell(spark, dir, name, fp, partitionBy, () => build)
     cell.value // force the write before replacing the memo
     paths.put((dir, name, fp), cell)
-    spark.read.parquet(cell.value)
+    readArtifact(spark, cell.value)
   }
 
   private def writeCell(spark: SparkSession, dir: String, name: String,

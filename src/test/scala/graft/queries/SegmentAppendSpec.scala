@@ -333,6 +333,59 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
     }
   }
 
+  test("q46/q47 hold over a MANIFEST-committed sd-log through compaction and vacuum") {
+    val sf = "/root/testdata/sf0.001"
+    val queries = Seq("q46_tpch_q6", "q47_tpch_q3")
+    val expected = queries.map(q => q -> rows(graft.SparkEntry.queries(q)(spark, sf)))
+    val dir = tempCorpusDir("graft_mseg_corpus")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$sf/$t.parquet"),
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$t.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    val n = shufflePartitions
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val liSplit = li.agg(
+      min(unix_micros(col("l_shipdate").cast("timestamp"))),
+      max(unix_micros(col("l_shipdate").cast("timestamp")))).head()
+    val liCut = timestamp_micros(
+      lit(liSplit.getLong(0) + (liSplit.getLong(1) - liSplit.getLong(0)) * 8 / 10))
+    val sdRoot = s"${tempCorpusDir("graft_mseg_sd")}/lineitem-sd-log"
+    // First segment creates the bare root; ADOPTING it turns every
+    // later maintenance call into a manifest commit (the transparent-
+    // upgrade path an in-production layout would take).
+    Relational.appendLineitemSdLogSegment(
+      spark, sdRoot, li.filter(coalesce(col("l_shipdate") < liCut, lit(true))))
+    graft.util.ManifestLog.adopt(spark, sdRoot)
+    Relational.appendLineitemSdLogSegment(
+      spark, sdRoot, li.filter(col("l_shipdate") >= liCut))
+    assert(graft.util.ManifestLog.currentVersion(spark, sdRoot) == 2L)
+    graft.util.Snapshots.install(spark, dir, s"lineitem-sd-log-n$n", sdRoot)
+
+    // Queries built NOW pin generation v2's exact file set.
+    val pinned = queries.map(q => q -> graft.SparkEntry.queries(q)(spark, dir))
+    pinned.zip(expected).foreach { case ((q, df), (_, exp)) =>
+      assert(rows(df) == exp, s"$q diverged over the manifested sd-log")
+    }
+    // Maintenance runs UNDER the pinned readers: compact the whole
+    // span, then vacuum keeping the pinned generation readable.
+    graft.util.Segments.compactSortedRange(spark, sdRoot, "l_shipdate_us",
+      liSplit.getLong(0), liSplit.getLong(1) + 1L)
+    graft.util.ManifestLog.vacuum(spark, sdRoot, keepLast = 2)
+    pinned.zip(expected).foreach { case ((q, df), (_, exp)) =>
+      assert(rows(df) == exp,
+        s"$q: a reader pinned pre-compaction lost its generation")
+    }
+    // Fresh plans resolve the compacted generation and still agree.
+    queries.zip(expected).foreach { case (q, (_, exp)) =>
+      assert(rows(graft.SparkEntry.queries(q)(spark, dir)) == exp,
+        s"$q diverged after compaction+vacuum of the manifested sd-log")
+    }
+  }
+
   test("the SCD2 family answers identically over a segment-appended events log") {
     // events-us-log is the UPSTREAM of derived artifacts (scd2-hwm,
     // scd2-base build FROM it), so installing a segmented log on a

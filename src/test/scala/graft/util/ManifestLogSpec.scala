@@ -1,0 +1,192 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The manifest contract: visibility is ONE atomic rename; readers pin
+  * a generation and stay consistent through concurrent maintenance;
+  * vacuum is the only deleter; every crash window converges because no
+  * window contains a visible intermediate state.
+  */
+class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
+  import sqlImplicits._
+
+  private final class InjectedCrash extends RuntimeException("injected crash")
+
+  private def killAt(step: String)(body: => Unit): Unit = {
+    ManifestLog.failpoint = s => if (s.startsWith(step)) throw new InjectedCrash
+    try intercept[InjectedCrash](body)
+    finally ManifestLog.failpoint = _ => ()
+  }
+
+  private def freshLog(): (String, Seq[(Long, Long)]) = {
+    val root = s"${tempCorpusDir("graft_mlog")}/log"
+    val rows = (0 until 2000).map(i => (i.toLong, i.toLong * 1000L))
+    // Two files with EXACT ranges [0, 1M) and [1M, 2M) — the
+    // restatement test's grain edge must not depend on a range
+    // partitioner's sampled boundary.
+    rows.toDF("k", "ts").filter(col("ts") < 1000000L)
+      .coalesce(1).sortWithinPartitions("ts").write.mode("append").parquet(root)
+    rows.toDF("k", "ts").filter(col("ts") >= 1000000L)
+      .coalesce(1).sortWithinPartitions("ts").write.mode("append").parquet(root)
+    ManifestLog.adopt(spark, root)
+    (root, rows)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("k", "ts").as[(Long, Long)].collect().toSeq.sorted
+
+  test("adopt + append: reader pinned before the append never sees the batch; the next read does") {
+    val (root, rows) = freshLog()
+    val pinned = ManifestLog.read(spark, root) // resolves v1's file list now
+    val batch = (2000 until 2500).map(i => (i.toLong, i.toLong * 1000L))
+    Segments.appendSorted( // routes through the manifest: the root is adopted
+      batch.toDF("k", "ts").repartitionByRange(1, col("ts")).sortWithinPartitions("ts"),
+      root)
+    assert(ManifestLog.currentVersion(spark, root) == 2L)
+    assert(canon(pinned) == rows.sorted, "pinned reader saw a concurrent append")
+    assert(canon(ManifestLog.read(spark, root)) == (rows ++ batch).sorted)
+    assert(canon(ManifestLog.readAt(spark, root, 1L)) == rows.sorted, "time travel to v1")
+  }
+
+  test("compaction retires the grain without deleting it: pinned readers keep their files") {
+    val (root, rows) = freshLog()
+    val batch = (2000 until 2500).map(i => (i.toLong, i.toLong * 1000L))
+    Segments.appendSorted(
+      batch.toDF("k", "ts").repartitionByRange(1, col("ts")).sortWithinPartitions("ts"),
+      root)
+    val pinned = ManifestLog.read(spark, root) // v2: 3 files
+    Segments.compactSortedRange(spark, root, "ts", 0L, 3000000L)
+    val compacted = ManifestLog.read(spark, root)
+    assert(compacted.inputFiles.length == 1, "grain not collapsed to one file")
+    assert(canon(compacted) == (rows ++ batch).sorted)
+    // The retired files are still on disk: the pinned plan scans them.
+    assert(canon(pinned) == (rows ++ batch).sorted,
+      "compaction deleted files a pinned reader references")
+    // Idempotent: a second call is a no-op on the version counter.
+    val v = ManifestLog.currentVersion(spark, root)
+    Segments.compactSortedRange(spark, root, "ts", 0L, 3000000L)
+    assert(ManifestLog.currentVersion(spark, root) == v)
+  }
+
+  test("restatement supersedes the grain in the LIST; prior generation remains auditable") {
+    val (root, rows) = freshLog()
+    // v1 has 2 files over [0, 2M); restate the upper file's range.
+    val files = ManifestLog.read(spark, root).inputFiles.sorted
+    assert(files.length == 2)
+    val corrected = (1000 until 2000).map(i => (i.toLong + 100000L, i.toLong * 1000L))
+    Segments.restateSortedRange(spark, root, "ts", 1000000L, 2000000L,
+      corrected.toDF("k", "ts"))
+    val lower = rows.filter(_._2 < 1000000L)
+    assert(canon(ManifestLog.read(spark, root)) == (lower ++ corrected).sorted)
+    assert(canon(ManifestLog.readAt(spark, root, 1L)) == rows.sorted,
+      "the pre-correction state must stay readable for audit")
+  }
+
+  test("every crash window leaves the current generation untouched; vacuum removes the orphans") {
+    Seq("written:", "staged:manifest").foreach { window =>
+      val (root, rows) = freshLog()
+      killAt(window) {
+        Segments.compactSortedRange(spark, root, "ts", 0L, 3000000L)
+      }
+      // No torn state: v1 is still current and complete.
+      assert(ManifestLog.currentVersion(spark, root) == 1L, s"window '$window'")
+      assert(canon(ManifestLog.read(spark, root)) == rows.sorted, s"window '$window'")
+      // The stranded replacement (and any stage dir) is vacuumable.
+      ManifestLog.vacuum(spark, root)
+      assert(canon(ManifestLog.read(spark, root)) == rows.sorted,
+        s"window '$window': vacuum touched a live file")
+      // Retry converges.
+      Segments.compactSortedRange(spark, root, "ts", 0L, 3000000L)
+      assert(canon(ManifestLog.read(spark, root)) == rows.sorted)
+      assert(ManifestLog.read(spark, root).inputFiles.length == 1)
+    }
+  }
+
+  test("a crashed append is invisible and the retry commits exactly one batch copy") {
+    val (root, rows) = freshLog()
+    val batchDf = (2000 until 2500).map(i => (i.toLong, i.toLong * 1000L))
+      .toDF("k", "ts").repartitionByRange(1, col("ts")).sortWithinPartitions("ts")
+    killAt("written:append") { Segments.appendSorted(batchDf, root) }
+    assert(canon(ManifestLog.read(spark, root)) == rows.sorted,
+      "a crashed append leaked rows into the current generation")
+    ManifestLog.vacuum(spark, root) // drop the orphaned batch files
+    Segments.appendSorted(batchDf, root)
+    assert(ManifestLog.read(spark, root).filter(col("k") >= 2000).count() == 500,
+      "retry duplicated or lost the batch")
+  }
+
+  test("vacuum deletes retired files and old manifests, keeps the pinned window") {
+    val (root, rows) = freshLog()
+    val batch = (2000 until 2500).map(i => (i.toLong, i.toLong * 1000L))
+    Segments.appendSorted(
+      batch.toDF("k", "ts").repartitionByRange(1, col("ts")).sortWithinPartitions("ts"),
+      root)
+    Segments.compactSortedRange(spark, root, "ts", 0L, 3000000L) // v3
+    // keepLast=2: v2 still readable, v1's manifest goes; data files of
+    // v2 (= superset incl. v1's) are all still referenced.
+    val deleted2 = ManifestLog.vacuum(spark, root, keepLast = 2)
+    assert(ManifestLog.versions(spark, root) == Seq(2L, 3L))
+    assert(canon(ManifestLog.readAt(spark, root, 2L)) == (rows ++ batch).sorted)
+    assert(deleted2.exists(_.endsWith("v000000001.manifest")))
+    assert(!deleted2.exists(_.endsWith(".parquet")),
+      "keepLast=2 must not delete files v2 references")
+    // keepLast=1: the three retired segment files go; the live read is intact.
+    val deleted1 = ManifestLog.vacuum(spark, root)
+    assert(deleted1.count(_.endsWith(".parquet")) == 3)
+    assert(canon(ManifestLog.read(spark, root)) == (rows ++ batch).sorted)
+    // Nothing left to vacuum: idempotent.
+    assert(ManifestLog.vacuum(spark, root).isEmpty)
+  }
+
+  test("partitioned layout: shared partition dirs, per-partition compaction, partition pruning") {
+    val root = s"${tempCorpusDir("graft_mlog_part")}/log"
+    def seg(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, i.toLong * 1000L, 1990 + (i % 2)))
+      .toDF("k", "ts", "year")
+      .repartitionByRange(2, col("year"), col("ts")).sortWithinPartitions("ts")
+    seg(0, 1000).write.partitionBy("year").parquet(root)
+    ManifestLog.adopt(spark, root)
+    Segments.appendSorted(seg(1000, 2000), root, Seq("year"))
+    val df = ManifestLog.read(spark, root)
+    assert(df.count() == 2000)
+    assert(df.columns.contains("year"), "basePath read lost the partition column")
+    // Partition pruning: a year filter SCANS only that directory's
+    // files (inputFiles lists the whole relation — pruning is a
+    // physical-planning fact, so read it off the executed scan).
+    val total1990 = df.inputFiles.count(_.contains("year=1990"))
+    val qe = df.filter(col("year") === 1990).queryExecution
+    assert(qe.executedPlan.execute().count() == 1000)
+    val scanned = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned == total1990,
+      s"manifest read broke partition pruning: scanned $scanned files, " +
+        s"year=1990 holds $total1990 of ${df.inputFiles.length}")
+    // Per-partition compaction through the manifest-native API.
+    ManifestLog.compactRange(spark, root, "year=1990", "ts", 0L, 3000000L)
+    val after = ManifestLog.read(spark, root)
+    assert(after.inputFiles.count(_.contains("year=1990")) == 1,
+      "year=1990's grain did not collapse to one file")
+    assert(after.count() == 2000)
+    // The staged-swap entry point on the year SUBDIR must refuse: it
+    // would mutate files the manifest lists.
+    intercept[IllegalStateException] {
+      Segments.compactSortedRange(spark, s"$root/year=1991", "ts", 0L, 3000000L)
+    }
+  }
+
+  test("a duplicate version commit is loud (second-writer detection)") {
+    val (root, rows) = freshLog()
+    // A second writer sneaks its v2 in AFTER this append resolved
+    // current=v1 and staged its own v2 — the exact lost-update race.
+    val dir = java.nio.file.Paths.get(root, "_manifests")
+    ManifestLog.failpoint = s => if (s == "staged:manifest")
+      java.nio.file.Files.write(dir.resolve("v000000002.manifest"),
+        "graft-manifest-v1\n".getBytes("UTF-8"))
+    try intercept[java.io.IOException] {
+      ManifestLog.appendSorted(
+        Seq((9999L, 9999000L)).toDF("k", "ts").coalesce(1), root)
+    } finally ManifestLog.failpoint = _ => ()
+  }
+}

@@ -90,4 +90,37 @@ class SegmentsRecoverySpec extends SparkTestBase with graft.TempCorpusDirs {
       assert(j.count() == 1000)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("a torn bucket is healed by maintenance on a DIFFERENT bucket") {
+    val t = s"graft_rec_bkt_x_${System.nanoTime()}"
+    val df = (0 until 1000).map(i => (i.toLong, i.toString)).toDF("k", "v")
+    Segments.appendBucketed(df.filter(col("k") % 2 === 0), t, "k", 4)
+    Segments.appendBucketed(df.filter(col("k") % 2 === 1), t, "k", 4)
+    // Bucket 2's swap dies in the worst window: its live files are
+    // gone, the staged replacement not yet installed.
+    killAt("deleted:") { Segments.compactBucket(spark, t, "k", 2) }
+    assert(spark.table(t).count() < 1000, "drill setup: crash left no gap")
+    // Compacting bucket 0 — a different grain — must sweep and heal
+    // bucket 2 too: readers between the crash and a lucky same-id
+    // retry would otherwise silently miss bucket 2's rows.
+    Segments.compactBucket(spark, t, "k", 0)
+    assert(spark.table(t).count() == 1000,
+      "cross-bucket sweep did not heal the torn bucket")
+  }
+
+  test("a torn bucket is healed by the next append") {
+    val t = s"graft_rec_bkt_a_${System.nanoTime()}"
+    val df = (0 until 1000).map(i => (i.toLong, i.toString)).toDF("k", "v")
+    Segments.appendBucketed(df.filter(col("k") % 2 === 0), t, "k", 4)
+    Segments.appendBucketed(df.filter(col("k") % 2 === 1), t, "k", 4)
+    killAt("deleted:") { Segments.compactBucket(spark, t, "k", 2) }
+    // The next ingest tick heals the torn grain BEFORE adding its own
+    // files (an append into the crash window would be superseded by
+    // the staged install — the single-writer contract's one hazard).
+    val batch = (1000 until 1200).map(i => (i.toLong, i.toString)).toDF("k", "v")
+    Segments.appendBucketed(batch, t, "k", 4)
+    assert(spark.table(t).count() == 1200,
+      "append-entry sweep did not heal the torn bucket")
+    assert(spark.table(t).groupBy().agg(countDistinct("k")).head().getLong(0) == 1200)
+  }
 }
