@@ -199,7 +199,12 @@ object Snapshots {
   // mutate the map while a mapping function is on the stack. The
   // dependency graph is a DAG, so cell-monitor deadlock cannot occur.
   private final class Cell(build: () => String) {
-    lazy val value: String = build()
+    @volatile private var done = false
+    lazy val value: String = { val v = build(); done = true; v }
+    /** The path if the build already ran — NEVER forces it (gc walks
+      * the memo; forcing a lazy cell there would build artifacts as a
+      * side effect of garbage collection). */
+    def valueIfBuilt: Option[String] = if (done) Some(value) else None
   }
   private val paths =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Cell]
@@ -236,21 +241,29 @@ object Snapshots {
       partitionBy: Seq[String] = Nil)(
       build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
-    val cell = writeCell(spark, dir, name, fp, partitionBy, () => build)
+    // A rebuild writes a NEW generation dir instead of overwriting the
+    // memoized path in place: an overwrite DELETES the files first, so
+    // any reader holding a plan over the old artifact (a query built
+    // before the quantizer-drift canary tripped) would lose its scan
+    // mid-flight. The old generation stays on disk for pinned readers;
+    // [[gc]] collects whatever the memo no longer points to.
+    val cell = writeCell(spark, dir, name, fp, partitionBy, () => build,
+      suffix = s"-gen${java.util.UUID.randomUUID.toString.take(8)}")
     cell.value // force the write before replacing the memo
     paths.put((dir, name, fp), cell)
     readArtifact(spark, cell.value)
   }
 
   private def writeCell(spark: SparkSession, dir: String, name: String,
-      fp: String, partitionBy: Seq[String], build: () => DataFrame): Cell =
+      fp: String, partitionBy: Seq[String], build: () => DataFrame,
+      suffix: String = ""): Cell =
     new Cell(() => {
       // md5 of the corpus dir, not hashCode: hashCode collisions
       // between two corpus dirs would silently serve wrong-corpus
       // artifacts (and abs(Int.MinValue) is negative).
       val dirKey = md5Hex(dir).take(12)
       val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-$name"
+        s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-$name$suffix"
       val w = build().write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(out)
@@ -352,6 +365,36 @@ object Snapshots {
           fs.delete(p, true)
           removed += s"path:$p"
         }
+    // Superseded REBUILD generations within the current fingerprint:
+    // each [[rebuild]] writes a fresh `-gen<id>` dir so pinned readers
+    // keep their files; once no memo cell points at a generation (or
+    // at the base dir a generation superseded), it is stale. Only
+    // EVALUATED cells count — forcing a lazy cell here would build
+    // artifacts as a side effect of gc.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val live = paths.entrySet().asScala
+        .filter(e => e.getKey._1 == dir && e.getKey._3 == fp)
+        .flatMap(_.getValue.valueIfBuilt)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName)
+        .toSet
+      val GenDir = """^(.*)-gen[0-9a-f]{8}$""".r
+      val supersededBases = live.collect { case GenDir(base) => base }
+      if (fs.exists(tmp))
+        fs.listStatus(tmp)
+          .map(_.getPath)
+          .filter(_.getName.startsWith(pKeep))
+          .filter { p =>
+            p.getName match {
+              case GenDir(_) => !live.contains(p.getName)
+              case n => supersededBases.contains(n)
+            }
+          }
+          .foreach { p =>
+            fs.delete(p, true)
+            removed += s"path:$p"
+          }
+    }
     // Stale memo cells (same dir, superseded fingerprint) — without
     // this, a session that GCs and then touches an old-generation key
     // would read a deleted path instead of rebuilding.

@@ -64,4 +64,33 @@ class SnapshotsGcSpec extends SparkTestBase with graft.TempCorpusDirs {
     // And a second gc finds nothing left to do.
     assert(Snapshots.gc(spark, dir).isEmpty, "gc is not idempotent")
   }
+
+  test("rebuild writes a new generation: pinned readers keep their files; gc collects the old one") {
+    val dir = tempCorpusDir("graft_gc_gen")
+    writeCorpus(dir, 10)
+    val v1 = Snapshots(spark, dir, "gen-probe")(spark.read.parquet(s"$dir/t.parquet"))
+    val v1Files = v1.inputFiles.toSeq
+    assert(v1.count() == 10)
+    // Refresh (the quantizer-retrain shape): the corpus is UNCHANGED —
+    // same fingerprint — but the artifact is re-derived. The rebuild
+    // must not overwrite v1's path in place: `v1` is a pinned reader.
+    val v2 = Snapshots.rebuild(spark, dir, "gen-probe")(
+      spark.read.parquet(s"$dir/t.parquet").filter($"k" <= 5))
+    assert(v2.count() == 5)
+    assert(v2.inputFiles.toSeq.intersect(v1Files).isEmpty,
+      "rebuild reused the old generation's files")
+    assert(v1.count() == 10,
+      "rebuild deleted files a pinned reader references")
+    // The memo serves the refreshed generation from now on.
+    assert(Snapshots(spark, dir, "gen-probe")(
+      sys.error("memo must be warm")).count() == 5)
+    // gc collects the superseded base generation, keeps the current.
+    val removed = Snapshots.gc(spark, dir)
+    assert(removed.exists(_.contains("gen-probe")),
+      s"superseded base generation not collected: $removed")
+    assert(Snapshots(spark, dir, "gen-probe")(
+      sys.error("memo must still be warm")).count() == 5,
+      "gc damaged the live rebuilt generation")
+    assert(Snapshots.gc(spark, dir).isEmpty, "gen gc is not idempotent")
+  }
 }
