@@ -414,4 +414,91 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
       assert(got == exp, s"$q diverged over the segmented events log")
     }
   }
+
+  test("the SCD2 family holds over a MANIFESTED events log through an identity restatement") {
+    val sf = "/root/testdata/sf0.001"
+    val queries = Seq("q145_scd2_merge", "q148_snapshot_drift", "q149_scd2_lookup")
+    val expected = queries.map(q => rows(graft.SparkEntry.queries(q)(spark, sf)))
+    val dir = tempCorpusDir("graft_mseg_events")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$sf/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val ev = Events.eventsUs(spark, dir)
+    val span = ev.agg(min("ts_us"), max("ts_us")).head()
+    val cut = span.getLong(0) + (span.getLong(1) - span.getLong(0)) * 8 / 10
+    val root = s"${tempCorpusDir("graft_mseg_evroot")}/events-us-log"
+    Events.appendEventsUsLogSegment(spark, root, ev.filter(col("ts_us") < cut))
+    graft.util.ManifestLog.adopt(spark, root)
+    Events.appendEventsUsLogSegment(spark, root, ev.filter(col("ts_us") >= cut))
+    graft.util.Snapshots.install(spark, dir, s"events-us-log-n$shufflePartitions", root)
+    // SCD2's derived artifacts (hwm, base) build FROM the manifested
+    // log — the whole derivation chain reads through the manifest.
+    val pinned = queries.map(q => graft.SparkEntry.queries(q)(spark, dir))
+    pinned.zip(expected).foreach { case (df, exp) =>
+      assert(rows(df) == exp, "SCD2 diverged over the manifested events log")
+    }
+    // An upstream CORRECTION arrives: the second segment's grain is
+    // restated with byte-identical content (the equality-preserving
+    // probe). The restatement must supersede exactly that grain.
+    graft.util.Segments.restateSortedRange(spark, root, "ts_us",
+      cut, span.getLong(1) + 1L, ev.filter(col("ts_us") >= cut))
+    graft.util.ManifestLog.vacuum(spark, root, keepLast = 2)
+    pinned.zip(expected).foreach { case (df, exp) =>
+      assert(rows(df) == exp,
+        "a reader pinned pre-restatement lost its generation")
+    }
+    queries.zip(expected).foreach { case (q, exp) =>
+      assert(rows(graft.SparkEntry.queries(q)(spark, dir)) == exp,
+        s"$q diverged after a manifest-committed restatement")
+    }
+  }
+
+  test("q47/q48 hold over a MANIFESTED orders-by-year layout with per-year compaction") {
+    val sf = "/root/testdata/sf0.001"
+    val queries = Seq("q47_tpch_q3", "q48_partition_pruned")
+    val expected = queries.map(q => rows(graft.SparkEntry.queries(q)(spark, sf)))
+    val dir = tempCorpusDir("graft_mseg_orders")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$sf/$t.parquet"),
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$t.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    val n = shufflePartitions
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val oSplit = orders.agg(
+      min(unix_micros(col("o_orderdate").cast("timestamp"))),
+      max(unix_micros(col("o_orderdate").cast("timestamp")))).head()
+    val oCut = timestamp_micros(
+      lit(oSplit.getLong(0) + (oSplit.getLong(1) - oSplit.getLong(0)) * 8 / 10))
+    val root = s"${tempCorpusDir("graft_mseg_oroot")}/orders-by-year"
+    Relational.appendOrdersByYearSegment(
+      spark, root, orders.filter(coalesce(col("o_orderdate") < oCut, lit(true))))
+    graft.util.ManifestLog.adopt(spark, root)
+    Relational.appendOrdersByYearSegment(
+      spark, root, orders.filter(col("o_orderdate") >= oCut))
+    graft.util.Snapshots.install(spark, dir, s"orders-by-year-n$n", root)
+    queries.zip(expected).foreach { case (q, exp) =>
+      assert(rows(graft.SparkEntry.queries(q)(spark, dir)) == exp,
+        s"$q diverged over the manifested orders-by-year layout")
+    }
+    // Compact every year directory the two segments both wrote into,
+    // through the manifest-native per-partition API, then vacuum.
+    val years = graft.util.ManifestLog.read(spark, root).inputFiles
+      .flatMap(_.split('/').find(_.startsWith("order_year="))).distinct
+    years.foreach { y =>
+      graft.util.ManifestLog.compactRange(spark, root, y, "o_orderdate_us",
+        Long.MinValue, Long.MaxValue)
+    }
+    graft.util.ManifestLog.vacuum(spark, root)
+    queries.zip(expected).foreach { case (q, exp) =>
+      assert(rows(graft.SparkEntry.queries(q)(spark, dir)) == exp,
+        s"$q diverged after per-year compaction of the manifested layout")
+    }
+  }
 }
