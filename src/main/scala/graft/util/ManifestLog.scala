@@ -108,6 +108,14 @@ object ManifestLog {
       .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
   }
 
+  /** The current generation's relative file list (the maintenance
+    * tick's view of what is live — orphans and retired files never
+    * appear here). */
+  private[util] def currentFiles(spark: SparkSession, root: String): Seq[String] = {
+    val (p, fs) = hadoop(spark, root)
+    readManifest(fs, p, currentVersion(spark, root))
+  }
+
   def currentVersion(spark: SparkSession, root: String): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root has no committed manifest — adopt() it first")

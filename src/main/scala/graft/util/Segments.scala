@@ -163,6 +163,96 @@ object Segments {
     swapStaged(fs, tmp, () => selected, dst)
   }
 
+  /** The self-driving end of the [[CompactAfterSegments]] policy: ONE
+    * maintenance-tick call that finds every over-fragmented grain and
+    * compacts it, instead of leaving grain selection to the operator.
+    * Grains are DERIVED from the live files' footer ranges: files
+    * whose [min,max] intervals overlap form a connected component
+    * (appends over the same span always land in one component), and a
+    * component holding more than `maxFiles` files is compacted over
+    * its exact span. Components of ≤ maxFiles files — including every
+    * already-compacted history grain — are untouched, so a tick over a
+    * year of history costs footer reads plus only the fragmented
+    * grains' rewrites. Files without trustworthy stats (or with null
+    * boundary values) belong to no component and are never touched.
+    *
+    * Manifest-aware: on an adopted root the tick reads the CURRENT
+    * manifest (per partition directory) and commits through
+    * [[ManifestLog.compactRange]]; on a bare root it lists the
+    * directory and swaps through the staged protocol. Returns the
+    * compacted grains as (relDir, lo, hiExcl) for the caller's ledger.
+    */
+  def maintainSorted(spark: org.apache.spark.sql.SparkSession, root: String,
+      boundCol: String,
+      maxFiles: Int = CompactAfterSegments): Seq[(String, Long, Long)] = {
+    require(maxFiles >= 1, "maxFiles must admit at least one file per grain")
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val manifested = ManifestLog.isManifested(spark, root)
+    val byDir: Map[String, Seq[org.apache.hadoop.fs.Path]] =
+      if (manifested)
+        ManifestLog.currentFiles(spark, root)
+          .groupBy(rel => rel.lastIndexOf('/') match {
+            case -1 => ""
+            case i => rel.take(i)
+          })
+          .view.mapValues(_.map(new org.apache.hadoop.fs.Path(rootPath, _))).toMap
+      else
+        Map("" -> fs.listStatus(rootPath).toSeq.filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath))
+    val done = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    byDir.toSeq.sortBy(_._1).foreach { case (relDir, files) =>
+      // Interval components over the files with usable stats.
+      val ranged = files.flatMap(f => fileRange(f, boundCol, conf)).sortBy(_._1)
+      var i = 0
+      while (i < ranged.length) {
+        var (lo, hi) = ranged(i)
+        var count = 1
+        var j = i + 1
+        while (j < ranged.length && ranged(j)._1 <= hi) {
+          hi = math.max(hi, ranged(j)._2)
+          count += 1
+          j += 1
+        }
+        // hi == Long.MaxValue cannot be expressed as an exclusive
+        // bound; such a grain (a sentinel timestamp) stays fragmented
+        // rather than silently widening into a neighbor.
+        if (count > maxFiles && hi < Long.MaxValue) {
+          if (manifested)
+            ManifestLog.compactRange(spark, root, relDir, boundCol, lo, hi + 1)
+          else
+            compactSortedRange(spark, root, boundCol, lo, hi + 1)
+          done += ((relDir, lo, hi + 1))
+        }
+        i = j
+      }
+    }
+    done.toSeq
+  }
+
+  /** [[maintainSorted]] for the bucketed co-location tables: compact
+    * every bucket whose live file count exceeds `maxFiles` (K appends
+    * leave K files per bucket). Returns the compacted bucket ids.
+    */
+  def maintainBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+      key: String, maxFiles: Int = CompactAfterSegments): Seq[Int] = {
+    require(maxFiles >= 1, "maxFiles must admit at least one file per bucket")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val counts = fs.listStatus(loc).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) bucketIdOf(n) else None
+    }.groupBy(identity).view.mapValues(_.size)
+    val targets = counts.filter(_._2 > maxFiles).keys.toSeq.sorted
+    targets.foreach(compactBucket(spark, table, key, _))
+    targets
+  }
+
   /** A staged-swap range op on a partition SUBDIR of a manifested
     * layout (the per-year compaction call shape) would delete/rename
     * files the manifest still lists — readers of every generation
