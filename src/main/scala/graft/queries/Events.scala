@@ -147,7 +147,8 @@ object Events {
   private[graft] def appendEventsUsLogSegment(
       s: SparkSession, root: String, batchEventsUs: DataFrame): Unit = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    graft.util.Segments.appendSorted(usLogFrame(batchEventsUs, n), root)
+    graft.util.Segments.appendSorted(usLogFrame(batchEventsUs, n), root,
+      boundCol = Some("ts_us"))
   }
 
   /** The events at-or-after a micros cutoff, read from the ts-sorted

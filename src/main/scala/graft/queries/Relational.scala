@@ -63,7 +63,8 @@ object Relational {
       batchOrders: org.apache.spark.sql.DataFrame): Unit = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
     graft.util.Segments.appendSorted(
-      ordersYearFrame(batchOrders, n), root, partitionDirs = Seq("order_year"))
+      ordersYearFrame(batchOrders, n), root, partitionDirs = Seq("order_year"),
+      boundCol = Some("o_orderdate_us"))
   }
 
   /** A date slice of [[ordersByYear]] with both pruning predicates
@@ -394,7 +395,8 @@ object Relational {
       s: org.apache.spark.sql.SparkSession, root: String,
       batchLi: org.apache.spark.sql.DataFrame): Unit = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    graft.util.Segments.appendSorted(sdLogFrame(batchLi, n), root)
+    graft.util.Segments.appendSorted(sdLogFrame(batchLi, n), root,
+      boundCol = Some("l_shipdate_us"))
   }
 
   /** The lineitem batch shipped at-or-after a micros cutoff (NULL ship

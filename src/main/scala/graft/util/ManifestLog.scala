@@ -36,12 +36,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Single-WRITER is still the contract (one ingest pipeline owns a
   * layout); it is the readers that the manifest frees.
+  *
+  * Manifest lines optionally carry the file's min/max for the layout's
+  * boundary column (`path<TAB>col<TAB>min<TAB>max`), recorded from ONE
+  * footer read at ingest — the write-time-stats idea table formats use.
+  * At 100 TB a sorted log is hundreds of thousands of files; stats in
+  * the manifest let [[readSlice]] pick a date slice's files at plan
+  * time without opening a single footer, and let the maintenance tick
+  * ([[Segments.maintainSorted]]) and [[expireBefore]] classify grains
+  * from the manifest alone. Stats are recorded only when trustworthy
+  * (non-null, decidable footer statistics); a stats-less line is
+  * always selected — pruning may only ever widen, never drop.
   */
 object ManifestLog {
 
   private val ManifestDirName = "_manifests"
   private val Header = "graft-manifest-v1"
   private val VersionFile = """^v(\d{9})\.manifest$""".r
+
+  /** One live data file: its root-relative path, plus min/max of the
+    * layout's boundary column when a trustworthy footer provided them
+    * at write time (absence means "cannot prune by this file's range",
+    * never "empty"). */
+  private[util] final case class Entry(
+      path: String, stats: Option[(String, Long, Long)]) {
+    def line: String = stats match {
+      case Some((c, mn, mx)) => s"$path\t$c\t$mn\t$mx"
+      case None => path
+    }
+    /** Whether a [loIncl, hiExcl) slice may need this file. */
+    def mayOverlap(col: String, loIncl: Long, hiExcl: Long): Boolean =
+      stats match {
+        case Some((c, mn, mx)) if c == col => mx >= loIncl && mn < hiExcl
+        case _ => true
+      }
+    /** Whether this file lies WHOLLY inside [loIncl, hiExcl) by its
+      * recorded stats (false when stats are absent — conservative both
+      * ways: never prune, never claim containment). */
+    def within(col: String, loIncl: Long, hiExcl: Long): Boolean =
+      stats match {
+        case Some((c, mn, mx)) if c == col => mn >= loIncl && mx < hiExcl
+        case _ => false
+      }
+  }
+
+  private def parseEntry(line: String): Entry = line.split('\t') match {
+    case Array(p, c, mn, mx) => Entry(p, Some((c, mn.toLong, mx.toLong)))
+    case _ => Entry(line, None)
+  }
 
   /** Crash-drill seam (the [[Segments.failpoint]] pattern): invoked
     * with a step tag at each mutation step; identity in production.
@@ -79,13 +121,37 @@ object ManifestLog {
   /** Adopt an existing parquet log root: commit v1 = the current
     * recursive data-file listing. The one-shot build IS the first
     * generation; every later mutation goes through manifest commits.
+    * Pass the layout's boundary column to record each file's min/max
+    * in the manifest (one footer read per file, once — every later
+    * slice read, maintenance tick, and retention pass then classifies
+    * files without touching a footer).
     */
-  def adopt(spark: SparkSession, root: String): Unit = {
+  def adopt(spark: SparkSession, root: String,
+      boundCol: Option[String] = None): Unit = {
     val (p, fs) = hadoop(spark, root)
     require(!fs.exists(manifestDir(p)), s"$root is already manifested")
     fs.mkdirs(manifestDir(p))
-    commit(fs, p, 1L, listDataFiles(fs, p).sorted)
+    commit(fs, p, 1L, entriesFor(spark, p, listDataFiles(fs, p), boundCol))
   }
+
+  /** Stats-recorded entries for a set of new relative paths: one footer
+    * read each when `boundCol` is given and trustworthy (files with
+    * nulls or undecidable stats stay stats-less — never prunable).
+    */
+  private def entriesFor(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+      files: Seq[String], boundCol: Option[String]): Seq[Entry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { rel =>
+      Entry(rel, boundCol.flatMap { c =>
+        fileRangeOf(new org.apache.hadoop.fs.Path(p, rel), c, conf)
+          .map { case (mn, mx) => (c, mn, mx) }
+      })
+    }
+  }
+
+  private def fileRangeOf(file: org.apache.hadoop.fs.Path, col: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] =
+    Segments.fileRange(file, col, conf)
 
   /** The current generation as a DataFrame: resolve the highest
     * manifest ONCE, scan exactly its files. `basePath` keeps partition
@@ -102,8 +168,29 @@ object ManifestLog {
     */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val (p, fs) = hadoop(spark, root)
-    val files = readManifest(fs, p, version)
+    val files = readManifest(fs, p, version).map(_.path)
     require(files.nonEmpty, s"manifest v$version of $root lists no files")
+    spark.read.option("basePath", root)
+      .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+  }
+
+  /** A [loIncl, hiExcl) boundary slice resolved from MANIFEST stats:
+    * only files whose recorded range may overlap the slice reach the
+    * scan — zero footer reads, zero data reads for everything outside.
+    * This is the 100 TB planning path: a day's boundary read over a
+    * years-long log plans against the day's files, not a listing of
+    * the whole history. File selection is a SUPERSET of the matching
+    * rows (stats-less files are always included), so callers apply
+    * their row predicate as usual; with no selectable file the full
+    * generation is returned and the predicate does the work.
+    */
+  def readSlice(spark: SparkSession, root: String, boundCol: String,
+      loIncl: Long, hiExcl: Long): DataFrame = {
+    val (p, fs) = hadoop(spark, root)
+    val entries = readManifest(fs, p, currentVersion(spark, root))
+    val picked = entries.filter(_.mayOverlap(boundCol, loIncl, hiExcl))
+    val files = (if (picked.nonEmpty) picked else entries).map(_.path)
+    require(files.nonEmpty, s"$root lists no files")
     spark.read.option("basePath", root)
       .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
   }
@@ -111,7 +198,10 @@ object ManifestLog {
   /** The current generation's relative file list (the maintenance
     * tick's view of what is live — orphans and retired files never
     * appear here). */
-  private[util] def currentFiles(spark: SparkSession, root: String): Seq[String] = {
+  private[util] def currentFiles(spark: SparkSession, root: String): Seq[String] =
+    currentEntries(spark, root).map(_.path)
+
+  private[util] def currentEntries(spark: SparkSession, root: String): Seq[Entry] = {
     val (p, fs) = hadoop(spark, root)
     readManifest(fs, p, currentVersion(spark, root))
   }
@@ -130,7 +220,8 @@ object ManifestLog {
     * recover.
     */
   def appendSorted(segment: DataFrame, root: String,
-      partitionDirs: Seq[String] = Nil): Unit = {
+      partitionDirs: Seq[String] = Nil,
+      boundCol: Option[String] = None): Unit = {
     val spark = segment.sparkSession
     val (p, fs) = hadoop(spark, root)
     val v = currentVersion(spark, root)
@@ -141,7 +232,8 @@ object ManifestLog {
     failpoint("written:append")
     // Single-writer: everything new on disk is this append's output.
     val added = (listDataFiles(fs, p).toSet -- before).toSeq.sorted
-    commit(fs, p, v + 1, (readManifest(fs, p, v) ++ added).sorted)
+    commit(fs, p, v + 1,
+      readManifest(fs, p, v) ++ entriesFor(spark, p, added, boundCol))
   }
 
   /** Per-grain compaction, manifest-committed: the grain is the LIVE
@@ -159,19 +251,40 @@ object ManifestLog {
     val conf = spark.sessionState.newHadoopConf()
     val v = currentVersion(spark, root)
     val live = readManifest(fs, p, v)
-    val grain = live.filter { rel =>
-      dirOf(rel) == relDir &&
-        Segments.containment(new org.apache.hadoop.fs.Path(p, rel), boundCol,
-          loIncl, hiExcl, conf) == Segments.Containment.Contained
+    val grain = live.filter { e =>
+      dirOf(e.path) == relDir &&
+        classify(p, e, boundCol, loIncl, hiExcl, conf) ==
+          Segments.Containment.Contained
     }
     if (grain.length <= 1) return // already compact
     val replacement = stageIntoRoot(spark, p, fs, relDir,
-      spark.read.parquet(grain.map(new org.apache.hadoop.fs.Path(p, _).toString): _*)
+      spark.read.parquet(
+          grain.map(e => new org.apache.hadoop.fs.Path(p, e.path).toString): _*)
         .repartitionByRange(1, org.apache.spark.sql.functions.col(boundCol))
         .sortWithinPartitions(boundCol))
     failpoint("written:compact")
-    commit(fs, p, v + 1, (live.diff(grain) ++ replacement).sorted)
+    commit(fs, p, v + 1,
+      live.diff(grain) ++ entriesFor(spark, p, replacement, Some(boundCol)))
   }
+
+  /** [[Segments.containment]] answered from manifest stats when the
+    * entry carries them for this column (stats are recorded only when
+    * the footer was trustworthy and null-free, so a stats straddle is
+    * genuinely Unknown-for-this-grain), with a footer read as the
+    * fallback for stats-less entries or other columns.
+    */
+  private def classify(p: org.apache.hadoop.fs.Path, e: Entry, col: String,
+      loIncl: Long, hiExcl: Long,
+      conf: org.apache.hadoop.conf.Configuration): Segments.Containment =
+    e.stats match {
+      case Some((c, mn, mx)) if c == col =>
+        if (mx < loIncl || mn >= hiExcl) Segments.Containment.Disjoint
+        else if (mn >= loIncl && mx < hiExcl) Segments.Containment.Contained
+        else Segments.Containment.Unknown
+      case _ =>
+        Segments.containment(new org.apache.hadoop.fs.Path(p, e.path), col,
+          loIncl, hiExcl, conf)
+    }
 
   /** Grain restatement (the correction primitive), manifest-committed.
     * Same alignment contract as [[Segments.restateSortedRange]]: live
@@ -187,16 +300,15 @@ object ManifestLog {
     val conf = spark.sessionState.newHadoopConf()
     val v = currentVersion(spark, root)
     val live = readManifest(fs, p, v)
-    val grain = live.filter { rel =>
-      dirOf(rel) == relDir && {
-        Segments.containment(new org.apache.hadoop.fs.Path(p, rel), boundCol,
-            loIncl, hiExcl, conf) match {
+    val grain = live.filter { e =>
+      dirOf(e.path) == relDir && {
+        classify(p, e, boundCol, loIncl, hiExcl, conf) match {
           case Segments.Containment.Contained => true
           case Segments.Containment.Disjoint => false
           case Segments.Containment.Unknown => throw new IllegalStateException(
             s"restatement grain [$loIncl, $hiExcl) is not segment-aligned at " +
-              s"'$rel' (straddling range, in-range nulls, or unusable stats) — " +
-              "compact the grain or restate a segment-aligned range")
+              s"'${e.path}' (straddling range, in-range nulls, or unusable stats) " +
+              "— compact the grain or restate a segment-aligned range")
         }
       }
     }
@@ -205,7 +317,40 @@ object ManifestLog {
       batch.repartitionByRange(1, org.apache.spark.sql.functions.col(boundCol))
         .sortWithinPartitions(boundCol))
     failpoint("written:restate")
-    commit(fs, p, v + 1, (live.diff(grain) ++ staged).sorted)
+    commit(fs, p, v + 1,
+      live.diff(grain) ++ entriesFor(spark, p, staged, Some(boundCol)))
+  }
+
+  /** Layout-level retention: commit a generation WITHOUT the files
+    * that lie wholly below `cutoff` on `boundCol` — a metadata-only
+    * operation (no data is read or rewritten; one footer read per
+    * candidate file decides it). Straddling files, null-bearing files,
+    * and files without trustworthy stats are KEPT — retention must
+    * never over-delete; compact the boundary grain first if a tighter
+    * cut is needed. The expired files stay on disk for pinned readers
+    * and for [[readAt]] audit until [[vacuum]] — retention and
+    * disposal are deliberately separate steps, because a retention
+    * policy answers "what may queries see" while vacuum answers "what
+    * may we destroy", and regulated deployments time those
+    * differently. Returns the number of files retired (0 = no commit).
+    */
+  def expireBefore(spark: SparkSession, root: String, boundCol: String,
+      cutoff: Long): Int = {
+    val (p, fs) = hadoop(spark, root)
+    val conf = spark.sessionState.newHadoopConf()
+    val v = currentVersion(spark, root)
+    val live = readManifest(fs, p, v)
+    val (expired, kept) = live.partition { e =>
+      classify(p, e, boundCol, Long.MinValue, cutoff, conf) ==
+        Segments.Containment.Contained
+    }
+    if (expired.isEmpty) return 0
+    require(kept.nonEmpty,
+      s"retention cutoff $cutoff would expire EVERY live file of $root — " +
+        "an empty layout is indistinguishable from a torn one; drop the " +
+        "layout explicitly instead")
+    commit(fs, p, v + 1, kept)
+    expired.length
   }
 
   /** The disposal end: delete data files no KEPT generation references
@@ -221,7 +366,7 @@ object ManifestLog {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root has no committed manifest")
     val kept = vs.takeRight(keepLast)
-    val referenced = kept.flatMap(readManifest(fs, p, _)).toSet
+    val referenced = kept.flatMap(readManifest(fs, p, _)).map(_.path).toSet
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     // Orphan/retired data files.
     listDataFiles(fs, p).filterNot(referenced).foreach { rel =>
@@ -299,14 +444,14 @@ object ManifestLog {
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] = {
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[Entry] = {
     val f = new org.apache.hadoop.fs.Path(manifestDir(root), manifestName(v))
     val in = fs.open(f)
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       require(lines.headOption.contains(Header),
         s"$f is not a ${Header} manifest")
-      lines.tail.filter(_.nonEmpty)
+      lines.tail.filter(_.nonEmpty).map(parseEntry)
     } finally in.close()
   }
 
@@ -317,12 +462,13 @@ object ManifestLog {
     * crash) is loud, never a silent overwrite.
     */
   private def commit(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long, files: Seq[String]): Unit = {
+      root: org.apache.hadoop.fs.Path, v: Long, entries: Seq[Entry]): Unit = {
     val dir = manifestDir(root)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-${manifestName(v)}")
     val dst = new org.apache.hadoop.fs.Path(dir, manifestName(v))
     val out = fs.create(tmp, true)
-    try out.write((Header +: files).mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write((Header +: entries.sortBy(_.path).map(_.line))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     failpoint("staged:manifest")
     if (fs.exists(dst) || !fs.rename(tmp, dst))

@@ -78,11 +78,13 @@ object Segments {
     * year directories, so directory pruning sees one tree.
     */
   def appendSorted(segment: DataFrame, root: String,
-      partitionDirs: Seq[String] = Nil): Unit = {
+      partitionDirs: Seq[String] = Nil,
+      boundCol: Option[String] = None): Unit = {
     // An adopted root upgrades transparently: same recipe, same files,
-    // but visibility moves to the manifest's atomic commit.
+    // but visibility moves to the manifest's atomic commit (with the
+    // new files' boundary stats recorded when the recipe names one).
     if (ManifestLog.isManifested(segment.sparkSession, root)) {
-      ManifestLog.appendSorted(segment, root, partitionDirs); return
+      ManifestLog.appendSorted(segment, root, partitionDirs, boundCol); return
     }
     val w = segment.write.mode("append")
     (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
@@ -190,23 +192,34 @@ object Segments {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     val manifested = ManifestLog.isManifested(spark, root)
-    val byDir: Map[String, Seq[org.apache.hadoop.fs.Path]] =
+    // (relDir, recorded-or-footer range). Manifest entries carrying
+    // stats for the bound column classify WITHOUT a footer read — at
+    // 100k files the tick's discovery pass is then a manifest parse.
+    val byDir: Map[String, Seq[Option[(Long, Long)]]] =
       if (manifested)
-        ManifestLog.currentFiles(spark, root)
-          .groupBy(rel => rel.lastIndexOf('/') match {
-            case -1 => ""
-            case i => rel.take(i)
-          })
-          .view.mapValues(_.map(new org.apache.hadoop.fs.Path(rootPath, _))).toMap
+        ManifestLog.currentEntries(spark, root)
+          .map { e =>
+            val relDir = e.path.lastIndexOf('/') match {
+              case -1 => ""
+              case i => e.path.take(i)
+            }
+            val range = e.stats match {
+              case Some((c, mn, mx)) if c == boundCol => Some((mn, mx))
+              case _ => fileRange(
+                new org.apache.hadoop.fs.Path(rootPath, e.path), boundCol, conf)
+            }
+            (relDir, range)
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       else
         Map("" -> fs.listStatus(rootPath).toSeq.filter { st =>
           val n = st.getPath.getName
           st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }.map(_.getPath))
+        }.map(st => fileRange(st.getPath, boundCol, conf)))
     val done = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-    byDir.toSeq.sortBy(_._1).foreach { case (relDir, files) =>
+    byDir.toSeq.sortBy(_._1).foreach { case (relDir, fileRanges) =>
       // Interval components over the files with usable stats.
-      val ranged = files.flatMap(f => fileRange(f, boundCol, conf)).sortBy(_._1)
+      val ranged = fileRanges.flatten.sortBy(_._1)
       var i = 0
       while (i < ranged.length) {
         var (lo, hi) = ranged(i)
@@ -456,7 +469,7 @@ object Segments {
     * answer: such a file is never selected for compaction). One footer
     * read, no data pages.
     */
-  private def fileRange(file: org.apache.hadoop.fs.Path, column: String,
+  private[util] def fileRange(file: org.apache.hadoop.fs.Path, column: String,
       conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))

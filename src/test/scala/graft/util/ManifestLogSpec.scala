@@ -176,6 +176,70 @@ class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     }
   }
 
+  test("retention expires whole files below the cutoff, keeps straddlers, never empties the layout") {
+    val (root, rows) = freshLog() // files [0, 1M) and [1M, 2M)
+    // A cutoff inside the second file: only the first file is wholly
+    // below it — the straddler is KEPT (retention never over-deletes).
+    assert(ManifestLog.expireBefore(spark, root, "ts", 1500000L) == 1)
+    assert(canon(ManifestLog.read(spark, root)) == rows.filter(_._2 >= 1000000L).sorted,
+      "expiry must retire exactly the wholly-below files")
+    // The expired history is still auditable, then vacuumable.
+    assert(canon(ManifestLog.readAt(spark, root, 1L)) == rows.sorted)
+    val deleted = ManifestLog.vacuum(spark, root)
+    assert(deleted.count(_.endsWith(".parquet")) == 1)
+    // Idempotent: nothing else is wholly below the cutoff.
+    assert(ManifestLog.expireBefore(spark, root, "ts", 1500000L) == 0)
+    // Expiring EVERYTHING is refused loudly.
+    intercept[IllegalArgumentException] {
+      ManifestLog.expireBefore(spark, root, "ts", Long.MaxValue)
+    }
+  }
+
+  test("write-time stats in the manifest drive plan-time file pruning (readSlice)") {
+    val root = s"${tempCorpusDir("graft_mlog_stats")}/log"
+    val rows = (0 until 2000).map(i => (i.toLong, i.toLong * 1000L))
+    rows.toDF("k", "ts").filter(col("ts") < 1000000L)
+      .coalesce(1).sortWithinPartitions("ts").write.mode("append").parquet(root)
+    ManifestLog.adopt(spark, root, boundCol = Some("ts"))
+    Segments.appendSorted(
+      rows.toDF("k", "ts").filter(col("ts") >= 1000000L)
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, boundCol = Some("ts"))
+    // The manifest itself records each file's range: stats lines are
+    // path<TAB>col<TAB>min<TAB>max.
+    val mdir = java.nio.file.Paths.get(root, "_manifests")
+    val lines = java.nio.file.Files.readAllLines(
+      mdir.resolve("v000000002.manifest")).toArray.map(_.toString)
+    assert(lines.count(_.contains("\tts\t")) == 2,
+      s"expected 2 stats-bearing lines: ${lines.toSeq}")
+    // A slice inside the second file's range plans ONE file — without
+    // opening any footer (the file list comes from the manifest).
+    val slice = ManifestLog.readSlice(spark, root, "ts", 1500000L, 1600000L)
+    assert(slice.inputFiles.length == 1,
+      s"slice planned ${slice.inputFiles.length} files instead of 1")
+    assert(slice.filter(col("ts") >= 1500000L && col("ts") < 1600000L).count() == 100)
+    // Proof the pruned file is never touched: remove it from disk; the
+    // slice still answers (a full read would need the missing file).
+    val pruned = ManifestLog.read(spark, root).inputFiles
+      .filterNot(slice.inputFiles.toSet).head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(new java.net.URI(pruned)))
+    assert(ManifestLog.readSlice(spark, root, "ts", 1500000L, 1600000L)
+      .filter(col("ts") >= 1500000L && col("ts") < 1600000L).count() == 100,
+      "the slice touched a file its stats had excluded")
+    // The maintenance tick classifies from the same stats: nothing to
+    // compact here (each file its own component).
+    assert(Segments.maintainSorted(spark, root, "ts", maxFiles = 1).isEmpty)
+  }
+
+  test("a stats-less manifest slices conservatively: every file is selected") {
+    val (root, rows) = freshLog() // adopted WITHOUT a bound column
+    val slice = ManifestLog.readSlice(spark, root, "ts", 1500000L, 1600000L)
+    assert(slice.inputFiles.length == 2,
+      "stats-less entries must never be pruned")
+    assert(slice.filter(col("ts") >= 1500000L && col("ts") < 1600000L).count() == 100)
+    assert(canon(slice) == rows.sorted)
+  }
+
   test("a duplicate version commit is loud (second-writer detection)") {
     val (root, rows) = freshLog()
     // A second writer sneaks its v2 in AFTER this append resolved
