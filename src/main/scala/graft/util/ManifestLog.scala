@@ -195,12 +195,8 @@ object ManifestLog {
       .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
   }
 
-  /** The current generation's relative file list (the maintenance
-    * tick's view of what is live — orphans and retired files never
-    * appear here). */
-  private[util] def currentFiles(spark: SparkSession, root: String): Seq[String] =
-    currentEntries(spark, root).map(_.path)
-
+  /** The current generation's entries (the maintenance tick's view of
+    * what is live — orphans and retired files never appear here). */
   private[util] def currentEntries(spark: SparkSession, root: String): Seq[Entry] = {
     val (p, fs) = hadoop(spark, root)
     readManifest(fs, p, currentVersion(spark, root))
