@@ -158,8 +158,15 @@ object Events {
     * path: whatever [[Tables.events]] adapted to, the log is always
     * sorted BIGINT micros.
     */
-  private[graft] def eventsUsSince(s: SparkSession, dir: String, cutoffUs: Long): DataFrame =
-    eventsUsLog(s, dir).filter(col("ts_us") >= cutoffUs)
+  private[graft] def eventsUsSince(s: SparkSession, dir: String, cutoffUs: Long): DataFrame = {
+    // Boundary hint for a manifested log: the batch read plans only
+    // the files whose manifest-recorded ts range reaches the cutoff.
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Snapshots.slice(s, dir, s"events-us-log-n$n",
+        "ts_us", cutoffUs, Long.MaxValue) {
+      usLogFrame(eventsUs(s, dir), n)
+    }.filter(col("ts_us") >= cutoffUs)
+  }
 
   /** 1-row at-rest hwm companion: the dimension covers the first 80%
     * of the corpus ts span, the rest is "the new batch since the last

@@ -75,7 +75,17 @@ object Relational {
   private def ordersSlice(
       s: org.apache.spark.sql.SparkSession, dir: String,
       fromIncl: Option[String], untilExcl: Option[String]): org.apache.spark.sql.DataFrame = {
-    val base = ordersByYear(s, dir)
+    // Boundary hint for a manifested layout: plan only the files whose
+    // manifest-recorded date range may overlap the slice (directory
+    // and row-group pruning then narrow within them, as always).
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = graft.util.Snapshots.slice(s, dir, s"orders-by-year-n$n",
+        "o_orderdate_us",
+        fromIncl.map(dateUs).getOrElse(Long.MinValue),
+        untilExcl.map(dateUs).getOrElse(Long.MaxValue),
+        partitionBy = Seq("order_year")) {
+      ordersYearFrame(tbl(s, dir, "orders"), n)
+    }
     val lower = fromIncl.map { f =>
       col("order_year") >= f.take(4).toInt && col("o_orderdate_us") >= dateUs(f)
     }
@@ -408,9 +418,17 @@ object Relational {
     */
   private[graft] def lineitemSince(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      cutoffUs: Long): org.apache.spark.sql.DataFrame =
-    lineitemSdLog(s, dir)
-      .filter(col("l_shipdate_us") >= cutoffUs || col("l_shipdate_us").isNull)
+      cutoffUs: Long): org.apache.spark.sql.DataFrame = {
+    // The boundary hint: a manifested log plans only the files whose
+    // recorded stats may hold rows at-or-after the cutoff. Null ship
+    // dates ride along regardless — stats are recorded only for
+    // null-free files, and stats-less files are never pruned.
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Snapshots.slice(s, dir, s"lineitem-sd-log-n$n",
+        "l_shipdate_us", cutoffUs, Long.MaxValue) {
+      sdLogFrame(tbl(s, dir, "lineitem"), n)
+    }.filter(col("l_shipdate_us") >= cutoffUs || col("l_shipdate_us").isNull)
+  }
 
   /** The at-rest partsupp grain a previous incremental run left
     * behind: the [[partsupp]] aggregate over only the lineitem rows

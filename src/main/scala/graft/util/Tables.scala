@@ -228,6 +228,29 @@ object Snapshots {
     if (ManifestLog.isManifested(spark, path)) ManifestLog.read(spark, path)
     else spark.read.parquet(path)
 
+  /** [[apply]] with a boundary hint: the incremental query paths (the
+    * since/slice boundary reads) declare the [loIncl, hiExcl) window
+    * they will filter to, and a MANIFESTED artifact then plans only
+    * the files whose manifest-recorded stats may overlap it
+    * ([[ManifestLog.readSlice]] — stats-less files always included, so
+    * selection is a row superset and the caller's filter stays
+    * load-bearing). On a plain snapshot path the hint is free: the
+    * read is identical to [[apply]] and row-group pruning does the
+    * skipping. This is how a manifested 100 TB deployment keeps a
+    * day's boundary read from planning a listing of years of history.
+    */
+  def slice(spark: SparkSession, dir: String, name: String,
+      boundCol: String, loIncl: Long, hiExcl: Long,
+      partitionBy: Seq[String] = Nil)(
+      build: => DataFrame): DataFrame = {
+    val fp = fingerprint(spark, dir)
+    val cell = paths.computeIfAbsent(
+      (dir, name, fp), _ => writeCell(spark, dir, name, fp, partitionBy, () => build))
+    if (ManifestLog.isManifested(spark, cell.value))
+      ManifestLog.readSlice(spark, cell.value, boundCol, loIncl, hiExcl)
+    else spark.read.parquet(cell.value)
+  }
+
   /** Unconditional REBUILD of an artifact, replacing whatever the memo
     * holds for (dir, name) — the refresh half of the maintenance
     * lifecycle ([[install]] is the append half): when an incremental

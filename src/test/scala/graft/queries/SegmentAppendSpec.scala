@@ -386,6 +386,43 @@ class SegmentAppendSpec extends SparkTestBase with graft.TempCorpusDirs {
     }
   }
 
+  test("the incremental boundary read plans only a manifested log's overlapping files") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tempCorpusDir("graft_mslice_corpus")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$sf/lineitem.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val n = shufflePartitions
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val liSplit = li.agg(
+      min(unix_micros(col("l_shipdate").cast("timestamp"))),
+      max(unix_micros(col("l_shipdate").cast("timestamp")))).head()
+    val cutUs = liSplit.getLong(0) + (liSplit.getLong(1) - liSplit.getLong(0)) * 8 / 10
+    val liCut = timestamp_micros(lit(cutUs))
+    val sdRoot = s"${tempCorpusDir("graft_mslice_sd")}/lineitem-sd-log"
+    Relational.appendLineitemSdLogSegment(
+      spark, sdRoot, li.filter(coalesce(col("l_shipdate") < liCut, lit(true))))
+    graft.util.ManifestLog.adopt(spark, sdRoot, boundCol = Some("l_shipdate_us"))
+    Relational.appendLineitemSdLogSegment(
+      spark, sdRoot, li.filter(col("l_shipdate") >= liCut))
+    graft.util.Snapshots.install(spark, dir, s"lineitem-sd-log-n$n", sdRoot)
+    val total = graft.util.ManifestLog.read(spark, sdRoot).inputFiles.length
+    val since = Relational.lineitemSince(spark, dir, cutUs)
+    // Plan-time file pruning: the first segment's stats-bearing files
+    // (wholly below the cutoff) never reach the scan. Null-ship-date
+    // files are stats-less and always ride along.
+    assert(since.inputFiles.length < total,
+      s"boundary read planned all $total files of the manifested log")
+    // Row fidelity against the unsliced read's filter.
+    val expect = graft.util.ManifestLog.read(spark, sdRoot)
+      .filter(col("l_shipdate_us") >= cutUs || col("l_shipdate_us").isNull)
+      .count()
+    assert(since.count() == expect, "the sliced boundary read lost rows")
+  }
+
   test("the SCD2 family answers identically over a segment-appended events log") {
     // events-us-log is the UPSTREAM of derived artifacts (scd2-hwm,
     // scd2-base build FROM it), so installing a segmented log on a
