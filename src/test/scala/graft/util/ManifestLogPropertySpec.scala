@@ -1,0 +1,111 @@
+package graft.util
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Seeded fuzz of the manifest lifecycle (the SegmentsPropertySpec
+  * idiom): random interleavings of append / compact-tick / restate /
+  * expire / vacuum, with readers pinned at random points, must always
+  * satisfy the manifest invariants — the current read equals a plain
+  * in-memory model of the operations, every pinned reader inside the
+  * kept window re-collects its generation exactly, and slice reads
+  * agree with filtered full reads. The directed ManifestLogSpec proves
+  * each mechanism; this spec proves the composition has no
+  * op-order-dependent edges.
+  */
+class ManifestLogPropertySpec extends SparkTestBase with graft.TempCorpusDirs {
+  import sqlImplicits._
+
+  private val rng = new Random(2063)
+
+  test("random op interleavings keep current, pinned, and sliced reads model-exact") {
+    (1 to 3).foreach { trial =>
+      val root = s"${tempCorpusDir(s"graft_mfuzz$trial")}/log"
+      // Model: the rows the CURRENT generation must hold.
+      var model = Vector.empty[(Long, Long)]
+      var nextKey = 0L
+      def batch(lo: Long, hiExcl: Long, nRows: Int): Seq[(Long, Long)] =
+        (0 until nRows).map { _ =>
+          nextKey += 1
+          (nextKey, lo + math.abs(rng.nextLong()) % math.max(1L, hiExcl - lo))
+        }
+      def append(rows: Seq[(Long, Long)]): Unit = {
+        Segments.appendSorted(
+          rows.toDF("k", "ts").coalesce(1).sortWithinPartitions("ts"),
+          root, boundCol = Some("ts"))
+        model ++= rows
+      }
+      // Seed generation + adoption with stats.
+      val first = batch(0L, 1000000L, 200)
+      first.toDF("k", "ts").coalesce(1).sortWithinPartitions("ts")
+        .write.parquet(root)
+      ManifestLog.adopt(spark, root, boundCol = Some("ts"))
+      model ++= first
+
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.select("k", "ts").as[(Long, Long)].collect().toSeq.sorted
+
+      // Readers pinned mid-lifecycle: (dataframe, expected rows).
+      var pinned = Vector.empty[(org.apache.spark.sql.DataFrame, Seq[(Long, Long)])]
+
+      (1 to 12).foreach { _ =>
+        rng.nextInt(6) match {
+          case 0 | 1 => // append a random-span batch (possibly far future)
+            val lo = rng.nextInt(4).toLong * 1000000L
+            append(batch(lo, lo + 1000000L, 50 + rng.nextInt(150)))
+          case 2 => // maintenance tick at a small bound
+            Segments.maintainSorted(spark, root, "ts", maxFiles = 2)
+          case 3 => // restate a random committed span with shifted keys
+            val lo = rng.nextInt(4).toLong * 1000000L
+            val hi = lo + 1000000L
+            val grainRows = model.filter(r => r._2 >= lo && r._2 < hi)
+            if (grainRows.nonEmpty) {
+              val replacement = grainRows.map { case (k, ts) => (k + 1000000L, ts) }
+              // Only aligned grains restate; fragmented ones throw —
+              // compact first, as the contract prescribes.
+              Segments.maintainSorted(spark, root, "ts", maxFiles = 1)
+              Segments.restateSortedRange(spark, root, "ts", lo, hi,
+                replacement.toDF("k", "ts"))
+              model = model.filterNot(r => r._2 >= lo && r._2 < hi) ++ replacement
+            }
+          case 4 => // retention at a random cutoff (best-effort: may expire nothing)
+            val cutoff = rng.nextInt(3).toLong * 1000000L
+            val wouldKeep = model.exists(_._2 >= cutoff)
+            if (cutoff > 0 && wouldKeep) {
+              // Align grains so whole files fall below the cutoff.
+              Segments.maintainSorted(spark, root, "ts", maxFiles = 1)
+              val dropped = ManifestLog.expireBefore(spark, root, "ts", cutoff)
+              if (dropped > 0)
+                model = model.filter(_._2 >= cutoff)
+            }
+          case 5 => // pin a reader on the current generation
+            pinned :+= ((ManifestLog.read(spark, root), model.sorted))
+        }
+        // Invariant after EVERY op: current read == model.
+        assert(canon(ManifestLog.read(spark, root)) == model.sorted,
+          s"trial $trial: current generation diverged from the model")
+        // Slice read == filtered full read on a random window.
+        val lo = rng.nextInt(4).toLong * 1000000L
+        val hi = lo + 1000000L
+        val slice = ManifestLog.readSlice(spark, root, "ts", lo, hi)
+          .filter(col("ts") >= lo && col("ts") < hi)
+        assert(canon(slice) == model.filter(r => r._2 >= lo && r._2 < hi).sorted,
+          s"trial $trial: slice read diverged")
+      }
+      // Every pinned reader still answers its own generation (nothing
+      // was vacuumed while pins were live).
+      pinned.foreach { case (df, expect) =>
+        assert(canon(df) == expect, s"trial $trial: a pinned reader drifted")
+      }
+      // Vacuum to the current generation only, then: current read
+      // still model-exact, pinned readers are explicitly OUT of the
+      // kept window (the documented grace contract).
+      ManifestLog.vacuum(spark, root)
+      assert(canon(ManifestLog.read(spark, root)) == model.sorted,
+        s"trial $trial: vacuum damaged the live generation")
+    }
+  }
+}
