@@ -131,7 +131,7 @@ object ManifestLog {
     val (p, fs) = hadoop(spark, root)
     require(!fs.exists(manifestDir(p)), s"$root is already manifested")
     fs.mkdirs(manifestDir(p))
-    commit(fs, p, 1L, entriesFor(spark, p, listDataFiles(fs, p), boundCol))
+    commit(fs, p, 1L, entriesFor(spark, p, listDataFiles(fs, p), boundCol), "adopt")
   }
 
   /** Stats-recorded entries for a set of new relative paths: one footer
@@ -158,19 +158,23 @@ object ManifestLog {
     * directory columns (the orders-by-year layout) visible and
     * prunable exactly as a directory read would.
     */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readAt(spark, root, currentVersion(spark, root))
+  def read(spark: SparkSession, root: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    readAt(spark, root, currentVersion(spark, root), options)
 
   /** Time travel: the log exactly as generation `version` committed it
     * — valid as long as the generation is within [[vacuum]]'s kept
     * window (audits, repro of a training run against the corpus state
-    * it actually saw).
+    * it actually saw). `options` passes reader options through (e.g.
+    * `mergeSchema` for a log whose segments span schema generations —
+    * the SchemaDriftSpec contract holds for manifested logs too).
     */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, root: String, version: Long,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val (p, fs) = hadoop(spark, root)
     val files = readManifest(fs, p, version).map(_.path)
     require(files.nonEmpty, s"manifest v$version of $root lists no files")
-    spark.read.option("basePath", root)
+    spark.read.options(options).option("basePath", root)
       .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
   }
 
@@ -229,7 +233,7 @@ object ManifestLog {
     // Single-writer: everything new on disk is this append's output.
     val added = (listDataFiles(fs, p).toSet -- before).toSeq.sorted
     commit(fs, p, v + 1,
-      readManifest(fs, p, v) ++ entriesFor(spark, p, added, boundCol))
+      readManifest(fs, p, v) ++ entriesFor(spark, p, added, boundCol), "append")
   }
 
   /** Per-grain compaction, manifest-committed: the grain is the LIVE
@@ -260,7 +264,7 @@ object ManifestLog {
         .sortWithinPartitions(boundCol))
     failpoint("written:compact")
     commit(fs, p, v + 1,
-      live.diff(grain) ++ entriesFor(spark, p, replacement, Some(boundCol)))
+      live.diff(grain) ++ entriesFor(spark, p, replacement, Some(boundCol)), "compact")
   }
 
   /** [[Segments.containment]] answered from manifest stats when the
@@ -314,7 +318,7 @@ object ManifestLog {
         .sortWithinPartitions(boundCol))
     failpoint("written:restate")
     commit(fs, p, v + 1,
-      live.diff(grain) ++ entriesFor(spark, p, staged, Some(boundCol)))
+      live.diff(grain) ++ entriesFor(spark, p, staged, Some(boundCol)), "restate")
   }
 
   /** Layout-level retention: commit a generation WITHOUT the files
@@ -345,7 +349,7 @@ object ManifestLog {
       s"retention cutoff $cutoff would expire EVERY live file of $root — " +
         "an empty layout is indistinguishable from a torn one; drop the " +
         "layout explicitly instead")
-    commit(fs, p, v + 1, kept)
+    commit(fs, p, v + 1, kept, "expire")
     expired.length
   }
 
@@ -440,15 +444,36 @@ object ManifestLog {
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long): Seq[Entry] = {
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[Entry] =
+    readRaw(fs, root, v)._2
+
+  /** (operation tag, entries) of one committed manifest. The header is
+    * `graft-manifest-v1 op=<tag>`; a bare header (earlier manifests)
+    * reads as op "unknown".
+    */
+  private def readRaw(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): (String, Seq[Entry]) = {
     val f = new org.apache.hadoop.fs.Path(manifestDir(root), manifestName(v))
     val in = fs.open(f)
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      require(lines.headOption.contains(Header),
+      require(lines.headOption.exists(_.startsWith(Header)),
         s"$f is not a ${Header} manifest")
-      lines.tail.filter(_.nonEmpty).map(parseEntry)
+      val op = lines.head.split("op=").drop(1).headOption.getOrElse("unknown")
+      (op, lines.tail.filter(_.nonEmpty).map(parseEntry))
     } finally in.close()
+  }
+
+  /** The audit trail: (version, operation, live-file count) per kept
+    * generation — what happened to this layout and when, answerable
+    * from the manifest directory alone.
+    */
+  def describe(spark: SparkSession, root: String): Seq[(Long, String, Int)] = {
+    val (p, fs) = hadoop(spark, root)
+    versions(spark, root).map { v =>
+      val (op, entries) = readRaw(fs, p, v)
+      (v, op, entries.length)
+    }
   }
 
   /** The ONE visibility step every mutation funnels through: write the
@@ -458,12 +483,13 @@ object ManifestLog {
     * crash) is loud, never a silent overwrite.
     */
   private def commit(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long, entries: Seq[Entry]): Unit = {
+      root: org.apache.hadoop.fs.Path, v: Long, entries: Seq[Entry],
+      op: String): Unit = {
     val dir = manifestDir(root)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-${manifestName(v)}")
     val dst = new org.apache.hadoop.fs.Path(dir, manifestName(v))
     val out = fs.create(tmp, true)
-    try out.write((Header +: entries.sortBy(_.path).map(_.line))
+    try out.write((s"$Header op=$op" +: entries.sortBy(_.path).map(_.line))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     failpoint("staged:manifest")

@@ -86,6 +86,32 @@ class SchemaDriftSpec extends SparkTestBase with TempCorpusDirs {
     assert(v1Files.intersect(v2Files).isEmpty, "schema generations share scan files — stats lost")
   }
 
+  test("the widened-segment contract holds on a MANIFESTED log, slices included") {
+    val root = s"${tempCorpusDir("graft_drift_mlog")}/log"
+    val v1 = (0 until 1000).map(i => (i.toLong, i.toLong * 1000L)).toDF("k", "ts")
+    v1.repartitionByRange(2, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(root)
+    graft.util.ManifestLog.adopt(spark, root, boundCol = Some("ts"))
+    val v2 = (1000 until 2000).map(i => (i.toLong, i.toLong * 1000L, s"attr$i"))
+      .toDF("k", "ts", "attr")
+    graft.util.Segments.appendSorted(
+      v2.repartitionByRange(2, col("ts")).sortWithinPartitions("ts"), root,
+      boundCol = Some("ts"))
+    val merged = graft.util.ManifestLog.read(spark, root,
+      Map("mergeSchema" -> "true"))
+    assert(merged.columns.toSet == Set("k", "ts", "attr"))
+    assert(merged.count() == 2000)
+    assert(merged.filter(col("attr").isNull).count() == 1000, "v1 rows must read null-filled")
+    // Stats-driven slice planning works ACROSS schema generations: a
+    // v2-range slice plans only v2's files (and still reads the wide
+    // schema when asked).
+    val slice = graft.util.ManifestLog.readSlice(spark, root, "ts",
+      1500000L, 1600000L)
+    assert(slice.inputFiles.length < merged.inputFiles.length,
+      "slice planned every schema generation's files")
+    assert(slice.filter(col("ts") >= 1500000L && col("ts") < 1600000L).count() == 100)
+  }
+
   test("the bucketed append path rejects a widened batch loudly") {
     val t = s"graft_drift_bkt_${System.nanoTime()}"
     val v1 = (0 until 100).map(i => (i.toLong, i.toString)).toDF("k", "v")

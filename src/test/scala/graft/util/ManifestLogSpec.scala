@@ -240,6 +240,20 @@ class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(canon(slice) == rows.sorted)
   }
 
+  test("describe narrates the lifecycle from the manifest directory alone") {
+    val (root, _) = freshLog()
+    Segments.appendSorted(
+      Seq((5000L, 2500000L)).toDF("k", "ts").coalesce(1), root)
+    assert(ManifestLog.expireBefore(spark, root, "ts", 1500000L) == 1)
+    Segments.compactSortedRange(spark, root, "ts", 1000000L, 3000000L)
+    val trail = ManifestLog.describe(spark, root)
+    assert(trail.map(_._2) == Seq("adopt", "append", "expire", "compact"),
+      s"unexpected audit trail: $trail")
+    assert(trail.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // File counts narrate the shape: 2 → 3 → 2 → 1.
+    assert(trail.map(_._3) == Seq(2, 3, 2, 1), s"unexpected live counts: $trail")
+  }
+
   test("a duplicate version commit is loud (second-writer detection)") {
     val (root, rows) = freshLog()
     // A second writer sneaks its v2 in AFTER this append resolved
