@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.util.ManifestLog
+
+/** Streaming ingest into a MANIFESTED sorted log — the incremental
+  * writer for the layouts [[graft.util.ManifestLog]] maintains. Where
+  * [[DocStream]]/[[VecStream]] need the staged-marker protocol for
+  * multi-TABLE atomicity (payload + digest index per batch), a single
+  * sorted log's exactly-once collapses to the manifest's own commit:
+  * each micro-batch is one [[ManifestLog.appendBatch]], idempotent
+  * under foreachBatch's at-least-once replay because every manifest
+  * header carries the batch high-water mark.
+  *
+  * What the manifest buys a STREAMING writer specifically:
+  *  - readers pinned at any generation never observe a half batch —
+  *    visibility is one rename, so there is no marker/undo machinery
+  *    and no batch-stamped file names to reason about;
+  *  - maintenance composes: compaction / retention / restatement can
+  *    run BETWEEN micro-batches on the same log (they propagate the
+  *    high-water mark), so the log stays query-shaped while it ingests;
+  *  - each batch is clustered on the log's boundary column before the
+  *    write, so its manifest entries carry tight write-time stats and
+  *    the since/slice query family prunes to the batches it needs.
+  *
+  * Scale shape: a micro-batch writes `filesPerBatch` sorted files and
+  * one manifest line apiece — O(batch) work, history untouched; the
+  * self-driving tick ([[graft.util.Segments.maintainSorted]]) bounds
+  * file-count growth the same way it does for batch appends.
+  */
+object LogStream {
+
+  /** One micro-batch of the ingest transaction — factored out so the
+    * batch semantics (bootstrap, crash replay, maintenance
+    * interleaving) are testable without a streaming harness. Returns
+    * whether the batch committed (false = replay of a committed batch).
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, root: String,
+      boundCol: String, filesPerBatch: Int = 1): Boolean = {
+    val spark = batch.sparkSession
+    // Bootstrap: the first batch finds no manifest chain to append to.
+    // create() is crash-convergent — a retry of a half-created root
+    // (manifest dir present, no committed version) completes it, and
+    // the empty generation anchors the replay guard before any data
+    // file exists.
+    if (ManifestLog.versions(spark, root).isEmpty)
+      ManifestLog.create(spark, root)
+    ManifestLog.appendBatch(
+      batch.repartitionByRange(filesPerBatch, col(boundCol))
+        .sortWithinPartitions(boundCol),
+      root, batchId, boundCol = Some(boundCol))
+  }
+
+  /** Watch `srcDir` for parquet drops and append each micro-batch to
+    * the manifested log at `root`, clustered on `boundCol`. The
+    * checkpoint gives at-least-once batch replay; the manifest's batch
+    * high-water mark turns that into exactly-once.
+    */
+  def runLogStream(spark: SparkSession, srcDir: String, root: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
+      boundCol: String, filesPerBatch: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, root, boundCol, filesPerBatch)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

@@ -85,10 +85,17 @@ object ManifestLog {
     case _ => Entry(line, None)
   }
 
+  /** One committed manifest, parsed: the operation that produced it,
+    * the batch high-water mark it carries (see [[appendBatch]]; -1 =
+    * no streaming batch has ever committed), and the live entries.
+    */
+  private[util] final case class Manifest(
+      op: String, batchHwm: Long, entries: Seq[Entry])
+
   /** Crash-drill seam (the [[Segments.failpoint]] pattern): invoked
     * with a step tag at each mutation step; identity in production.
     */
-  @volatile private[util] var failpoint: String => Unit = _ => ()
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
 
   private def hadoop(spark: SparkSession, root: String) = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -131,7 +138,73 @@ object ManifestLog {
     val (p, fs) = hadoop(spark, root)
     require(!fs.exists(manifestDir(p)), s"$root is already manifested")
     fs.mkdirs(manifestDir(p))
-    commit(fs, p, 1L, entriesFor(spark, p, listDataFiles(fs, p), boundCol), "adopt")
+    commit(fs, p, 1L, entriesFor(spark, p, listDataFiles(fs, p), boundCol),
+      "adopt", -1L)
+  }
+
+  /** Bootstrap an EMPTY manifested log (the streaming-sink path, where
+    * generation 1 must exist before the first batch lands so that a
+    * crash between "layout exists" and "first batch committed" has a
+    * recoverable state to converge onto). The empty generation is
+    * deliberately not readable — [[read]] refuses a fileless manifest —
+    * it exists only as the commit chain's anchor. Safe to call on a
+    * half-created root (manifest dir present, no version committed):
+    * the retry completes the bootstrap.
+    */
+  def create(spark: SparkSession, root: String): Unit = {
+    val (p, fs) = hadoop(spark, root)
+    require(versions(spark, root).isEmpty,
+      s"$root already has committed manifests — create() is only for bootstrap")
+    fs.mkdirs(manifestDir(p))
+    require(listDataFiles(fs, p).isEmpty,
+      s"$root holds data files — adopt() an existing layout instead")
+    commit(fs, p, 1L, Nil, "create", -1L)
+  }
+
+  /** The batch high-water mark: the highest streaming batch id any
+    * [[appendBatch]] has committed to this log (-1 before the first).
+    * Read from the CURRENT manifest header alone — every commit
+    * propagates it — so the replay guard needs no scan of manifest
+    * history and survives [[vacuum]].
+    */
+  def batchHwm(spark: SparkSession, root: String): Long = {
+    val (p, fs) = hadoop(spark, root)
+    readRaw(fs, p, currentVersion(spark, root)).batchHwm
+  }
+
+  /** Idempotent, batch-stamped segment append — the streaming sink's
+    * exactly-once building block. A Structured Streaming foreachBatch
+    * replay re-runs a batch with the SAME batchId whenever the crash
+    * preceded the checkpoint's commit record; this entry point makes
+    * that replay safe: a batchId at or under the log's high-water mark
+    * already committed (the crash happened AFTER our manifest rename),
+    * so the call is a no-op; a batchId above it runs as a normal
+    * append whose commit advances the mark. A crash BEFORE the rename
+    * leaves the current generation untouched and the attempt's files
+    * as vacuumable orphans — the replay writes fresh files and the
+    * before/after listing diff (which includes the orphans in
+    * "before") commits exactly the fresh set, so no crash window can
+    * double a batch. Returns whether the batch committed (false = a
+    * replay of an already-committed batch).
+    */
+  def appendBatch(segment: DataFrame, root: String, batchId: Long,
+      partitionDirs: Seq[String] = Nil,
+      boundCol: Option[String] = None): Boolean = {
+    require(batchId >= 0L, s"batch ids are non-negative, got $batchId")
+    val spark = segment.sparkSession
+    val (p, fs) = hadoop(spark, root)
+    val v = currentVersion(spark, root)
+    val m = readRaw(fs, p, v)
+    if (batchId <= m.batchHwm) return false // committed — replay is a no-op
+    val before = listDataFiles(fs, p).toSet
+    val w = segment.write.mode("append")
+    (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
+      .parquet(root)
+    failpoint("written:append-batch")
+    val added = (listDataFiles(fs, p).toSet -- before).toSeq.sorted
+    commit(fs, p, v + 1,
+      m.entries ++ entriesFor(spark, p, added, boundCol), "append-batch", batchId)
+    true
   }
 
   /** Stats-recorded entries for a set of new relative paths: one footer
@@ -225,6 +298,7 @@ object ManifestLog {
     val spark = segment.sparkSession
     val (p, fs) = hadoop(spark, root)
     val v = currentVersion(spark, root)
+    val m = readRaw(fs, p, v)
     val before = listDataFiles(fs, p).toSet
     val w = segment.write.mode("append")
     (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
@@ -233,7 +307,7 @@ object ManifestLog {
     // Single-writer: everything new on disk is this append's output.
     val added = (listDataFiles(fs, p).toSet -- before).toSeq.sorted
     commit(fs, p, v + 1,
-      readManifest(fs, p, v) ++ entriesFor(spark, p, added, boundCol), "append")
+      m.entries ++ entriesFor(spark, p, added, boundCol), "append", m.batchHwm)
   }
 
   /** Per-grain compaction, manifest-committed: the grain is the LIVE
@@ -250,7 +324,8 @@ object ManifestLog {
     val (p, fs) = hadoop(spark, root)
     val conf = spark.sessionState.newHadoopConf()
     val v = currentVersion(spark, root)
-    val live = readManifest(fs, p, v)
+    val m = readRaw(fs, p, v)
+    val live = m.entries
     val grain = live.filter { e =>
       dirOf(e.path) == relDir &&
         classify(p, e, boundCol, loIncl, hiExcl, conf) ==
@@ -264,7 +339,8 @@ object ManifestLog {
         .sortWithinPartitions(boundCol))
     failpoint("written:compact")
     commit(fs, p, v + 1,
-      live.diff(grain) ++ entriesFor(spark, p, replacement, Some(boundCol)), "compact")
+      live.diff(grain) ++ entriesFor(spark, p, replacement, Some(boundCol)),
+      "compact", m.batchHwm)
   }
 
   /** [[Segments.containment]] answered from manifest stats when the
@@ -299,7 +375,8 @@ object ManifestLog {
     val (p, fs) = hadoop(spark, root)
     val conf = spark.sessionState.newHadoopConf()
     val v = currentVersion(spark, root)
-    val live = readManifest(fs, p, v)
+    val m = readRaw(fs, p, v)
+    val live = m.entries
     val grain = live.filter { e =>
       dirOf(e.path) == relDir && {
         classify(p, e, boundCol, loIncl, hiExcl, conf) match {
@@ -318,7 +395,8 @@ object ManifestLog {
         .sortWithinPartitions(boundCol))
     failpoint("written:restate")
     commit(fs, p, v + 1,
-      live.diff(grain) ++ entriesFor(spark, p, staged, Some(boundCol)), "restate")
+      live.diff(grain) ++ entriesFor(spark, p, staged, Some(boundCol)),
+      "restate", m.batchHwm)
   }
 
   /** Layout-level retention: commit a generation WITHOUT the files
@@ -339,8 +417,8 @@ object ManifestLog {
     val (p, fs) = hadoop(spark, root)
     val conf = spark.sessionState.newHadoopConf()
     val v = currentVersion(spark, root)
-    val live = readManifest(fs, p, v)
-    val (expired, kept) = live.partition { e =>
+    val m = readRaw(fs, p, v)
+    val (expired, kept) = m.entries.partition { e =>
       classify(p, e, boundCol, Long.MinValue, cutoff, conf) ==
         Segments.Containment.Contained
     }
@@ -349,7 +427,7 @@ object ManifestLog {
       s"retention cutoff $cutoff would expire EVERY live file of $root — " +
         "an empty layout is indistinguishable from a torn one; drop the " +
         "layout explicitly instead")
-    commit(fs, p, v + 1, kept, "expire")
+    commit(fs, p, v + 1, kept, "expire", m.batchHwm)
     expired.length
   }
 
@@ -445,22 +523,28 @@ object ManifestLog {
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Seq[Entry] =
-    readRaw(fs, root, v)._2
+    readRaw(fs, root, v).entries
 
-  /** (operation tag, entries) of one committed manifest. The header is
-    * `graft-manifest-v1 op=<tag>`; a bare header (earlier manifests)
-    * reads as op "unknown".
+  /** One committed manifest, parsed. The header is space-separated
+    * `graft-manifest-v1 op=<tag> batch-hwm=<id>`; a bare header
+    * (earlier manifests) reads as op "unknown", and an absent
+    * `batch-hwm` token reads as -1 (no batch ever committed).
     */
   private def readRaw(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long): (String, Seq[Entry]) = {
+      root: org.apache.hadoop.fs.Path, v: Long): Manifest = {
     val f = new org.apache.hadoop.fs.Path(manifestDir(root), manifestName(v))
     val in = fs.open(f)
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       require(lines.headOption.exists(_.startsWith(Header)),
         s"$f is not a ${Header} manifest")
-      val op = lines.head.split("op=").drop(1).headOption.getOrElse("unknown")
-      (op, lines.tail.filter(_.nonEmpty).map(parseEntry))
+      val tokens = lines.head.split(' ')
+      def tagged(prefix: String): Option[String] =
+        tokens.find(_.startsWith(prefix)).map(_.drop(prefix.length))
+      Manifest(
+        tagged("op=").getOrElse("unknown"),
+        tagged("batch-hwm=").map(_.toLong).getOrElse(-1L),
+        lines.tail.filter(_.nonEmpty).map(parseEntry))
     } finally in.close()
   }
 
@@ -471,8 +555,8 @@ object ManifestLog {
   def describe(spark: SparkSession, root: String): Seq[(Long, String, Int)] = {
     val (p, fs) = hadoop(spark, root)
     versions(spark, root).map { v =>
-      val (op, entries) = readRaw(fs, p, v)
-      (v, op, entries.length)
+      val m = readRaw(fs, p, v)
+      (v, m.op, m.entries.length)
     }
   }
 
@@ -480,16 +564,23 @@ object ManifestLog {
     * manifest body to a dot-tmp sibling, fsync-close, then a single
     * atomic rename to its final version name. Rename-onto-existing
     * fails, so a duplicate version (a second writer, or a replayed
-    * crash) is loud, never a silent overwrite.
+    * crash) is loud, never a silent overwrite. Every commit carries the
+    * batch high-water mark forward (`batchHwm` < 0 = never seen a
+    * batch), so the CURRENT manifest alone answers [[appendBatch]]'s
+    * replay guard — the guard survives [[vacuum]] of old manifests and
+    * any interleaved maintenance commit.
     */
   private def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long, entries: Seq[Entry],
-      op: String): Unit = {
+      op: String, batchHwm: Long): Unit = {
     val dir = manifestDir(root)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-${manifestName(v)}")
     val dst = new org.apache.hadoop.fs.Path(dir, manifestName(v))
+    val header =
+      if (batchHwm >= 0L) s"$Header op=$op batch-hwm=$batchHwm"
+      else s"$Header op=$op"
     val out = fs.create(tmp, true)
-    try out.write((s"$Header op=$op" +: entries.sortBy(_.path).map(_.line))
+    try out.write((header +: entries.sortBy(_.path).map(_.line))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     failpoint("staged:manifest")

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.util.{ManifestLog, Segments}
+
+/** Streaming ingest into a manifested sorted log: exactly-once across
+  * checkpointed restarts via the manifest's batch high-water mark,
+  * crash-window convergence, and composition with the maintenance
+  * family running between micro-batches.
+  */
+class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
+  import sqlImplicits._
+
+  private final class InjectedCrash extends RuntimeException("injected crash")
+
+  private def killAt(step: String)(body: => Unit): Unit = {
+    ManifestLog.failpoint = s => if (s.startsWith(step)) throw new InjectedCrash
+    try intercept[InjectedCrash](body)
+    finally ManifestLog.failpoint = _ => ()
+  }
+
+  private def batchDf(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, i.toLong * 1000L)).toDF("k", "ts")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("k", "ts").as[(Long, Long)].collect().toSeq.sorted
+
+  private def expect(lo: Int, hi: Int): Seq[(Long, Long)] =
+    (lo until hi).map(i => (i.toLong, i.toLong * 1000L)).sorted
+
+  test("a checkpointed file stream lands each drop exactly once, across a restart") {
+    val dir = tempCorpusDir("graft_logstream")
+    val (src, root, ckpt) = (s"$dir/src", s"$dir/log", s"$dir/ckpt")
+    batchDf(0, 1000).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val q1 = LogStream.runLogStream(spark, src, root, ckpt, schema, "ts")
+    try {
+      q1.processAllAvailable()
+      batchDf(1000, 1500).write.mode("append").parquet(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 1500))
+
+    // Restart on the same checkpoint: nothing replays into the log,
+    // and the next drop lands exactly once.
+    val q2 = LogStream.runLogStream(spark, src, root, ckpt, schema, "ts")
+    try {
+      q2.processAllAvailable()
+      assert(canon(ManifestLog.read(spark, root)) == expect(0, 1500),
+        "restart replayed a committed batch into the log")
+      batchDf(1500, 2000).write.mode("append").parquet(src)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 2000))
+
+    // The lifecycle reads off the manifest: bootstrap + one commit per
+    // batch, high-water mark at the last batch id.
+    val trail = ManifestLog.describe(spark, root)
+    assert(trail.map(_._2) == Seq("create", "append-batch", "append-batch", "append-batch"),
+      s"unexpected audit trail: $trail")
+    assert(ManifestLog.batchHwm(spark, root) == 2L)
+
+    // Each batch carried tight write-time stats: a slice inside the
+    // last drop's range plans ONE of the three files.
+    val slice = ManifestLog.readSlice(spark, root, "ts", 1600000L, 1700000L)
+    assert(slice.inputFiles.length == 1,
+      s"slice planned ${slice.inputFiles.length} files instead of 1")
+    assert(slice.filter(col("ts") >= 1600000L && col("ts") < 1700000L).count() == 100)
+  }
+
+  test("a torn ingest converges on replay: one batch copy, orphans vacuumable, pins stable") {
+    val dir = tempCorpusDir("graft_logstream_torn")
+    val root = s"$dir/log"
+    assert(LogStream.ingestBatch(batchDf(0, 1000), 0L, root, "ts"))
+    val pinned = ManifestLog.read(spark, root) // resolves batch 0's files now
+
+    // Crash AFTER batch 1's data write, BEFORE its manifest commit —
+    // the files exist but no generation lists them.
+    killAt("written:append-batch") {
+      LogStream.ingestBatch(batchDf(1000, 1500), 1L, root, "ts")
+    }
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 1000),
+      "a torn batch leaked into the current generation")
+    assert(ManifestLog.batchHwm(spark, root) == 0L)
+
+    // The checkpointed replay re-delivers batch 1: exactly one copy.
+    assert(LogStream.ingestBatch(batchDf(1000, 1500), 1L, root, "ts"))
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 1500),
+      "replay duplicated or lost the torn batch")
+
+    // The crashed attempt's files are orphans — vacuum removes them
+    // without touching the live read or the pinned reader.
+    val deleted = ManifestLog.vacuum(spark, root, keepLast = 3)
+    assert(deleted.exists(_.endsWith(".parquet")),
+      "the torn attempt left no orphan for vacuum — diff adopted its files?")
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 1500))
+    assert(canon(pinned) == expect(0, 1000), "the pinned reader drifted")
+  }
+
+  test("a committed batch replays as a no-op, even across interleaved maintenance") {
+    val dir = tempCorpusDir("graft_logstream_replay")
+    val root = s"$dir/log"
+    assert(LogStream.ingestBatch(batchDf(0, 1000), 0L, root, "ts"))
+    assert(LogStream.ingestBatch(batchDf(1000, 1500), 1L, root, "ts"))
+
+    // Maintenance between micro-batches: compaction commits a new
+    // generation and must CARRY the high-water mark.
+    Segments.compactSortedRange(spark, root, "ts", 0L, 2000000L)
+    assert(ManifestLog.read(spark, root).inputFiles.length == 1)
+    assert(ManifestLog.batchHwm(spark, root) == 1L,
+      "maintenance dropped the batch high-water mark")
+
+    // Replays of both committed batches refuse: no rows, no version.
+    val v = ManifestLog.currentVersion(spark, root)
+    assert(!LogStream.ingestBatch(batchDf(0, 1000), 0L, root, "ts"))
+    assert(!LogStream.ingestBatch(batchDf(1000, 1500), 1L, root, "ts"))
+    assert(ManifestLog.currentVersion(spark, root) == v)
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 1500))
+
+    // The mark survives vacuum of the whole manifest history.
+    ManifestLog.vacuum(spark, root)
+    assert(!LogStream.ingestBatch(batchDf(1000, 1500), 1L, root, "ts"))
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 1500))
+
+    // The next REAL batch still lands.
+    assert(LogStream.ingestBatch(batchDf(1500, 2000), 2L, root, "ts"))
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 2000))
+  }
+
+  test("bootstrap crash windows converge: half-created root, then torn first batch") {
+    val dir = tempCorpusDir("graft_logstream_boot")
+    val root = s"$dir/log"
+    // Window 1: create staged its manifest but the rename never ran —
+    // a manifest dir with no committed version.
+    killAt("staged:manifest") {
+      LogStream.ingestBatch(batchDf(0, 500), 0L, root, "ts")
+    }
+    assert(ManifestLog.versions(spark, root).isEmpty)
+
+    // Window 2 (on retry): create commits, batch 0's data lands, the
+    // append commit dies.
+    killAt("written:append-batch") {
+      LogStream.ingestBatch(batchDf(0, 500), 0L, root, "ts")
+    }
+    assert(ManifestLog.versions(spark, root) == Seq(1L))
+    assert(ManifestLog.batchHwm(spark, root) == -1L)
+
+    // The replay converges to exactly one copy of batch 0.
+    assert(LogStream.ingestBatch(batchDf(0, 500), 0L, root, "ts"))
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 500))
+    assert(ManifestLog.describe(spark, root).map(_._2) ==
+      Seq("create", "append-batch"))
+  }
+}
