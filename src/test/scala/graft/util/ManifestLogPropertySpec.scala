@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
 /** Seeded fuzz of the manifest lifecycle (the SegmentsPropertySpec
-  * idiom): random interleavings of append / compact-tick / restate /
-  * expire / vacuum, with readers pinned at random points, must always
-  * satisfy the manifest invariants — the current read equals a plain
-  * in-memory model of the operations, every pinned reader inside the
-  * kept window re-collects its generation exactly, and slice reads
-  * agree with filtered full reads. The directed ManifestLogSpec proves
-  * each mechanism; this spec proves the composition has no
+  * idiom): random interleavings of append / streaming batch ingest
+  * (with torn attempts and checkpoint replays) / compact-tick /
+  * restate / expire / vacuum, with readers pinned at random points,
+  * must always satisfy the manifest invariants — the current read
+  * equals a plain in-memory model of the operations, the batch
+  * high-water mark tracks exactly the committed batches (so a replay
+  * is refused even after the batch's rows were restated or expired),
+  * every pinned reader inside the kept window re-collects its
+  * generation exactly, and slice reads agree with filtered full
+  * reads. The directed ManifestLogSpec/LogStreamSpec prove each
+  * mechanism; this spec proves the composition has no
   * op-order-dependent edges.
   */
 class ManifestLogPropertySpec extends SparkTestBase with graft.TempCorpusDirs {
@@ -50,9 +54,16 @@ class ManifestLogPropertySpec extends SparkTestBase with graft.TempCorpusDirs {
 
       // Readers pinned mid-lifecycle: (dataframe, expected rows).
       var pinned = Vector.empty[(org.apache.spark.sql.DataFrame, Seq[(Long, Long)])]
+      // Streaming-batch model state: committed batches by id, so a
+      // random replay can re-deliver exactly what a checkpoint would.
+      var committedBatches = Vector.empty[Seq[(Long, Long)]]
+      def ingest(rows: Seq[(Long, Long)], batchId: Long): Boolean =
+        ManifestLog.appendBatch(
+          rows.toDF("k", "ts").coalesce(1).sortWithinPartitions("ts"),
+          root, batchId, boundCol = Some("ts"))
 
       (1 to 12).foreach { _ =>
-        rng.nextInt(6) match {
+        rng.nextInt(8) match {
           case 0 | 1 => // append a random-span batch (possibly far future)
             val lo = rng.nextInt(4).toLong * 1000000L
             append(batch(lo, lo + 1000000L, 50 + rng.nextInt(150)))
@@ -83,10 +94,35 @@ class ManifestLogPropertySpec extends SparkTestBase with graft.TempCorpusDirs {
             }
           case 5 => // pin a reader on the current generation
             pinned :+= ((ManifestLog.read(spark, root), model.sorted))
+          case 6 => // streaming batch, possibly with a torn first attempt
+            val lo = rng.nextInt(4).toLong * 1000000L
+            val rows = batch(lo, lo + 1000000L, 30 + rng.nextInt(70))
+            val id = committedBatches.length.toLong
+            if (rng.nextBoolean()) { // crash before the commit, then replay
+              ManifestLog.failpoint =
+                s => if (s.startsWith("written:append-batch"))
+                  throw new RuntimeException("injected crash")
+              try intercept[RuntimeException](ingest(rows, id))
+              finally ManifestLog.failpoint = _ => ()
+              assert(canon(ManifestLog.read(spark, root)) == model.sorted,
+                s"trial $trial: a torn batch leaked")
+            }
+            assert(ingest(rows, id), s"trial $trial: fresh batch refused")
+            committedBatches :+= rows
+            model ++= rows
+          case 7 => // checkpoint replay of a random already-committed batch
+            if (committedBatches.nonEmpty) {
+              val id = rng.nextInt(committedBatches.length)
+              assert(!ingest(committedBatches(id), id.toLong),
+                s"trial $trial: committed batch $id re-ran")
+            }
         }
         // Invariant after EVERY op: current read == model.
         assert(canon(ManifestLog.read(spark, root)) == model.sorted,
           s"trial $trial: current generation diverged from the model")
+        // The batch high-water mark is exactly the model's.
+        assert(ManifestLog.batchHwm(spark, root) == committedBatches.length - 1L,
+          s"trial $trial: high-water mark diverged")
         // Slice read == filtered full read on a random window.
         val lo = rng.nextInt(4).toLong * 1000000L
         val hi = lo + 1000000L
