@@ -548,6 +548,102 @@ object ManifestLog {
     } finally in.close()
   }
 
+  /** A [[tailSince]] result: either the appended files since the
+    * cursor (possibly none — compaction and retention commit versions
+    * without new rows), or the instruction to resync from a full read.
+    */
+  sealed trait Tail { def toVersion: Long }
+
+  /** Files holding exactly the rows appended in (fromVersion,
+    * toVersion]; advance the cursor to `toVersion` after processing.
+    * `sawExpire` notes that a retention commit REMOVED history inside
+    * the range — irrelevant to a grow-only consumer (nothing is
+    * re-emitted and the appended files are still live), load-bearing
+    * for one that mirrors deletions.
+    */
+  final case class TailAppended(
+      toVersion: Long, files: Seq[String], sawExpire: Boolean) extends Tail
+
+  /** Incremental consumption is invalid over this range — the consumer
+    * must rebuild its derived state from the current generation (and
+    * resume tailing from `toVersion`). Two causes: a restatement
+    * rewrote committed history, or the cursor fell out of [[vacuum]]'s
+    * kept-manifest window.
+    */
+  final case class TailResync(toVersion: Long, reason: String) extends Tail
+
+  /** The changes feed — what a table format exposes as a streaming
+    * source, reduced to what a parquet log's manifest chain can answer
+    * without any extra bookkeeping: the files committed AFTER a
+    * consumer's version cursor that carry genuinely new rows. Each
+    * commit's op tag decides its contribution: append/append-batch
+    * (and the adopting first generation, for a cursor of 0) contribute
+    * their added files; compaction contributes NOTHING (it rewrites
+    * rows the consumer already has — re-emitting them is exactly the
+    * bug this feed exists to avoid); retention removes-only (flagged);
+    * restatement invalidates incremental reading and demands a loud
+    * resync, as does a cursor older than the oldest kept manifest.
+    * Files referenced by kept manifests are vacuum-safe by the same
+    * contract that protects pinned readers, so every returned file is
+    * readable until the consumer's grace window closes.
+    *
+    * At 100 TB this is the downstream-maintenance primitive: a derived
+    * artifact (digest index, tf table, signature table) folds in
+    * O(new data) per poll instead of rescanning the log, and the
+    * manifest chain—not file mtimes or naming conventions—defines
+    * "new".
+    */
+  def tailSince(spark: SparkSession, root: String, fromVersion: Long): Tail = {
+    require(fromVersion >= 0L, s"version cursors are non-negative, got $fromVersion")
+    val (p, fs) = hadoop(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root has no committed manifest — adopt() it first")
+    val cur = vs.max
+    if (fromVersion >= cur) return TailAppended(cur, Nil, sawExpire = false)
+    // The diff needs every manifest in [max(fromVersion,1), cur]; commits
+    // are dense (+1 each), so a vacuumed-away base shows as min > that.
+    if (vs.min > math.max(fromVersion, 1L))
+      return TailResync(cur,
+        s"cursor v$fromVersion is older than the oldest kept manifest " +
+          s"v${vs.min} — vacuum outran this consumer; rebuild from v$cur")
+    var prevPaths: Set[String] =
+      if (fromVersion == 0L) Set.empty
+      else readManifest(fs, p, fromVersion).map(_.path).toSet
+    val added = Seq.newBuilder[String]
+    var sawExpire = false
+    ((fromVersion + 1L) to cur).foreach { v =>
+      val m = readRaw(fs, p, v)
+      m.op match {
+        case "append" | "append-batch" | "adopt" | "create" =>
+          added ++= m.entries.map(_.path).filterNot(prevPaths)
+        case "compact" => () // a rewrite of rows the consumer already has
+        case "expire" => sawExpire = true
+        case "restate" =>
+          return TailResync(cur,
+            s"v$v restated committed history — incremental consumption " +
+              s"over (v$fromVersion, v$cur] is invalid; rebuild from v$cur")
+        case other =>
+          return TailResync(cur,
+            s"v$v carries op '$other' unknown to the tail protocol — " +
+              s"refusing to guess its row semantics; rebuild from v$cur")
+      }
+      prevPaths = m.entries.map(_.path).toSet
+    }
+    TailAppended(cur,
+      added.result().map(f => new org.apache.hadoop.fs.Path(p, f).toString),
+      sawExpire)
+  }
+
+  /** The rows behind a [[TailAppended]], as one DataFrame (None when
+    * the tail carried no new files). `basePath` keeps partition-dir
+    * columns visible, exactly as [[read]] does.
+    */
+  def readTail(spark: SparkSession, root: String, tail: TailAppended,
+      options: Map[String, String] = Map.empty): Option[DataFrame] =
+    if (tail.files.isEmpty) None
+    else Some(spark.read.options(options).option("basePath", root)
+      .parquet(tail.files: _*))
+
   /** The audit trail: (version, operation, live-file count) per kept
     * generation — what happened to this layout and when, answerable
     * from the manifest directory alone.
