@@ -34,8 +34,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file index (that is what buys the exchange-free joins), which
   * resolves by directory listing, not by manifest.
   *
-  * Single-WRITER is still the contract (one ingest pipeline owns a
-  * layout); it is the readers that the manifest frees.
+  * Concurrency contract: APPENDS are multi-writer-safe — a writer
+  * stages its files (invisible until a manifest lists them), and if
+  * the single-rename commit loses to a concurrent commit it re-reads
+  * the new current manifest and retries the union (appends commute;
+  * the staged files were never part of any other writer's state).
+  * The GRAIN mutations (compaction, restatement, retention) stay
+  * single-maintainer: their file selection is computed against one
+  * generation, so losing the rename means the selection is stale and
+  * the op aborts loudly ([[CommitConflict]]) — safe to re-invoke,
+  * since each is convergent from the new state.
   *
   * Manifest lines optionally carry the file's min/max for the layout's
   * boundary column (`path<TAB>col<TAB>min<TAB>max`), recorded from ONE
@@ -53,6 +61,15 @@ object ManifestLog {
   private val ManifestDirName = "_manifests"
   private val Header = "graft-manifest-v1"
   private val VersionFile = """^v(\d{9})\.manifest$""".r
+  private val MaxCommitRetries = 20
+
+  /** The atomic rename lost to a concurrent commit of the same
+    * version. The append family absorbs this internally (re-read,
+    * re-union, retry); the grain mutations surface it — their file
+    * selection was computed against a superseded generation, so the
+    * caller must re-invoke against current state.
+    */
+  final class CommitConflict(msg: String) extends java.io.IOException(msg)
 
   /** One live data file: its root-relative path, plus min/max of the
     * layout's boundary column when a trustworthy footer provided them
@@ -117,12 +134,46 @@ object ManifestLog {
   /** All committed versions, ascending (empty when not manifested). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (p, fs) = hadoop(spark, root)
+    versionsOf(fs, p)
+  }
+
+  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[Long] = {
     val dir = manifestDir(p)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
       case VersionFile(v) => Some(v.toLong)
       case _ => None
     }).sorted
+  }
+
+  /** The append family's commit loop: read the current manifest,
+    * apply the guard (a replay check), commit current ∪ `newEntries`;
+    * on a lost rename re-read and retry — appends commute with every
+    * concurrent commit, because `newEntries` were staged invisibly
+    * and belong to no other writer's state. Returns false when the
+    * guard rejects (the staged files become vacuumable orphans).
+    */
+  private def commitAppend(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, newEntries: Seq[Entry], op: String,
+      guard: Manifest => Boolean, hwmFor: Manifest => Long): Boolean = {
+    var attempts = 0
+    while (true) {
+      val vs = versionsOf(fs, p)
+      require(vs.nonEmpty, s"$p has no committed manifest — adopt() it first")
+      val v = vs.max
+      val m = readRaw(fs, p, v)
+      if (!guard(m)) return false
+      try {
+        commit(fs, p, v + 1, m.entries ++ newEntries, op, hwmFor(m))
+        return true
+      } catch {
+        case e: CommitConflict =>
+          attempts += 1
+          if (attempts >= MaxCommitRetries) throw e
+      }
+    }
+    false // unreachable
   }
 
   /** Adopt an existing parquet log root: commit v1 = the current
@@ -193,18 +244,15 @@ object ManifestLog {
     require(batchId >= 0L, s"batch ids are non-negative, got $batchId")
     val spark = segment.sparkSession
     val (p, fs) = hadoop(spark, root)
-    val v = currentVersion(spark, root)
-    val m = readRaw(fs, p, v)
-    if (batchId <= m.batchHwm) return false // committed — replay is a no-op
-    val before = listDataFiles(fs, p).toSet
-    val w = segment.write.mode("append")
-    (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
-      .parquet(root)
+    val m0 = readRaw(fs, p, currentVersion(spark, root))
+    if (batchId <= m0.batchHwm) return false // committed — replay is a no-op
+    val added = stageAppend(spark, p, fs, segment, partitionDirs)
     failpoint("written:append-batch")
-    val added = (listDataFiles(fs, p).toSet -- before).toSeq.sorted
-    commit(fs, p, v + 1,
-      m.entries ++ entriesFor(spark, p, added, boundCol), "append-batch", batchId)
-    true
+    // The guard re-checks under the commit loop: if a concurrent
+    // replica committed this batch while we staged, the staged files
+    // become vacuumable orphans and the replay reports no-op.
+    commitAppend(fs, p, entriesFor(spark, p, added, boundCol), "append-batch",
+      m => batchId > m.batchHwm, m => math.max(m.batchHwm, batchId))
   }
 
   /** Stats-recorded entries for a set of new relative paths: one footer
@@ -285,29 +333,27 @@ object ManifestLog {
     vs.max
   }
 
-  /** Segment append, manifest-committed: write the recipe-clustered
-    * batch as new files (invisible — the current manifest does not
-    * list them), then publish prev ∪ new as one atomic commit. A crash
-    * before the commit leaves the current generation untouched and the
-    * new files as vacuumable orphans; there is no torn state to
-    * recover.
+  /** Segment append, manifest-committed: stage the recipe-clustered
+    * batch into the root (invisible — the current manifest does not
+    * list it, and the staged file set is tracked EXACTLY, never
+    * derived from a listing diff, so a concurrent writer's files and
+    * a crashed attempt's orphans can never enter this commit), then
+    * publish prev ∪ new as one atomic commit, retrying the union if a
+    * concurrent commit wins the rename. A crash before the commit
+    * leaves the current generation untouched and the staged files as
+    * vacuumable orphans; there is no torn state to recover.
     */
   def appendSorted(segment: DataFrame, root: String,
       partitionDirs: Seq[String] = Nil,
       boundCol: Option[String] = None): Unit = {
     val spark = segment.sparkSession
     val (p, fs) = hadoop(spark, root)
-    val v = currentVersion(spark, root)
-    val m = readRaw(fs, p, v)
-    val before = listDataFiles(fs, p).toSet
-    val w = segment.write.mode("append")
-    (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
-      .parquet(root)
+    currentVersion(spark, root) // fail fast before any data is written
+    val added = stageAppend(spark, p, fs, segment, partitionDirs)
     failpoint("written:append")
-    // Single-writer: everything new on disk is this append's output.
-    val added = (listDataFiles(fs, p).toSet -- before).toSeq.sorted
-    commit(fs, p, v + 1,
-      m.entries ++ entriesFor(spark, p, added, boundCol), "append", m.batchHwm)
+    commitAppend(fs, p, entriesFor(spark, p, added, boundCol), "append",
+      _ => true, _.batchHwm)
+    ()
   }
 
   /** Per-grain compaction, manifest-committed: the grain is the LIVE
@@ -479,12 +525,45 @@ object ManifestLog {
     if (i < 0) "" else rel.take(i)
   }
 
+  /** Stage-write an append batch: the batch lands under a hidden
+    * stage dir (optionally partitioned), then every data file renames
+    * to its final partition-dir-preserving location under the root.
+    * The renamed files are INVISIBLE until a manifest lists them, and
+    * the returned set is tracked exactly from the stage walk — never
+    * from a root listing — which is what makes concurrent appenders
+    * and crash replays unable to adopt each other's files. Part names
+    * carry a job UUID, so collisions cannot occur.
+    */
+  private def stageAppend(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, df: DataFrame,
+      partitionDirs: Seq[String]): Seq[String] = {
+    val stage = new org.apache.hadoop.fs.Path(p, s".stage-${java.util.UUID.randomUUID}")
+    val w = df.write.mode("overwrite")
+    (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
+      .parquet(stage.toString)
+    def walk(dir: org.apache.hadoop.fs.Path, prefix: String): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath, s"$prefix$n/")
+        else if (n.endsWith(".parquet")) Seq(s"$prefix$n")
+        else Nil
+      }
+    val out = walk(stage, "").map { rel =>
+      val dst = new org.apache.hadoop.fs.Path(p, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(stage, rel), dst))
+        throw new java.io.IOException(s"stage rename failed: $rel under $stage")
+      rel
+    }
+    fs.delete(stage, true)
+    out
+  }
+
   /** Write `df` into a hidden stage dir, then rename its parts into
-    * `relDir` under the root. The renamed files are INVISIBLE until a
-    * manifest lists them (data-file listings matter only to appends'
-    * before/after diff, which this helper's outputs never race —
-    * single-writer), so the rename is free to happen pre-commit; part
-    * names carry a job UUID, so collisions cannot occur.
+    * `relDir` under the root — the flat single-directory variant the
+    * grain mutations (compaction, restatement) use for their
+    * replacement files.
     */
   private def stageIntoRoot(spark: SparkSession, p: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem, relDir: String,
@@ -681,8 +760,8 @@ object ManifestLog {
     finally out.close()
     failpoint("staged:manifest")
     if (fs.exists(dst) || !fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"manifest commit failed: v$v already exists or rename refused " +
-          s"($tmp -> $dst) — a second writer is mutating this log")
+      throw new CommitConflict(
+        s"manifest commit lost the race: v$v already exists ($tmp -> $dst) " +
+          "— a concurrent commit published first")
   }
 }

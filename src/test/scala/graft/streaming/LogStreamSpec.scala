@@ -130,6 +130,30 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(canon(ManifestLog.read(spark, root)) == expect(0, 2000))
   }
 
+  test("two replicas racing the same batch commit it exactly once") {
+    val dir = tempCorpusDir("graft_logstream_race")
+    val root = s"$dir/log"
+    assert(LogStream.ingestBatch(batchDf(0, 1000), 0L, root, "ts"))
+    // Replica B runs the SAME batch to completion in the window after
+    // replica A staged its files but before A's commit — the
+    // two-replicas-of-one-pipeline race.
+    ManifestLog.failpoint = s => if (s.startsWith("written:append-batch")) {
+      ManifestLog.failpoint = _ => () // B itself must not re-trigger
+      assert(LogStream.ingestBatch(batchDf(1000, 1500), 1L, root, "ts"),
+        "replica B's commit should win")
+    }
+    val aCommitted =
+      try LogStream.ingestBatch(batchDf(1000, 1500), 1L, root, "ts")
+      finally ManifestLog.failpoint = _ => ()
+    assert(!aCommitted, "replica A must observe B's commit and report no-op")
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 1500),
+      "the replica race duplicated or lost the batch")
+    // A's staged files are orphans; vacuum clears them harmlessly.
+    val deleted = ManifestLog.vacuum(spark, root, keepLast = 3)
+    assert(deleted.exists(_.endsWith(".parquet")))
+    assert(canon(ManifestLog.read(spark, root)) == expect(0, 1500))
+  }
+
   test("bootstrap crash windows converge: half-created root, then torn first batch") {
     val dir = tempCorpusDir("graft_logstream_boot")
     val root = s"$dir/log"

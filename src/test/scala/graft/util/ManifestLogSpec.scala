@@ -254,17 +254,44 @@ class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(trail.map(_._3) == Seq(2, 3, 2, 1), s"unexpected live counts: $trail")
   }
 
-  test("a duplicate version commit is loud (second-writer detection)") {
+  test("an append retries through a concurrent commit; a grain mutation aborts loudly") {
     val (root, rows) = freshLog()
-    // A second writer sneaks its v2 in AFTER this append resolved
-    // current=v1 and staged its own v2 — the exact lost-update race.
     val dir = java.nio.file.Paths.get(root, "_manifests")
-    ManifestLog.failpoint = s => if (s == "staged:manifest")
-      java.nio.file.Files.write(dir.resolve("v000000002.manifest"),
-        "graft-manifest-v1\n".getBytes("UTF-8"))
-    try intercept[java.io.IOException] {
-      ManifestLog.appendSorted(
-        Seq((9999L, 9999000L)).toDF("k", "ts").coalesce(1), root)
+    // A second writer publishes the next version AFTER this writer
+    // resolved current and staged its own commit — the exact
+    // lost-update race. The competitor's manifest carries the current
+    // file set (a realistic concurrent commit), injected ONCE so the
+    // retry sees a clean window.
+    def injectOnce(src: Long, dst: Long): Unit = {
+      var fired = false
+      ManifestLog.failpoint = s => if (s == "staged:manifest" && !fired) {
+        fired = true
+        java.nio.file.Files.copy(
+          dir.resolve(f"v$src%09d.manifest"), dir.resolve(f"v$dst%09d.manifest"))
+      }
+    }
+    // Appends commute: the union retries against the competitor's
+    // generation and BOTH writers' states land.
+    injectOnce(1L, 2L)
+    try ManifestLog.appendSorted(
+      Seq((9999L, 9999000L)).toDF("k", "ts").coalesce(1), root)
+    finally ManifestLog.failpoint = _ => ()
+    assert(ManifestLog.currentVersion(spark, root) == 3L,
+      "the retried append must commit ON TOP of the concurrent commit")
+    assert(canon(ManifestLog.read(spark, root)) ==
+      (rows :+ ((9999L, 9999000L))).sorted,
+      "the lost-update race dropped a writer's rows")
+    // A grain mutation losing the same race must ABORT: its file
+    // selection was computed against the superseded generation.
+    injectOnce(3L, 4L)
+    try intercept[ManifestLog.CommitConflict] {
+      Segments.compactSortedRange(spark, root, "ts", 0L, 20000000L)
     } finally ManifestLog.failpoint = _ => ()
+    // The abort left no torn state: re-invoking against current
+    // converges (CompactAfterSegments-style idempotence).
+    Segments.compactSortedRange(spark, root, "ts", 0L, 20000000L)
+    assert(canon(ManifestLog.read(spark, root)) ==
+      (rows :+ ((9999L, 9999000L))).sorted)
+    assert(ManifestLog.read(spark, root).inputFiles.length == 1)
   }
 }
