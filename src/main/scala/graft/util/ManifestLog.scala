@@ -327,6 +327,27 @@ object ManifestLog {
     readManifest(fs, p, currentVersion(spark, root))
   }
 
+  /** How many data files the current generation lists (0 = a
+    * [[create]]d-but-never-appended log, which [[read]] refuses — the
+    * caller substitutes its own empty frame with the right schema).
+    */
+  def liveFileCount(spark: SparkSession, root: String): Int =
+    currentEntries(spark, root).length
+
+  /** Metadata-only batch acknowledgement: advance the batch high-water
+    * mark to `batchId` WITHOUT adding files — the commit for a batch
+    * whose processed output is empty (every row deduplicated away,
+    * say). Without it a replay would re-derive the empty result on
+    * every restart; with it the replay guard answers directly. Same
+    * idempotence contract as [[appendBatch]].
+    */
+  def recordBatch(spark: SparkSession, root: String, batchId: Long): Boolean = {
+    require(batchId >= 0L, s"batch ids are non-negative, got $batchId")
+    val (p, fs) = hadoop(spark, root)
+    commitAppend(fs, p, Nil, "append-batch",
+      m => batchId > m.batchHwm, m => math.max(m.batchHwm, batchId))
+  }
+
   def currentVersion(spark: SparkSession, root: String): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root has no committed manifest — adopt() it first")
