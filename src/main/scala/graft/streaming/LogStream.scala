@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.util.ManifestLog
+import graft.util.{ManifestLog, Segments}
 
 /** Streaming ingest into a MANIFESTED sorted log — the incremental
   * writer for the layouts [[graft.util.ManifestLog]] maintains. Where
@@ -70,14 +70,28 @@ object LogStream {
     * checkpoint gives at-least-once batch replay; the manifest's batch
     * high-water mark turns that into exactly-once.
     */
+  /** [[runLogStream]]'s maintenance cadence: after every
+    * `maintainEveryBatches` committed batches the sink runs the
+    * self-driving tick ([[Segments.maintainSorted]]) on its own log.
+    * foreachBatch is sequential, so the tick never races the writer,
+    * and the tick's commits are manifest-atomic, so pinned readers
+    * and the batch high-water mark are untouched. 0 disables (an
+    * external maintenance owner).
+    */
   def runLogStream(spark: SparkSession, srcDir: String, root: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       boundCol: String, filesPerBatch: Int = 1,
-      partitionDirs: Seq[String] = Nil): StreamingQuery =
+      partitionDirs: Seq[String] = Nil,
+      maintainEveryBatches: Int = 0,
+      maintainMaxFiles: Int = Segments.CompactAfterSegments): StreamingQuery =
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, root, boundCol, filesPerBatch, partitionDirs)
+        val committed =
+          ingestBatch(batch, batchId, root, boundCol, filesPerBatch, partitionDirs)
+        if (committed && maintainEveryBatches > 0 &&
+          (batchId + 1) % maintainEveryBatches == 0)
+          Segments.maintainSorted(spark, root, boundCol, maintainMaxFiles)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -641,10 +641,19 @@ object ManifestLog {
       val tokens = lines.head.split(' ')
       def tagged(prefix: String): Option[String] =
         tokens.find(_.startsWith(prefix)).map(_.drop(prefix.length))
+      val entries = lines.tail.filter(_.nonEmpty).map(parseEntry)
+      // Truncation check: a manifest that declares its entry count
+      // must deliver exactly that many lines (older manifests without
+      // the token parse as before).
+      tagged("entries=").map(_.toInt).foreach { n =>
+        require(entries.length == n,
+          s"$f is truncated or corrupt: header declares $n entries, " +
+            s"parsed ${entries.length} — refusing to serve a shrunken table")
+      }
       Manifest(
         tagged("op=").getOrElse("unknown"),
         tagged("batch-hwm=").map(_.toLong).getOrElse(-1L),
-        lines.tail.filter(_.nonEmpty).map(parseEntry))
+        entries)
     } finally in.close()
   }
 
@@ -772,9 +781,13 @@ object ManifestLog {
     val dir = manifestDir(root)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-${manifestName(v)}")
     val dst = new org.apache.hadoop.fs.Path(dir, manifestName(v))
+    // `entries=<n>` makes truncation detectable: visibility is one
+    // rename, but a filesystem without atomic rename semantics (or
+    // plain bit rot) could surface a partial manifest — and a SHORT
+    // file list silently shrinks the table. Parse verifies the count.
     val header =
-      if (batchHwm >= 0L) s"$Header op=$op batch-hwm=$batchHwm"
-      else s"$Header op=$op"
+      s"$Header op=$op entries=${entries.length}" +
+        (if (batchHwm >= 0L) s" batch-hwm=$batchHwm" else "")
     val out = fs.create(tmp, true)
     try out.write((header +: entries.sortBy(_.path).map(_.line))
       .mkString("", "\n", "\n").getBytes("UTF-8"))

@@ -131,6 +131,33 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(canon(ManifestLog.read(spark, root)) == expect(0, 2000))
   }
 
+  test("a self-maintaining stream bounds file count while ingesting, rows exact") {
+    val dir = tempCorpusDir("graft_logstream_tick")
+    val (src, root, ckpt) = (s"$dir/src", s"$dir/log", s"$dir/ckpt")
+    // Overlapping-range drops: every batch spans the same ts window,
+    // so untreated fragmentation grows one overlapping component.
+    def drop(i: Int) = (0 until 100)
+      .map(j => ((i * 100 + j).toLong, j.toLong * 1000L)).toDF("k", "ts")
+    drop(0).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = LogStream.runLogStream(spark, src, root, ckpt, schema, "ts",
+      maintainEveryBatches = 2, maintainMaxFiles = 2)
+    try (1 until 6).foreach { i =>
+      q.processAllAvailable()
+      drop(i).write.mode("append").parquet(src)
+    } finally { q.processAllAvailable(); q.stop() }
+    // Six 1-file batches with a tick every 2: the live set stays at
+    // or under the bound + the since-last-tick segments.
+    val live = ManifestLog.liveFileCount(spark, root)
+    assert(live <= 3, s"self-maintenance left $live live files")
+    assert(ManifestLog.read(spark, root).count() == 600)
+    assert(ManifestLog.describe(spark, root).map(_._2).contains("compact"),
+      "the in-sink tick never ran")
+    // The high-water mark survived every tick: a replayed drop would
+    // still be refused.
+    assert(ManifestLog.batchHwm(spark, root) >= 5L)
+  }
+
   test("a partitioned streamed log keeps partition pruning, stats slicing, and tailing") {
     val dir = tempCorpusDir("graft_logstream_part")
     val root = s"$dir/log"

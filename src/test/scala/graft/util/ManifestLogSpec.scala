@@ -254,6 +254,30 @@ class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(trail.map(_._3) == Seq(2, 3, 2, 1), s"unexpected live counts: $trail")
   }
 
+  test("a truncated manifest is refused, never served as a shrunken table") {
+    val (root, rows) = freshLog()
+    Segments.appendSorted(
+      Seq((9999L, 2500000L)).toDF("k", "ts").coalesce(1), root)
+    val f = java.nio.file.Paths.get(root, "_manifests", "v000000002.manifest")
+    val lines = java.nio.file.Files.readAllLines(f)
+    // Simulate a partial write surfacing: drop the last entry line.
+    // (Remove the local filesystem's checksum sidecar so the test
+    // exercises the manifest's OWN integrity check — object stores
+    // and plain file:// deployments have no such sidecar.)
+    java.nio.file.Files.write(f,
+      String.join("\n", lines.subList(0, lines.size - 1)).concat("\n")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      f.getParent.resolve(s".${f.getFileName}.crc"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestLog.read(spark, root).count()
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // The prior generation is intact — recovery is readAt/restore, not
+    // silently serving a shorter file list.
+    assert(canon(ManifestLog.readAt(spark, root, 1L)) == rows.sorted)
+  }
+
   test("an append retries through a concurrent commit; a grain mutation aborts loudly") {
     val (root, rows) = freshLog()
     val dir = java.nio.file.Paths.get(root, "_manifests")
