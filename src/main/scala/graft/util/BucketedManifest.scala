@@ -1,0 +1,253 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.BucketSpec
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-committed generations for the BUCKETED co-location pairs —
+  * closing the one layout family [[ManifestLog]] could not cover.
+  *
+  * The obstacle was never the commit protocol; it was the read path:
+  * exchange-free joins come from the session catalog's bucketed file
+  * index, and that index resolves by directory listing, so adopting a
+  * manifest under a catalog table would leave catalog readers seeing
+  * retired files. The Spark-first answer is the layer the catalog
+  * itself sits on: `FileIndex` is the planner's file-discovery seam
+  * (the developer API table formats implement), so a manifest-backed
+  * index inside a `HadoopFsRelation` carrying the layout's
+  * `BucketSpec` plans EXACTLY like a catalog bucketed table — bucket
+  * id from the `_NNNNN` file-name contract, `Bucketed: true` scans,
+  * zero key exchanges on co-located joins — while the file SET comes
+  * from one committed manifest generation. Readers pin a generation,
+  * maintenance retires-never-deletes, vacuum is the only deleter:
+  * the full [[ManifestLog]] contract, now for bucket grains.
+  *
+  * The bucket spec (key, count) is recorded next to the manifests at
+  * adoption and validated on every append — the loud-mismatch
+  * guarantee `bucketBy`'s append mode gave the catalog path.
+  *
+  * Scale shape: identical to the catalog layout — K appends leave K
+  * files per bucket, [[maintain]] compacts per bucket grain, and a
+  * join on the bucket key never shuffles either side. The cost over
+  * the catalog path is the manifest read at plan build; the gain is
+  * snapshot isolation for a layout whose maintenance previously
+  * demanded no concurrent readers.
+  */
+object BucketedManifest {
+
+  final case class Spec(key: String, buckets: Int)
+
+  private val SpecFile = "bucket-spec"
+
+  /** Adopt an existing bucketed CATALOG table's layout: manifest its
+    * location, record its bucket spec, and drop the catalog entry
+    * (external — the files stay), so the manifested read becomes the
+    * one read path; a catalog reader resolving by listing would see
+    * retired files after the first compaction. Returns the layout
+    * root the other entry points take.
+    */
+  def adoptTable(spark: SparkSession, table: String): String = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val bs = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — ManifestLog.adopt covers plain layouts"))
+    require(bs.sortColumnNames == bs.bucketColumnNames,
+      s"$table sorts on ${bs.sortColumnNames}, buckets on " +
+        s"${bs.bucketColumnNames} — the co-location layouts sort by their key")
+    val root = meta.location.toString
+    ManifestLog.adopt(spark, root)
+    writeSpec(spark, root, Spec(bs.bucketColumnNames.head, bs.numBuckets))
+    spark.sql(s"DROP TABLE `$table`")
+    root
+  }
+
+  /** The layout's recorded bucket spec. */
+  def spec(spark: SparkSession, root: String): Spec = {
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val f = new Path(ManifestLog.manifestDir(p), SpecFile)
+    val in = fs.open(f)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+    finally in.close()
+    line.split('\t') match {
+      case Array(k, n) => Spec(k, n.toInt)
+      case _ => throw new IllegalStateException(s"unparseable bucket spec at $f")
+    }
+  }
+
+  private def writeSpec(spark: SparkSession, root: String, s: Spec): Unit = {
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val out = fs.create(new Path(ManifestLog.manifestDir(p), SpecFile), true)
+    try out.write(s"${s.key}\t${s.buckets}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The current generation as a BUCKETED DataFrame: the manifest's
+    * exact file set behind a [[FileIndex]], inside a
+    * [[HadoopFsRelation]] carrying the recorded [[BucketSpec]] — the
+    * same relation shape the catalog read path plans, so co-located
+    * joins and aggregations on the key add no exchange.
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readAt(spark, root, ManifestLog.currentVersion(spark, root))
+
+  /** Time travel over the bucketed layout ([[ManifestLog.readAt]]'s
+    * contract: any generation inside vacuum's kept window).
+    */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val s = spec(spark, root)
+    val files = ManifestLog.readRaw(fs, p, version).entries.map(_.path)
+    require(files.nonEmpty, s"manifest v$version of $root lists no files")
+    val statuses: Array[FileStatus] =
+      files.map(f => fs.getFileStatus(new Path(p, f))).toArray
+    val schema = spark.read.parquet(statuses.head.getPath.toString).schema
+    val index = new ManifestFileIndex(p, statuses)
+    spark.baseRelationToDataFrame(HadoopFsRelation(
+      index, StructType(Nil), schema,
+      Some(BucketSpec(s.buckets, Seq(s.key), Seq(s.key))),
+      new ParquetFileFormat, Map.empty)(spark))
+  }
+
+  /** The planner's file-discovery seam, answered from one committed
+    * manifest generation instead of a directory listing. Flat (the
+    * co-location pairs carry no partition dirs), immutable by
+    * construction — refresh is a no-op because the file set IS the
+    * pinned generation.
+    */
+  private final class ManifestFileIndex(
+      root: Path, statuses: Array[FileStatus]) extends FileIndex {
+    override def rootPaths: Seq[Path] = Seq(root)
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[PartitionDirectory] =
+      Seq(PartitionDirectory(InternalRow.empty, statuses))
+    override def inputFiles: Array[String] = statuses.map(_.getPath.toString)
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = statuses.map(_.getLen).sum
+    override def partitionSchema: StructType = StructType(Nil)
+  }
+
+  /** Append one segment: ONE new file per non-empty bucket, written
+    * through a hidden staging table so the files carry Spark's own
+    * `_NNNNN` bucket-id names (the contract the scan maps files by),
+    * renamed invisibly into the root, then manifest-committed with
+    * the append family's optimistic retry. Validates the recorded
+    * spec first — a mismatched key or count fails loudly before any
+    * write, exactly as catalog append mode did.
+    */
+  def appendBucketed(segment: DataFrame, root: String): Unit = {
+    val spark = segment.sparkSession
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    ManifestLog.currentVersion(spark, root) // fail fast
+    val s = spec(spark, root)
+    require(segment.columns.contains(s.key),
+      s"segment lacks the bucket key '${s.key}' recorded for $root")
+    val staged = stageBucketed(spark, p, fs, segment, s)
+    ManifestLog.failpoint("written:append-bucketed")
+    ManifestLog.commitAppend(fs, p,
+      staged.map(ManifestLog.Entry(_, None)), "append", _ => true, _.batchHwm)
+    ()
+  }
+
+  /** bucketBy only writes through the catalog, so staging goes via a
+    * TEMPORARY external table at a hidden dir: write, drop the
+    * catalog entry (files remain), rename the bucket-named parts into
+    * the root. The names are the payload — they carry the bucket ids.
+    */
+  private def stageBucketed(spark: SparkSession, p: Path,
+      fs: org.apache.hadoop.fs.FileSystem, segment: DataFrame,
+      s: Spec): Seq[String] = {
+    val id = java.util.UUID.randomUUID.toString.replace("-", "")
+    val stage = new Path(p, s".stage-$id")
+    val t = s"graft_bstage_$id"
+    segment.repartition(s.buckets, col(s.key))
+      .write.mode("overwrite")
+      .option("path", stage.toString)
+      .bucketBy(s.buckets, s.key).sortBy(s.key)
+      .saveAsTable(t)
+    spark.sql(s"DROP TABLE `$t`") // external: metadata only, files stay
+    val out = fs.listStatus(stage).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val dst = new Path(p, st.getPath.getName)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"stage rename failed: ${st.getPath}")
+        st.getPath.getName
+      }
+    fs.delete(stage, true)
+    out
+  }
+
+  /** Compact ONE bucket grain back to a single file, manifest-
+    * committed: the grain is the LIVE files whose name parses to
+    * `bucketId`; the replacement is key-sorted and renamed to carry
+    * the same bucket id before the commit swaps grain → replacement
+    * in the list. Retired files stay for pinned readers until
+    * [[ManifestLog.vacuum]]. A lost commit race aborts loudly
+    * ([[ManifestLog.CommitConflict]]) — grain selection was stale.
+    */
+  def compactBucket(spark: SparkSession, root: String, bucketId: Int): Unit = {
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val s = spec(spark, root)
+    val v = ManifestLog.currentVersion(spark, root)
+    val m = ManifestLog.readRaw(fs, p, v)
+    val grain = m.entries.filter(e => bucketIdOf(e.path).contains(bucketId))
+    if (grain.length <= 1) return // already compact
+    val stage = new Path(p, s".stage-${java.util.UUID.randomUUID}")
+    spark.read.parquet(
+        grain.map(e => new Path(p, e.path).toString): _*)
+      .sort(s.key).coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).toSeq
+      .find(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no staged part under $stage"))
+    val rel = bucketNamed(part.getPath.getName, bucketId)
+    if (!fs.rename(part.getPath, new Path(p, rel)))
+      throw new java.io.IOException(s"stage rename failed: ${part.getPath}")
+    fs.delete(stage, true)
+    ManifestLog.failpoint("written:compact-bucket")
+    ManifestLog.commit(fs, p, v + 1,
+      m.entries.diff(grain) :+ ManifestLog.Entry(rel, None),
+      "compact", m.batchHwm)
+  }
+
+  /** The self-driving tick: compact every bucket whose live file
+    * count exceeds `maxFiles` (K appends leave K files per bucket).
+    * Returns the compacted bucket ids.
+    */
+  def maintain(spark: SparkSession, root: String,
+      maxFiles: Int = Segments.CompactAfterSegments): Seq[Int] = {
+    require(maxFiles >= 1, "maxFiles must admit at least one file per bucket")
+    val counts = ManifestLog.currentEntries(spark, root)
+      .flatMap(e => bucketIdOf(e.path))
+      .groupBy(identity).view.mapValues(_.size)
+    val targets = counts.filter(_._2 > maxFiles).keys.toSeq.sorted
+    targets.foreach(compactBucket(spark, root, _))
+    targets
+  }
+
+  /** Spark maps a data file to its bucket by NAME (the trailing
+    * `_NNNNN` before the extensions) — same contract as
+    * [[Segments]]' catalog path.
+    */
+  private val BucketFileName = """.*_(\d+)(?:\..*)?$""".r
+  private def bucketIdOf(name: String): Option[Int] = name match {
+    case BucketFileName(id) => Some(id.toInt)
+    case _ => None
+  }
+
+  /** Splice a bucket id between a plain part name's stem and its
+    * extensions, so the replacement parses to its grain's bucket.
+    */
+  private def bucketNamed(partName: String, bucketId: Int): String = {
+    val dot = partName.indexOf('.')
+    val (stem, ext) = partName.splitAt(if (dot < 0) partName.length else dot)
+    f"$stem%s_$bucketId%05d$ext%s"
+  }
+}

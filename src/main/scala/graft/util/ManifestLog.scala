@@ -29,10 +29,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * vacuum pass amortized over maintenance — against which it buys
   * lock-free readers, O(1) atomic commits regardless of grain size,
   * and time travel ([[readAt]]) for audits and reproducible training
-  * runs. The bucketed co-location pairs stay on the staged-swap
-  * protocol: their reads flow through the session catalog's bucketed
-  * file index (that is what buys the exchange-free joins), which
-  * resolves by directory listing, not by manifest.
+  * runs. The bucketed co-location pairs get the same contract through
+  * [[BucketedManifest]], which swaps the catalog's listing-based file
+  * index for a manifest-backed `FileIndex` under the same bucketed
+  * relation shape.
   *
   * Concurrency contract: APPENDS are multi-writer-safe — a writer
   * stages its files (invisible until a manifest lists them), and if
@@ -114,12 +114,12 @@ object ManifestLog {
     */
   @volatile private[graft] var failpoint: String => Unit = _ => ()
 
-  private def hadoop(spark: SparkSession, root: String) = {
+  private[util] def hadoop(spark: SparkSession, root: String) = {
     val p = new org.apache.hadoop.fs.Path(root)
     (p, p.getFileSystem(spark.sessionState.newHadoopConf()))
   }
 
-  private def manifestDir(root: org.apache.hadoop.fs.Path) =
+  private[util] def manifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, ManifestDirName)
 
   /** Whether `root` is a manifested log (the [[Segments]] entry points
@@ -137,7 +137,7 @@ object ManifestLog {
     versionsOf(fs, p)
   }
 
-  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+  private[util] def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[Long] = {
     val dir = manifestDir(p)
     if (!fs.exists(dir)) Nil
@@ -154,7 +154,7 @@ object ManifestLog {
     * and belong to no other writer's state. Returns false when the
     * guard rejects (the staged files become vacuumable orphans).
     */
-  private def commitAppend(fs: org.apache.hadoop.fs.FileSystem,
+  private[util] def commitAppend(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, newEntries: Seq[Entry], op: String,
       guard: Manifest => Boolean, hwmFor: Manifest => Long): Boolean = {
     var attempts = 0
@@ -539,7 +539,7 @@ object ManifestLog {
 
   // ---- internals ----
 
-  private def manifestName(v: Long) = f"v$v%09d.manifest"
+  private[util] def manifestName(v: Long) = f"v$v%09d.manifest"
 
   private def dirOf(rel: String): String = {
     val i = rel.lastIndexOf('/')
@@ -630,7 +630,7 @@ object ManifestLog {
     * (earlier manifests) reads as op "unknown", and an absent
     * `batch-hwm` token reads as -1 (no batch ever committed).
     */
-  private def readRaw(fs: org.apache.hadoop.fs.FileSystem,
+  private[util] def readRaw(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Manifest = {
     val f = new org.apache.hadoop.fs.Path(manifestDir(root), manifestName(v))
     val in = fs.open(f)
@@ -775,7 +775,7 @@ object ManifestLog {
     * replay guard — the guard survives [[vacuum]] of old manifests and
     * any interleaved maintenance commit.
     */
-  private def commit(fs: org.apache.hadoop.fs.FileSystem,
+  private[util] def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long, entries: Seq[Entry],
       op: String, batchHwm: Long): Unit = {
     val dir = manifestDir(root)

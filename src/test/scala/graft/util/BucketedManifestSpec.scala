@@ -1,0 +1,142 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Manifested bucketed co-location pairs: the manifest-backed
+  * FileIndex plans exchange-free joins exactly like the catalog path,
+  * while maintenance gets the full snapshot-isolation contract —
+  * pinned readers through bucket compaction, retire-don't-delete,
+  * crash-window convergence, time travel.
+  */
+class BucketedManifestSpec extends SparkTestBase with graft.TempCorpusDirs {
+  import sqlImplicits._
+
+  private final class InjectedCrash extends RuntimeException("injected crash")
+
+  private def killAt(step: String)(body: => Unit): Unit = {
+    ManifestLog.failpoint = s => if (s.startsWith(step)) throw new InjectedCrash
+    try intercept[InjectedCrash](body)
+    finally ManifestLog.failpoint = _ => ()
+  }
+
+  private val Buckets = 4
+
+  /** A co-located fact/dim pair as manifested bucketed layouts. */
+  private def freshPair(tag: String): (String, String) = {
+    val dir = tempCorpusDir(s"graft_bman_$tag")
+    def build(name: String, df: DataFrame): String = {
+      val t = s"graft_bman_${tag}_$name"
+      df.repartition(Buckets, col("k"))
+        .write.mode("overwrite").option("path", s"$dir/$name")
+        .bucketBy(Buckets, "k").sortBy("k").saveAsTable(t)
+      BucketedManifest.adoptTable(spark, t)
+    }
+    val fact = build("fact",
+      (0 until 4000).map(i => (i.toLong % 400, i.toLong)).toDF("k", "v"))
+    val dim = build("dim",
+      (0 until 400).map(i => (i.toLong, s"d$i")).toDF("k", "w"))
+    (fact, dim)
+  }
+
+  private def coAgg(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(dim, "k").groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  private def assertCoLocated(df: DataFrame): Unit = {
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Bucketed: true"), s"bucketed scan not in play:\n$p")
+    val keyEx = p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning(") && l.contains("k#"))
+    assert(keyEx == 0, s"co-located join must not re-shuffle on k:\n$p")
+  }
+
+  test("the manifested pair joins exchange-free and answers like the shuffle join") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (fact, dim) = freshPair("base")
+      val got = coAgg(BucketedManifest.read(spark, fact),
+        BucketedManifest.read(spark, dim))
+      assertCoLocated(got)
+      // Answers: identical to the plain shuffle join over the same files.
+      val raw = coAgg(spark.read.parquet(fact), spark.read.parquet(dim))
+      assert(canon(got) == canon(raw))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("appends add one file per bucket, validate the spec, and keep co-location") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (fact, dim) = freshPair("app")
+      val before = ManifestLog.liveFileCount(spark, fact)
+      BucketedManifest.appendBucketed(
+        (4000 until 4400).map(i => (i.toLong % 400, i.toLong)).toDF("k", "v"), fact)
+      assert(ManifestLog.liveFileCount(spark, fact) == before + Buckets,
+        "a segment append must add one file per non-empty bucket")
+      val got = coAgg(BucketedManifest.read(spark, fact),
+        BucketedManifest.read(spark, dim))
+      assertCoLocated(got)
+      assert(got.agg(sum("n")).as[Long].head() == 4400L)
+      // A segment without the recorded key fails before any write.
+      intercept[IllegalArgumentException] {
+        BucketedManifest.appendBucketed(
+          Seq((1L, 1L)).toDF("wrong", "v"), fact)
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("bucket compaction is snapshot-isolated: pinned readers keep retired files") {
+    val (fact, _) = freshPair("cmp")
+    BucketedManifest.appendBucketed(
+      (4000 until 4400).map(i => (i.toLong % 400, i.toLong)).toDF("k", "v"), fact)
+    val pinned = BucketedManifest.read(spark, fact) // 2 files per bucket
+    val expect = canon(pinned.groupBy("k").agg(sum("v").as("sv")))
+    // The tick compacts every over-fragmented bucket grain.
+    assert(BucketedManifest.maintain(spark, fact, maxFiles = 1).length == Buckets)
+    val after = BucketedManifest.read(spark, fact)
+    assert(ManifestLog.liveFileCount(spark, fact) == Buckets)
+    assert(canon(after.groupBy("k").agg(sum("v").as("sv"))) == expect)
+    // The pinned plan still answers from the retired files …
+    assert(canon(pinned.groupBy("k").agg(sum("v").as("sv"))) == expect,
+      "compaction deleted files a pinned reader references")
+    // … and time travel reaches the pre-compaction generation.
+    val v = ManifestLog.currentVersion(spark, fact)
+    assert(canon(BucketedManifest.readAt(spark, fact, v - Buckets)
+      .groupBy("k").agg(sum("v").as("sv"))) == expect)
+    // Vacuum (pins released) drops the retired grain files.
+    assert(ManifestLog.vacuum(spark, fact).count(_.endsWith(".parquet")) == 2 * Buckets)
+    assert(canon(BucketedManifest.read(spark, fact)
+      .groupBy("k").agg(sum("v").as("sv"))) == expect)
+    // Idempotent tick.
+    assert(BucketedManifest.maintain(spark, fact, maxFiles = 1).isEmpty)
+  }
+
+  test("crash windows converge: torn append stays invisible, torn compaction retries") {
+    val (fact, _) = freshPair("crash")
+    val expect = canon(BucketedManifest.read(spark, fact))
+    val seg = (4000 until 4400).map(i => (i.toLong % 400, i.toLong)).toDF("k", "v")
+    killAt("written:append-bucketed") {
+      BucketedManifest.appendBucketed(seg, fact)
+    }
+    assert(canon(BucketedManifest.read(spark, fact)) == expect,
+      "a crashed append leaked into the current generation")
+    ManifestLog.vacuum(spark, fact) // orphaned bucket files
+    BucketedManifest.appendBucketed(seg, fact)
+    assert(BucketedManifest.read(spark, fact).count() == 4400,
+      "retry duplicated or lost the segment")
+    killAt("written:compact-bucket") {
+      BucketedManifest.compactBucket(spark, fact, 0)
+    }
+    assert(BucketedManifest.read(spark, fact).count() == 4400)
+    BucketedManifest.compactBucket(spark, fact, 0)
+    assert(BucketedManifest.read(spark, fact).count() == 4400)
+    assert(ManifestLog.currentEntries(spark, fact)
+      .count(_.path.matches(""".*_0{4}0(?:\..*)?$""")) == 1,
+      "bucket 0's grain did not collapse")
+  }
+}
