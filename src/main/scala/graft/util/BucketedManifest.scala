@@ -184,6 +184,31 @@ object BucketedManifest {
     out
   }
 
+  /** [[appendBucketed]] with the streaming replay guard — the
+    * bucketed twin of [[ManifestLog.appendBatch]]: a batchId at or
+    * under the layout's high-water mark already committed and the
+    * call no-ops; the guard re-checks inside the commit loop, so two
+    * replicas racing the same batch commit it exactly once (the
+    * loser's staged bucket files become vacuumable orphans). Returns
+    * whether the batch committed.
+    */
+  def appendBucketedBatch(segment: DataFrame, root: String,
+      batchId: Long): Boolean = {
+    require(batchId >= 0L, s"batch ids are non-negative, got $batchId")
+    val spark = segment.sparkSession
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val m0 = ManifestLog.readRaw(fs, p, ManifestLog.currentVersion(spark, root))
+    if (batchId <= m0.batchHwm) return false
+    val s = spec(spark, root)
+    require(segment.columns.contains(s.key),
+      s"segment lacks the bucket key '${s.key}' recorded for $root")
+    val staged = stageBucketed(spark, p, fs, segment, s)
+    ManifestLog.failpoint("written:append-bucketed")
+    ManifestLog.commitAppend(fs, p,
+      staged.map(ManifestLog.Entry(_, None)), "append-batch",
+      m => batchId > m.batchHwm, m => math.max(m.batchHwm, batchId))
+  }
+
   /** Compact ONE bucket grain back to a single file, manifest-
     * committed: the grain is the LIVE files whose name parses to
     * `bucketId`; the replacement is key-sorted and renamed to carry

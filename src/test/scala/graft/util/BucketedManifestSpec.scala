@@ -116,6 +116,46 @@ class BucketedManifestSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(BucketedManifest.maintain(spark, fact, maxFiles = 1).isEmpty)
   }
 
+  test("bucket pruning: a key-equality filter scans one bucket's files") {
+    // Auto-bucketed-scan turns bucketed reads off for plans with no
+    // exchange to save (identical treatment to a catalog table); pin
+    // the pruning behavior itself with the heuristic disabled.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val (fact, _) = freshPair("prune")
+      val df = BucketedManifest.read(spark, fact)
+      val qe = df.filter(col("k") === 7L).queryExecution
+      assert(qe.executedPlan.execute().count() == 10) // 4000 rows / 400 keys
+      val p = qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains(s"SelectedBucketsCount: 1 out of $Buckets"),
+        s"bucket pruning not in play:\n$p")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("the streamed bucketed batch is exactly-once; the layout stays tailable") {
+    val (fact, _) = freshPair("batch")
+    val cursor = ManifestLog.currentVersion(spark, fact)
+    val seg = (4000 until 4400).map(i => (i.toLong % 400, i.toLong)).toDF("k", "v")
+    assert(BucketedManifest.appendBucketedBatch(seg, fact, 0L))
+    assert(!BucketedManifest.appendBucketedBatch(seg, fact, 0L),
+      "a committed batch must replay as a no-op")
+    assert(BucketedManifest.read(spark, fact).count() == 4400)
+    // Maintenance carries the mark; the replay stays refused after it.
+    BucketedManifest.maintain(spark, fact, maxFiles = 1)
+    assert(!BucketedManifest.appendBucketedBatch(seg, fact, 0L))
+    assert(ManifestLog.batchHwm(spark, fact) == 0L)
+    // The changes feed works unchanged over the bucketed layout: the
+    // batch's files alone, compaction contributing nothing.
+    ManifestLog.tailSince(spark, fact, cursor) match {
+      case a: ManifestLog.TailAppended =>
+        val t = ManifestLog.readTail(spark, fact, a).get
+        assert(t.count() == 400, "the tail must carry exactly the batch")
+      case r: ManifestLog.TailResync => fail(r.reason)
+    }
+  }
+
   test("crash windows converge: torn append stays invisible, torn compaction retries") {
     val (fact, _) = freshPair("crash")
     val expect = canon(BucketedManifest.read(spark, fact))
