@@ -40,7 +40,14 @@ import org.apache.spark.sql.types.StructType
   */
 object BucketedManifest {
 
-  final case class Spec(key: String, buckets: Int)
+  /** The layout's recorded bucket spec. `keyType` (the key column's
+    * Catalyst type, recorded at adoption) lets [[deleteKeys]] hash
+    * tombstones with the exact bucketing type without opening any
+    * data file; spec files written before the field read as None and
+    * fall back to one footer read.
+    */
+  final case class Spec(key: String, buckets: Int,
+      keyType: Option[org.apache.spark.sql.types.DataType] = None)
 
   private val SpecFile = "bucket-spec"
 
@@ -61,7 +68,9 @@ object BucketedManifest {
         s"${bs.bucketColumnNames} — the co-location layouts sort by their key")
     val root = meta.location.toString
     ManifestLog.adopt(spark, root)
-    writeSpec(spark, root, Spec(bs.bucketColumnNames.head, bs.numBuckets))
+    val key = bs.bucketColumnNames.head
+    writeSpec(spark, root,
+      Spec(key, bs.numBuckets, Some(meta.schema(key).dataType)))
     spark.sql(s"DROP TABLE `$table`")
     root
   }
@@ -75,6 +84,8 @@ object BucketedManifest {
     finally in.close()
     line.split('\t') match {
       case Array(k, n) => Spec(k, n.toInt)
+      case Array(k, n, tj) =>
+        Spec(k, n.toInt, Some(org.apache.spark.sql.types.DataType.fromJson(tj)))
       case _ => throw new IllegalStateException(s"unparseable bucket spec at $f")
     }
   }
@@ -82,7 +93,8 @@ object BucketedManifest {
   private def writeSpec(spark: SparkSession, root: String, s: Spec): Unit = {
     val (p, fs) = ManifestLog.hadoop(spark, root)
     val out = fs.create(new Path(ManifestLog.manifestDir(p), SpecFile), true)
-    try out.write(s"${s.key}\t${s.buckets}\n".getBytes("UTF-8"))
+    val tail = s.keyType.map(t => s"\t${t.json}").getOrElse("")
+    try out.write(s"${s.key}\t${s.buckets}$tail\n".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -240,6 +252,102 @@ object BucketedManifest {
     ManifestLog.commit(fs, p, v + 1,
       m.entries.diff(grain) :+ ManifestLog.Entry(rel, None),
       "compact", m.batchHwm)
+  }
+
+  /** Keyed deletion over the bucketed layout — the
+    * [[ManifestLog.deleteKeys]] contract with a stronger pruning
+    * story: the layout's OWN hash places every key, so the candidate
+    * buckets are computed from the tombstone set alone
+    * (`pmod(hash(key), buckets)` — `functions.hash` is the same
+    * seed-42 Murmur3 `HashPartitioning` buckets by), no stats needed.
+    * One scan of the candidate buckets' files then finds the files
+    * actually holding tombstoned rows; each touched bucket's touched
+    * files rewrite as ONE survivor file carrying the bucket's
+    * `_NNNNN` name (a delete doubles as that bucket's compaction),
+    * untouched files — including same-bucket siblings — pass through
+    * by reference, and a fully-tombstoned grain retires without
+    * replacement. The commit carries op `delete`: pre-delete
+    * generations stay auditable until [[ManifestLog.vacuum]], and
+    * [[ManifestLog.tailSince]] resyncs loudly across it.
+    *
+    * Keys are cast to the table's key type BEFORE hashing — a LONG
+    * column bucket-hashes its long values, so an INT-typed tombstone
+    * feed would otherwise probe the wrong buckets and silently delete
+    * nothing.
+    */
+  def deleteKeys(spark: SparkSession, root: String,
+      keys: DataFrame): ManifestLog.DeleteResult = {
+    import org.apache.spark.sql.functions.{count, hash, input_file_name, lit, pmod}
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val s = spec(spark, root)
+    val v = ManifestLog.currentVersion(spark, root)
+    val m = ManifestLog.readRaw(fs, p, v)
+    require(m.entries.nonEmpty, s"$root lists no live files at v$v")
+    val keyType = s.keyType.getOrElse(
+      // Legacy spec file without the recorded type: one footer read.
+      spark.read.parquet(
+        new Path(p, m.entries.head.path).toString).schema(s.key).dataType)
+    val keyCol = keys.columns.headOption.getOrElse(
+      throw new IllegalArgumentException("tombstone frame has no columns"))
+    val tomb = keys.select(col(keyCol).cast(keyType).as(s.key))
+      .where(col(s.key).isNotNull).distinct().localCheckpoint()
+    val candBuckets = tomb
+      .select(pmod(hash(col(s.key)), lit(s.buckets)).as("_gf_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val candidates = m.entries.filter(
+      e => bucketIdOf(e.path).exists(candBuckets))
+    if (candidates.isEmpty) return ManifestLog.DeleteResult(0, 0, 0L)
+    val byName = candidates.map(e => e.path -> e).toMap
+    val perFile = spark.read.parquet(
+        candidates.map(e => new Path(p, e.path).toString): _*)
+      .select(col(s.key), input_file_name().as("_gf_file"))
+      .join(tomb.withColumn("_gf_hit", lit(1)), Seq(s.key), "left")
+      .groupBy("_gf_file")
+      .agg(count(lit(1)).as("_gf_total"), count(col("_gf_hit")).as("_gf_hits"))
+      .where(col("_gf_hits") > 0)
+      .collect()
+      .map { r =>
+        val name = new Path(r.getString(0)).getName
+        (byName.getOrElse(name, throw new IllegalStateException(
+          s"scan returned a file outside the candidate set: ${r.getString(0)}")),
+          r.getLong(1), r.getLong(2))
+      }
+    if (perFile.isEmpty) return ManifestLog.DeleteResult(0, 0, 0L)
+    val touched = perFile.map(_._1).toSeq
+    val retired = perFile.count { case (_, total, hits) => hits == total }
+    val rowsDeleted = perFile.map(_._3).sum
+    val replacements = touched.groupBy(e => bucketIdOf(e.path).get)
+      .toSeq.flatMap { case (b, es) =>
+        val survivors = spark.read.parquet(
+            es.map(e => new Path(p, e.path).toString): _*)
+          .join(tomb, Seq(s.key), "left_anti")
+        val stage = new Path(p, s".stage-${java.util.UUID.randomUUID}")
+        survivors.sort(s.key).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        // A schema-only empty part (every row of the grain tombstoned)
+        // does not graduate: the grain retires without replacement.
+        val out = fs.listStatus(stage).toSeq
+          .find(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+            Segments.fileRowCount(st.getPath,
+              spark.sessionState.newHadoopConf()) > 0L)
+          .map { st =>
+            val rel = bucketNamed(st.getPath.getName, b)
+            if (!fs.rename(st.getPath, new Path(p, rel)))
+              throw new java.io.IOException(s"stage rename failed: ${st.getPath}")
+            rel
+          }.toSeq
+        fs.delete(stage, true)
+        out
+      }
+    val remaining = m.entries.diff(touched)
+    require(remaining.nonEmpty || replacements.nonEmpty,
+      s"this tombstone set deletes EVERY live row of $root — drop the " +
+        "layout explicitly instead")
+    ManifestLog.failpoint("written:delete-bucket")
+    ManifestLog.commit(fs, p, v + 1,
+      remaining ++ replacements.map(ManifestLog.Entry(_, None)),
+      "delete", m.batchHwm)
+    ManifestLog.DeleteResult(touched.length - retired, retired, rowsDeleted)
   }
 
   /** The self-driving tick: compact every bucket whose live file

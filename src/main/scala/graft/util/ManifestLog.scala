@@ -71,6 +71,17 @@ object ManifestLog {
     */
   final class CommitConflict(msg: String) extends java.io.IOException(msg)
 
+  /** Outcome of a [[deleteKeys]] call: how many live files held at
+    * least one tombstoned row and were rewritten without those rows,
+    * how many were retired outright (every row deleted — no
+    * replacement), and how many rows left the live generation.
+    * `DeleteResult(0, 0, 0)` means no live file held any key and no
+    * generation was committed — re-running a completed delete is a
+    * metadata-cost no-op.
+    */
+  final case class DeleteResult(
+      filesRewritten: Int, filesRetired: Int, rowsDeleted: Long)
+
   /** One live data file: its root-relative path, plus min/max of the
     * layout's boundary column when a trustworthy footer provided them
     * at write time (absence means "cannot prune by this file's range",
@@ -466,6 +477,156 @@ object ManifestLog {
       "restate", m.batchHwm)
   }
 
+  /** Keyed row deletion (the right-to-be-forgotten primitive),
+    * manifest-committed. Given a tombstone set — the ids a regulator,
+    * an opt-out feed, or a curation pass says must leave the corpus —
+    * rewrite ONLY the live files that actually contain a tombstoned
+    * row, retire files whose every row is tombstoned, and publish the
+    * survivor state as one atomic generation. Untouched files pass
+    * through by reference: their manifest lines (path AND stats) are
+    * byte-identical across the commit, so at 100 TB a delete of one
+    * user's documents costs O(files containing that user), never a
+    * layout rewrite.
+    *
+    * Two phases, the standard copy-on-write DELETE shape:
+    *
+    *  1. '''Find.''' Candidate files narrow twice before any data page
+    *     is read: entries whose manifest stats cover `keyCol` are kept
+    *     only if some key falls inside their recorded [min, max] (an
+    *     exact per-file range check via one broadcast of the file-range
+    *     table — zero footer IO, zero data IO for everything outside);
+    *     stats-less entries and other-column stats are always
+    *     candidates. One scan of the candidates then left-joins the
+    *     (deduplicated, null-free) key set and aggregates per file —
+    *     total rows, tombstoned rows — so "touched", "retired", and
+    *     `rowsDeleted` all come from that single pass.
+    *  2. '''Rewrite.''' Per partition directory, the touched files'
+    *     survivors restage as a key-clustered replacement
+    *     (`repartitionByRange` over `boundCol` when given — deletion
+    *     RESTORES intra-grain disjointness as a side effect, like a
+    *     compaction), sized at one output file per touched input file.
+    *     Files whose every row was tombstoned simply leave the list.
+    *
+    * The commit carries op `delete`: a grain mutation (single
+    * maintainer, [[CommitConflict]] on a lost race — re-invoke and the
+    * re-run converges, finding only whatever keys still remain), and a
+    * loud [[TailResync]] for incremental consumers — a delete rewrites
+    * committed history, so a path-diff tail would re-fold the
+    * replacement files' rows as if they were new. Derived artifacts
+    * follow through their own retraction family (see the TextOps
+    * retraction section), driven by the same tombstone set.
+    *
+    * Disposal semantics match the rest of the layer: the pre-delete
+    * generations remain readable ([[readAt]]) until [[vacuum]], which
+    * is where the tombstoned bytes actually leave the disk — "no
+    * longer served" and "destroyed" are separate, auditable steps.
+    *
+    * `keyCol` must be a physical column of the data files (footer
+    * stats and the survivor rewrite both live below the partition-dir
+    * encoding; deleting by a partition value is retention's job).
+    * Tombstone rows with a null key are ignored — null is not an
+    * identity.
+    */
+  def deleteKeys(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame, boundCol: Option[String] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit}
+    val (p, fs) = hadoop(spark, root)
+    val v = currentVersion(spark, root)
+    val m = readRaw(fs, p, v)
+    val live = m.entries
+    require(live.nonEmpty, s"$root lists no live files at v$v")
+    // Pin the tombstone set: it is typically DERIVED from this very
+    // log (a filter over read(root)), and it feeds one find pass plus
+    // one rewrite per directory — recomputing the derivation per use
+    // would also race our own commit.
+    val tomb = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct().localCheckpoint()
+    // Stats-exact candidate pruning: a stats-covered file is a
+    // candidate iff some key lands in its recorded range. The range
+    // table is O(live files) rows — broadcast it under the streamed
+    // key set; collect returns at most one path per file.
+    val (statted, statless) = live.partition(_.stats.exists(_._1 == keyCol))
+    val statsCandidates: Seq[Entry] =
+      if (statted.isEmpty) Nil
+      else {
+        val ranges = spark.createDataFrame(
+          statted.map(e => (e.path, e.stats.get._2, e.stats.get._3)))
+          .toDF("_gf_path", "_gf_mn", "_gf_mx")
+        val hit = tomb.join(broadcast(ranges),
+            col(keyCol).cast("long").between(col("_gf_mn"), col("_gf_mx")), "inner")
+          .select("_gf_path").distinct().collect().map(_.getString(0)).toSet
+        statted.filter(e => hit(e.path))
+      }
+    val candidates = statsCandidates ++ statless
+    if (candidates.isEmpty) return DeleteResult(0, 0, 0L)
+    val byAbs: Map[String, Entry] = candidates.map { e =>
+      new org.apache.hadoop.fs.Path(p, e.path).toUri.getPath -> e
+    }.toMap
+    // One pass over the candidates decides everything: per-file totals
+    // and tombstone hits (the key set is distinct, so the left join
+    // cannot multiply rows). Reading WITHOUT basePath keeps the frame
+    // to physical columns — exactly what the replacement files must
+    // hold, with partition values staying encoded in directory names.
+    val scan = spark.read.parquet(
+      candidates.map(e => new org.apache.hadoop.fs.Path(p, e.path).toString): _*)
+    require(scan.columns.contains(keyCol),
+      s"'$keyCol' is not a physical column of $root — keyed deletion works " +
+        "below the partition-dir encoding; use expireBefore for partition-" +
+        "valued retention")
+    val perFile = scan.select(col(keyCol), input_file_name().as("_gf_file"))
+      .join(tomb.withColumn("_gf_hit", lit(1)), Seq(keyCol), "left")
+      .groupBy("_gf_file")
+      .agg(count(lit(1)).as("_gf_total"), count(col("_gf_hit")).as("_gf_hits"))
+      .where(col("_gf_hits") > 0)
+      .collect()
+      .map { r =>
+        val abs = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+        (byAbs.getOrElse(abs, throw new IllegalStateException(
+          s"scan returned a file outside the candidate set: ${r.getString(0)}")),
+          r.getLong(1), r.getLong(2))
+      }
+    if (perFile.isEmpty) return DeleteResult(0, 0, 0L)
+    val touched = perFile.map(_._1).toSeq
+    val retired = perFile.count { case (_, total, hits) => hits == total }
+    val rowsDeleted = perFile.map(_._3).sum
+    // Rewrite survivors per partition directory, one output file per
+    // touched input file (bounded file sizes; boundCol restores the
+    // sorted-log clustering recipe on the replacement).
+    val conf = spark.sessionState.newHadoopConf()
+    val staged = perFile.toSeq.groupBy(t => dirOf(t._1.path)).toSeq.flatMap {
+      case (relDir, ts) =>
+        val es = ts.map(_._1)
+        // Replacement splits = touched files that still HOLD rows; a
+        // fully-tombstoned file retires and must not widen the range
+        // partitioning into sub-sized output files.
+        val nOut = math.max(1, ts.count { case (_, total, hits) => hits < total })
+        val survivors = spark.read.parquet(
+            es.map(e => new org.apache.hadoop.fs.Path(p, e.path).toString): _*)
+          .join(tomb, Seq(keyCol), "left_anti")
+        val clustered = boundCol match {
+          case Some(bc) => survivors
+            .repartitionByRange(nOut, col(bc)).sortWithinPartitions(bc)
+          case None => survivors
+        }
+        // A fully-tombstoned grain may still stage one schema-only
+        // empty part; dropping it here is what makes "retired without
+        // replacement" literal in the manifest.
+        stageIntoRoot(spark, p, fs, relDir, clustered).filter { rel =>
+          val f = new org.apache.hadoop.fs.Path(p, rel)
+          Segments.fileRowCount(f, conf) > 0L || { fs.delete(f, false); false }
+        }
+    }
+    val remaining = live.diff(touched)
+    require(remaining.nonEmpty || staged.nonEmpty,
+      s"this tombstone set deletes EVERY live row of $root — an empty layout " +
+        "is indistinguishable from a torn one; drop the layout explicitly " +
+        "instead")
+    failpoint("written:delete")
+    commit(fs, p, v + 1, remaining ++ entriesFor(spark, p, staged, boundCol),
+      "delete", m.batchHwm)
+    DeleteResult(touched.length - retired, retired, rowsDeleted)
+  }
+
   /** Layout-level retention: commit a generation WITHOUT the files
     * that lie wholly below `cutoff` on `boundCol` — a metadata-only
     * operation (no data is read or rewritten; one footer read per
@@ -731,6 +892,14 @@ object ManifestLog {
           return TailResync(cur,
             s"v$v restated committed history — incremental consumption " +
               s"over (v$fromVersion, v$cur] is invalid; rebuild from v$cur")
+        case "delete" =>
+          // A delete's replacement files HOLD rows the consumer already
+          // folded — emitting them would double those rows, and the
+          // tombstoned rows cannot be expressed as appends at all.
+          return TailResync(cur,
+            s"v$v deleted keyed rows from committed history — rebuild " +
+              s"derived state from v$cur (and retract through the " +
+              "artifact-level retraction family)")
         case other =>
           return TailResync(cur,
             s"v$v carries op '$other' unknown to the tail protocol — " +

@@ -489,6 +489,17 @@ object Segments {
     } finally reader.close()
   }
 
+  /** Footer row count of one parquet file — one footer read, no data
+    * pages. The delete paths use it to drop schema-only empty parts a
+    * fully-tombstoned grain's write may leave behind.
+    */
+  private[util] def fileRowCount(file: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
   /** Spark maps a data file to its bucket by NAME (the trailing
     * `_NNNNN` id before the extensions) — the contract both the append
     * path (bucketBy names its files) and [[compactBucket]]'s
