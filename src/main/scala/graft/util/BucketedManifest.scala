@@ -180,6 +180,7 @@ object BucketedManifest {
     val t = s"graft_bstage_$id"
     segment.repartition(s.buckets, col(s.key))
       .write.mode("overwrite")
+      .options(ParquetBlooms.writerOptions(fs, p))
       .option("path", stage.toString)
       .bucketBy(s.buckets, s.key).sortBy(s.key)
       .saveAsTable(t)
@@ -240,7 +241,9 @@ object BucketedManifest {
     spark.read.parquet(
         grain.map(e => new Path(p, e.path).toString): _*)
       .sort(s.key).coalesce(1)
-      .write.mode("overwrite").parquet(stage.toString)
+      .write.mode("overwrite")
+      .options(ParquetBlooms.writerOptions(fs, p))
+      .parquet(stage.toString)
     val part = fs.listStatus(stage).toSeq
       .find(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no staged part under $stage"))
@@ -294,8 +297,27 @@ object BucketedManifest {
     val candBuckets = tomb
       .select(pmod(hash(col(s.key)), lit(s.buckets)).as("_gf_b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val candidates = m.entries.filter(
+    val bucketCandidates = m.entries.filter(
       e => bucketIdOf(e.path).exists(candBuckets))
+    if (bucketCandidates.isEmpty) return ManifestLog.DeleteResult(0, 0, 0L)
+    // Within a candidate bucket, K appends leave K files and the key
+    // may live in any subset of them; a declared bloom filter
+    // ([[ParquetBlooms.declare]]) rejects the append files that cannot
+    // hold any tombstoned key from their footers, so the find scan
+    // reads only the files that may actually rewrite.
+    val candidates: Seq[ManifestLog.Entry] =
+      if (!ParquetBlooms.declaredOf(fs, p).exists(_._1 == s.key)) bucketCandidates
+      else {
+        val keyVals = tomb.limit(ParquetBlooms.MaxProbeKeys + 1)
+          .collect().map(_.get(0)).toSeq
+        if (keyVals.length > ParquetBlooms.MaxProbeKeys) bucketCandidates
+        else {
+          val admitted = ParquetBlooms.mayContainAny(spark,
+            bucketCandidates.map(e => new Path(p, e.path).toString),
+            s.key, keyVals).toSet
+          bucketCandidates.filter(e => admitted(new Path(p, e.path).toString))
+        }
+      }
     if (candidates.isEmpty) return ManifestLog.DeleteResult(0, 0, 0L)
     val byName = candidates.map(e => e.path -> e).toMap
     val perFile = spark.read.parquet(
@@ -323,7 +345,9 @@ object BucketedManifest {
           .join(tomb, Seq(s.key), "left_anti")
         val stage = new Path(p, s".stage-${java.util.UUID.randomUUID}")
         survivors.sort(s.key).coalesce(1)
-          .write.mode("overwrite").parquet(stage.toString)
+          .write.mode("overwrite")
+          .options(ParquetBlooms.writerOptions(fs, p))
+          .parquet(stage.toString)
         // A schema-only empty part (every row of the grain tombstoned)
         // does not graduate: the grain retires without replacement.
         val out = fs.listStatus(stage).toSeq

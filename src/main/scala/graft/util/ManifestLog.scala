@@ -331,6 +331,50 @@ object ManifestLog {
       .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
   }
 
+  /** Point lookup: the current generation's rows whose `keyCol` is in
+    * `keys`, planning only the files that may hold one — manifest
+    * stats prune by recorded range when the key IS the boundary
+    * column, and a declared bloom filter ([[ParquetBlooms.declare]])
+    * prunes by footer probe when it is not. Both prunings are
+    * conservative supersets; the row predicate applies regardless (and
+    * pushes down to the scan, so admitted files read only matching
+    * row groups). At 100 TB this is "fetch these documents by id"
+    * costing O(files that may hold them), not a log scan.
+    */
+  def readKeyed(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keys.nonEmpty, "readKeyed needs at least one key")
+    require(keys.length <= ParquetBlooms.MaxProbeKeys,
+      s"${keys.length} keys exceed MaxProbeKeys=${ParquetBlooms.MaxProbeKeys} — " +
+        "semi-join against read() for bulk key sets")
+    val (p, fs) = hadoop(spark, root)
+    val entries = readManifest(fs, p, currentVersion(spark, root))
+    require(entries.nonEmpty, s"$root lists no files")
+    def abs(e: Entry) = new org.apache.hadoop.fs.Path(p, e.path).toString
+    val longs = keys.collect { case l: Long => l; case i: Int => i.toLong }
+    val ranged =
+      if (longs.length != keys.length) entries
+      else entries.filter(_.stats match {
+        case Some((c, mn, mx)) if c == keyCol =>
+          longs.exists(k => k >= mn && k <= mx)
+        case _ => true
+      })
+    val admitted =
+      if (!ParquetBlooms.declaredOf(fs, p).exists(_._1 == keyCol)) ranged
+      else {
+        val ok = ParquetBlooms.mayContainAny(
+          spark, ranged.map(abs), keyCol, keys).toSet
+        ranged.filter(e => ok(abs(e)))
+      }
+    // No admissible file still answers — with the schema, zero rows
+    // (one file planned purely as the schema carrier).
+    val files = (if (admitted.nonEmpty) admitted else entries.take(1)).map(abs)
+    val out = spark.read.option("basePath", root).parquet(files: _*)
+      .where(col(keyCol).isin(keys: _*))
+    if (admitted.isEmpty) out.where(lit(false)) else out
+  }
+
   /** The current generation's entries (the maintenance tick's view of
     * what is live — orphans and retired files never appear here). */
   private[util] def currentEntries(spark: SparkSession, root: String): Seq[Entry] = {
@@ -557,7 +601,29 @@ object ManifestLog {
           .select("_gf_path").distinct().collect().map(_.getString(0)).toSet
         statted.filter(e => hit(e.path))
       }
-    val candidates = statsCandidates ++ statless
+    val rangeCandidates = statsCandidates ++ statless
+    if (rangeCandidates.isEmpty) return DeleteResult(0, 0, 0L)
+    // Bloom pruning closes the stats gap: for a layout NOT sorted by
+    // the key (an events log sorted by time, deleted by user), every
+    // file's key range covers the domain and stats prune nothing —
+    // but a declared per-file bloom filter rejects the files that
+    // cannot hold any tombstoned key from their footers alone. Keys
+    // above the probe cap fall back to the scan deciding.
+    val candidates: Seq[Entry] =
+      if (!ParquetBlooms.declaredOf(fs, p).exists(_._1 == keyCol)) rangeCandidates
+      else {
+        val keyVals = tomb.limit(ParquetBlooms.MaxProbeKeys + 1)
+          .collect().map(_.get(0)).toSeq
+        if (keyVals.length > ParquetBlooms.MaxProbeKeys) rangeCandidates
+        else {
+          val admitted = ParquetBlooms.mayContainAny(spark,
+            rangeCandidates.map(e =>
+              new org.apache.hadoop.fs.Path(p, e.path).toString),
+            keyCol, keyVals).toSet
+          rangeCandidates.filter(e =>
+            admitted(new org.apache.hadoop.fs.Path(p, e.path).toString))
+        }
+      }
     if (candidates.isEmpty) return DeleteResult(0, 0, 0L)
     val byAbs: Map[String, Entry] = candidates.map { e =>
       new org.apache.hadoop.fs.Path(p, e.path).toUri.getPath -> e
@@ -721,6 +787,7 @@ object ManifestLog {
       partitionDirs: Seq[String]): Seq[String] = {
     val stage = new org.apache.hadoop.fs.Path(p, s".stage-${java.util.UUID.randomUUID}")
     val w = df.write.mode("overwrite")
+      .options(ParquetBlooms.writerOptions(fs, p))
     (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
       .parquet(stage.toString)
     def walk(dir: org.apache.hadoop.fs.Path, prefix: String): Seq[String] =
@@ -751,7 +818,9 @@ object ManifestLog {
       fs: org.apache.hadoop.fs.FileSystem, relDir: String,
       df: DataFrame): Seq[String] = {
     val stage = new org.apache.hadoop.fs.Path(p, s".stage-${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").parquet(stage.toString)
+    df.write.mode("overwrite")
+      .options(ParquetBlooms.writerOptions(fs, p))
+      .parquet(stage.toString)
     val dstDir = if (relDir.isEmpty) p else new org.apache.hadoop.fs.Path(p, relDir)
     val out = fs.listStatus(stage).map(_.getPath)
       .filter(q => q.getName.startsWith("part-") && q.getName.endsWith(".parquet"))

@@ -1,0 +1,174 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+/** Parquet-native bloom filters as a FILE-PRUNING index for keyed
+  * point operations over manifested layouts.
+  *
+  * Manifest stats (min/max of the layout's boundary column) answer
+  * range questions; they are useless for a key the layout is NOT
+  * sorted by — an events log sorted by timestamp spreads any given
+  * `uid` across every file, so every file's uid range covers the whole
+  * domain and a keyed delete or point lookup degenerates to a full
+  * scan. Parquet's split-block bloom filters (public parquet-format
+  * spec; written by parquet-mr when the
+  * `parquet.bloom.filter.enabled#<col>` writer option is set) close
+  * exactly that gap: a few-KB filter per row group, stored in the
+  * file itself, probed from the footer without touching a data page.
+  *
+  * The layout declares its lookup-key columns ONCE
+  * ([[declare]] writes a tiny `bloom-cols` file beside the manifests —
+  * the [[BucketedManifest]] `bucket-spec` precedent); every staged
+  * write the manifest layer performs afterwards (appends, compaction
+  * and restatement replacements, delete survivors) picks the options
+  * up via [[writerOptions]], so the index maintains itself through
+  * the layout's whole lifecycle. Files written before the declaration
+  * simply have no filter and stay permanent candidates — the probe is
+  * conservative, never wrong.
+  *
+  * At 100 TB the arithmetic is the point: a right-to-be-forgotten
+  * delete of one user on a time-sorted log reads O(row groups
+  * actually holding that user) data pages plus one footer per file —
+  * the footers are a distributed metadata scan (a parallelize over
+  * file names, ~KBs each), not a 100 TB data scan.
+  */
+object ParquetBlooms {
+
+  private val ColsFile = "bloom-cols"
+
+  /** Probing collects the key set to the driver (it must hash each
+    * key against each candidate footer's filter). Point operations
+    * carry small key sets by nature; anything larger falls back to
+    * the scan path, which handles arbitrary key cardinality.
+    */
+  val MaxProbeKeys = 100000
+
+  /** Declare `cols` as lookup-key columns of the manifested layout at
+    * `root`: every file the manifest layer stages from now on carries
+    * a split-block bloom filter per declared column, sized for
+    * `expectedNdv` distinct values per row group. Declaring is
+    * metadata-only (existing files are not rewritten — they gain
+    * filters as maintenance naturally rewrites them); re-declaring
+    * replaces the declaration.
+    */
+  def declare(spark: SparkSession, root: String, cols: Seq[String],
+      expectedNdv: Long = 100000L): Unit = {
+    require(cols.nonEmpty, "declare at least one bloom column")
+    require(ManifestLog.isManifested(spark, root),
+      s"$root is not manifested — adopt() it first")
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val f = new org.apache.hadoop.fs.Path(ManifestLog.manifestDir(p), ColsFile)
+    val out = fs.create(f, true)
+    try out.write(cols.map(c => s"$c\t$expectedNdv\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The declared bloom columns (with expected NDV), empty when the
+    * layout never declared any.
+    */
+  def declared(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    declaredOf(fs, p)
+  }
+
+  private[util] def declaredOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    val f = new org.apache.hadoop.fs.Path(ManifestLog.manifestDir(p), ColsFile)
+    if (!fs.exists(f)) return Nil
+    val in = fs.open(f)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      .filter(_.nonEmpty).map(_.split('\t') match {
+        case Array(c, ndv) => (c, ndv.toLong)
+        case other => throw new IllegalStateException(
+          s"unparseable bloom-cols line '${other.mkString("\t")}' at $f")
+      })
+    finally in.close()
+  }
+
+  /** Parquet writer options enabling the declared filters — attached
+    * by the manifest layer's staging writes so every replacement and
+    * appended file maintains the index.
+    */
+  private[util] def writerOptions(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Map[String, String] =
+    declaredOf(fs, p).flatMap { case (c, ndv) =>
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+    }.toMap
+
+  /** The subset of `files` (absolute path strings) that MAY contain
+    * at least one of `keys` in column `col`, decided from footers
+    * alone: a file is pruned only when EVERY row group carries a
+    * bloom filter for `col` and none admits any key. Missing column,
+    * missing filter, or a key/physical-type mismatch all keep the
+    * file — conservative, never wrong. The probe distributes over the
+    * executors (one footer read per file, no data pages).
+    */
+  def mayContainAny(spark: SparkSession, files: Seq[String], col: String,
+      keys: Seq[Any]): Seq[String] = {
+    if (files.isEmpty || keys.isEmpty) return Nil
+    require(keys.length <= MaxProbeKeys,
+      s"${keys.length} probe keys exceed MaxProbeKeys=$MaxProbeKeys — " +
+        "use the scan path for bulk key sets")
+    val conf = SerializableConfiguration.broadcast(spark.sparkContext)
+    val keysB = spark.sparkContext.broadcast(keys.toArray)
+    val slices = math.min(files.length, 64)
+    try spark.sparkContext.parallelize(files, slices)
+      .filter(f => probeFile(conf.value.value, f, col, keysB.value))
+      .collect().toSeq
+    finally { conf.destroy(); keysB.destroy() }
+  }
+
+  /** Executor-side probe of one file: true = may contain some key. */
+  private def probeFile(conf: org.apache.hadoop.conf.Configuration,
+      file: String, col: String, keys: Array[Any]): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    // The file is a candidate iff SOME row group may contain SOME key;
+    // it prunes only when every row group's filter rejects every key.
+    try reader.getFooter.getBlocks.asScala.exists { block =>
+      block.getColumns.asScala.find(_.getPath.toDotString == col) match {
+        case None => true // column absent: cannot rule out
+        case Some(meta) =>
+          val bf = reader.getBloomFilterDataReader(block).readBloomFilter(meta)
+          if (bf == null) true // no filter written: keep
+          else {
+            val tn = meta.getPrimitiveType.getPrimitiveTypeName
+            keys.exists { k =>
+              hashOf(bf, tn, k) match {
+                case Some(h) => bf.findHash(h)
+                case None => true // unhashable pairing: keep
+              }
+            }
+          }
+      }
+    } finally reader.close()
+  }
+
+  /** Hash `key` with the filter's strategy as the column's physical
+    * type stores it (the writer hashed stored values, so the probe
+    * must coerce identically); None = a pairing we refuse to guess.
+    */
+  private def hashOf(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      tn: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      key: Any): Option[Long] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    (tn, key) match {
+      case (INT64, v: Long) => Some(bf.hash(v))
+      case (INT64, v: Int) => Some(bf.hash(v.toLong))
+      case (INT32, v: Int) => Some(bf.hash(v))
+      case (INT32, v: Long) if v.isValidInt => Some(bf.hash(v.toInt))
+      case (BINARY, v: String) =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(v)))
+      case (BINARY, v: Array[Byte]) =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(v)))
+      case (DOUBLE, v: Double) => Some(bf.hash(v))
+      case (FLOAT, v: Float) => Some(bf.hash(v))
+      case _ => None
+    }
+  }
+}
