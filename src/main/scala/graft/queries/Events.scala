@@ -168,6 +168,32 @@ object Events {
     }.filter(col("ts_us") >= cutoffUs)
   }
 
+  /** Point-lookup key set for q152 — fixed small user ids, present at
+    * every test SF (user_id is dense from 0). A point operation's keys
+    * come from outside the corpus (a request, a deletion order), so a
+    * literal set is the honest shape.
+    */
+  private[graft] val LookupUserIds: Seq[Long] = Seq(3L, 7L, 11L)
+
+  /** Manifested KEYED twin of the µs log: the same ts-sorted recipe,
+    * built through [[graft.util.Snapshots.manifestedLog]] so the
+    * user_id bloom columns are declared BEFORE the first append —
+    * every data file carries ts_us range stats in the manifest (the
+    * boundary paths) and a user_id split-block bloom filter in its
+    * footer (the keyed paths). On a 100 TB time-sorted log this is
+    * what makes "fetch this user's events" / "forget this user" cost
+    * O(files actually holding the user) instead of a history scan:
+    * stats cannot prune a key the log is not sorted by, footer blooms
+    * can ([[graft.util.ParquetBlooms]]).
+    */
+  private[graft] def eventsKeyedLog(s: SparkSession, dir: String): String = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Snapshots.manifestedLog(s, dir, s"events-keyed-n$n",
+      "ts_us", Seq("user_id")) {
+      usLogFrame(eventsUs(s, dir), n)
+    }
+  }
+
   /** 1-row at-rest hwm companion: the dimension covers the first 80%
     * of the corpus ts span, the rest is "the new batch since the last
     * run" — the shared [[graft.util.Hwm]] convention (one definition
@@ -228,6 +254,7 @@ object Events {
     eventsUsLog(s, dir)
     scd2Hwm(s, dir)
     scd2Base(s, dir)
+    eventsKeyedLog(s, dir)
     ()
   }
 
@@ -1119,6 +1146,29 @@ object Events {
             .as("drifted"),
         )
         .orderBy("event_type")
+    },
+
+    // ------------------------------------------------------------------
+    // Keyed point lookup over the manifested µs log: fetch a handful of
+    // users' events from a log sorted by TIME. File admission is
+    // manifest stats (useless here — every file spans the user domain)
+    // plus per-file footer bloom probes on the declared user_id filter
+    // (ParquetBlooms), then the isin predicate pushes into the scan.
+    // The oracle is the plain filter over the raw table — proving the
+    // pruned read returns exactly the unpruned answer.
+    QueryDef(
+      "q152_point_lookup",
+      Some(s"""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        FROM events
+        WHERE user_id IN (${LookupUserIds.mkString(", ")})
+        ORDER BY user_id, ts_us, event_id
+      """),
+    ) { (s, dir) =>
+      graft.util.ManifestLog.readKeyed(
+          s, eventsKeyedLog(s, dir), "user_id", LookupUserIds)
+        .select("user_id", "ts_us", "event_id", "event_type")
+        .orderBy("user_id", "ts_us", "event_id")
     },
   )
 }

@@ -61,6 +61,14 @@ object BucketedManifest {
   def adoptTable(spark: SparkSession, table: String): String = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
+    // The drop below relies on "external — the files stay". A MANAGED
+    // table's DROP deletes its data directory, which would turn
+    // adoption into silent total data loss; fail before touching it.
+    require(meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      s"$table is ${meta.tableType.name}, not EXTERNAL — dropping it would " +
+        "delete the data files just manifested. Recreate it as an external " +
+        "table (CREATE TABLE ... USING parquet LOCATION ...) and re-adopt")
     val bs = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table is not bucketed — ManifestLog.adopt covers plain layouts"))
     require(bs.sortColumnNames == bs.bucketColumnNames,
@@ -104,25 +112,37 @@ object BucketedManifest {
     * same relation shape the catalog read path plans, so co-located
     * joins and aggregations on the key add no exchange.
     */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readAt(spark, root, ManifestLog.currentVersion(spark, root))
+  def read(spark: SparkSession, root: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    readAt(spark, root, ManifestLog.currentVersion(spark, root), options)
 
   /** Time travel over the bucketed layout ([[ManifestLog.readAt]]'s
-    * contract: any generation inside vacuum's kept window).
+    * contract: any generation inside vacuum's kept window). `options`
+    * passes reader options through exactly as [[ManifestLog.readAt]]
+    * does; `mergeSchema -> true` additionally widens the relation
+    * schema across the generation's WHOLE file set (a parallel footer
+    * job, no data pages) — without it the schema comes from one
+    * arbitrary file and columns added by later appends would silently
+    * drop.
     */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, root: String, version: Long,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val (p, fs) = ManifestLog.hadoop(spark, root)
     val s = spec(spark, root)
     val files = ManifestLog.readRaw(fs, p, version).entries.map(_.path)
     require(files.nonEmpty, s"manifest v$version of $root lists no files")
     val statuses: Array[FileStatus] =
       files.map(f => fs.getFileStatus(new Path(p, f))).toArray
-    val schema = spark.read.parquet(statuses.head.getPath.toString).schema
+    val merge = options.get("mergeSchema").exists(_.toBoolean)
+    val schema =
+      if (merge) spark.read.options(options)
+        .parquet(statuses.map(_.getPath.toString).toIndexedSeq: _*).schema
+      else spark.read.parquet(statuses.head.getPath.toString).schema
     val index = new ManifestFileIndex(p, statuses)
     spark.baseRelationToDataFrame(HadoopFsRelation(
       index, StructType(Nil), schema,
       Some(BucketSpec(s.buckets, Seq(s.key), Seq(s.key))),
-      new ParquetFileFormat, Map.empty)(spark))
+      new ParquetFileFormat, options)(spark))
   }
 
   /** The planner's file-discovery seam, answered from one committed

@@ -92,10 +92,16 @@ object ManifestLog {
       case Some((c, mn, mx)) => s"$path\t$c\t$mn\t$mx"
       case None => path
     }
-    /** Whether a [loIncl, hiExcl) slice may need this file. */
+    /** Whether a [loIncl, hiExcl) slice may need this file.
+      * `hiExcl == Long.MaxValue` reads as UNBOUNDED above: the
+      * since-paths pass it to mean ">= loIncl with no upper edge", and
+      * a file whose recorded min is the MaxValue sentinel timestamp
+      * (which maintainSorted deliberately preserves) must stay
+      * admissible — `mn < hiExcl` alone would prune it. */
     def mayOverlap(col: String, loIncl: Long, hiExcl: Long): Boolean =
       stats match {
-        case Some((c, mn, mx)) if c == col => mx >= loIncl && mn < hiExcl
+        case Some((c, mn, mx)) if c == col =>
+          mx >= loIncl && (hiExcl == Long.MaxValue || mn < hiExcl)
         case _ => true
       }
     /** Whether this file lies WHOLLY inside [loIncl, hiExcl) by its
@@ -728,26 +734,45 @@ object ManifestLog {
   /** The disposal end: delete data files no KEPT generation references
     * (retired grains, crash orphans, stranded stage dirs) and the
     * superseded manifests themselves, keeping the newest `keepLast`
-    * generations readable. The grace policy is explicit: run vacuum
-    * only when no reader pins a generation older than the kept window.
-    * Returns the deleted paths (the specs' audit trail).
+    * generations readable. Two grace policies, both explicit:
+    * readers — run vacuum only when no reader pins a generation older
+    * than the kept window; writers — an IN-FLIGHT append's files are
+    * unreferenced until its manifest commits, so either quiesce all
+    * writers before a `graceMs = 0` vacuum, or pass a `graceMs` above
+    * the longest stage→commit latency and concurrent appenders are
+    * safe (only unreferenced files/stage dirs whose modification time
+    * is older than the window are touched — the Delta VACUUM
+    * retention pattern). Returns the deleted paths (the specs' audit
+    * trail).
     */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
+      graceMs: Long = 0L): Seq[String] = {
     require(keepLast >= 1, "vacuum must keep at least the current generation")
+    require(graceMs >= 0L, s"graceMs must be non-negative, got $graceMs")
     val (p, fs) = hadoop(spark, root)
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root has no committed manifest")
     val kept = vs.takeRight(keepLast)
     val referenced = kept.flatMap(readManifest(fs, p, _)).map(_.path).toSet
+    val horizon = System.currentTimeMillis() - graceMs
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime <= horizon
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    // Orphan/retired data files.
+    // Orphan/retired data files (inside the grace window = possibly a
+    // concurrent appender's staged-and-renamed, not-yet-committed
+    // batch — left alone; the next vacuum gets them if truly orphaned).
     listDataFiles(fs, p).filterNot(referenced).foreach { rel =>
-      fs.delete(new org.apache.hadoop.fs.Path(p, rel), false)
-      deleted += rel
+      val f = new org.apache.hadoop.fs.Path(p, rel)
+      if (graceMs == 0L || aged(fs.getFileStatus(f))) {
+        fs.delete(f, false)
+        deleted += rel
+      }
     }
-    // Stranded stage dirs (a crash between stage and publish).
+    // Stranded stage dirs (a crash between stage and publish); a young
+    // one may be an append mid-write.
     fs.listStatus(p).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(".stage-")).foreach { st =>
+        st.getPath.getName.startsWith(".stage-") &&
+        (graceMs == 0L || aged(st))).foreach { st =>
       fs.delete(st.getPath, true)
       deleted += st.getPath.getName
     }
@@ -756,8 +781,11 @@ object ManifestLog {
       fs.delete(new org.apache.hadoop.fs.Path(manifestDir(p), manifestName(v)), false)
       deleted += s"$ManifestDirName/${manifestName(v)}"
     }
+    // A young .tmp- may be a concurrent commit between write and
+    // rename — same grace window as the data side.
     fs.listStatus(manifestDir(p))
-      .filter(_.getPath.getName.startsWith(".tmp-")).foreach { st =>
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+        (graceMs == 0L || aged(st))).foreach { st =>
         fs.delete(st.getPath, false)
         deleted += s"$ManifestDirName/${st.getPath.getName}"
       }

@@ -111,7 +111,8 @@ object ParquetBlooms {
     require(keys.length <= MaxProbeKeys,
       s"${keys.length} probe keys exceed MaxProbeKeys=$MaxProbeKeys — " +
         "use the scan path for bulk key sets")
-    val conf = SerializableConfiguration.broadcast(spark.sparkContext)
+    val conf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val keysB = spark.sparkContext.broadcast(keys.toArray)
     val slices = math.min(files.length, 64)
     try spark.sparkContext.parallelize(files, slices)
@@ -120,8 +121,18 @@ object ParquetBlooms {
     finally { conf.destroy(); keysB.destroy() }
   }
 
-  /** Executor-side probe of one file: true = may contain some key. */
+  /** Executor-side probe of one file: true = may contain some key.
+    * A failed footer read keeps the file (conservative — a pruning
+    * index must never turn a transient IO error or a malformed footer
+    * into a wrongly-skipped file; the downstream scan surfaces real
+    * damage loudly, on the query that actually needs the bytes).
+    */
   private def probeFile(conf: org.apache.hadoop.conf.Configuration,
+      file: String, col: String, keys: Array[Any]): Boolean =
+    try probeFooter(conf, file, col, keys)
+    catch { case scala.util.control.NonFatal(_) => true }
+
+  private def probeFooter(conf: org.apache.hadoop.conf.Configuration,
       file: String, col: String, keys: Array[Any]): Boolean = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

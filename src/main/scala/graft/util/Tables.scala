@@ -321,6 +321,47 @@ object Snapshots {
     spark.table(cell.value)
   }
 
+  /** Manifested-log artifact: build once per (corpus, name) as a
+    * [[ManifestLog]] root — created empty, the lookup-key bloom
+    * columns declared FIRST ([[ParquetBlooms.declare]]), then the
+    * build frame appended as one sorted segment, so every data file
+    * carries boundary stats in the manifest AND a key bloom filter in
+    * its footer from birth. Returns the ROOT (the keyed entry points
+    * — [[ManifestLog.readKeyed]], [[ManifestLog.deleteKeys]] — take a
+    * root, not a frame). This is the at-rest shape of "fetch/forget by
+    * id on a log sorted by something else": range stats answer the
+    * boundary reads, blooms answer the keyed ones, one layout pays for
+    * both.
+    *
+    * Idempotent across JVMs: a root already manifested with live files
+    * under the same (corpus-fingerprint) path is reused as-is; a torn
+    * previous attempt (create committed, append never landed) is
+    * discarded and rebuilt.
+    */
+  def manifestedLog(spark: SparkSession, dir: String, name: String,
+      boundCol: String, bloomCols: Seq[String])(build: => DataFrame): String = {
+    val fp = fingerprint(spark, dir)
+    val cell = paths.computeIfAbsent(
+      (dir, s"mlog-$name", fp),
+      _ => new Cell(() => {
+        val dirKey = md5Hex(dir).take(12)
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-mlog-$name"
+        val (p, fs) = ManifestLog.hadoop(spark, out)
+        val complete = ManifestLog.isManifested(spark, out) &&
+          scala.util.Try(ManifestLog.liveFileCount(spark, out) > 0).getOrElse(false)
+        if (!complete) {
+          fs.delete(p, true)
+          ManifestLog.create(spark, out)
+          if (bloomCols.nonEmpty) ParquetBlooms.declare(spark, out, bloomCols)
+          ManifestLog.appendSorted(build, out, Nil, Some(boundCol))
+        }
+        out
+      }),
+    )
+    cell.value
+  }
+
   /** Ingest-pipeline seam: register an externally maintained at-rest
     * layout (e.g. a SEGMENT-APPENDED parquet root — [[Segments]]) as
     * the artifact for (dir, name), replacing any memoized build. This

@@ -179,4 +179,42 @@ class BucketedManifestSpec extends SparkTestBase with graft.TempCorpusDirs {
       .count(_.path.matches(""".*_0{4}0(?:\..*)?$""")) == 1,
       "bucket 0's grain did not collapse")
   }
+
+  test("adoptTable refuses a MANAGED table — dropping it would delete the data just manifested") {
+    val t = "graft_bman_managed_refusal"
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    // No path option: the catalog owns the data dir (MANAGED), and
+    // DROP TABLE would take the files with it.
+    (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .repartition(Buckets, col("k"))
+      .write.bucketBy(Buckets, "k").sortBy("k").saveAsTable(t)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        BucketedManifest.adoptTable(spark, t)
+      }
+      assert(e.getMessage.contains("EXTERNAL"), e.getMessage)
+      // Refusal must be side-effect-free: table intact, data readable.
+      assert(spark.table(t).count() == 100L, "refusal damaged the table")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
+  test("mergeSchema widens the bucketed read across schema-drifted appends") {
+    val (fact, _) = freshPair("drift")
+    // A later producer adds a column; the bucketed append takes the
+    // segment's own schema (parquet is self-describing per file).
+    BucketedManifest.appendBucketed(
+      (400 until 410).map(i => (i.toLong, i.toLong, s"n$i"))
+        .toDF("k", "v", "note"), fact)
+    val merged = BucketedManifest.read(spark, fact,
+      Map("mergeSchema" -> "true"))
+    assert(merged.columns.toSet == Set("k", "v", "note"),
+      s"merged schema lost columns: ${merged.columns.mkString(",")}")
+    assert(merged.where(col("note").isNotNull).count() == 10L)
+    assert(merged.count() == 4010L)
+    // And the widened relation still joins exchange-free on k.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assertCoLocated(coAgg(merged,
+      BucketedManifest.read(spark, freshPair("driftdim")._2)))
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
