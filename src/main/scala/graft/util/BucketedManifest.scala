@@ -183,7 +183,7 @@ object BucketedManifest {
     val staged = stageBucketed(spark, p, fs, segment, s)
     ManifestLog.failpoint("written:append-bucketed")
     ManifestLog.commitAppend(fs, p,
-      staged.map(ManifestLog.Entry(_, None)), "append", _ => true, _.batchHwm)
+      staged.map(ManifestLog.Entry(_, Nil)), "append", _ => true, _.batchHwm)
     ()
   }
 
@@ -238,7 +238,7 @@ object BucketedManifest {
     val staged = stageBucketed(spark, p, fs, segment, s)
     ManifestLog.failpoint("written:append-bucketed")
     ManifestLog.commitAppend(fs, p,
-      staged.map(ManifestLog.Entry(_, None)), "append-batch",
+      staged.map(ManifestLog.Entry(_, Nil)), "append-batch",
       m => batchId > m.batchHwm, m => math.max(m.batchHwm, batchId))
   }
 
@@ -273,7 +273,7 @@ object BucketedManifest {
     fs.delete(stage, true)
     ManifestLog.failpoint("written:compact-bucket")
     ManifestLog.commit(fs, p, v + 1,
-      m.entries.diff(grain) :+ ManifestLog.Entry(rel, None),
+      m.entries.diff(grain) :+ ManifestLog.Entry(rel, Nil),
       "compact", m.batchHwm)
   }
 
@@ -389,7 +389,7 @@ object BucketedManifest {
         "layout explicitly instead")
     ManifestLog.failpoint("written:delete-bucket")
     ManifestLog.commit(fs, p, v + 1,
-      remaining ++ replacements.map(ManifestLog.Entry(_, None)),
+      remaining ++ replacements.map(ManifestLog.Entry(_, Nil)),
       "delete", m.batchHwm)
     ManifestLog.DeleteResult(touched.length - retired, retired, rowsDeleted)
   }

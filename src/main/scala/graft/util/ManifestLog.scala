@@ -82,16 +82,21 @@ object ManifestLog {
   final case class DeleteResult(
       filesRewritten: Int, filesRetired: Int, rowsDeleted: Long)
 
-  /** One live data file: its root-relative path, plus min/max of the
-    * layout's boundary column when a trustworthy footer provided them
-    * at write time (absence means "cannot prune by this file's range",
-    * never "empty"). */
+  /** One live data file: its root-relative path, plus min/max of each
+    * stat-recorded column when a trustworthy footer provided them at
+    * write time (absence of a column means "cannot prune by this
+    * file's range on that column", never "empty"). Single-column
+    * entries serialize exactly as the v1 `path\tcol\tmn\tmx` line, so
+    * pre-multi-stat manifests parse unchanged and a single-stat layout
+    * round-trips byte-identically; a [[cluster]]ed layout appends
+    * further `col\tmn\tmx` triples on the same line. */
   private[util] final case class Entry(
-      path: String, stats: Option[(String, Long, Long)]) {
-    def line: String = stats match {
-      case Some((c, mn, mx)) => s"$path\t$c\t$mn\t$mx"
-      case None => path
-    }
+      path: String, stats: Seq[(String, Long, Long)]) {
+    def line: String =
+      (path +: stats.map { case (c, mn, mx) => s"$c\t$mn\t$mx" }).mkString("\t")
+    /** Recorded [min, max] for `col`, when this file carries one. */
+    def statFor(col: String): Option[(Long, Long)] =
+      stats.collectFirst { case (c, mn, mx) if c == col => (mn, mx) }
     /** Whether a [loIncl, hiExcl) slice may need this file.
       * `hiExcl == Long.MaxValue` reads as UNBOUNDED above: the
       * since-paths pass it to mean ">= loIncl with no upper edge", and
@@ -99,24 +104,25 @@ object ManifestLog {
       * (which maintainSorted deliberately preserves) must stay
       * admissible — `mn < hiExcl` alone would prune it. */
     def mayOverlap(col: String, loIncl: Long, hiExcl: Long): Boolean =
-      stats match {
-        case Some((c, mn, mx)) if c == col =>
+      statFor(col) match {
+        case Some((mn, mx)) =>
           mx >= loIncl && (hiExcl == Long.MaxValue || mn < hiExcl)
-        case _ => true
+        case None => true
       }
     /** Whether this file lies WHOLLY inside [loIncl, hiExcl) by its
       * recorded stats (false when stats are absent — conservative both
       * ways: never prune, never claim containment). */
     def within(col: String, loIncl: Long, hiExcl: Long): Boolean =
-      stats match {
-        case Some((c, mn, mx)) if c == col => mn >= loIncl && mx < hiExcl
-        case _ => false
-      }
+      statFor(col).exists { case (mn, mx) => mn >= loIncl && mx < hiExcl }
   }
 
-  private def parseEntry(line: String): Entry = line.split('\t') match {
-    case Array(p, c, mn, mx) => Entry(p, Some((c, mn.toLong, mx.toLong)))
-    case _ => Entry(line, None)
+  private def parseEntry(line: String): Entry = {
+    val parts = line.split('\t')
+    if (parts.length >= 4 && (parts.length - 1) % 3 == 0)
+      Entry(parts.head, parts.tail.grouped(3).map {
+        case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
+      }.toSeq)
+    else Entry(line, Nil)
   }
 
   /** One committed manifest, parsed: the operation that produced it,
@@ -206,7 +212,7 @@ object ManifestLog {
     val (p, fs) = hadoop(spark, root)
     require(!fs.exists(manifestDir(p)), s"$root is already manifested")
     fs.mkdirs(manifestDir(p))
-    commit(fs, p, 1L, entriesFor(spark, p, listDataFiles(fs, p), boundCol),
+    commit(fs, p, 1L, entriesFor(spark, p, listDataFiles(fs, p), boundCol.toSeq),
       "adopt", -1L)
   }
 
@@ -268,19 +274,20 @@ object ManifestLog {
     // The guard re-checks under the commit loop: if a concurrent
     // replica committed this batch while we staged, the staged files
     // become vacuumable orphans and the replay reports no-op.
-    commitAppend(fs, p, entriesFor(spark, p, added, boundCol), "append-batch",
+    commitAppend(fs, p, entriesFor(spark, p, added, boundCol.toSeq), "append-batch",
       m => batchId > m.batchHwm, m => math.max(m.batchHwm, batchId))
   }
 
   /** Stats-recorded entries for a set of new relative paths: one footer
-    * read each when `boundCol` is given and trustworthy (files with
-    * nulls or undecidable stats stay stats-less — never prunable).
+    * read per (file, column) when `statCols` are given and trustworthy
+    * (columns with nulls or undecidable stats stay stats-less for that
+    * file — never prunable).
     */
   private def entriesFor(spark: SparkSession, p: org.apache.hadoop.fs.Path,
-      files: Seq[String], boundCol: Option[String]): Seq[Entry] = {
+      files: Seq[String], statCols: Seq[String]): Seq[Entry] = {
     val conf = spark.sessionState.newHadoopConf()
     files.map { rel =>
-      Entry(rel, boundCol.flatMap { c =>
+      Entry(rel, statCols.flatMap { c =>
         fileRangeOf(new org.apache.hadoop.fs.Path(p, rel), c, conf)
           .map { case (mn, mx) => (c, mn, mx) }
       })
@@ -337,6 +344,142 @@ object ManifestLog {
       .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
   }
 
+  /** Multi-dimensional boundary slice: the conjunction of [loIncl,
+    * hiExcl) predicates, each resolved against the entries' recorded
+    * per-column stats — the read side of [[cluster]]. A file is
+    * planned unless SOME predicate's recorded range rules it out
+    * (absent stats for a column always keep the file), so selection
+    * stays a conservative superset per column and their intersection
+    * is a superset of the matching rows; callers apply the row
+    * predicates as usual. On a Z-clustered layout every predicate
+    * prunes multiplicatively; on a single-sorted layout the extra
+    * predicates simply prune nothing — never wrong, only wider.
+    */
+  def readSliceN(spark: SparkSession, root: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "readSliceN needs at least one predicate")
+    val (p, fs) = hadoop(spark, root)
+    val entries = readManifest(fs, p, currentVersion(spark, root))
+    val picked = entries.filter(e =>
+      preds.forall { case (c, lo, hi) => e.mayOverlap(c, lo, hi) })
+    val files = (if (picked.nonEmpty) picked else entries).map(_.path)
+    require(files.nonEmpty, s"$root lists no files")
+    spark.read.option("basePath", root)
+      .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+  }
+
+  /** Multi-dimensional re-clustering — the public OPTIMIZE ZORDER idea
+    * (Delta/Iceberg) reduced to what a manifested parquet log needs:
+    * rewrite each partition directory's live files ordered by the
+    * bit-interleaving of the cluster columns' range-normalized values,
+    * and record per-file min/max for EVERY cluster column in the
+    * manifest. A lexicographic sort gives one column tight per-file
+    * ranges and leaves the rest spanning the whole domain; the Z-curve
+    * gives every cluster column ranges ~√file-count tight (at 2 dims),
+    * so [[readSliceN]] prunes multiplicatively on any conjunction of
+    * them. At 100 TB this is the difference between "a day × one
+    * tenant" planning a day's files and it planning the tenant-blind
+    * whole day.
+    *
+    * Contract mirrors the other grain mutations: single-maintainer
+    * ([[CommitConflict]] on a lost rename — re-invoke), row-neutral
+    * (op `cluster` contributes nothing to [[tailSince]], exactly like
+    * compaction), superseded files stay readable for pinned readers
+    * and [[readAt]] until [[vacuum]]. Include the layout's original
+    * boundary column in `cols` to keep its [[readSlice]] paths
+    * pruning — clustering REPLACES the previous sort order.
+    *
+    * Cluster columns must be long-castable (ids, epoch micros, bucket
+    * codes); values are normalized by driver-known min/max into
+    * `63 / cols.length`-bit lanes (capped at 16 — file-level pruning
+    * needs far fewer distinct buckets than there are files). Nulls
+    * sort into the zero bucket; a file holding nulls in a cluster
+    * column stays stats-less on that column (never prunable — the
+    * recording contract [[entriesFor]] already enforces).
+    */
+  def cluster(spark: SparkSession, root: String, cols: Seq[String],
+      targetFileRows: Long = 1L << 20): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, shiftleft, shiftright}
+    require(cols.length >= 2 && cols.length <= 4,
+      s"cluster on 2..4 columns (got ${cols.length}) — one column is a " +
+        "plain sort (compactRange), more than 4 dilutes every lane " +
+        "below useful pruning")
+    require(cols.distinct.length == cols.length, s"duplicate cluster column in $cols")
+    require(targetFileRows > 0L, s"targetFileRows must be positive, got $targetFileRows")
+    val (p, fs) = hadoop(spark, root)
+    val conf = spark.sessionState.newHadoopConf()
+    val v = currentVersion(spark, root)
+    val m = readRaw(fs, p, v)
+    val live = m.entries
+    require(live.nonEmpty, s"$root lists no live files at v$v")
+    val nb = math.min(16, 63 / cols.length) // bits per lane
+    val staged = live.groupBy(e => dirOf(e.path)).toSeq.sortBy(_._1)
+      .flatMap { case (relDir, es) =>
+        val paths = es.map(e => new org.apache.hadoop.fs.Path(p, e.path).toString)
+        val df = spark.read.parquet(paths: _*)
+        cols.foreach { c =>
+          require(df.columns.contains(c),
+            s"'$c' is not a physical column of $root/$relDir")
+        }
+        // Row counts from footers (no data IO) size the output; one
+        // lightweight agg finds each lane's normalization range.
+        val rows = es.map(e =>
+          Segments.fileRowCount(new org.apache.hadoop.fs.Path(p, e.path), conf)).sum
+        val nOut = math.max(1L, (rows + targetFileRows - 1L) / targetFileRows).toInt
+        val aggs = cols.flatMap { c =>
+          Seq(org.apache.spark.sql.functions.min(col(c).cast("long")),
+            org.apache.spark.sql.functions.max(col(c).cast("long")))
+        }
+        val mm = df.agg(aggs.head, aggs.tail: _*).head()
+        val lanes = cols.zipWithIndex.map { case (c, i) =>
+          if (mm.isNullAt(2 * i)) lit(0L) // all-null column: one bucket
+          else {
+            val (mn, mx) = (mm.getLong(2 * i), mm.getLong(2 * i + 1))
+            // Exact integer bucketing, overflow-guarded: step sized so
+            // (v - mn) / step < 2^nb. Math.subtractExact rejects a
+            // pathological span that wraps Long (cluster columns are
+            // ids/micros in practice; refusing beats mis-bucketing).
+            val span =
+              try Math.subtractExact(mx, mn)
+              catch {
+                case _: ArithmeticException => throw new IllegalArgumentException(
+                  s"cluster column '$c' spans more than Long range " +
+                    s"[$mn, $mx] — normalize it before clustering")
+              }
+            val step = span / (1L << nb) + 1L
+            // LEFT-ALIGN the lane: a narrow domain (256 tenants, say)
+            // fills only the low bits of its bucket, and a curve built
+            // from right-aligned lanes degenerates to "sort by the
+            // widest column" — the wide column's high bits sit above
+            // every bit of the narrow one, so file boundaries never
+            // split on the narrow dimension. Shifting each lane's
+            // buckets to the lane's top bit gives every column equal
+            // weight at every level of the curve, which is what makes
+            // the per-dimension pruning multiplicative.
+            val maxBucket = span / step
+            val align =
+              if (maxBucket <= 0L) 0
+              else nb - (64 - java.lang.Long.numberOfLeadingZeros(maxBucket))
+            shiftleft(coalesce(
+              expr(s"(CAST(`$c` AS BIGINT) - ${mn}L) DIV ${step}L"), lit(0L)),
+              align)
+          }
+        }
+        val z = lanes.zipWithIndex.map { case (b, i) =>
+          (0 until nb).map { j =>
+            shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * cols.length + i)
+          }.reduce(_ bitwiseOR _)
+        }.reduce(_ bitwiseOR _)
+        stageIntoRoot(spark, p, fs, relDir,
+          df.withColumn("_gf_z", z)
+            .repartitionByRange(nOut, col("_gf_z"))
+            .sortWithinPartitions("_gf_z")
+            .drop("_gf_z"))
+      }
+    failpoint("written:cluster")
+    commit(fs, p, v + 1, entriesFor(spark, p, staged, cols), "cluster", m.batchHwm)
+  }
+
   /** Point lookup: the current generation's rows whose `keyCol` is in
     * `keys`, planning only the files that may hold one — manifest
     * stats prune by recorded range when the key IS the boundary
@@ -359,12 +502,24 @@ object ManifestLog {
     require(entries.nonEmpty, s"$root lists no files")
     def abs(e: Entry) = new org.apache.hadoop.fs.Path(p, e.path).toString
     val longs = keys.collect { case l: Long => l; case i: Int => i.toLong }
+    // Sorted once, each file's admission is one binary search (first
+    // key >= the file's min, admitted iff it is <= the max) — O(F log K)
+    // instead of O(F × K), which is what a 100k-file × 100k-key probe
+    // needs to stay a driver-side metadata operation.
+    val sorted = longs.sorted.toArray
+    def anyInRange(mn: Long, mx: Long): Boolean = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.length && sorted(lo) <= mx
+    }
     val ranged =
       if (longs.length != keys.length) entries
-      else entries.filter(_.stats match {
-        case Some((c, mn, mx)) if c == keyCol =>
-          longs.exists(k => k >= mn && k <= mx)
-        case _ => true
+      else entries.filter(_.statFor(keyCol) match {
+        case Some((mn, mx)) => anyInRange(mn, mx)
+        case None => true
       })
     val admitted =
       if (!ParquetBlooms.declaredOf(fs, p).exists(_._1 == keyCol)) ranged
@@ -379,6 +534,32 @@ object ManifestLog {
     val out = spark.read.option("basePath", root).parquet(files: _*)
       .where(col(keyCol).isin(keys: _*))
     if (admitted.isEmpty) out.where(lit(false)) else out
+  }
+
+  /** Dynamic file pruning for a keyed join: read the current
+    * generation narrowed to the files that may hold any key the DIM
+    * SIDE actually produced — the runtime companion to [[readKeyed]]'s
+    * literal-key point lookup. The key frame (typically a filtered
+    * dimension's join column) collects to the driver when small
+    * enough to probe; an empty key set answers zero rows without a
+    * scan, and a key set above [[ParquetBlooms.MaxProbeKeys]] falls
+    * back to the full generation — the join itself then does the
+    * filtering, exactly as an undeclared layout would. Selection is
+    * conservative either way, so `fact JOIN dim` over this read equals
+    * the join over [[read]]. At 100 TB this is the "selective dim
+    * filter → fact scan skips almost everything" plan table formats
+    * sell as dynamic file pruning, answered from manifest stats and
+    * footer blooms instead of a partition-column convention.
+    */
+  def readForKeys(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val sample = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct().limit(ParquetBlooms.MaxProbeKeys + 1)
+      .collect().map(_.get(0)).toSeq
+    if (sample.isEmpty) read(spark, root).where(lit(false))
+    else if (sample.length > ParquetBlooms.MaxProbeKeys) read(spark, root)
+    else readKeyed(spark, root, keyCol, sample)
   }
 
   /** The current generation's entries (the maintenance tick's view of
@@ -433,7 +614,7 @@ object ManifestLog {
     currentVersion(spark, root) // fail fast before any data is written
     val added = stageAppend(spark, p, fs, segment, partitionDirs)
     failpoint("written:append")
-    commitAppend(fs, p, entriesFor(spark, p, added, boundCol), "append",
+    commitAppend(fs, p, entriesFor(spark, p, added, boundCol.toSeq), "append",
       _ => true, _.batchHwm)
     ()
   }
@@ -467,7 +648,7 @@ object ManifestLog {
         .sortWithinPartitions(boundCol))
     failpoint("written:compact")
     commit(fs, p, v + 1,
-      live.diff(grain) ++ entriesFor(spark, p, replacement, Some(boundCol)),
+      live.diff(grain) ++ entriesFor(spark, p, replacement, Seq(boundCol)),
       "compact", m.batchHwm)
   }
 
@@ -480,12 +661,12 @@ object ManifestLog {
   private def classify(p: org.apache.hadoop.fs.Path, e: Entry, col: String,
       loIncl: Long, hiExcl: Long,
       conf: org.apache.hadoop.conf.Configuration): Segments.Containment =
-    e.stats match {
-      case Some((c, mn, mx)) if c == col =>
+    e.statFor(col) match {
+      case Some((mn, mx)) =>
         if (mx < loIncl || mn >= hiExcl) Segments.Containment.Disjoint
         else if (mn >= loIncl && mx < hiExcl) Segments.Containment.Contained
         else Segments.Containment.Unknown
-      case _ =>
+      case None =>
         Segments.containment(new org.apache.hadoop.fs.Path(p, e.path), col,
           loIncl, hiExcl, conf)
     }
@@ -523,7 +704,7 @@ object ManifestLog {
         .sortWithinPartitions(boundCol))
     failpoint("written:restate")
     commit(fs, p, v + 1,
-      live.diff(grain) ++ entriesFor(spark, p, staged, Some(boundCol)),
+      live.diff(grain) ++ entriesFor(spark, p, staged, Seq(boundCol)),
       "restate", m.batchHwm)
   }
 
@@ -595,12 +776,15 @@ object ManifestLog {
     // candidate iff some key lands in its recorded range. The range
     // table is O(live files) rows — broadcast it under the streamed
     // key set; collect returns at most one path per file.
-    val (statted, statless) = live.partition(_.stats.exists(_._1 == keyCol))
+    val (statted, statless) = live.partition(_.statFor(keyCol).isDefined)
     val statsCandidates: Seq[Entry] =
       if (statted.isEmpty) Nil
       else {
         val ranges = spark.createDataFrame(
-          statted.map(e => (e.path, e.stats.get._2, e.stats.get._3)))
+          statted.map { e =>
+            val (mn, mx) = e.statFor(keyCol).get
+            (e.path, mn, mx)
+          })
           .toDF("_gf_path", "_gf_mn", "_gf_mx")
         val hit = tomb.join(broadcast(ranges),
             col(keyCol).cast("long").between(col("_gf_mn"), col("_gf_mx")), "inner")
@@ -694,7 +878,7 @@ object ManifestLog {
         "is indistinguishable from a torn one; drop the layout explicitly " +
         "instead")
     failpoint("written:delete")
-    commit(fs, p, v + 1, remaining ++ entriesFor(spark, p, staged, boundCol),
+    commit(fs, p, v + 1, remaining ++ entriesFor(spark, p, staged, boundCol.toSeq),
       "delete", m.batchHwm)
     DeleteResult(touched.length - retired, retired, rowsDeleted)
   }
@@ -983,7 +1167,7 @@ object ManifestLog {
       m.op match {
         case "append" | "append-batch" | "adopt" | "create" =>
           added ++= m.entries.map(_.path).filterNot(prevPaths)
-        case "compact" => () // a rewrite of rows the consumer already has
+        case "compact" | "cluster" => () // rewrites of rows the consumer already has
         case "expire" => sawExpire = true
         case "restate" =>
           return TailResync(cur,

@@ -98,12 +98,18 @@ object ParquetBlooms {
     }.toMap
 
   /** The subset of `files` (absolute path strings) that MAY contain
-    * at least one of `keys` in column `col`, decided from footers
-    * alone: a file is pruned only when EVERY row group carries a
-    * bloom filter for `col` and none admits any key. Missing column,
-    * missing filter, or a key/physical-type mismatch all keep the
-    * file — conservative, never wrong. The probe distributes over the
-    * executors (one footer read per file, no data pages).
+    * at least one of `keys` in column `col`, decided from footers and
+    * dictionary pages alone: a row group rules keys out through its
+    * bloom filter, or — when parquet-mr wrote no filter because every
+    * data page is dictionary-encoded (the writer deliberately drops
+    * the bloom then; the dictionary IS an exact membership structure)
+    * — through an exact probe of the dictionary page, the parquet-mr
+    * `DictionaryFilter` idea. A file is pruned only when every row
+    * group rejects every key. Missing column, missing filter on a
+    * non-dictionary chunk, or a key/physical-type mismatch all keep
+    * the file — conservative, never wrong. The probe distributes over
+    * the executors (footer + at most one dictionary page per row
+    * group, no data pages).
     */
   def mayContainAny(spark: SparkSession, files: Seq[String], col: String,
       keys: Seq[Any]): Seq[String] = {
@@ -141,23 +147,77 @@ object ParquetBlooms {
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
     // The file is a candidate iff SOME row group may contain SOME key;
     // it prunes only when every row group's filter rejects every key.
-    try reader.getFooter.getBlocks.asScala.exists { block =>
-      block.getColumns.asScala.find(_.getPath.toDotString == col) match {
-        case None => true // column absent: cannot rule out
-        case Some(meta) =>
-          val bf = reader.getBloomFilterDataReader(block).readBloomFilter(meta)
-          if (bf == null) true // no filter written: keep
-          else {
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      reader.getFooter.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == col) match {
+          case None => true // column absent: cannot rule out
+          case Some(meta) =>
             val tn = meta.getPrimitiveType.getPrimitiveTypeName
-            keys.exists { k =>
+            val bf = reader.getBloomFilterDataReader(block).readBloomFilter(meta)
+            if (bf != null) keys.exists { k =>
               hashOf(bf, tn, k) match {
                 case Some(h) => bf.findHash(h)
                 case None => true // unhashable pairing: keep
               }
             }
-          }
+            else dictionaryMayContain(reader, schema, block, meta, tn, keys)
+        }
       }
     } finally reader.close()
+  }
+
+  /** Exact dictionary-page membership for a chunk with NO bloom filter:
+    * when the encoding stats prove every data page is dictionary-
+    * encoded, the dictionary holds exactly the chunk's distinct values
+    * — the probe is then precise, not probabilistic. Any uncertainty
+    * (no encoding stats, a non-dictionary page, an unreadable page, a
+    * type pairing we refuse to coerce) keeps the row group.
+    */
+  private def dictionaryMayContain(
+      reader: org.apache.parquet.hadoop.ParquetFileReader,
+      schema: org.apache.parquet.schema.MessageType,
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      meta: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      tn: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      keys: Array[Any]): Boolean = {
+    val es = meta.getEncodingStats
+    if (es == null || !es.hasDictionaryEncodedPages || es.hasNonDictionaryEncodedPages)
+      return true // dictionary is not exhaustive for this chunk: keep
+    val desc = schema.getColumnDescription(meta.getPath.toArray)
+    // Widen to the public interface — the concrete reader class is
+    // package-private in parquet-mr and cannot be referenced here.
+    val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+      reader.getDictionaryReader(block)
+    val page = store.readDictionaryPage(desc)
+    if (page == null) return true
+    val dict = page.getEncoding.initDictionary(desc, page)
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // One pass over the dictionary against the key set (dictionaries
+    // are at most tens of thousands of entries — bounded by the 1MB
+    // dictionary page, which is WHY the writer dropped the bloom).
+    tn match {
+      case INT64 =>
+        val ks = keys.collect { case v: Long => v; case v: Int => v.toLong }.toSet
+        if (ks.size != keys.length) true
+        else (0 to dict.getMaxId).exists(i => ks(dict.decodeToLong(i)))
+      case INT32 =>
+        val ks = keys.collect {
+          case v: Int => v
+          case v: Long if v.isValidInt => v.toInt
+        }.toSet
+        if (ks.size != keys.length) true
+        else (0 to dict.getMaxId).exists(i => ks(dict.decodeToInt(i)))
+      case BINARY =>
+        val ks = keys.collect {
+          case v: String => org.apache.parquet.io.api.Binary.fromString(v)
+          case v: Array[Byte] =>
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(v)
+        }.toSet
+        if (ks.size != keys.length) true
+        else (0 to dict.getMaxId).exists(i => ks(dict.decodeToBinary(i)))
+      case _ => true // a pairing we refuse to coerce: keep
+    }
   }
 
   /** Hash `key` with the filter's strategy as the column's physical

@@ -203,11 +203,8 @@ object Segments {
               case -1 => ""
               case i => e.path.take(i)
             }
-            val range = e.stats match {
-              case Some((c, mn, mx)) if c == boundCol => Some((mn, mx))
-              case _ => fileRange(
-                new org.apache.hadoop.fs.Path(rootPath, e.path), boundCol, conf)
-            }
+            val range = e.statFor(boundCol).orElse(fileRange(
+              new org.apache.hadoop.fs.Path(rootPath, e.path), boundCol, conf))
             (relDir, range)
           }
           .groupBy(_._1).view.mapValues(_.map(_._2)).toMap

@@ -362,6 +362,42 @@ object Snapshots {
     cell.value
   }
 
+  /** Z-clustered manifested-log artifact: [[manifestedLog]] plus one
+    * [[ManifestLog.cluster]] pass, so the at-rest layout answers
+    * conjunctive boundary slices over EVERY cluster column from a
+    * manifest parse ([[ManifestLog.readSliceN]]) — the multi-tenant /
+    * multi-dimension read pattern a time-only sort cannot prune.
+    * Same idempotence contract: a complete root is reused as-is; a
+    * torn attempt (created or appended but never clustered — the last
+    * committed op tells) is discarded and rebuilt.
+    */
+  def clusteredLog(spark: SparkSession, dir: String, name: String,
+      cols: Seq[String], targetFileRows: Long,
+      bloomCols: Seq[String] = Nil)(build: => DataFrame): String = {
+    val fp = fingerprint(spark, dir)
+    val cell = paths.computeIfAbsent(
+      (dir, s"zlog-$name", fp),
+      _ => new Cell(() => {
+        val dirKey = md5Hex(dir).take(12)
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-zlog-$name"
+        val (p, fs) = ManifestLog.hadoop(spark, out)
+        val complete = ManifestLog.isManifested(spark, out) &&
+          scala.util.Try(ManifestLog.describe(spark, out).last._2 == "cluster")
+            .getOrElse(false)
+        if (!complete) {
+          fs.delete(p, true)
+          ManifestLog.create(spark, out)
+          if (bloomCols.nonEmpty) ParquetBlooms.declare(spark, out, bloomCols)
+          ManifestLog.appendSorted(build, out, Nil, Some(cols.head))
+          ManifestLog.cluster(spark, out, cols, targetFileRows)
+        }
+        out
+      }),
+    )
+    cell.value
+  }
+
   /** Ingest-pipeline seam: register an externally maintained at-rest
     * layout (e.g. a SEGMENT-APPENDED parquet root — [[Segments]]) as
     * the artifact for (dir, name), replacing any memoized build. This

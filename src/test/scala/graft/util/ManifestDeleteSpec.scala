@@ -50,7 +50,7 @@ class ManifestDeleteSpec extends SparkTestBase with graft.TempCorpusDirs {
   test("delete == rebuild-on-survivors; untouched files pass through by reference, unopened") {
     val (root, rows) = freshKeyedLog()
     // Order by recorded range, not by (UUID-bearing) file name.
-    val before = ManifestLog.currentEntries(spark, root).sortBy(_.stats.get._2)
+    val before = ManifestLog.currentEntries(spark, root).sortBy(_.stats.head._2)
     assert(before.length == 4 && before.forall(_.stats.exists(_._1 == "k")))
     val deleted = ((600L to 649L) :+ 1700L).toSet
     // Files 1 and 3 hold every tombstone; prove files 0 and 2 are

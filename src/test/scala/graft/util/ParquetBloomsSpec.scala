@@ -145,7 +145,7 @@ class ParquetBloomsSpec extends SparkTestBase with graft.TempCorpusDirs {
 
   test("deleteKeys on a bloom-declared layout rewrites only files holding keys; others pass by reference") {
     val (root, all) = freshBloomLog()
-    val before = ManifestLog.currentEntries(spark, root).sortBy(_.stats.get._2)
+    val before = ManifestLog.currentEntries(spark, root).sortBy(_.stats.head._2)
     // uids 100..104 live only in file 1; ts stats prune NOTHING for a
     // uid delete (the key is not the boundary column), so without the
     // bloom probe all four files would be scan candidates. The probe
@@ -179,6 +179,91 @@ class ParquetBloomsSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(ManifestLog.read(spark, root).select("ts", "uid", "tag")
       .as[(Long, Long, String)].collect().toSeq.sorted ==
       all.filter(_._2 < 100L).sorted)
+  }
+
+  test("readForKeys: dynamic pruning from a key frame — empty, point, and bulk regimes") {
+    val (root, all) = freshBloomLog()
+    // Empty key frame (a dim filter that matched nothing): zero rows,
+    // schema intact, nothing scanned.
+    val none = ManifestLog.readForKeys(spark, root, "uid",
+      Seq.empty[Long].toDF("uid"))
+    assert(none.count() == 0L && none.columns.contains("tag"))
+    // Null keys are not identities: a frame of nulls matches nothing.
+    val nulls = ManifestLog.readForKeys(spark, root, "uid",
+      Seq[Option[Long]](None, None).toDF("uid"))
+    assert(nulls.count() == 0L)
+    // Point regime: equals the plain filter, plans a file subset —
+    // this is the join-shaped entry (keys from a filtered dim frame).
+    val got = ManifestLog.readForKeys(spark, root, "uid",
+      Seq(5L, 105L, 5L).toDF("uid"))
+    assert(got.inputFiles.length < 4,
+      "readForKeys planned every file for a 2-key frame")
+    assert(got.select("ts", "uid", "tag").as[(Long, Long, String)]
+      .collect().toSeq.sorted ==
+      all.filter(r => r._2 == 5L || r._2 == 105L).sorted)
+    // Bulk regime (> MaxProbeKeys distinct keys): falls back to the
+    // full generation — the caller's join filters, nothing lost.
+    val bulk = ManifestLog.readForKeys(spark, root, "uid",
+      spark.range(0L, ParquetBlooms.MaxProbeKeys + 2L).select(col("id").as("uid")))
+    assert(bulk.count() == all.length.toLong,
+      "the bulk fallback must return the whole generation")
+  }
+
+  test("both probe regimes prune: written blooms at high NDV, exact dictionaries at low") {
+    // parquet-mr deliberately writes NO bloom filter for a chunk whose
+    // every data page is dictionary-encoded — the dictionary already
+    // answers membership exactly. A probe that only consulted blooms
+    // would silently stop pruning on low-NDV chunks (measured: that
+    // was r14's failure), so the probe must handle both regimes. Two
+    // files: one whose uid column overflows the 1MB dictionary page
+    // (≈200k distinct longs → plain encoding → bloom written), one
+    // small (dictionary-encoded → no bloom, dictionary probe).
+    val root = s"${tempCorpusDir("graft_pbloom_regimes")}/log"
+    ManifestLog.create(spark, root)
+    ParquetBlooms.declare(spark, root, Seq("uid"), expectedNdv = 300000L)
+    ManifestLog.appendSorted(
+      spark.range(0L, 200000L)
+        .select(col("id").as("ts"), (col("id") * 7919L).as("uid"))
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, Nil, Some("ts"))
+    ManifestLog.appendSorted(
+      (0 until 500).map(i => (200000L + i, 9000L + i % 100))
+        .toDF("ts", "uid")
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, Nil, Some("ts"))
+    val files = absFiles(root)
+    assert(files.length == 2)
+    // Prove the layout is in the mixed regime the test claims: the
+    // big file carries a bloom for uid, the small one does not.
+    def hasBloom(f: String): Boolean = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          spark.sessionState.newHadoopConf()))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.exists(
+          _.getColumns.asScala.exists(c =>
+            c.getPath.toDotString == "uid" && c.getBloomFilterOffset >= 0))
+      } finally reader.close()
+    }
+    val (withBloom, noBloom) = files.partition(hasBloom)
+    assert(withBloom.length == 1 && noBloom.length == 1,
+      s"expected one bloom-bearing and one dictionary-only file, " +
+        s"got bloom=${withBloom.length}")
+    // A key only the BIG file holds: bloom admits it, the small
+    // file's dictionary rejects it.
+    assert(ParquetBlooms.mayContainAny(spark, files, "uid",
+      Seq(7919L)).toSet == Set(withBloom.head))
+    // A key only the SMALL file holds: its dictionary admits it; the
+    // big file's bloom rejects it.
+    assert(ParquetBlooms.mayContainAny(spark, files, "uid",
+      Seq(9001L)).toSet == Set(noBloom.head))
+    // A key neither holds: everything pruned (modulo bloom false
+    // positives on one fixed key — accept either ∅ or {bloom file}).
+    val ghost = ParquetBlooms.mayContainAny(spark, files, "uid", Seq(1L))
+    assert(!ghost.contains(noBloom.head),
+      "an exact dictionary probe cannot have false positives")
   }
 
   test("maintenance rewrites keep the declared filters: compaction output stays probe-prunable") {

@@ -98,7 +98,7 @@ class VacuumGraceSpec extends SparkTestBase with graft.TempCorpusDirs {
 
   test("the unbounded-slice sentinel: a MaxValue-min file stays admissible when hiExcl means 'no upper edge'") {
     val e = ManifestLog.Entry("f.parquet",
-      Some(("ts_us", Long.MaxValue, Long.MaxValue)))
+      Seq(("ts_us", Long.MaxValue, Long.MaxValue)))
     // The since-paths encode ">= cutoff, unbounded above" as
     // [cutoff, Long.MaxValue) — a file holding the MaxValue sentinel
     // timestamp satisfies the row filter and must be planned.
@@ -107,7 +107,7 @@ class VacuumGraceSpec extends SparkTestBase with graft.TempCorpusDirs {
     // Bounded slices still prune it.
     assert(!e.mayOverlap("ts_us", 0L, 1000L))
     // And ordinary files are unaffected by the sentinel rule.
-    val f = ManifestLog.Entry("g.parquet", Some(("ts_us", 10L, 20L)))
+    val f = ManifestLog.Entry("g.parquet", Seq(("ts_us", 10L, 20L)))
     assert(f.mayOverlap("ts_us", 15L, Long.MaxValue))
     assert(!f.mayOverlap("ts_us", 21L, Long.MaxValue))
   }
