@@ -194,6 +194,37 @@ object Events {
     }
   }
 
+  /** Z-clustered manifested twin of the events log, ordered by the
+    * bit-interleaving of (ts_us, user_id) with BOTH columns'
+    * per-file ranges in the manifest ([[graft.util.ManifestLog.cluster]]).
+    * The time-sorted log answers "a day" from few files but scans
+    * every file for "a day × a tenant" — uid ranges span the domain
+    * in every time-sorted file. The Z layout gives both columns
+    * ~√files-tight ranges, so a conjunctive slice prunes
+    * multiplicatively ([[graft.util.ManifestLog.readSliceN]]); at
+    * 100 TB that is the difference between a tenant-scoped audit
+    * reading a tenant's share of a day and it reading the whole day.
+    */
+  private[graft] def eventsZLog(s: SparkSession, dir: String): String =
+    graft.util.Snapshots.clusteredLog(s, dir, "events-z",
+      Seq("ts_us", "user_id"), targetFileRows = 4096L) {
+      Tables.events(s, dir).select(
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_id"), col("event_type"), col("value"))
+    }
+
+  /** Corpus event-time span, as a 1-row at-rest artifact (the Hwm
+    * discipline: the min/max scan runs once at build; queries read one
+    * row and push exact integer-micros literals).
+    */
+  private def eventsTsSpan(s: SparkSession, dir: String): (Long, Long) = {
+    val r = graft.util.Snapshots(s, dir, "events-ts-span") {
+      eventsUs(s, dir).agg(
+        min("ts_us").as("mn_us"), max("ts_us").as("mx_us"))
+    }.head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** 1-row at-rest hwm companion: the dimension covers the first 80%
     * of the corpus ts span, the rest is "the new batch since the last
     * run" — the shared [[graft.util.Hwm]] convention (one definition
@@ -255,6 +286,8 @@ object Events {
     scd2Hwm(s, dir)
     scd2Base(s, dir)
     eventsKeyedLog(s, dir)
+    eventsZLog(s, dir)
+    eventsTsSpan(s, dir)
     ()
   }
 
@@ -1169,6 +1202,45 @@ object Events {
           s, eventsKeyedLog(s, dir), "user_id", LookupUserIds)
         .select("user_id", "ts_us", "event_id", "event_type")
         .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // ------------------------------------------------------------------
+    // 2-D boundary slice over the Z-CLUSTERED manifested log: a time
+    // window × a tenant band, planned via readSliceN from per-file
+    // (ts_us, user_id) manifest stats — both predicates prune files
+    // multiplicatively (ZClusterSpec proves the pruning by parking
+    // non-selected files). The literal bounds come from the 1-row
+    // span artifact (exact integer micros, no query-time corpus
+    // scan); the oracle recomputes them with DuckDB's floor division
+    // over the raw table, proving the clustered read returns exactly
+    // the plain filter's answer.
+    QueryDef(
+      "q153_zslice_2d",
+      Some("""
+        WITH b AS (
+          SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events, b
+        WHERE epoch_us(ts) >= mn + (mx - mn) // 4
+          AND epoch_us(ts) <  mn + (mx - mn) // 2
+          AND user_id >= 0 AND user_id < 8
+        GROUP BY user_id
+        ORDER BY user_id
+      """),
+    ) { (s, dir) =>
+      val (mn, mx) = eventsTsSpan(s, dir)
+      val lo = mn + (mx - mn) / 4
+      val hi = mn + (mx - mn) / 2
+      graft.util.ManifestLog.readSliceN(s, eventsZLog(s, dir),
+          Seq(("ts_us", lo, hi), ("user_id", 0L, 8L)))
+        .where(col("ts_us") >= lo && col("ts_us") < hi &&
+          col("user_id") >= 0L && col("user_id") < 8L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id")
     },
   )
 }

@@ -430,6 +430,26 @@ object Relational {
     }.filter(col("l_shipdate_us") >= cutoffUs || col("l_shipdate_us").isNull)
   }
 
+  /** Orderkey-sorted MANIFESTED lineitem log — the keyed-read twin of
+    * [[lineitemSdLog]] (same recipe, the join key as the boundary
+    * column), existing for the dynamic-file-pruning path: a filtered
+    * dimension's keys resolve to the few files whose recorded orderkey
+    * range holds any of them ([[graft.util.ManifestLog.readForKeys]]),
+    * so a selective dim filter narrows the FACT scan at plan time. No
+    * blooms needed — the key IS the sort column, so manifest range
+    * stats answer exactly.
+    */
+  private[graft] def lineitemOkLog(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Snapshots.manifestedLog(s, dir, s"lineitem-ok-log-n$n",
+      "l_orderkey", Nil) {
+      tbl(s, dir, "lineitem")
+        .repartitionByRange(n, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+    }
+  }
+
   /** The at-rest partsupp grain a previous incremental run left
     * behind: the [[partsupp]] aggregate over only the lineitem rows
     * shipped BEFORE the hwm. Both aggregates are algebraic — a BIGINT
@@ -470,6 +490,7 @@ object Relational {
     ordersByCustkey(s, dir)
     customerByCustkey(s, dir)
     lineitemSdLog(s, dir)
+    lineitemOkLog(s, dir)
     partsupp(s, dir)
     psHwm(s, dir)
     psBase(s, dir)
@@ -2450,6 +2471,44 @@ object Relational {
           min("ps_supplycost").as("ps_supplycost"),
         )
         .orderBy("ps_partkey", "ps_suppkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Dynamic file pruning: a selective dimension filter (urgent,
+    // top-price orders) resolves to join keys FIRST, and the fact read
+    // plans only the orderkey-log files whose manifest range holds any
+    // of them (ManifestLog.readForKeys) — the fact side narrows at
+    // plan time instead of scanning history into the join. The dim is
+    // broadcast (small by construction); the fact side never shuffles
+    // until the aggregate. The oracle is the plain join — proving the
+    // pruned plan answers identically.
+    QueryDef(
+      "q154_dfp_join",
+      Some("""
+        SELECT l_orderkey, count(*) AS n_items,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 450000
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey
+      """),
+    ) { (s, dir) =>
+      val dim = tbl(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") >= 450000.0)
+        .select("o_orderkey")
+      val fact = graft.util.ManifestLog.readForKeys(
+        s, lineitemOkLog(s, dir), "l_orderkey",
+        dim.select(col("o_orderkey").as("l_orderkey")))
+      fact.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"),
+        )
+        .orderBy("l_orderkey")
     },
   )
 }
