@@ -399,6 +399,46 @@ object ManifestLog {
     */
   def cluster(spark: SparkSession, root: String, cols: Seq[String],
       targetFileRows: Long = 1L << 20): Unit = {
+    val committed = clusterGrain(spark, root, cols, targetFileRows, _ => true)
+    assert(committed, "full cluster() always selects the live generation")
+  }
+
+  /** Incremental clustering maintenance — the tick that keeps a
+    * z-layout useful under appends WITHOUT layout rewrites. New
+    * segments land sorted by their own boundary column and carry at
+    * most that one column's stats, so [[readSliceN]] admits them for
+    * every slice (correct, conservative, increasingly wasteful as they
+    * accumulate). Once `minNewFiles` such files exist, re-cluster ONLY
+    * them: per-file stat boxes need no globally consistent curve —
+    * z-locality within the batch is what bounds each new file's box —
+    * so the tick costs O(new data) and the already-clustered history
+    * is never rewritten (its manifest lines pass through
+    * byte-identical). Returns whether a generation committed.
+    *
+    * The unclustered set is "entries missing stats for some cluster
+    * column". A file with NULLS in a cluster column can never gain
+    * that column's stats and would re-qualify every tick — keep
+    * cluster columns non-null by construction (ids, event times), as
+    * the threshold only bounds churn, it cannot remove it.
+    */
+  def maintainClustered(spark: SparkSession, root: String, cols: Seq[String],
+      targetFileRows: Long = 1L << 20, minNewFiles: Int = 8): Boolean = {
+    require(minNewFiles >= 1, s"minNewFiles must be positive, got $minNewFiles")
+    val stale = currentEntries(spark, root)
+      .count(e => cols.exists(c => e.statFor(c).isEmpty))
+    if (stale < minNewFiles) false
+    else clusterGrain(spark, root, cols, targetFileRows,
+      e => cols.exists(c => e.statFor(c).isEmpty))
+  }
+
+  /** The clustering engine behind [[cluster]] (grain = everything) and
+    * [[maintainClustered]] (grain = stat-less newcomers): rewrite the
+    * selected live files per partition directory in Z-order, commit
+    * unselected entries BY REFERENCE (path and stats byte-identical).
+    * Returns false (no commit) when the selection is empty.
+    */
+  private def clusterGrain(spark: SparkSession, root: String, cols: Seq[String],
+      targetFileRows: Long, select: Entry => Boolean): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, shiftleft, shiftright}
     require(cols.length >= 2 && cols.length <= 4,
       s"cluster on 2..4 columns (got ${cols.length}) — one column is a " +
@@ -412,8 +452,10 @@ object ManifestLog {
     val m = readRaw(fs, p, v)
     val live = m.entries
     require(live.nonEmpty, s"$root lists no live files at v$v")
+    val grain = live.filter(select)
+    if (grain.isEmpty) return false
     val nb = math.min(16, 63 / cols.length) // bits per lane
-    val staged = live.groupBy(e => dirOf(e.path)).toSeq.sortBy(_._1)
+    val staged = grain.groupBy(e => dirOf(e.path)).toSeq.sortBy(_._1)
       .flatMap { case (relDir, es) =>
         val paths = es.map(e => new org.apache.hadoop.fs.Path(p, e.path).toString)
         val df = spark.read.parquet(paths: _*)
@@ -477,7 +519,10 @@ object ManifestLog {
             .drop("_gf_z"))
       }
     failpoint("written:cluster")
-    commit(fs, p, v + 1, entriesFor(spark, p, staged, cols), "cluster", m.batchHwm)
+    commit(fs, p, v + 1,
+      live.diff(grain) ++ entriesFor(spark, p, staged, cols),
+      "cluster", m.batchHwm)
+    true
   }
 
   /** Point lookup: the current generation's rows whose `keyCol` is in

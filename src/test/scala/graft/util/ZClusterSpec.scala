@@ -199,6 +199,62 @@ class ZClusterSpec extends SparkTestBase with graft.TempCorpusDirs {
     }
   }
 
+  test("appends after a cluster stay correct: stats-less newcomers are admitted by every slice") {
+    val (root, _) = freshGrid()
+    ManifestLog.cluster(spark, root, Seq("ts", "uid"), targetFileRows = 4096L)
+    // A new segment lands with ts-only stats (the append recipe).
+    ManifestLog.appendSorted(
+      spark.range(100000L, 100500L)
+        .select(col("id").as("ts"), (col("id") % 256L).as("uid"),
+          lit(1L).as("v"))
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, Nil, Some("ts"))
+    // A uid-only slice cannot prune the newcomer (no uid stats) — it
+    // must be admitted and its matching rows answered.
+    val got = ManifestLog.readSliceN(spark, root, Seq(("uid", 0L, 4L)))
+      .where(col("uid") < 4L)
+    val expect = ManifestLog.read(spark, root).where(col("uid") < 4L)
+    assert(canon(got) == canon(expect))
+  }
+
+  test("maintainClustered re-clusters ONLY the newcomers; history passes by reference") {
+    val (root, _) = freshGrid()
+    ManifestLog.cluster(spark, root, Seq("ts", "uid"), targetFileRows = 4096L)
+    val history = ManifestLog.currentEntries(spark, root).map(_.line).toSet
+    // Below the threshold: no-op, no commit.
+    ManifestLog.appendSorted(
+      spark.range(100000L, 100100L)
+        .select(col("id").as("ts"), (col("id") % 256L).as("uid"), lit(1L).as("v"))
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, Nil, Some("ts"))
+    val vBefore = ManifestLog.currentVersion(spark, root)
+    assert(!ManifestLog.maintainClustered(spark, root, Seq("ts", "uid"),
+      targetFileRows = 4096L, minNewFiles = 4))
+    assert(ManifestLog.currentVersion(spark, root) == vBefore)
+    // Three more stats-less segments cross the threshold.
+    (1 to 3).foreach { i =>
+      ManifestLog.appendSorted(
+        spark.range(100000L + i * 1000L, 100100L + i * 1000L)
+          .select(col("id").as("ts"), (col("id") % 256L).as("uid"), lit(1L).as("v"))
+          .coalesce(1).sortWithinPartitions("ts"),
+        root, Nil, Some("ts"))
+    }
+    val before = canon(ManifestLog.read(spark, root))
+    assert(ManifestLog.maintainClustered(spark, root, Seq("ts", "uid"),
+      targetFileRows = 4096L, minNewFiles = 4))
+    val after = ManifestLog.currentEntries(spark, root)
+    // Row-neutral, history lines byte-identical, newcomers now fully
+    // statted (uid slices prune them again), and the tick is
+    // idempotent — nothing left to cluster.
+    assert(canon(ManifestLog.read(spark, root)) == before)
+    assert(history.subsetOf(after.map(_.line).toSet),
+      "maintenance rewrote already-clustered history")
+    assert(after.forall(e =>
+      e.statFor("ts").isDefined && e.statFor("uid").isDefined))
+    assert(!ManifestLog.maintainClustered(spark, root, Seq("ts", "uid"),
+      targetFileRows = 4096L, minNewFiles = 1))
+  }
+
   test("partitioned layouts cluster within their directories") {
     val root = s"${tempCorpusDir("graft_zc_part")}/log"
     ManifestLog.create(spark, root)
