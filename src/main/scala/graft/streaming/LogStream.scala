@@ -72,28 +72,45 @@ object LogStream {
     */
   /** [[runLogStream]]'s maintenance cadence: after every
     * `maintainEveryBatches` committed batches the sink runs the
-    * self-driving tick ([[Segments.maintainSorted]]) on its own log.
-    * foreachBatch is sequential, so the tick never races the writer,
-    * and the tick's commits are manifest-atomic, so pinned readers
-    * and the batch high-water mark are untouched. 0 disables (an
-    * external maintenance owner).
+    * self-driving tick on its own log — [[Segments.maintainSorted]]
+    * for a plain sorted log, or [[ManifestLog.maintainClustered]] when
+    * `clusterCols` declares a Z-layout (new batches land boundCol-
+    * sorted with single-column stats; the tick z-rewrites ONLY the
+    * accumulated newcomers, so multi-dimension pruning catches up with
+    * ingest at O(new data), history untouched). foreachBatch is
+    * sequential, so the tick never races the writer, and the tick's
+    * commits are manifest-atomic, so pinned readers and the batch
+    * high-water mark are untouched. 0 disables (an external
+    * maintenance owner).
     */
   def runLogStream(spark: SparkSession, srcDir: String, root: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       boundCol: String, filesPerBatch: Int = 1,
       partitionDirs: Seq[String] = Nil,
       maintainEveryBatches: Int = 0,
-      maintainMaxFiles: Int = Segments.CompactAfterSegments): StreamingQuery =
+      maintainMaxFiles: Int = Segments.CompactAfterSegments,
+      clusterCols: Seq[String] = Nil,
+      clusterTargetRows: Long = 1L << 20): StreamingQuery = {
+    require(clusterCols.isEmpty || clusterCols.contains(boundCol),
+      s"clusterCols $clusterCols must include the boundary column " +
+        s"'$boundCol' — the since/slice paths prune on it")
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val committed =
           ingestBatch(batch, batchId, root, boundCol, filesPerBatch, partitionDirs)
         if (committed && maintainEveryBatches > 0 &&
-          (batchId + 1) % maintainEveryBatches == 0)
-          Segments.maintainSorted(spark, root, boundCol, maintainMaxFiles)
+          (batchId + 1) % maintainEveryBatches == 0) {
+          if (clusterCols.nonEmpty)
+            ManifestLog.maintainClustered(spark, root, clusterCols,
+              clusterTargetRows, minNewFiles = maintainMaxFiles)
+          else
+            Segments.maintainSorted(spark, root, boundCol, maintainMaxFiles)
+          ()
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 }

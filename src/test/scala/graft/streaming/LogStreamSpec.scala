@@ -158,6 +158,38 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(ManifestLog.batchHwm(spark, root) >= 5L)
   }
 
+  test("a self-CLUSTERING stream keeps 2-D pruning current with ingest, rows exact") {
+    val dir = tempCorpusDir("graft_logstream_zcluster")
+    val (src, root, ckpt) = (s"$dir/src", s"$dir/log", s"$dir/ckpt")
+    // Each drop spans the full uid domain within its own ts window —
+    // the shape where a plain ts-sorted layout cannot prune a
+    // uid-constrained read.
+    def drop(i: Int) = (0 until 512)
+      .map(j => ((i * 512 + j).toLong, (j % 64).toLong)).toDF("ts", "uid")
+    drop(0).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = LogStream.runLogStream(spark, src, root, ckpt, schema, "ts",
+      filesPerBatch = 2, maintainEveryBatches = 2, maintainMaxFiles = 2,
+      clusterCols = Seq("ts", "uid"), clusterTargetRows = 256L)
+    try (1 until 6).foreach { i =>
+      q.processAllAvailable()
+      drop(i).write.mode("append").parquet(src)
+    } finally { q.processAllAvailable(); q.stop() }
+    // Rows exact through every tick, hwm intact.
+    assert(ManifestLog.read(spark, root).count() == 6 * 512L)
+    assert(ManifestLog.batchHwm(spark, root) >= 5L)
+    assert(ManifestLog.describe(spark, root).map(_._2).contains("cluster"),
+      "the in-sink clustering tick never ran")
+    // The tick caught pruning up with ingest: a uid slice plans fewer
+    // files than the full generation (a never-clustered ts-stream
+    // could not prune on uid at all), and answers exactly.
+    val total = ManifestLog.read(spark, root).inputFiles.length
+    val sliced = ManifestLog.readSliceN(spark, root, Seq(("uid", 0L, 8L)))
+    assert(sliced.inputFiles.length < total,
+      "a uid slice planned the whole streamed layout")
+    assert(sliced.where(col("uid") < 8L).count() == 6 * 512L / 8L)
+  }
+
   test("a partitioned streamed log keeps partition pruning, stats slicing, and tailing") {
     val dir = tempCorpusDir("graft_logstream_part")
     val root = s"$dir/log"
