@@ -2683,7 +2683,6 @@ object TextOps {
       FROM d ORDER BY doc_id
     """),
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val tf = termFrequencies(s, dir)
     // Global term counts from the at-rest term-stats artifact — the
     // full-tf shuffle on `term` is ingest-time work, not per-query.
@@ -2692,10 +2691,12 @@ object TextOps {
     // frequency terms are interchangeable — rank is order-key-stable,
     // not tie-order-dependent. rank−1 ∈ [0, n_terms−1]; the weighted
     // mean of (rank−1)/(n_terms−1) is computed as integer numerator /
-    // integer denominator.
-    val rk = ct.select(
-      col("term"),
-      (rank().over(Window.orderBy(desc("ct"))) - 1).cast("long").as("r"))
+    // integer denominator. Two-phase rank, not a bare global window:
+    // the vocabulary is corpus-sized (millions of terms at 100 TB),
+    // and a partition-less WindowExec funnels it through ONE task —
+    // TwoPhaseRank keeps identical tie semantics on balanced slices.
+    val rk = graft.util.TwoPhaseRank.rankAndTotal(s, ct, Nil, Seq(desc("ct")))
+      .select(col("term"), (col("rnk") - 1).cast("long").as("r"))
     val nTerms = ct.groupBy().agg(count(lit(1)).as("n_terms"))
     tf.join(rk, "term")
       .groupBy("doc_id")
