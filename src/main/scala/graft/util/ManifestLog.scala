@@ -287,16 +287,18 @@ object ManifestLog {
       files: Seq[String], statCols: Seq[String]): Seq[Entry] = {
     val conf = spark.sessionState.newHadoopConf()
     files.map { rel =>
-      Entry(rel, statCols.flatMap { c =>
-        fileRangeOf(new org.apache.hadoop.fs.Path(p, rel), c, conf)
-          .map { case (mn, mx) => (c, mn, mx) }
-      })
+      if (statCols.isEmpty) Entry(rel, Nil)
+      else {
+        // One footer read per file regardless of how many columns the
+        // layout records — at a z-layout's 3-4 cluster columns the
+        // per-column variant would triple the maintenance metadata IO.
+        val ranges = Segments.fileRanges(
+          new org.apache.hadoop.fs.Path(p, rel), statCols, conf)
+        Entry(rel, statCols.flatMap(c =>
+          ranges.get(c).map { case (mn, mx) => (c, mn, mx) }))
+      }
     }
   }
-
-  private def fileRangeOf(file: org.apache.hadoop.fs.Path, col: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] =
-    Segments.fileRange(file, col, conf)
 
   /** The current generation as a DataFrame: resolve the highest
     * manifest ONCE, scan exactly its files. `basePath` keeps partition

@@ -467,22 +467,38 @@ object Segments {
     * read, no data pages.
     */
   private[util] def fileRange(file: org.apache.hadoop.fs.Path, column: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] =
+    fileRanges(file, Seq(column), conf).get(column)
+
+  /** Trustworthy footer [min, max] per requested column, from ONE
+    * footer read — the multi-stat manifest recording path would
+    * otherwise open the same footer once per cluster column. A column
+    * is present in the result only when EVERY row group carries
+    * null-free, long-decodable statistics for it (the single-column
+    * contract, unchanged).
+    */
+  private[util] def fileRanges(file: org.apache.hadoop.fs.Path,
+      columns: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, (Long, Long)] = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
       import scala.jdk.CollectionConverters._
-      val perBlock = reader.getFooter.getBlocks.asScala.map { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == column)
-          .flatMap(c => Option(c.getStatistics))
-          .filter(s => !s.isEmpty && s.hasNonNullValue && s.getNumNulls == 0)
-          .flatMap(s => (s.genericGetMin, s.genericGetMax) match {
-            case (mn: java.lang.Long, mx: java.lang.Long) => Some((mn.toLong, mx.toLong))
-            case _ => None
-          })
-      }
-      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
-      else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+      val blocks = reader.getFooter.getBlocks.asScala
+      columns.flatMap { column =>
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column)
+            .flatMap(c => Option(c.getStatistics))
+            .filter(s => !s.isEmpty && s.hasNonNullValue && s.getNumNulls == 0)
+            .flatMap(s => (s.genericGetMin, s.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) => Some((mn.toLong, mx.toLong))
+              case _ => None
+            })
+        }
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else Some(column ->
+          (perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+      }.toMap
     } finally reader.close()
   }
 
