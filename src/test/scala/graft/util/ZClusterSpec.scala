@@ -255,6 +255,30 @@ class ZClusterSpec extends SparkTestBase with graft.TempCorpusDirs {
       targetFileRows = 4096L, minNewFiles = 1))
   }
 
+  test("negative-valued cluster columns bucket exactly (the generated SQL survives a negative min)") {
+    val root = s"${tempCorpusDir("graft_zc_neg")}/log"
+    ManifestLog.create(spark, root)
+    ManifestLog.appendSorted(
+      spark.range(0L, 4096L)
+        .select((col("id") - 2048L).as("ts"), (col("id") % 64L - 32L).as("uid"),
+          col("id").as("v"))
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, Nil, Some("ts"))
+    val before = canon(ManifestLog.read(spark, root))
+    ManifestLog.cluster(spark, root, Seq("ts", "uid"), targetFileRows = 512L)
+    assert(canon(ManifestLog.read(spark, root)) == before)
+    val got = ManifestLog.readSliceN(spark, root,
+        Seq(("ts", -1024L, 0L), ("uid", -32L, -16L)))
+      .where(col("ts") >= -1024L && col("ts") < 0L &&
+        col("uid") >= -32L && col("uid") < -16L)
+    val expect = ManifestLog.read(spark, root)
+      .where(col("ts") >= -1024L && col("ts") < 0L &&
+        col("uid") >= -32L && col("uid") < -16L)
+    assert(canon(got) == canon(expect))
+    assert(got.inputFiles.length <
+      ManifestLog.read(spark, root).inputFiles.length)
+  }
+
   test("partitioned layouts cluster within their directories") {
     val root = s"${tempCorpusDir("graft_zc_part")}/log"
     ManifestLog.create(spark, root)
