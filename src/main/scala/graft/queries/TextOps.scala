@@ -408,6 +408,7 @@ object TextOps {
       () => chunkTable(s, dir),
       () => spanWindows(s, dir),
       () => linkageBlocks(s, dir),
+      () => docsDigestLog(s, dir),
     )
     Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
     ()
@@ -873,7 +874,8 @@ object TextOps {
     normalizedDedupDef :+ adaptiveQualityDef :+ bloomDedupDef :+
     contextChunksDef :+ chunkDedupDef :+ curationFunnelDef :+
     duplicateSpansDef :+ unigramRarityDef :+ modelQualityDef :+
-    collocationsDef :+ vocabGrowthDef :+ thresholdSweepDef :+ editLinkageDef
+    collocationsDef :+ vocabGrowthDef :+ thresholdSweepDef :+ editLinkageDef :+
+    digestLookupDef
 
   /** q135 — collocation extraction (phrase mining): top bigrams by
     * PMI-style lift, the standard first step of building a phrase
@@ -3334,4 +3336,53 @@ object TextOps {
     * the same at-rest inputs production holds. */
   private[queries] def minhashBandsOf(docs: DataFrame): DataFrame =
     bandKeysOf(minhashSigsOf(docs))
+
+  /** Manifested documents-with-digest log: the corpus sorted by doc_id
+    * (manifest range stats answer id-keyed reads) with the md5 content
+    * digest as a DECLARED lookup column (footer bloom/dictionary
+    * probes answer content-keyed reads — [[graft.util.ParquetBlooms]]'
+    * BINARY path). One layout pays for both access patterns; at 100 TB
+    * this is the shape a takedown/retraction feed probes — "which live
+    * documents carry these digests" costs O(files that may hold them).
+    */
+  private[graft] def docsDigestLog(s: SparkSession, dir: String): String = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.util.Snapshots.manifestedLog(s, dir, s"docs-digest-n$n",
+      "doc_id", Seq("digest")) {
+      tbl(s, dir, "documents")
+        .withColumn("digest", md5(col("text")))
+        .repartitionByRange(n, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+    }
+  }
+
+  /** q156 — content-keyed document lookup, composed from BOTH pruning
+    * regimes of one manifested layout: the probe ids resolve to their
+    * digests through doc_id RANGE stats (the sort column), then the
+    * digest set fetches every document sharing that content through
+    * footer probes on the declared STRING column — exact duplicates
+    * elsewhere in the corpus included, which is what a takedown feed
+    * actually wants. The oracle is the plain self-semi-join.
+    */
+  private lazy val digestLookupDef: QueryDef = QueryDef(
+    "q156_digest_lookup",
+    Some("""
+      SELECT doc_id, md5(text) AS digest, lang, n_chars
+      FROM documents
+      WHERE md5(text) IN
+        (SELECT md5(text) FROM documents WHERE doc_id IN (3, 7, 11))
+      ORDER BY doc_id
+    """),
+  ) { (s, dir) =>
+    import graft.util.ManifestLog
+    val root = docsDigestLog(s, dir)
+    // Step 1: id → digest (3 rows to the driver — the feed's keys are
+    // external by nature; range stats prune the id read).
+    val digests = ManifestLog.readKeyed(s, root, "doc_id", Seq(3L, 7L, 11L))
+      .select("digest").distinct().collect().map(_.getString(0)).toSeq
+    // Step 2: digest → all matching documents (footer probes prune).
+    ManifestLog.readKeyed(s, root, "digest", digests)
+      .select(col("doc_id"), col("digest"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
 }
