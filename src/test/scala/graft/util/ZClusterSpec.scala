@@ -279,6 +279,31 @@ class ZClusterSpec extends SparkTestBase with graft.TempCorpusDirs {
       ManifestLog.read(spark, root).inputFiles.length)
   }
 
+  test("keyed deletion composes with clustering: delete rewrites stay correct, the tick restores stats") {
+    val (root, _) = freshGrid()
+    ManifestLog.cluster(spark, root, Seq("ts", "uid"), targetFileRows = 4096L)
+    // Forget two uids. The delete's survivor rewrite restores the
+    // boundCol clustering only (ts), so rewritten files lose their uid
+    // stats — readSliceN must stay EXACT (conservative admission), and
+    // the maintenance tick must re-cluster exactly the rewritten files.
+    val res = ManifestLog.deleteKeys(spark, root, "uid",
+      Seq(7L, 200L).toDF("uid"), boundCol = Some("ts"))
+    assert(res.rowsDeleted == 2 * 256L) // 256 rows per uid in the grid
+    val expect = ManifestLog.read(spark, root).where(col("uid") < 8L)
+    val got = ManifestLog.readSliceN(spark, root, Seq(("uid", 0L, 8L)))
+      .where(col("uid") < 8L)
+    assert(canon(got) == canon(expect))
+    assert(!got.select("uid").distinct().as[Long].collect().contains(7L))
+    // The tick re-clusters the delete's replacements; stats return.
+    assert(ManifestLog.maintainClustered(spark, root, Seq("ts", "uid"),
+      targetFileRows = 4096L, minNewFiles = 1))
+    val after = ManifestLog.readSliceN(spark, root, Seq(("uid", 0L, 8L)))
+    assert(after.inputFiles.length <
+      ManifestLog.read(spark, root).inputFiles.length,
+      "uid pruning did not come back after the tick")
+    assert(canon(after.where(col("uid") < 8L)) == canon(expect))
+  }
+
   test("partitioned layouts cluster within their directories") {
     val root = s"${tempCorpusDir("graft_zc_part")}/log"
     ManifestLog.create(spark, root)
