@@ -63,7 +63,7 @@ class ManifestLogPropertySpec extends SparkTestBase with graft.TempCorpusDirs {
           root, batchId, boundCol = Some("ts"))
 
       (1 to 12).foreach { _ =>
-        rng.nextInt(8) match {
+        rng.nextInt(9) match {
           case 0 | 1 => // append a random-span batch (possibly far future)
             val lo = rng.nextInt(4).toLong * 1000000L
             append(batch(lo, lo + 1000000L, 50 + rng.nextInt(150)))
@@ -78,9 +78,20 @@ class ManifestLogPropertySpec extends SparkTestBase with graft.TempCorpusDirs {
               // Only aligned grains restate; fragmented ones throw —
               // compact first, as the contract prescribes.
               Segments.maintainSorted(spark, root, "ts", maxFiles = 1)
-              Segments.restateSortedRange(spark, root, "ts", lo, hi,
-                replacement.toDF("k", "ts"))
-              model = model.filterNot(r => r._2 >= lo && r._2 < hi) ++ replacement
+              // A z-clustered history may have merged ts bands into
+              // files no boundary grain can align to — then the
+              // restate REFUSES loudly (the documented contract), and
+              // the refusal must leave the generation untouched.
+              try {
+                Segments.restateSortedRange(spark, root, "ts", lo, hi,
+                  replacement.toDF("k", "ts"))
+                model = model.filterNot(r => r._2 >= lo && r._2 < hi) ++ replacement
+              } catch {
+                case e: IllegalStateException =>
+                  assert(e.getMessage.contains("not segment-aligned"))
+                  assert(canon(ManifestLog.read(spark, root)) == model.sorted,
+                    s"trial $trial: a refused restate mutated the layout")
+              }
             }
           case 4 => // retention at a random cutoff (best-effort: may expire nothing)
             val cutoff = rng.nextInt(3).toLong * 1000000L
@@ -116,6 +127,9 @@ class ManifestLogPropertySpec extends SparkTestBase with graft.TempCorpusDirs {
               assert(!ingest(committedBatches(id), id.toLong),
                 s"trial $trial: committed batch $id re-ran")
             }
+          case 8 => // z-cluster: row-neutral, both columns gain stats
+            ManifestLog.cluster(spark, root, Seq("ts", "k"),
+              targetFileRows = 100L)
         }
         // Invariant after EVERY op: current read == model.
         assert(canon(ManifestLog.read(spark, root)) == model.sorted,
@@ -130,6 +144,15 @@ class ManifestLogPropertySpec extends SparkTestBase with graft.TempCorpusDirs {
           .filter(col("ts") >= lo && col("ts") < hi)
         assert(canon(slice) == model.filter(r => r._2 >= lo && r._2 < hi).sorted,
           s"trial $trial: slice read diverged")
+        // 2-D slice == doubly-filtered full read, whatever mix of
+        // clustered / boundary-only / stats-less files is live.
+        val kLo = nextKey / 2
+        val slice2 = ManifestLog.readSliceN(spark, root,
+            Seq(("ts", lo, hi), ("k", kLo, Long.MaxValue)))
+          .filter(col("ts") >= lo && col("ts") < hi && col("k") >= kLo)
+        assert(canon(slice2) ==
+          model.filter(r => r._2 >= lo && r._2 < hi && r._1 >= kLo).sorted,
+          s"trial $trial: 2-D slice read diverged")
       }
       // Every pinned reader still answers its own generation (nothing
       // was vacuumed while pins were live).
