@@ -266,6 +266,21 @@ class ParquetBloomsSpec extends SparkTestBase with graft.TempCorpusDirs {
       "an exact dictionary probe cannot have false positives")
   }
 
+  test("a cluster() rewrite keeps the declared filters: the z-layout stays probe-prunable") {
+    val (root, all) = freshBloomLog()
+    ManifestLog.cluster(spark, root, Seq("ts", "uid"), targetFileRows = 500L)
+    val files = absFiles(root)
+    assert(files.length == 4)
+    // uid 5's rows concentrate in few z-files; the probe must admit a
+    // strict subset and the keyed read must answer exactly.
+    val admitted = ParquetBlooms.mayContainAny(spark, files, "uid", Seq(5L))
+    assert(admitted.nonEmpty && admitted.length < files.length,
+      "the clustered replacement lost its declared filters")
+    assert(ManifestLog.readKeyed(spark, root, "uid", Seq(5L))
+      .select("ts", "uid", "tag").as[(Long, Long, String)]
+      .collect().toSeq.sorted == all.filter(_._2 == 5L).sorted)
+  }
+
   test("maintenance rewrites keep the declared filters: compaction output stays probe-prunable") {
     val (root, _) = freshBloomLog()
     // Append a second segment into file 0's ts range, then compact the
