@@ -304,6 +304,40 @@ class ZClusterSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(canon(after.where(col("uid") < 8L)) == canon(expect))
   }
 
+  test("three-dimension clustering: every lane prunes, rows exact") {
+    val root = s"${tempCorpusDir("graft_zc3")}/log"
+    ManifestLog.create(spark, root)
+    ManifestLog.appendSorted(
+      spark.range(0L, 32768L)
+        .select(col("id").as("ts"), (col("id") % 64L).as("uid"),
+          (col("id") % 7L).as("shard"))
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, Nil, Some("ts"))
+    val before = canon(ManifestLog.read(spark, root)
+      .withColumnRenamed("shard", "v")) // reuse the 3-col canon shape
+    ManifestLog.cluster(spark, root, Seq("ts", "uid", "shard"),
+      targetFileRows = 1024L)
+    assert(canon(ManifestLog.read(spark, root)
+      .withColumnRenamed("shard", "v")) == before)
+    val total = ManifestLog.read(spark, root).inputFiles.length
+    Seq(
+      Seq(("ts", 0L, 4096L)),
+      Seq(("uid", 0L, 8L)),
+      Seq(("shard", 0L, 1L)),
+      Seq(("ts", 0L, 8192L), ("uid", 0L, 16L), ("shard", 0L, 2L)),
+    ).foreach { preds =>
+      val sliced = ManifestLog.readSliceN(spark, root, preds)
+      assert(sliced.inputFiles.length < total,
+        s"slice $preds planned every file")
+      val filt = preds.map { case (c, lo, hi) =>
+        col(c) >= lo && col(c) < hi
+      }.reduce(_ && _)
+      assert(canon(sliced.where(filt).withColumnRenamed("shard", "v")) ==
+        canon(ManifestLog.read(spark, root).where(filt)
+          .withColumnRenamed("shard", "v")))
+    }
+  }
+
   test("partitioned layouts cluster within their directories") {
     val root = s"${tempCorpusDir("graft_zc_part")}/log"
     ManifestLog.create(spark, root)
