@@ -2697,13 +2697,16 @@ object TextOps {
     // the vocabulary is corpus-sized (millions of terms at 100 TB),
     // and a partition-less WindowExec funnels it through ONE task —
     // TwoPhaseRank keeps identical tie semantics on balanced slices.
+    // rankAndTotal's n_g IS the vocabulary count (empty partitioning →
+    // one global group), so no separate count branch re-reads the
+    // artifact; it rides each row through the doc aggregate.
     val rk = graft.util.TwoPhaseRank.rankAndTotal(s, ct, Nil, Seq(desc("ct")))
-      .select(col("term"), (col("rnk") - 1).cast("long").as("r"))
-    val nTerms = ct.groupBy().agg(count(lit(1)).as("n_terms"))
+      .select(col("term"), (col("rnk") - 1).cast("long").as("r"),
+        col("n_g").as("n_terms"))
     tf.join(rk, "term")
       .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"), sum(col("c") * col("r")).as("num"))
-      .crossJoin(broadcast(nTerms)) // 1-row vocabulary count
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("r")).as("num"),
+        max("n_terms").as("n_terms"))
       .select(
         col("doc_id"), col("n_tokens"),
         round(col("num").cast("double") /
