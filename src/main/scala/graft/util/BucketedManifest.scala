@@ -106,6 +106,37 @@ object BucketedManifest {
     finally out.close()
   }
 
+  private val StatColsFile = "stat-cols"
+
+  /** Declare columns whose per-file [min, max] every later staged
+    * write records in the manifest (the [[ParquetBlooms.declare]]
+    * pattern). The bucket KEY hashes across files, so its range is
+    * useless — the columns worth declaring are the ones ingest
+    * naturally clusters per batch (event time, ship date): K appends
+    * leave K files per bucket with tight disjoint ranges, and a
+    * pushed boundary filter then prunes whole FILES at plan time
+    * through the manifest index ([[ManifestFileIndex.listFiles]]) —
+    * on top of the row-group pruning inside admitted files. Files
+    * written before the declaration stay stats-less (never pruned).
+    */
+  def declareStats(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "declare at least one stat column")
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val out = fs.create(new Path(ManifestLog.manifestDir(p), StatColsFile), true)
+    try out.write(cols.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def declaredStats(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[String] = {
+    val f = new Path(ManifestLog.manifestDir(p), StatColsFile)
+    if (!fs.exists(f)) return Nil
+    val in = fs.open(f)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   /** The current generation as a BUCKETED DataFrame: the manifest's
     * exact file set behind a [[FileIndex]], inside a
     * [[HadoopFsRelation]] carrying the recorded [[BucketSpec]] — the
@@ -129,16 +160,16 @@ object BucketedManifest {
       options: Map[String, String] = Map.empty): DataFrame = {
     val (p, fs) = ManifestLog.hadoop(spark, root)
     val s = spec(spark, root)
-    val files = ManifestLog.readRaw(fs, p, version).entries.map(_.path)
-    require(files.nonEmpty, s"manifest v$version of $root lists no files")
-    val statuses: Array[FileStatus] =
-      files.map(f => fs.getFileStatus(new Path(p, f))).toArray
+    val entries = ManifestLog.readRaw(fs, p, version).entries
+    require(entries.nonEmpty, s"manifest v$version of $root lists no files")
+    val statused: Array[(FileStatus, ManifestLog.Entry)] =
+      entries.map(e => (fs.getFileStatus(new Path(p, e.path)), e)).toArray
     val merge = options.get("mergeSchema").exists(_.toBoolean)
     val schema =
       if (merge) spark.read.options(options)
-        .parquet(statuses.map(_.getPath.toString).toIndexedSeq: _*).schema
-      else spark.read.parquet(statuses.head.getPath.toString).schema
-    val index = new ManifestFileIndex(p, statuses)
+        .parquet(statused.map(_._1.getPath.toString).toIndexedSeq: _*).schema
+      else spark.read.parquet(statused.head._1.getPath.toString).schema
+    val index = new ManifestFileIndex(p, statused)
     spark.baseRelationToDataFrame(HadoopFsRelation(
       index, StructType(Nil), schema,
       Some(BucketSpec(s.buckets, Seq(s.key), Seq(s.key))),
@@ -150,19 +181,92 @@ object BucketedManifest {
     * co-location pairs carry no partition dirs), immutable by
     * construction — refresh is a no-op because the file set IS the
     * pinned generation.
+    *
+    * `listFiles` additionally SKIPS files whose manifest-recorded
+    * stats contradict the pushed data filters — the automatic half of
+    * data skipping: declared stat columns ([[declareStats]]) prune at
+    * PLAN time through the standard planner seam, with no special read
+    * API. Recognition is deliberately narrow (a comparison between a
+    * plain attribute and an integral literal); anything else keeps
+    * every file — pruning may only ever widen, never drop.
     */
   private final class ManifestFileIndex(
-      root: Path, statuses: Array[FileStatus]) extends FileIndex {
+      root: Path, statused: Array[(FileStatus, ManifestLog.Entry)])
+    extends FileIndex {
     override def rootPaths: Seq[Path] = Seq(root)
     override def listFiles(
         partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[PartitionDirectory] =
-      Seq(PartitionDirectory(InternalRow.empty, statuses))
-    override def inputFiles: Array[String] = statuses.map(_.getPath.toString)
+      : Seq[PartitionDirectory] = {
+      val preds = dataFilters.flatMap(statBounds)
+      val kept =
+        if (preds.isEmpty) statused
+        else statused.filter { case (_, e) =>
+          preds.forall { case (c, lo, hi) => e.mayOverlap(c, lo, hi) }
+        }
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1)))
+    }
+    override def inputFiles: Array[String] = statused.map(_._1.getPath.toString)
     override def refresh(): Unit = ()
-    override def sizeInBytes: Long = statuses.map(_.getLen).sum
+    override def sizeInBytes: Long = statused.map(_._1.getLen).sum
     override def partitionSchema: StructType = StructType(Nil)
+  }
+
+  /** [loIncl, hiExcl) bounds a pushed filter implies for recorded stat
+    * columns — `hiExcl == Long.MaxValue` means unbounded above, the
+    * [[ManifestLog.Entry.mayOverlap]] sentinel. Unrecognized shapes
+    * contribute nothing (conservative).
+    */
+  private def statBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+    : Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def longOf(l: Literal): Option[Long] = (l.dataType, l.value) match {
+      case (_, null) => None
+      case (LongType, v: Long) => Some(v)
+      case (IntegerType, v: Int) => Some(v.toLong)
+      case (ShortType, v: Short) => Some(v.toLong)
+      case (ByteType, v: Byte) => Some(v.toLong)
+      case (DateType, v: Int) => Some(v.toLong)
+      case (TimestampType, v: Long) => Some(v)
+      case (TimestampNTZType, v: Long) => Some(v)
+      case _ => None
+    }
+    def geq(a: AttributeReference, v: Long) = Seq((a.name, v, Long.MaxValue))
+    def gt(a: AttributeReference, v: Long) =
+      if (v == Long.MaxValue) Nil else Seq((a.name, v + 1L, Long.MaxValue))
+    def lt(a: AttributeReference, v: Long) = Seq((a.name, Long.MinValue, v))
+    def leq(a: AttributeReference, v: Long) =
+      // v == MaxValue: unbounded above — nothing to prune on.
+      if (v == Long.MaxValue) Nil else Seq((a.name, Long.MinValue, v + 1L))
+    e match {
+      case And(l, r) => statBounds(l) ++ statBounds(r)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        longOf(l).toSeq.flatMap(geq(a, _))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        longOf(l).toSeq.flatMap(gt(a, _))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        longOf(l).toSeq.flatMap(lt(a, _))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        longOf(l).toSeq.flatMap(leq(a, _))
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        longOf(l).toSeq.flatMap(v =>
+          if (v == Long.MaxValue) geq(a, v) else Seq((a.name, v, v + 1L)))
+      // Mirrored literal-on-left forms.
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        longOf(l).toSeq.flatMap(leq(a, _))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        longOf(l).toSeq.flatMap(lt(a, _))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        longOf(l).toSeq.flatMap(gt(a, _))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        longOf(l).toSeq.flatMap(geq(a, _))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        longOf(l).toSeq.flatMap(v =>
+          if (v == Long.MaxValue) geq(a, v) else Seq((a.name, v, v + 1L)))
+      case _ => Nil
+    }
   }
 
   /** Append one segment: ONE new file per non-empty bucket, written
@@ -183,7 +287,8 @@ object BucketedManifest {
     val staged = stageBucketed(spark, p, fs, segment, s)
     ManifestLog.failpoint("written:append-bucketed")
     ManifestLog.commitAppend(fs, p,
-      staged.map(ManifestLog.Entry(_, Nil)), "append", _ => true, _.batchHwm)
+      ManifestLog.entriesFor(spark, p, staged, declaredStats(fs, p)),
+      "append", _ => true, _.batchHwm)
     ()
   }
 
@@ -238,7 +343,8 @@ object BucketedManifest {
     val staged = stageBucketed(spark, p, fs, segment, s)
     ManifestLog.failpoint("written:append-bucketed")
     ManifestLog.commitAppend(fs, p,
-      staged.map(ManifestLog.Entry(_, Nil)), "append-batch",
+      ManifestLog.entriesFor(spark, p, staged, declaredStats(fs, p)),
+      "append-batch",
       m => batchId > m.batchHwm, m => math.max(m.batchHwm, batchId))
   }
 
@@ -273,7 +379,8 @@ object BucketedManifest {
     fs.delete(stage, true)
     ManifestLog.failpoint("written:compact-bucket")
     ManifestLog.commit(fs, p, v + 1,
-      m.entries.diff(grain) :+ ManifestLog.Entry(rel, Nil),
+      m.entries.diff(grain) ++
+        ManifestLog.entriesFor(spark, p, Seq(rel), declaredStats(fs, p)),
       "compact", m.batchHwm)
   }
 
@@ -389,7 +496,8 @@ object BucketedManifest {
         "layout explicitly instead")
     ManifestLog.failpoint("written:delete-bucket")
     ManifestLog.commit(fs, p, v + 1,
-      remaining ++ replacements.map(ManifestLog.Entry(_, Nil)),
+      remaining ++
+        ManifestLog.entriesFor(spark, p, replacements, declaredStats(fs, p)),
       "delete", m.batchHwm)
     ManifestLog.DeleteResult(touched.length - retired, retired, rowsDeleted)
   }

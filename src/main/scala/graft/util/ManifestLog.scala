@@ -283,7 +283,7 @@ object ManifestLog {
     * (columns with nulls or undecidable stats stay stats-less for that
     * file — never prunable).
     */
-  private def entriesFor(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+  private[util] def entriesFor(spark: SparkSession, p: org.apache.hadoop.fs.Path,
       files: Seq[String], statCols: Seq[String]): Seq[Entry] = {
     val conf = spark.sessionState.newHadoopConf()
     files.map { rel =>

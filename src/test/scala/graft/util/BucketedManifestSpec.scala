@@ -217,4 +217,71 @@ class BucketedManifestSpec extends SparkTestBase with graft.TempCorpusDirs {
       BucketedManifest.read(spark, freshPair("driftdim")._2)))
     finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  /** Executed-scan file count (the LogStreamSpec idiom): pruning that
+    * matters is what the EXECUTED plan reads, not what the logical
+    * plan mentions. */
+  private def scannedFiles(df: DataFrame): Long = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    qe.executedPlan.collectLeaves().map(_.metrics("numFiles").value).sum
+  }
+
+  test("declared stat columns prune files at PLAN time through the manifest index") {
+    val dir = tempCorpusDir("graft_bman_stats")
+    val t = "graft_bman_stats_fact"
+    def rows(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong % 100, i.toLong, i.toLong))
+        .toDF("k", "v", "ts")
+    rows(0, 1000)
+      .repartition(Buckets, col("k"))
+      .write.mode("overwrite").option("path", s"$dir/fact")
+      .bucketBy(Buckets, "k").sortBy("k").saveAsTable(t)
+    val root = BucketedManifest.adoptTable(spark, t)
+    // Declaration AFTER adoption: the initial generation is stats-less
+    // and must stay a permanent candidate; only later appends record.
+    BucketedManifest.declareStats(spark, root, Seq("ts"))
+    BucketedManifest.appendBucketed(rows(1000, 2000), root)
+    BucketedManifest.appendBucketed(rows(2000, 3000), root)
+    val df = BucketedManifest.read(spark, root)
+    val total = df.inputFiles.length
+    assert(total == 3 * Buckets)
+    // A ts window inside the SECOND batch: the stats-less adopt files
+    // stay admitted (conservative), batch 1's files prune — through
+    // the ordinary .filter, no special read API.
+    val q = df.filter(col("ts") >= 2000L && col("ts") < 2500L)
+    assert(scannedFiles(q) == 2L * Buckets,
+      "pushed ts bounds did not prune the disjoint batch's files")
+    assert(canon(q.select("k", "v", "ts")) ==
+      canon(spark.read.parquet(root)
+        .filter(col("ts") >= 2000L && col("ts") < 2500L)
+        .select("k", "v", "ts")))
+    // Point predicate prunes the same way.
+    assert(scannedFiles(df.filter(col("ts") === 1500L)) == 2L * Buckets)
+    // A filter on an UNDECLARED column prunes nothing (conservative).
+    assert(scannedFiles(df.filter(col("v") >= 2000L)) == total.toLong)
+    // The filtered co-located join still plans with zero key exchanges
+    // and answers exactly.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (_, dim) = freshPair("statsdim")
+      val j = coAgg(df.filter(col("ts") >= 2000L),
+        BucketedManifest.read(spark, dim))
+      assertCoLocated(j)
+      assert(canon(j) == canon(coAgg(
+        spark.read.parquet(root).filter(col("ts") >= 2000L),
+        spark.read.parquet(dim))))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // Maintenance keeps recording: a bucket compaction's replacement
+    // carries merged ts stats, so the window filter keeps pruning the
+    // OTHER batch after the rewrite.
+    BucketedManifest.maintain(spark, root, maxFiles = 1)
+    ManifestLog.vacuum(spark, root) // a raw dir read must not see retired files
+    val dfc = BucketedManifest.read(spark, root)
+    assert(dfc.inputFiles.length == Buckets, "compaction should leave 1 file/bucket")
+    assert(canon(dfc.filter(col("ts") >= 2000L && col("ts") < 2500L)
+      .select("k", "v", "ts")) ==
+      canon(spark.read.parquet(root).filter(col("ts") >= 2000L && col("ts") < 2500L)
+        .select("k", "v", "ts")))
+  }
 }
