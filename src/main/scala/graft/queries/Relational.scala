@@ -450,6 +450,47 @@ object Relational {
     }
   }
 
+  /** MANIFESTED bucketed lineitem for the co-location pair, built as
+    * time-batched appends: one staged-catalog bootstrap (empty), then
+    * one [[graft.util.BucketedManifest.appendBucketed]] per ship-date
+    * year — the incremental-ingest geometry a 100 TB fact actually
+    * has, leaving each bucket with per-YEAR files whose declared
+    * `l_shipdate` stats are tight and disjoint. Reads get BOTH wins at
+    * once: the bucket spec keeps orderkey joins exchange-free, and the
+    * stats-aware manifest FileIndex skips whole files for a pushed
+    * date bound at PLAN time — notably on the raw NTZ column, where
+    * this Spark's ParquetFilters cannot even form a row-group
+    * predicate (the r9 measured gap): manifest skipping sits ABOVE the
+    * parquet filter seam, so it prunes where footer predicates cannot.
+    * NULL ship dates ride with the first year's segment (their file
+    * stays stats-less — never pruned, the recording contract).
+    */
+  private[graft] def lineitemPairManifested(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.util.Snapshots.layoutRoot(s, dir, s"li-ok-pair-b$OrderkeyBuckets")(
+      out => scala.util.Try(
+        graft.util.ManifestLog.liveFileCount(s, out) > 0).getOrElse(false)
+    ) { out =>
+      val cols = Seq("l_orderkey", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_shipdate")
+      val li = tbl(s, dir, "lineitem").select(cols.map(col): _*)
+      val t = s"graft_liokpair_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      li.limit(0).repartition(OrderkeyBuckets, col("l_orderkey"))
+        .write.mode("overwrite").option("path", out)
+        .bucketBy(OrderkeyBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(t)
+      val root = graft.util.BucketedManifest.adoptTable(s, t)
+      graft.util.BucketedManifest.declareStats(s, root, Seq("l_shipdate"))
+      (1995 to 2001).foreach { y =>
+        val lo = graft.util.Tables.ntzUs(dateUs(s"$y-01-01"))
+        val hi = graft.util.Tables.ntzUs(dateUs(s"${y + 1}-01-01"))
+        val inYear = col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi)
+        val seg = li.where(
+          if (y == 1995) inYear || col("l_shipdate").isNull else inYear)
+        graft.util.BucketedManifest.appendBucketed(seg, root)
+      }
+    }
+
   /** The at-rest partsupp grain a previous incremental run left
     * behind: the [[partsupp]] aggregate over only the lineitem rows
     * shipped BEFORE the hwm. Both aggregates are algebraic — a BIGINT
@@ -491,6 +532,7 @@ object Relational {
     customerByCustkey(s, dir)
     lineitemSdLog(s, dir)
     lineitemOkLog(s, dir)
+    lineitemPairManifested(s, dir)
     partsupp(s, dir)
     psHwm(s, dir)
     psBase(s, dir)
@@ -2509,6 +2551,43 @@ object Relational {
             .cast("double").as("revenue"),
         )
         .orderBy("l_orderkey")
+    },
+
+    // ------------------------------------------------------------------
+    // The round-15 layout thesis in one query: a date-bounded orderkey
+    // join over the MANIFESTED bucketed fact. The pushed l_shipdate
+    // bounds skip whole per-year files at plan time through the
+    // stats-aware manifest FileIndex (on the raw NTZ column, which
+    // this Spark's parquet row-group predicates cannot even express —
+    // the r9 measured gap), and the bucket spec keeps the orderkey
+    // join exchange-free at the scale where orders stops broadcasting.
+    // Exact-decimal revenue factors (the q154 convention).
+    QueryDef(
+      "q157_colocated_dfp",
+      Some("""
+        SELECT l_returnflag, count(*) AS n_items,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate <  TIMESTAMP '2000-01-01'
+          AND o_orderstatus = 'F'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """),
+    ) { (s, dir) =>
+      val fact = graft.util.BucketedManifest.read(s, lineitemPairManifested(s, dir))
+        .where(col("l_shipdate") >= lit(graft.util.Tables.ntzUs(dateUs("1999-01-01"))) &&
+          col("l_shipdate") < lit(graft.util.Tables.ntzUs(dateUs("2000-01-01"))))
+      val dim = ordersBucketed(s, dir).where(col("o_orderstatus") === "F")
+      fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"),
+        )
+        .orderBy("l_returnflag")
     },
   )
 }

@@ -398,6 +398,33 @@ object Snapshots {
     cell.value
   }
 
+  /** Generic memoized layout root — the [[manifestedLog]] machinery
+    * for builders that own their whole write protocol (e.g. a
+    * manifested BUCKETED layout, whose bootstrap goes through a staged
+    * catalog table): `build(path)` runs once per (corpus, name,
+    * fingerprint); a root failing `complete` (a torn previous attempt)
+    * is deleted and rebuilt.
+    */
+  private[graft] def layoutRoot(spark: SparkSession, dir: String, name: String)(
+      complete: String => Boolean)(build: String => Unit): String = {
+    val fp = fingerprint(spark, dir)
+    val cell = paths.computeIfAbsent(
+      (dir, s"root-$name", fp),
+      _ => new Cell(() => {
+        val dirKey = md5Hex(dir).take(12)
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft-snap-$dirKey-$fp-root-$name"
+        if (!complete(out)) {
+          val (p, fs) = ManifestLog.hadoop(spark, out)
+          fs.delete(p, true)
+          build(out)
+        }
+        out
+      }),
+    )
+    cell.value
+  }
+
   /** Ingest-pipeline seam: register an externally maintained at-rest
     * layout (e.g. a SEGMENT-APPENDED parquet root — [[Segments]]) as
     * the artifact for (dir, name), replacing any memoized build. This
