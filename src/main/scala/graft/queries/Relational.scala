@@ -548,7 +548,7 @@ object Relational {
       "q20_join_broadcast",
       Some("""
         SELECT p_brand,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -576,7 +576,7 @@ object Relational {
       "q21_join_multi",
       Some("""
         SELECT n_name,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM customer
           JOIN orders   ON c_custkey = o_custkey
@@ -986,7 +986,7 @@ object Relational {
       "q47_tpch_q3",
       Some("""
         SELECT l_orderkey,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -1031,7 +1031,7 @@ object Relational {
       "q118_tpch_q5",
       Some("""
         SELECT n_name,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -1082,7 +1082,7 @@ object Relational {
       "q119_tpch_q10",
       Some("""
         SELECT c_custkey, c_name,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                round(c_acctbal, 2) AS acctbal,
                n_name
         FROM customer
@@ -1374,7 +1374,7 @@ object Relational {
     QueryDef(
       "q125_tpch_q19",
       Some("""
-        SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
