@@ -464,12 +464,27 @@ object Relational {
     * parquet filter seam, so it prunes where footer predicates cannot.
     * NULL ship dates ride with the first year's segment (their file
     * stays stats-less — never pruned, the recording contract).
+    *
+    * Torn-build safety: each year commits as batchId = year (the
+    * idempotent-replay contract), and a completion SENTINEL batch is
+    * the build's LAST commit — the layout counts as complete iff the
+    * batch high-water mark equals the sentinel, so a crash after any
+    * prefix of the per-year appends leaves a root that the next
+    * session deletes and rebuilds instead of silently under-counting
+    * (the pre-r17 check accepted any root with one live file). Year
+    * bounds derive from the corpus min/max ship year — corpus drift
+    * outside a hard-coded window cannot drop rows — and a final
+    * count assert (manifested == source) backstops the partition
+    * predicate itself.
     */
+  private[graft] val PairLayoutComplete = 1000000L
+
   private[graft] def lineitemPairManifested(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     graft.util.Snapshots.layoutRoot(s, dir, s"li-ok-pair-b$OrderkeyBuckets")(
       out => scala.util.Try(
-        graft.util.ManifestLog.liveFileCount(s, out) > 0).getOrElse(false)
+        graft.util.ManifestLog.batchHwm(s, out) == PairLayoutComplete)
+        .getOrElse(false)
     ) { out =>
       val cols = Seq("l_orderkey", "l_extendedprice", "l_discount",
         "l_returnflag", "l_shipdate")
@@ -481,14 +496,31 @@ object Relational {
         .saveAsTable(t)
       val root = graft.util.BucketedManifest.adoptTable(s, t)
       graft.util.BucketedManifest.declareStats(s, root, Seq("l_shipdate"))
-      (1995 to 2001).foreach { y =>
-        val lo = graft.util.Tables.ntzUs(dateUs(s"$y-01-01"))
-        val hi = graft.util.Tables.ntzUs(dateUs(s"${y + 1}-01-01"))
-        val inYear = col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi)
-        val seg = li.where(
-          if (y == 1995) inYear || col("l_shipdate").isNull else inYear)
-        graft.util.BucketedManifest.appendBucketed(seg, root)
+      val yb = li.agg(
+        min(year(col("l_shipdate"))).as("lo"),
+        max(year(col("l_shipdate"))).as("hi")).head()
+      if (yb.isNullAt(0)) {
+        // No non-null ship dates: the (possibly empty) null segment is
+        // the whole fact.
+        graft.util.BucketedManifest.appendBucketedBatch(
+          li.where(col("l_shipdate").isNull), root, 0L)
+        ()
+      } else {
+        (yb.getInt(0) to yb.getInt(1)).foreach { y =>
+          val lo = graft.util.Tables.ntzUs(dateUs(s"$y-01-01"))
+          val hi = graft.util.Tables.ntzUs(dateUs(s"${y + 1}-01-01"))
+          val inYear = col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi)
+          val seg = li.where(
+            if (y == yb.getInt(0)) inYear || col("l_shipdate").isNull else inYear)
+          graft.util.BucketedManifest.appendBucketedBatch(seg, root, y.toLong)
+        }
       }
+      val srcN = li.count()
+      val gotN = graft.util.BucketedManifest.read(s, root).count()
+      require(gotN == srcN,
+        s"lineitem pair layout under-counts: manifested $gotN of $srcN source rows")
+      graft.util.ManifestLog.recordBatch(s, root, PairLayoutComplete)
+      ()
     }
 
   /** The at-rest partsupp grain a previous incremental run left
@@ -559,8 +591,8 @@ object Relational {
         .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(38,15)")).cast("double"), 2)
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2).cast("double")
             .as("revenue"),
           count(lit(1)).as("n_items"),
         )
@@ -604,8 +636,8 @@ object Relational {
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(
-          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(38,15)")).cast("double"), 2)
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2).cast("double")
             .as("revenue"),
           count(lit(1)).as("n_items"),
         )
@@ -960,7 +992,7 @@ object Relational {
     QueryDef(
       "q46_tpch_q6",
       Some("""
-        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
           AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
@@ -973,8 +1005,9 @@ object Relational {
           && col("l_shipdate_us") < dateUs("1997-01-01")
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
-        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
-          .cast("decimal(38,15)")).cast("double"), 2).as("revenue"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
     },
 
     // ------------------------------------------------------------------
@@ -1011,8 +1044,8 @@ object Relational {
           lineitemSdLog(s, dir).filter(col("l_shipdate_us") > dateUs("1998-03-15")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
-        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(38,15)")).cast("double"), 2).as("revenue"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2).cast("double").as("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
     },
@@ -1065,8 +1098,8 @@ object Relational {
           broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(38,15)")).cast("double"), 2)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2).cast("double")
           .as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
     },
@@ -1107,8 +1140,8 @@ object Relational {
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(38,15)")).cast("double"), 2)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2).cast("double")
           .as("revenue"))
         .select(
           col("c_custkey"), col("c_name"), col("revenue"),
@@ -1124,20 +1157,28 @@ object Relational {
     // handful of groups. Everything partial-aggregates map-side (the
     // exchange carries ~4 groups × 8 accumulators per task, not rows),
     // the date predicate pushes to the parquet scan, and the scan prunes
-    // to the seven referenced columns. Sums run in exact DECIMAL(38,15)
-    // so merge order (partitions, AQE coalescing) can never move the
-    // rounded result; averages derive from the exact sums.
+    // to the seven referenced columns. Every money factor is a true
+    // 2-dp value, so the q154 factor-cast convention applies: cast each
+    // FACTOR to an exact 2-dp decimal before multiplying, sum the exact
+    // products, round in the decimal domain — both engines compute the
+    // identical arithmetic by construction, and merge order (partitions,
+    // AQE coalescing) can never move the rounded result. sum_charge's
+    // THREE-factor product uses DECIMAL(12,2) factors so its exact
+    // scale-6 product stays inside BOTH engines' 38-digit cap
+    // (DuckDB widths add on multiply: 12+12+12=36 ≤ 38; 18s would
+    // overflow there). Averages divide the exact sums cast to double
+    // by the count — identical doubles in, identical quotient out.
     QueryDef(
       "q120_tpch_q1",
       Some("""
         SELECT l_returnflag, l_linestatus,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(38,15))) AS DOUBLE), 2) AS sum_qty,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,15))) AS DOUBLE), 2) AS sum_base_price,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15))) AS DOUBLE), 2) AS sum_disc_price,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,15))) AS DOUBLE), 2) AS sum_charge,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(38,15))) AS DOUBLE) / count(*), 4) AS avg_qty,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) / count(*), 4) AS avg_price,
-               round(CAST(sum(CAST(l_discount AS DECIMAL(38,15))) AS DOUBLE) / count(*), 4) AS avg_disc,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)
@@ -1145,23 +1186,29 @@ object Relational {
         ORDER BY l_returnflag, l_linestatus
       """),
     ) { (s, dir) =>
-      def dsum(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(38,15)")).cast("double")
+      def d2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      def c12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
       // Ship-date-sorted log: the <= bound is a BIGINT row-group
       // predicate (the raw NTZ column accepts but never prunes it).
       lineitemSdLog(s, dir)
         .filter(col("l_shipdate_us") <= dateUs("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(dsum(col("l_quantity")), 2).as("sum_qty"),
-          round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          round(sum(d2(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+          round(sum(d2(col("l_extendedprice"))), 2).cast("double")
+            .as("sum_base_price"),
+          round(sum(d2(col("l_extendedprice")) *
+            d2(lit(1) - col("l_discount"))), 2).cast("double")
             .as("sum_disc_price"),
-          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
-          round(dsum(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
-          round(dsum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
+          round(sum(c12(col("l_extendedprice")) *
+            c12(lit(1) - col("l_discount")) *
+            c12(lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
+          round(sum(d2(col("l_quantity"))).cast("double")
+            / count(lit(1)), 4).as("avg_qty"),
+          round(sum(d2(col("l_extendedprice"))).cast("double")
+            / count(lit(1)), 4).as("avg_price"),
+          round(sum(d2(col("l_discount"))).cast("double")
+            / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1181,10 +1228,10 @@ object Relational {
       Some("""
         WITH big AS (
           SELECT l_orderkey,
-                 round(CAST(sum(CAST(l_quantity AS DECIMAL(38,15))) AS DOUBLE), 2) AS total_qty
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
           FROM lineitem
           GROUP BY l_orderkey
-          HAVING sum(CAST(l_quantity AS DECIMAL(38,15))) > 300
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
         )
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                round(o_totalprice, 2) AS totalprice, total_qty
@@ -1204,7 +1251,7 @@ object Relational {
       // broadcast-sized.
       val big = lineitemBucketed(s, dir)
         .groupBy("l_orderkey")
-        .agg(sum(col("l_quantity").cast("decimal(38,15)")).as("tq"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("tq"))
         .filter(col("tq") > 300)
         .select(col("l_orderkey"), round(col("tq").cast("double"), 2).as("total_qty"))
       big
@@ -1334,24 +1381,24 @@ object Relational {
     // CASE lives INSIDE the aggregate, so one joined pass computes both
     // numerator and denominator; no second scan, no self-join. The
     // month filter pushes to the lineitem scan; part broadcasts. Both
-    // sums run in exact DECIMAL before the (deterministic) double
-    // division.
+    // sums run exact via the q154 factor-cast convention (each 2-dp
+    // factor to DECIMAL(18,2) before multiplying) so the two engines
+    // hold identical doubles going into the deterministic division.
     QueryDef(
       "q124_tpch_q14",
       Some("""
         SELECT round(
-                 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                     AS DECIMAL(38,15))) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(38,15))) AS DOUBLE), 4) AS promo_revenue_pct
+                 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= CAST('1996-09-01' AS TIMESTAMP)
           AND l_shipdate < CAST('1996-10-01' AS TIMESTAMP)
       """),
     ) { (s, dir) =>
-      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(38,15)")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(18,2)")
       // One-month slice of the ship-date-sorted log: the BIGINT bounds
       // row-group-prune (raw NTZ accepts but never prunes).
       lineitemSdLog(s, dir)
@@ -1359,7 +1406,7 @@ object Relational {
           && col("l_shipdate_us") < dateUs("1996-10-01"))
         .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .agg(round(
-          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(38,15)"))).cast("double")
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
             / sum(rev).cast("double"), 4).as("promo_revenue_pct"))
     },
 
@@ -1395,8 +1442,8 @@ object Relational {
           || bracket("Brand#23", 25, 10, 20)
           || bracket("Brand#34", 35, 20, 30))
         .agg(
-          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(38,15)")).cast("double"), 2).as("revenue"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_items"),
         )
     },
@@ -1415,11 +1462,11 @@ object Relational {
       "q126_tpch_q22",
       Some("""
         WITH pos AS (
-          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,15))) AS DOUBLE)
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                    / count(*) AS avgbal
           FROM customer WHERE c_acctbal > 0)
         SELECT c_nationkey AS nation, count(*) AS numcust,
-               round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,15))) AS DOUBLE), 2)
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
                  AS totacctbal
         FROM customer, pos
         WHERE c_acctbal > avgbal
@@ -1432,7 +1479,7 @@ object Relational {
     ) { (s, dir) =>
       val avgbal = tbl(s, dir, "customer")
         .filter(col("c_acctbal") > 0)
-        .agg((sum(col("c_acctbal").cast("decimal(38,15)")).cast("double")
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
           / count(lit(1))).as("avgbal"))
       tbl(s, dir, "customer")
         .crossJoin(broadcast(avgbal))
@@ -1443,7 +1490,7 @@ object Relational {
         .groupBy(col("c_nationkey").as("nation"))
         .agg(
           count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal").cast("decimal(38,15)")).cast("double"), 2)
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double")
             .as("totacctbal"),
         )
         .orderBy("nation")
@@ -1501,7 +1548,7 @@ object Relational {
     QueryDef(
       "q128_tpch_q17",
       Some("""
-        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) / 7.0, 2)
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
                  AS avg_yearly
         FROM lineitem l JOIN part p ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#12'
@@ -1517,7 +1564,7 @@ object Relational {
         .withColumn("avg_qty",
           avg(col("l_quantity")).over(Window.partitionBy("l_partkey")))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-        .agg(round(sum(col("l_extendedprice").cast("decimal(38,15)")).cast("double")
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
           / 7.0, 2).as("avg_yearly"))
     },
 
@@ -1526,7 +1573,8 @@ object Relational {
     // twice — once as the probe, once reduced to its max — with an
     // EQUALITY on the aggregated revenue. That equality is exactly the
     // place FP accumulation order breaks engines apart, so
-    // total_revenue aggregates in DECIMAL(38,15): exact, hence the max
+    // total_revenue aggregates exact 2-dp factor products (the q154
+    // convention): exact, hence the max
     // and the tie-set are engine-independent. The max rides a
     // broadcast 1-row frame; the quarter filter pushes to both scans
     // of the (self-referenced) revenue subtree.
@@ -1535,14 +1583,14 @@ object Relational {
       Some("""
         WITH rev AS (
           SELECT l_suppkey AS supplier_no,
-                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15)))
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)))
                    AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
             AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
           GROUP BY l_suppkey)
         SELECT s_suppkey, s_name,
-               round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+               CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
         FROM supplier JOIN rev ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         ORDER BY s_suppkey
@@ -1554,15 +1602,15 @@ object Relational {
         .filter(col("l_shipdate_us") >= dateUs("1996-01-01")
           && col("l_shipdate_us") < dateUs("1996-04-01"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(38,15)")).as("total_revenue"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")).as("total_revenue"))
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev
         .join(broadcast(mx), col("total_revenue") === col("mx"))
         .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("supplier_no"))
         .select(
           col("s_suppkey"), col("s_name"),
-          round(col("total_revenue").cast("double"), 2).as("total_revenue"),
+          round(col("total_revenue"), 2).cast("double").as("total_revenue"),
         )
         .orderBy("s_suppkey")
     },
@@ -1580,12 +1628,12 @@ object Relational {
       "q133_tpch_q7",
       Some("""
         SELECT supp_nation, cust_nation, l_year,
-               round(CAST(sum(CAST(volume AS DECIMAL(38,15))) AS DOUBLE), 2) AS revenue,
+               CAST(round(sum(volume), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  year(l_shipdate) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
+                 CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
           FROM supplier
             JOIN lineitem ON s_suppkey = l_suppkey
             JOIN orders ON o_orderkey = l_orderkey
@@ -1620,8 +1668,8 @@ object Relational {
           year(timestamp_micros(col("l_shipdate_us"))).as("l_year"),
         )
         .agg(
-          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(38,15)")).cast("double"), 2).as("revenue"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_items"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -1639,12 +1687,12 @@ object Relational {
       "q134_tpch_q8",
       Some("""
         SELECT o_year,
-               round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,15))) AS DOUBLE)
-                   / CAST(sum(CAST(volume AS DECIMAL(38,15))) AS DOUBLE), 4) AS mkt_share,
+               round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share,
                count(*) AS n_items
         FROM (
           SELECT year(o_orderdate) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS volume,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
                  n2.n_name AS nation
           FROM part
             JOIN lineitem ON p_partkey = l_partkey
@@ -1666,8 +1714,8 @@ object Relational {
         .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
       val n2 = tbl(s, dir, "nation")
         .select(col("n_nationkey").as("s_nkey"), col("n_name").as("nation"))
-      val volume = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(38,15)")
+      val volume = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(18,2)")
       tbl(s, dir, "lineitem")
         .join(broadcast(tbl(s, dir, "part").filter(col("p_type") === "PROMO")),
           col("p_partkey") === col("l_partkey"))
@@ -1685,7 +1733,7 @@ object Relational {
         .agg(
           round(
             sum(when(col("nation") === "NATION_3", volume)
-              .otherwise(lit(0).cast("decimal(38,15)"))).cast("double")
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
               / sum(volume).cast("double"), 4).as("mkt_share"),
           count(lit(1)).as("n_items"),
         )
@@ -1836,17 +1884,23 @@ object Relational {
     // ------------------------------------------------------------------
     // TPC-H Q11 shape (important stock): per-group value filtered
     // against a GLOBAL scalar derived from the same relation — the
-    // group-vs-global-scalar geometry no other query exercises. Both
-    // the per-part values and the grand total aggregate the
-    // double×bigint product with ONE cast to DECIMAL(38,15), so the
-    // sums are exact and order-independent in both engines. (The two
-    // engines cast the SAME IEEE double but render it to decimal
-    // slightly differently — Spark shortest-representation, DuckDB
-    // full binary expansion — an ~1e-12-relative residual the cent
-    // round and the 2×-average threshold margin absorb; this is the
-    // repo-wide revenue-sum pattern and its known, accepted residual,
-    // not bit-identity.) The comparison then runs in double off those
-    // decimals (the q126 pattern). The threshold is
+    // group-vs-global-scalar geometry no other query exercises.
+    // ps_supplycost is a full-precision double quotient (min of
+    // price/qty — see [[partsupp]]), so the q154 factor-cast
+    // convention CANNOT apply here: casting the quotient to a 2-dp
+    // decimal ties exactly at .xx5 for terminating quotients
+    // (odd-cent price / 2, cents≡25 mod 50 / 50, …) where Spark's
+    // shortest-repr HALF_UP and DuckDB's binary rounding are
+    // GUARANTEED to disagree. Instead each pair's stock value is
+    // quantized to integer CENTS in the double domain — the per-row
+    // product is the identical IEEE double in both engines, and
+    // round(double) at scale 0 is engine-identical for |v| < 2^52
+    // (every x.5 tie is exactly representable, so no boundary can
+    // straddle a double and its shortest decimal repr) — then summed
+    // as exact BIGINTs: order-independent and bit-identical across
+    // engines by construction, no decimal cast anywhere.
+    // The comparison then runs in double off those
+    // identical cent totals (the q126 pattern). The threshold is
     // SCALE-FREE — 2× the average per-part value, not TPC-H's fixed
     // fraction, whose SF-dependence (0.0001/SF in the spec) would
     // otherwise empty the result as the part count grows. The scalar
@@ -1862,18 +1916,18 @@ object Relational {
         WITH $psCte,
         nat_ps AS (
           SELECT ps_partkey,
-                 sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,15)))
-                   AS value_d
+                 sum(CAST(round(ps_supplycost * ps_availqty * 100) AS BIGINT))
+                   AS value_c
           FROM partsupp
             JOIN supplier ON s_suppkey = ps_suppkey
             JOIN nation ON s_nationkey = n_nationkey
           WHERE n_name = 'NATION_7'
           GROUP BY ps_partkey)
-        SELECT ps_partkey, CAST(round(value_d, 2) AS DOUBLE) AS value
+        SELECT ps_partkey, CAST(value_c AS DOUBLE) / 100 AS value
         FROM nat_ps,
-             (SELECT CAST(sum(value_d) AS DOUBLE) AS tot,
+             (SELECT CAST(sum(value_c) AS DOUBLE) AS tot,
                      count(*) AS nparts FROM nat_ps) t
-        WHERE CAST(value_d AS DOUBLE) > 2.0 * tot / nparts
+        WHERE CAST(value_c AS DOUBLE) > 2.0 * tot / nparts
         ORDER BY value DESC, ps_partkey
       """),
     ) { (s, dir) =>
@@ -1884,20 +1938,19 @@ object Relational {
       val perPart = partsupp(s, dir)
         .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
         .groupBy("ps_partkey")
-        .agg(sum((col("ps_supplycost") * col("ps_availqty")).cast("decimal(38,15)"))
-          .as("value_d"))
+        // Per-pair stock value quantized to cents while still a
+        // bit-identical double (see the header comment), then an exact
+        // BIGINT sum — order-independent, engine-identical.
+        .agg(sum(round(col("ps_supplycost") * col("ps_availqty") * lit(100.0))
+          .cast("bigint")).as("value_c"))
       val total = perPart.agg(
-        sum(col("value_d")).cast("double").as("tot"),
+        sum(col("value_c")).cast("double").as("tot"),
         count(lit(1)).as("nparts"))
       perPart
         .crossJoin(broadcast(total))
-        .filter(col("value_d").cast("double") > lit(2.0) * col("tot") / col("nparts"))
-        // round in the EXACT decimal domain, then cast: rounding the
-        // double instead ties at .xx5 sums (Spark's BigDecimal HALF_UP
-        // vs DuckDB's multiply-round diverged on 199655.295 at sf0.1;
-        // decimal round is HALF_UP in both engines).
+        .filter(col("value_c").cast("double") > lit(2.0) * col("tot") / col("nparts"))
         .select(col("ps_partkey"),
-          round(col("value_d"), 2).cast("double").as("value"))
+          (col("value_c").cast("double") / lit(100)).as("value"))
         .orderBy(desc("value"), asc("ps_partkey"))
     },
 
@@ -1910,24 +1963,32 @@ object Relational {
     // side (semi join), so each shuffle carries only the selected
     // parts' rows; supplier/nation broadcast; orders contributes only
     // its date and joins on o_orderkey (the one genuine fact-fact
-    // shuffle). The per-row profit amount is computed in DOUBLE (the
-    // same IEEE sequence in both engines) and cast ONCE to
-    // DECIMAL(38,15), making the sum exact and order-independent.
-    // Casting the two terms separately and subtracting decimals would
-    // NOT be equivalent: Spark types decimal(38,15) − decimal(38,15)
-    // as decimal(38,14) (each amount rounded at the 15th digit) while
-    // DuckDB keeps scale 15 — a per-row cross-engine drift this
-    // formulation avoids by construction.
+    // shuffle). Cross-engine exactness: the revenue term's factors are
+    // true 2-dp values, but the cost term multiplies ps_supplycost — a
+    // full-precision double quotient (see [[partsupp]] and the q139
+    // header for why a 2-dp factor cast on it is unsound) — so the
+    // whole amount is computed per row in integer DECIMICENTS
+    // (1e-4 dollars): revenue as an exact integer product of
+    // cents × discount-percent units, cost quantized from the
+    // bit-identical IEEE double via the engine-identical scale-0
+    // round (|v| < 2^52 — see q139). The per-group sum is then an
+    // exact integer (Spark sums in DECIMAL(38,0), DuckDB in HUGEINT —
+    // overflow-free at any scale), rounded to cents with the same
+    // scale-0 round (the cents tie x.5 is exactly representable, so
+    // both engines round it away from zero identically).
     QueryDef(
       "q140_tpch_q9",
       Some(s"""
         WITH $psCte
-        SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+        SELECT nation, o_year,
+               round(CAST(sum(amount_dm) AS DOUBLE) / 100) / 100 AS sum_profit
         FROM (
           SELECT n_name AS nation,
                  year(CAST(o_orderdate AS DATE)) AS o_year,
-                 CAST(l_extendedprice * (1 - l_discount)
-                      - ps_supplycost * l_quantity AS DECIMAL(38,15)) AS amount
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   - CAST(round(ps_supplycost * l_quantity * 10000) AS BIGINT)
+                   AS amount_dm
           FROM lineitem
             JOIN part ON p_partkey = l_partkey
             JOIN supplier ON s_suppkey = l_suppkey
@@ -1959,11 +2020,15 @@ object Relational {
         .groupBy(
           col("n_name").as("nation"),
           year(col("o_orderdate").cast("date")).as("o_year"))
-        .agg(round(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
-            - col("ps_supplycost") * col("l_quantity"))
-            .cast("decimal(38,15)")),
-          2).cast("double").as("sum_profit")) // decimal-domain round: see q139
+        // Integer-decimicent amount (see the header comment): exact
+        // revenue product minus the cent-quantized cost, summed in
+        // DECIMAL(38,0) so the integer sum can never overflow.
+        .agg((round(sum(
+          (round(col("l_extendedprice") * lit(100.0)).cast("bigint")
+            * round((lit(1) - col("l_discount")) * lit(100.0)).cast("bigint")
+            - round(col("ps_supplycost") * col("l_quantity") * lit(10000.0))
+              .cast("bigint")).cast("decimal(38,0)")
+        ).cast("double") / lit(100)) / lit(100)).as("sum_profit"))
         .orderBy(asc("nation"), desc("o_year"))
     },
 
@@ -2414,7 +2479,7 @@ object Relational {
     // |priorities| summary rows, never the fact table (contrast q35's
     // no-Expand pin, which guards pre-aggregation row multiplication).
     // All melted values are doubles of exact quantities (count cast,
-    // DECIMAL(38,15)-summed total, max) — no order-dependent FP. The
+    // exact DECIMAL(18,2)-summed total, max) — no order-dependent FP. The
     // oracle spells the melt dialect-neutrally as UNION ALL.
     QueryDef(
       "q150_unpivot",
@@ -2422,7 +2487,7 @@ object Relational {
         WITH w AS (
           SELECT o_orderpriority,
                  CAST(count(*) AS DOUBLE) AS n_orders,
-                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,15))), 2) AS DOUBLE) AS total_price,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
                  round(max(o_totalprice), 2) AS max_price
           FROM orders GROUP BY o_orderpriority)
         SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
@@ -2442,7 +2507,7 @@ object Relational {
           // leaves the half-way decision to a double's binary
           // approximation, which Spark and DuckDB can settle
           // differently.
-          round(sum(col("o_totalprice").cast("decimal(38,15)")), 2).cast("double")
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double")
             .as("total_price"),
           round(max("o_totalprice"), 2).as("max_price"),
         )

@@ -135,4 +135,34 @@ class LineitemLayoutSpec extends SparkTestBase with graft.TempCorpusDirs {
       assert(joined.count() == expected)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("the manifested pair layout survives corpus drift and marks completion") {
+    // Two r16 ADVICE defects pinned at once: (1) ship years straddling
+    // far outside the classic 1995–2001 window, plus a null date — the
+    // pre-r17 hard-coded year loop silently DROPPED the drifted rows;
+    // bounds now derive from the corpus min/max ship year, and the
+    // build asserts manifested == source. (2) The build's last commit
+    // is the completion-sentinel batch; without it a crash after a
+    // prefix of per-year appends left a root that `liveFileCount > 0`
+    // accepted as complete, under-counting q157 forever after.
+    val dir = tempCorpusDir("graft_li_pair_drift")
+    import sqlImplicits._
+    Seq(
+      (1L, 101.01, 0.05, "N", Some("1992-06-01")),
+      (2L, 202.02, 0.00, "R", Some("2005-12-31")),
+      (3L, 303.03, 0.10, "A", None),
+      (4L, 404.04, 0.02, "N", Some("1998-01-01")),
+      (5L, 404.04, 0.02, "N", Some("1998-01-01")), // duplicate-row content
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag", "d")
+      .withColumn("l_shipdate", to_timestamp(col("d")).cast("timestamp_ntz"))
+      .drop("d").coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val root = Relational.lineitemPairManifested(spark, dir)
+    val got = graft.util.BucketedManifest.read(spark, root)
+    assert(got.count() == 5,
+      "year loop dropped drifted or null-dated rows from the pair layout")
+    assert(got.filter(col("l_shipdate").isNull).count() == 1)
+    assert(graft.util.ManifestLog.batchHwm(spark, root)
+        == Relational.PairLayoutComplete,
+      "completion sentinel missing — a torn build would be reused as complete")
+  }
 }
