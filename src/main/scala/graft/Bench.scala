@@ -35,7 +35,38 @@ object Bench {
     */
   private[graft] final case class Result(
       indexSec: Double, indexFailed: Seq[String], errors: Seq[String],
-      results: Seq[(String, Double)], json: String, tail: String)
+      results: Seq[(String, Double)], json: String, tail: String,
+      regressions: Seq[(String, Double, Double)] = Nil)
+
+  /** Per-query regression gate thresholds: the aggregate baseline43
+    * ratio saturated rounds ago (~0.4× vs a 2× gate), so it can no
+    * longer surface a single query getting slower — a 10× regression
+    * on one mid-weight query moves the 86 s total by single-digit
+    * percent. Instead every query compares against its committed
+    * reference time (BENCH_REF.json, refreshed each round from the
+    * quiet-box minima) and regresses only when BOTH the ratio and the
+    * absolute delta trip — the same 1.4×-and-0.25 s rule the round
+    * reviews already apply by hand, which absorbs shared-box noise on
+    * sub-second queries.
+    */
+  private[graft] val RegressionRatio = 1.4
+  private[graft] val RegressionSlackSec = 0.25
+
+  /** Reference map for the regression gate: a flat name→seconds JSON
+    * (nested under "ref" in the committed file; the parser accepts any
+    * quoted-name:number pair, which strings can't produce). Missing or
+    * unreadable file → empty map → gate reports nothing, never fails
+    * the bench.
+    */
+  private[graft] def loadRef(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** The bench core: prepare indexes (fault-isolated, NonFatal-only),
     * three timed passes over `queries` in decorrelated orders,
@@ -148,6 +179,21 @@ object Bench {
     }.sum
     val baseline43Json =
       s""""baseline43_sec":$baseline43Sec,"baseline43_run1_sec":$b43run1,"baseline43_n":${b43.size}"""
+    // Per-query regression gate (see RegressionRatio): compare each
+    // min-of-3 against the committed reference; queries absent from
+    // the reference (new this round) are skipped.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+    val ref = loadRef(refPath)
+    val regressions = results.collect {
+      case (name, sec) if ref.get(name).exists(r =>
+          sec > r * RegressionRatio && sec - r > RegressionSlackSec) =>
+        (name, sec, ref(name))
+    }
+    val regJson = regressions.map { case (n, s, r) =>
+      f""""$n":{"sec":$s%.3f,"ref_sec":$r%.3f,"ratio":${s / r}%.2f}"""
+    }.mkString("{", ",", "}")
+    val regressionJson =
+      s""""n_regressions":${regressions.size},"regression_ref_n":${ref.size},"regressions":$regJson"""
     // The driver archives a 2000-char TAIL of stdout, so a capture can
     // start anywhere inside this (long) line. Two consequences: every
     // gc-map entry carries its own ".gc_delta_sec" suffix (a bare
@@ -167,7 +213,7 @@ object Bench {
     // non-errored queries, so a cross-round diff of `value` alone would
     // silently compare different query sets without them.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,"n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"gc_delta_sec_run3":$gc3,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"queries_run3":${qjson(run3.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"gc_delta_sec_run3":$gc3,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"queries_run3":${qjson(run3.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
     // The driver archives a 2000-char TAIL of stdout, which loses the
     // FRONT of the long line above (the r5 artifact ended inside the GC
     // map and the headline total survived only in the file). So main's
@@ -181,8 +227,8 @@ object Bench {
       val (n, v) = results.maxBy(_._2); s"""{"name":"$n","sec":$v}"""
     }
     val tail =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}"""
-    Result(indexSec, indexFailed, errors.toSeq, results, json, tail)
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}"""
+    Result(indexSec, indexFailed, errors.toSeq, results, json, tail, regressions)
   }
 
   def main(args: Array[String]): Unit = {

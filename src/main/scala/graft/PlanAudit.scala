@@ -57,7 +57,9 @@ object PlanAudit {
       // ivf-cell-sizes occupancy instead of re-counting cells per
       // query; q132 additionally explodes both directed-neighbor
       // directions from ONE cellPairs subtree (was 8 via self-union).
-      "q71_embedding_neardup" -> 2, "q73_ivf_recall" -> 5,
+      // (q73's former 5× allowance retired in r17: recallAt3 derives
+      // both rankings from ONE corpus pass — see its Scaladoc.)
+      "q71_embedding_neardup" -> 2,
       "q88_knn_ivf_multiprobe" -> 2, "q89_embedding_dedup_materialize" -> 3,
       "q111_ivfpq_ann" -> 2, "q131_hard_negatives" -> 2,
       "q132_label_noise_knn" -> 2) ++

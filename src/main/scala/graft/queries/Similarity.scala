@@ -510,6 +510,16 @@ object Similarity {
   /** Recall@3 of cell-pruned search vs brute force over the same
     * assignment — shared by q73 and the quality specs (which compare
     * trained vs untrained quantizers on the same corpus).
+    *
+    * One corpus pass (was 5 through r16): the 10-row query set is
+    * driver-collected into a local relation (the MmrRecall-style
+    * bounded read — it contributes ZERO plan-time scans of the
+    * at-rest assignment), and BOTH rankings derive from one joined
+    * frame — the brute rank windows over all pairs, the in-cell rank
+    * over the same_cell partition — so a pair is a hit iff its row
+    * clears both ranks, with no second corpus scan and no hit
+    * self-join. At 100 TB the ground-truth side is inherently a full
+    * corpus pass; this makes it exactly one.
     */
   private[graft] def recallAt3(s: SparkSession, dir: String, iters: Int = LloydIters): DataFrame = {
     val assigned = assignedVectors(s, dir, iters)
@@ -520,22 +530,25 @@ object Similarity {
         col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
       )
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    def topk(joinCond: Column) =
-      assigned.join(broadcast(q), joinCond)
-        .select(
-          col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"),
-        )
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select("query_id", "neighbor_id")
-    val brute = topk(col("query_id") =!= col("vec_id"))
-    val ivf = topk(col("q_cluster") === col("cluster") && col("query_id") =!= col("vec_id"))
-    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"))
+    val qLocal = s.createDataFrame(
+      java.util.Arrays.asList(q.collect(): _*), q.schema)
+    val pairs = assigned
+      .join(broadcast(qLocal), col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("q_cluster") === col("cluster")).as("same_cell"),
+        cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"),
+      )
+    val wAll = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    val wCell = Window.partitionBy("query_id", "same_cell")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    val hits = pairs
+      .withColumn("rank_b", row_number().over(wAll))
+      .withColumn("rank_i", row_number().over(wCell))
+      .filter(col("rank_b") <= 3 && col("same_cell") && col("rank_i") <= 3)
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_hits"))
-    q.select(col("query_id"))
+    qLocal.select(col("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(
         col("query_id"),

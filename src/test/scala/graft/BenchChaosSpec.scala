@@ -91,4 +91,30 @@ class BenchChaosSpec extends SparkTestBase
     assert(math.abs(b43 - q20) < 1e-9,
       s"subset subtotal must equal the roster queries' min sum: $b43 vs $q20")
   }
+
+  test("the per-query regression gate trips on ratio AND slack off the committed ref") {
+    // loadRef parses the committed BENCH_REF.json (name→seconds under
+    // "ref"; the _comment string can't match the number-valued regex).
+    val ref = Bench.loadRef("BENCH_REF.json")
+    assert(ref.size >= 100, s"committed reference unexpectedly small: ${ref.size}")
+    assert(!ref.contains("_comment"), "string fields must not parse as entries")
+    // Threshold semantics — BOTH conditions must trip (the manual
+    // 1.4×-and-0.25 s review rule, now machine-applied):
+    def trips(sec: Double, r: Double) =
+      sec > r * Bench.RegressionRatio && sec - r > Bench.RegressionSlackSec
+    assert(trips(1.0, 0.5), "2.0x and +0.5 s is a regression")
+    assert(!trips(0.30, 0.10), "3x on a tiny query is box noise, not a regression")
+    assert(!trips(10.3, 10.0), "+0.3 s at 1.03x is drift, not a regression")
+    // Missing file → empty map → the gate reports nothing, never throws.
+    assert(Bench.loadRef("/nonexistent/ref.json").isEmpty)
+    // Both JSON lines carry the gate fields so the driver tail capture
+    // and the file artifact each stand alone.
+    val sample = Set("q20_join_broadcast")
+    val r = Bench.run(spark, sf,
+      SparkEntry.queries.view.filterKeys(sample.contains).toMap)
+    Seq(r.json, r.tail).foreach { line =>
+      assert(line.contains("\"n_regressions\":"), line.take(300))
+      assert(line.contains("\"regressions\":"), line.take(300))
+    }
+  }
 }
