@@ -45,6 +45,26 @@ def main(out, k, tables):
                 sel = (f"SELECT event_id + {i * 100000} AS event_id, epoch_ns(ts) AS ts,"
                        f" user_id + {i * 1500} AS user_id, event_type, value, props"
                        f" FROM read_parquet('{SF}/events.parquet')")
+            elif t in ("lineitem", "orders"):
+                # TPC-H fact pair for the layout/skipping family
+                # (q152-q157): replicas offset the SHARED orderkey space
+                # by the same stride so the join stays consistent and
+                # replicas are key-disjoint; ship/order dates are
+                # preserved so a date slice selects the same FRACTION of
+                # every replica (per-year file mass grows k-fold, which
+                # is exactly what the manifest-skipping curve must
+                # absorb). Dims (customer/part/supplier) are not
+                # replicated: FK values stay valid against sf0.1 dims.
+                off = i * 150000  # > max orderkey at sf0.1 (149999)
+                if t == "lineitem":
+                    sel = (f"SELECT l_orderkey + {off} AS l_orderkey, l_partkey,"
+                           f" l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
+                           f" l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+                           f" FROM read_parquet('{SF}/lineitem.parquet')")
+                else:
+                    sel = (f"SELECT o_orderkey + {off} AS o_orderkey, o_custkey,"
+                           f" o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+                           f" FROM read_parquet('{SF}/orders.parquet')")
             else:
                 raise SystemExit(f"unknown table {t}")
             con.sql(f"COPY ({sel}) TO '{out}/{t}.parquet/part-{i:03d}.parquet'"
