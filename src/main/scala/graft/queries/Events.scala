@@ -121,7 +121,8 @@ object Events {
     // would otherwise share whichever layout built first — quietly
     // breaking the deterministic-N-files claim.
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    graft.util.Snapshots(s, dir, s"events-us-log-n$n") {
+    graft.util.Snapshots(s, dir, s"events-us-log-n$n",
+      adoptBound = Some("ts_us")) {
       usLogFrame(eventsUs(s, dir), n)
     }
   }

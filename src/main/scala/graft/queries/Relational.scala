@@ -33,7 +33,8 @@ object Relational {
   private def ordersByYear(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    graft.util.Snapshots(s, dir, s"orders-by-year-n$n", partitionBy = Seq("order_year")) {
+    graft.util.Snapshots(s, dir, s"orders-by-year-n$n",
+      partitionBy = Seq("order_year"), adoptBound = Some("o_orderdate_us")) {
       ordersYearFrame(tbl(s, dir, "orders"), n)
     }
   }
@@ -376,7 +377,8 @@ object Relational {
   private[graft] def lineitemSdLog(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    graft.util.Snapshots(s, dir, s"lineitem-sd-log-n$n") {
+    graft.util.Snapshots(s, dir, s"lineitem-sd-log-n$n",
+      adoptBound = Some("l_shipdate_us")) {
       sdLogFrame(tbl(s, dir, "lineitem"), n)
     }
   }

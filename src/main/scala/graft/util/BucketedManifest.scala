@@ -176,6 +176,35 @@ object BucketedManifest {
       new ParquetFileFormat, options)(spark))
   }
 
+  /** Stats-aware UNBUCKETED read of a FLAT manifested root: the
+    * manifest's exact file set behind the same pruning
+    * [[ManifestFileIndex]] the co-location pairs use, minus the bucket
+    * spec. Pushed comparisons between a plain column and an integral
+    * literal skip whole files at PLAN time from the manifest-recorded
+    * stats — no special read API, the consumer's ordinary `.filter`
+    * bounds do the skipping. This is how the memoized one-shot slice
+    * artifacts (the ship-date-sorted lineitem log) serve the benched
+    * TPC-H date family once [[ManifestLog.adopt]] has recorded their
+    * per-file ranges. Flat roots only (files in partition directories
+    * carry dir-encoded columns this relation cannot reconstruct —
+    * those keep the basePath read).
+    */
+  def readIndexed(spark: SparkSession, root: String): DataFrame = {
+    val (p, fs) = ManifestLog.hadoop(spark, root)
+    val entries =
+      ManifestLog.readRaw(fs, p, ManifestLog.currentVersion(spark, root)).entries
+    require(entries.nonEmpty, s"manifest of $root lists no files")
+    require(entries.forall(!_.path.contains("/")),
+      s"$root holds partition directories — readIndexed serves flat roots only")
+    val statused: Array[(FileStatus, ManifestLog.Entry)] =
+      entries.map(e => (fs.getFileStatus(new Path(p, e.path)), e)).toArray
+    val schema = spark.read.parquet(statused.head._1.getPath.toString).schema
+    val index = new ManifestFileIndex(p, statused)
+    spark.baseRelationToDataFrame(HadoopFsRelation(
+      index, StructType(Nil), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark))
+  }
+
   /** The planner's file-discovery seam, answered from one committed
     * manifest generation instead of a directory listing. Flat (the
     * co-location pairs carry no partition dirs), immutable by

@@ -337,13 +337,19 @@ object ManifestLog {
     */
   def readSlice(spark: SparkSession, root: String, boundCol: String,
       loIncl: Long, hiExcl: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val (p, fs) = hadoop(spark, root)
     val entries = readManifest(fs, p, currentVersion(spark, root))
+    require(entries.nonEmpty, s"$root lists no files")
     val picked = entries.filter(_.mayOverlap(boundCol, loIncl, hiExcl))
-    val files = (if (picked.nonEmpty) picked else entries).map(_.path)
-    require(files.nonEmpty, s"$root lists no files")
-    spark.read.option("basePath", root)
+    // Stats ruling out EVERY file answers zero rows with the schema
+    // (one file planned purely as the carrier — the readKeyed idiom);
+    // the pre-r17 fallback planned the whole generation, degenerating
+    // the MOST selective slice into a full scan.
+    val files = (if (picked.nonEmpty) picked else entries.take(1)).map(_.path)
+    val out = spark.read.option("basePath", root)
       .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+    if (picked.isEmpty) out.where(lit(false)) else out
   }
 
   /** Multi-dimensional boundary slice: the conjunction of [loIncl,
@@ -360,14 +366,17 @@ object ManifestLog {
   def readSliceN(spark: SparkSession, root: String,
       preds: Seq[(String, Long, Long)]): DataFrame = {
     require(preds.nonEmpty, "readSliceN needs at least one predicate")
+    import org.apache.spark.sql.functions.lit
     val (p, fs) = hadoop(spark, root)
     val entries = readManifest(fs, p, currentVersion(spark, root))
+    require(entries.nonEmpty, s"$root lists no files")
     val picked = entries.filter(e =>
       preds.forall { case (c, lo, hi) => e.mayOverlap(c, lo, hi) })
-    val files = (if (picked.nonEmpty) picked else entries).map(_.path)
-    require(files.nonEmpty, s"$root lists no files")
-    spark.read.option("basePath", root)
+    // Empty selection → zero rows with the schema (see [[readSlice]]).
+    val files = (if (picked.nonEmpty) picked else entries.take(1)).map(_.path)
+    val out = spark.read.option("basePath", root)
       .parquet(files.map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+    if (picked.isEmpty) out.where(lit(false)) else out
   }
 
   /** Multi-dimensional re-clustering — the public OPTIMIZE ZORDER idea

@@ -196,26 +196,31 @@ object ParquetBlooms {
     // One pass over the dictionary against the key set (dictionaries
     // are at most tens of thousands of entries — bounded by the 1MB
     // dictionary page, which is WHY the writer dropped the bloom).
+    // Coercion failures are counted EXPLICITLY (an un-coercible key
+    // keeps the chunk); the pre-r17 `set.size != keys.length` guard
+    // also tripped on duplicate keys and Int/Long aliases of one
+    // value, silently disabling exact dictionary pruning for inputs
+    // like readKeyed(Seq(5L, 105L, 5L)).
+    def probe[T](coerce: PartialFunction[Any, T])(decode: Int => T): Boolean =
+      if (!keys.forall(coerce.isDefinedAt)) true
+      else {
+        val ks = keys.iterator.map(coerce).toSet
+        (0 to dict.getMaxId).exists(i => ks(decode(i)))
+      }
     tn match {
       case INT64 =>
-        val ks = keys.collect { case v: Long => v; case v: Int => v.toLong }.toSet
-        if (ks.size != keys.length) true
-        else (0 to dict.getMaxId).exists(i => ks(dict.decodeToLong(i)))
+        probe[Long] { case v: Long => v; case v: Int => v.toLong }(dict.decodeToLong)
       case INT32 =>
-        val ks = keys.collect {
+        probe[Int] {
           case v: Int => v
           case v: Long if v.isValidInt => v.toInt
-        }.toSet
-        if (ks.size != keys.length) true
-        else (0 to dict.getMaxId).exists(i => ks(dict.decodeToInt(i)))
+        }(dict.decodeToInt)
       case BINARY =>
-        val ks = keys.collect {
+        probe[org.apache.parquet.io.api.Binary] {
           case v: String => org.apache.parquet.io.api.Binary.fromString(v)
           case v: Array[Byte] =>
             org.apache.parquet.io.api.Binary.fromConstantByteArray(v)
-        }.toSet
-        if (ks.size != keys.length) true
-        else (0 to dict.getMaxId).exists(i => ks(dict.decodeToBinary(i)))
+        }(dict.decodeToBinary)
       case _ => true // a pairing we refuse to coerce: keep
     }
   }

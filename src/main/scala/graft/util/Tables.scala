@@ -210,11 +210,13 @@ object Snapshots {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Cell]
 
   def apply(spark: SparkSession, dir: String, name: String,
-      partitionBy: Seq[String] = Nil)(
+      partitionBy: Seq[String] = Nil,
+      adoptBound: Option[String] = None)(
       build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
     val cell = paths.computeIfAbsent(
-      (dir, name, fp), _ => writeCell(spark, dir, name, fp, partitionBy, () => build))
+      (dir, name, fp),
+      _ => writeCell(spark, dir, name, fp, partitionBy, () => build, adoptBound = adoptBound))
     readArtifact(spark, cell.value)
   }
 
@@ -225,8 +227,22 @@ object Snapshots {
     * listing's torn in-between. Plain snapshot paths read as before.
     */
   private def readArtifact(spark: SparkSession, path: String): DataFrame =
-    if (ManifestLog.isManifested(spark, path)) ManifestLog.read(spark, path)
-    else spark.read.parquet(path)
+    if (ManifestLog.isManifested(spark, path)) {
+      // FLAT manifested roots read through the stats-aware FileIndex
+      // ([[BucketedManifest.readIndexed]]): a consumer's ordinary
+      // pushed integral-literal filters then skip whole files at PLAN
+      // time from the manifest-recorded per-file ranges — the default
+      // path the benched TPC-H date family rides once the one-shot
+      // build self-adopts. Partition-dir layouts keep the basePath
+      // read (their dir-encoded columns live in path names the flat
+      // relation cannot reconstruct); directory pruning and the
+      // readSlice hints cover them.
+      val flat = scala.util.Try(
+        ManifestLog.currentEntries(spark, path).forall(!_.path.contains("/")))
+        .getOrElse(false)
+      if (flat) BucketedManifest.readIndexed(spark, path)
+      else ManifestLog.read(spark, path)
+    } else spark.read.parquet(path)
 
   /** [[apply]] with a boundary hint: the incremental query paths (the
     * since/slice boundary reads) declare the [loIncl, hiExcl) window
@@ -245,7 +261,9 @@ object Snapshots {
       build: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, dir)
     val cell = paths.computeIfAbsent(
-      (dir, name, fp), _ => writeCell(spark, dir, name, fp, partitionBy, () => build))
+      (dir, name, fp),
+      _ => writeCell(spark, dir, name, fp, partitionBy, () => build,
+        adoptBound = Some(boundCol)))
     if (ManifestLog.isManifested(spark, cell.value))
       ManifestLog.readSlice(spark, cell.value, boundCol, loIncl, hiExcl)
     else spark.read.parquet(cell.value)
@@ -279,7 +297,7 @@ object Snapshots {
 
   private def writeCell(spark: SparkSession, dir: String, name: String,
       fp: String, partitionBy: Seq[String], build: () => DataFrame,
-      suffix: String = ""): Cell =
+      suffix: String = "", adoptBound: Option[String] = None): Cell =
     new Cell(() => {
       // md5 of the corpus dir, not hashCode: hashCode collisions
       // between two corpus dirs would silently serve wrong-corpus
@@ -290,6 +308,12 @@ object Snapshots {
       val w = build().write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(out)
+      // Self-adopt: the one-shot build IS the manifested layout's
+      // first generation ([[ManifestLog.adopt]] — one footer pass
+      // records per-file boundCol ranges). Readers then plan from the
+      // manifest (file skipping); the Segments maintenance path sees
+      // a manifested root and appends through manifest commits.
+      adoptBound.foreach(b => ManifestLog.adopt(spark, out, Some(b)))
       out
     })
 

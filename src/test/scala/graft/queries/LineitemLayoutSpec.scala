@@ -136,6 +136,35 @@ class LineitemLayoutSpec extends SparkTestBase with graft.TempCorpusDirs {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("the adopted sd-log skips whole FILES at plan time from pushed bounds") {
+    // The r15 ask, now the default read path: the memoized one-shot
+    // build self-adopts (a ManifestLog manifest recording per-file
+    // l_shipdate_us ranges — one footer pass at build time) and flat
+    // manifested artifacts read through the stats-aware FileIndex, so
+    // a consumer's ORDINARY .filter bounds prune whole files at PLAN
+    // time — the file-level layer above the row-group pruning the
+    // older spec proves. The log is exactly N range-disjoint files
+    // (N = shuffle partitions), and a bound selecting the last ~20%
+    // of the span must plan strictly fewer than N.
+    val n = 50000L
+    val dir = tempCorpusDir("graft_li_fileskip")
+    writeCorpus(dir, n)
+    val cutoff = baseUs + (n * 8 / 10) * 1000000L
+    val sliced = Relational.lineitemSdLog(spark, dir)
+      .filter(col("l_shipdate_us") >= cutoff)
+    val qe = sliced.queryExecution
+    assert(qe.executedPlan.execute().count() == n / 5)
+    val scans = qe.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan in the sliced plan")
+    val totalFiles = spark.sessionState.conf
+      .getConf(org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS)
+    val planned = scans.map(_.metrics("numFiles").value).sum
+    assert(planned < totalFiles,
+      s"planned $planned of $totalFiles log files — manifest stats are not file-skipping")
+  }
+
   test("the manifested pair layout survives corpus drift and marks completion") {
     // Two r16 ADVICE defects pinned at once: (1) ship years straddling
     // far outside the classic 1995–2001 window, plus a null date — the

@@ -266,6 +266,36 @@ class ParquetBloomsSpec extends SparkTestBase with graft.TempCorpusDirs {
       "an exact dictionary probe cannot have false positives")
   }
 
+  test("duplicate and Int/Long-alias keys do not disable the exact dictionary probe") {
+    // The r16 ADVICE defect: the probe's un-coercible-key guard
+    // compared a SET's size to the input length, so duplicate keys
+    // (or the same value arriving as both Int and Long) tripped it
+    // and silently kept every dictionary-only file — conservative,
+    // never wrong, but defeating the probe exactly where it should
+    // help. Coercion failures are now counted explicitly.
+    val root = s"${tempCorpusDir("graft_pbloom_dups")}/log"
+    ManifestLog.create(spark, root)
+    ParquetBlooms.declare(spark, root, Seq("uid"), expectedNdv = 300000L)
+    ManifestLog.appendSorted(
+      (0 until 500).map(i => (i.toLong, 9000L + i % 100))
+        .toDF("ts", "uid")
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, Nil, Some("ts"))
+    val files = absFiles(root)
+    assert(files.length == 1)
+    // Ghost keys with a duplicate and an Int alias of a Long: the
+    // dictionary holds none of them, so the file must be PRUNED.
+    assert(ParquetBlooms.mayContainAny(spark, files, "uid",
+      Seq(5L, 105L, 5L)).isEmpty,
+      "duplicate keys disabled the dictionary probe")
+    assert(ParquetBlooms.mayContainAny(spark, files, "uid",
+      Seq(5, 5L)).isEmpty,
+      "Int/Long aliases of one value disabled the dictionary probe")
+    // A genuinely held key among duplicates still admits the file.
+    assert(ParquetBlooms.mayContainAny(spark, files, "uid",
+      Seq(9001L, 9001L, 1L)).toSet == files.toSet)
+  }
+
   test("a cluster() rewrite keeps the declared filters: the z-layout stays probe-prunable") {
     val (root, all) = freshBloomLog()
     ManifestLog.cluster(spark, root, Seq("ts", "uid"), targetFileRows = 500L)

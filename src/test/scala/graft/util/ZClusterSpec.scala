@@ -359,4 +359,29 @@ class ZClusterSpec extends SparkTestBase with graft.TempCorpusDirs {
       assert(e.path.startsWith("year="), s"replacement escaped its partition dir: ${e.path}")
     }
   }
+
+  test("an empty slice selection answers zero rows WITHOUT planning the generation") {
+    // The r16 ADVICE defect: when stats rule out every file, the old
+    // fallback planned the ENTIRE generation — correct (callers
+    // re-filter) but the most selective slice degenerated into a full
+    // scan. Now one file is planned purely as the schema carrier under
+    // a lit(false) guard: zero rows, right schema, right columns.
+    val (root, n) = freshGrid()
+    ManifestLog.cluster(spark, root, Seq("ts", "uid"), targetFileRows = 8192L)
+    val total = ManifestLog.read(spark, root).inputFiles.length
+    val out = ManifestLog.readSliceN(spark, root,
+      Seq(("ts", n * 2, n * 3), ("uid", 0L, 256L))) // wholly above the domain
+    assert(out.columns.toSeq == Seq("ts", "uid", "v"), "schema must survive")
+    assert(out.count() == 0L)
+    assert(out.inputFiles.length < total,
+      s"empty selection planned all $total files of the generation")
+    // readSlice (single-bound form) shares the idiom.
+    val out1 = ManifestLog.readSlice(spark, root, "ts", n * 2, n * 3)
+    assert(out1.count() == 0L && out1.inputFiles.length < total)
+    // And a NON-empty selection still answers exactly (the guard must
+    // never leak into the normal path).
+    val hit = ManifestLog.readSliceN(spark, root, Seq(("ts", 0L, 100L)))
+      .where(col("ts") < 100L)
+    assert(hit.count() == 100L)
+  }
 }
