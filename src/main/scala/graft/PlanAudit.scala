@@ -90,6 +90,18 @@ object PlanAudit {
       fam("term-stats",
         "rank + count roles over the vocabulary-sized stats artifact")(
         "q108_unigram_rarity" -> 2) ++
+      // q101's dup of 2 is TwoPhaseRank's decomposition price: the
+      // offset branch (per-slice counts) re-consumes the range
+      // exchange, and AQE cannot reuse that exchange because the
+      // slice id is spark_partition_id() — nondeterministic, so the
+      // two subtrees never canonicalize equal. Two corpus scans
+      // replace the single-task global window a naive per-source
+      // percent_rank would plan; at 100 TB the second scan is
+      // embarrassingly parallel where the single task is a stall.
+      fam("documents",
+        "TwoPhaseRank offset branch: slice counts re-read the corpus " +
+          "(nondeterministic slice id blocks exchange reuse)")(
+        "q101_adaptive_quality_gate" -> 2) ++
       // (r11: q143's documents×4 allowance is gone — the corpus count
       // is a plan-time footer-metadata scalar now, so the plan holds
       // ONE doc_id-only documents scan.)

@@ -178,6 +178,66 @@ class ZClusterSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(ManifestLog.read(spark, root).count() == 65537L)
   }
 
+  test("an appender retries through a concurrent cluster commit (OCC race drill)") {
+    // The other half of the race: the APPEND is mid-flight (files
+    // staged, commit not yet attempted) when a cluster tick publishes
+    // a competing generation. Appends are guard-free OCC — the commit
+    // loop must re-read the moved version and land on top of the
+    // cluster's generation, losing neither its own batch nor the
+    // rewrite.
+    val (root, _) = freshGrid()
+    val v0 = ManifestLog.currentVersion(spark, root)
+    ManifestLog.failpoint = {
+      case "written:append" =>
+        ManifestLog.failpoint = _ => () // the inner cluster must not recurse
+        ManifestLog.cluster(spark, root, Seq("ts", "uid"), targetFileRows = 8192L)
+      case _ => ()
+    }
+    try ManifestLog.appendSorted(
+      Seq((70000L, 5L, 5L)).toDF("ts", "uid", "v")
+        .coalesce(1).sortWithinPartitions("ts"),
+      root, Nil, Some("ts"))
+    finally ManifestLog.failpoint = _ => ()
+    // Both commits landed, in order: the cluster's, then the append's.
+    assert(ManifestLog.currentVersion(spark, root) == v0 + 2,
+      "the appender must commit ON TOP of the concurrent cluster, not instead of it")
+    assert(ManifestLog.read(spark, root).count() == 65537L)
+    assert(ManifestLog.read(spark, root).where(col("ts") === 70000L).count() == 1L)
+  }
+
+  test("maintainClustered's tick loses loudly to a mid-tick append; re-invoking converges") {
+    // The r15 drill: the MAINTENANCE tick (newcomers-only re-cluster)
+    // computes its stale-file selection against one generation; an
+    // append that wins the commit race makes that selection stale, so
+    // the tick must abort with CommitConflict — never publish — and a
+    // re-invocation against the new state must converge, sweeping the
+    // racing append's (stats-less) file into the clustered layout.
+    val (root, _) = freshGrid()
+    ManifestLog.failpoint = {
+      case "written:cluster" =>
+        ManifestLog.failpoint = _ => ()
+        ManifestLog.appendSorted(
+          Seq((70000L, 5L, 5L)).toDF("ts", "uid", "v")
+            .coalesce(1).sortWithinPartitions("ts"),
+          root, Nil, Some("ts"))
+      case _ => ()
+    }
+    try intercept[ManifestLog.CommitConflict] {
+      ManifestLog.maintainClustered(spark, root, Seq("ts", "uid"),
+        targetFileRows = 8192L, minNewFiles = 1)
+    } finally ManifestLog.failpoint = _ => ()
+    assert(ManifestLog.maintainClustered(spark, root, Seq("ts", "uid"),
+      targetFileRows = 8192L, minNewFiles = 1),
+      "the re-invoked tick found nothing to do — the racing append was lost")
+    assert(ManifestLog.read(spark, root).count() == 65537L)
+    // Convergence is total: every live file now carries stats for
+    // every cluster column (nothing stat-less left behind).
+    ManifestLog.currentEntries(spark, root).foreach { e =>
+      assert(Seq("ts", "uid").forall(c => e.statFor(c).isDefined),
+        s"stat-less survivor after convergence: ${e.path}")
+    }
+  }
+
   test("tailSince treats cluster like compaction: row-neutral, nothing re-emits") {
     val (root, _) = freshGrid()
     val cursor = ManifestLog.currentVersion(spark, root)
