@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   *     REAL resize that re-encodes through the JDK's JPEG writer.
   *
   * Remaining transform-coded formats (H.264/MP3) fall back to
-  * [[decodeStub]] — no video/audio codec exists in the bare JDK, and
+  * [[decodeStub]]; FLAC and GIF get metadata arms (STREAMINFO
+  * geometry/duration, container frame walk) whose sample streams stay
+  * undecoded — no video/audio codec exists in the bare JDK, and
   * faking one would be worse than saying so. Swapping the fallback for
   * JavaCV/FFmpeg changes only the [[decode]] dispatcher's last arm;
   * the per-partition contract (heavy init once per partition, rows
@@ -38,9 +40,11 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** Decoded media description — the union of what the real parsers
-    * and the stub produce. `format` ∈ wav | bmp | png | jpeg | unknown;
-    * `mean_level` is RMS ∈ [0,1] for audio, mean luminance ∈ [0,255]
-    * for images, −1 for unknown payloads.
+    * and the stub produce. `format` ∈ wav | bmp | png | jpeg | flac |
+    * gif | unknown; `mean_level` is RMS ∈ [0,1] for audio, mean
+    * luminance ∈ [0,255] for images, −1 for unknown payloads AND for
+    * the metadata-only arms (flac/gif), whose entropy streams are not
+    * decoded.
     */
   final case class MediaInfo(
       format: String,
@@ -146,6 +150,144 @@ object Multimodal {
     }
     Some(MediaInfo("bmp", width, height, 1, 0, 0L,
       lum / (width.toLong * height)))
+  }
+
+  /** FLAC metadata parser: the mandatory STREAMINFO block (the first
+    * metadata block by spec) carries the full audio geometry — sample
+    * rate, channels, bits per sample, total samples — so duration is
+    * exact without touching a single compressed frame. The entropy
+    * stream itself is not decoded (no FLAC codec exists in the bare
+    * JDK), so `mean_level` is −1: a metadata arm, like JPEG before
+    * ImageIO — but unlike the stub, every reported field is REAL.
+    * `frameCount` is the stream's total sample-frame count (the WAV
+    * convention). Printable text can never reach this arm: the
+    * STREAMINFO block header's type byte is 0x00/0x80.
+    */
+  def decodeFlac(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+      return None
+    // Block header at 4: last-flag bit 7, type bits 0-6, BE24 length.
+    val btype = b(4) & 0x7f
+    val blen = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (btype != 0 || blen != 34 || b.length < 8 + 34) return None
+    val s = 8 // STREAMINFO payload offset
+    // Bits 80-99 sample rate, 100-102 channels-1, 103-107 bps-1,
+    // 108-143 total samples (36 bits) — bytes s+10 .. s+17.
+    val rate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
+      ((b(s + 12) & 0xff) >> 4)
+    val channels = ((b(s + 12) >> 1) & 0x7) + 1
+    val totalSamples = ((b(s + 13) & 0x0fL) << 32) |
+      ((b(s + 14) & 0xffL) << 24) | ((b(s + 15) & 0xffL) << 16) |
+      ((b(s + 16) & 0xffL) << 8) | (b(s + 17) & 0xffL)
+    if (rate <= 0 || channels <= 0) return None
+    val frames = totalSamples
+    Some(MediaInfo("flac", 0, 0,
+      if (frames > Int.MaxValue) Int.MaxValue else frames.toInt,
+      rate, frames * 1000L / rate, -1.0))
+  }
+
+  /** Minimal header-only FLAC encoder (magic + STREAMINFO, no audio
+    * frames) — the spec's fixture synthesizer for [[decodeFlac]],
+    * which reads exactly this much.
+    */
+  def encodeFlacHeader(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(totalSamples >= 0 && totalSamples < (1L << 36))
+    val out = new Array[Byte](8 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last metadata block, type 0 (STREAMINFO)
+    out(7) = 34
+    val s = 8
+    out(s + 10) = (sampleRate >> 12).toByte
+    out(s + 11) = ((sampleRate >> 4) & 0xff).toByte
+    // low 4 rate bits | 3 channel bits | bps(16 ⇒ stored 15) high bit
+    out(s + 12) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) | ((15 >> 4) & 1)).toByte
+    out(s + 13) = ((((15 & 0xf) << 4) | ((totalSamples >> 32) & 0xf)).toInt).toByte
+    out(s + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(s + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(s + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(s + 17) = (totalSamples & 0xff).toByte
+    out
+  }
+
+  /** GIF container parser (87a/89a): real dimensions from the logical
+    * screen descriptor and a REAL frame count from walking the block
+    * sequence — every image descriptor counted, extensions and both
+    * color tables skipped by their declared sizes, sub-block chains
+    * followed to their 0x00 terminators — which is exactly the
+    * frame-sampling question a video-ish pipeline asks of an animated
+    * payload. LZW pixel data is not decompressed, so `mean_level` is
+    * −1 (a metadata arm, as FLAC). A well-formed parse requires the
+    * trailer AND at least one frame: every block-intro byte (0x21 '!',
+    * 0x2C ',', 0x3B ';') is printable ASCII, but a frame's sub-block
+    * walk can only terminate on a 0x00 byte, which printable text
+    * never contains — so document prose cannot false-positive into
+    * this arm (the q90 stub-determinism argument).
+    */
+  def decodeGif(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    val width = le16(b, 6)
+    val height = le16(b, 8)
+    if (width <= 0 || height <= 0) return None
+    val packed = b(10) & 0xff
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 0x7) + 1))
+    var frames = 0
+    while (off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x3b => // trailer
+          return if (frames >= 1)
+            Some(MediaInfo("gif", width, height, frames, 0, 0L, -1.0))
+          else None
+        case 0x21 => // extension: label byte, then sub-blocks
+          off += 2
+          while (off < b.length && b(off) != 0) off += 1 + (b(off) & 0xff)
+          if (off >= b.length) return None
+          off += 1
+        case 0x2c => // image descriptor
+          if (off + 10 > b.length) return None
+          val ipacked = b(off + 9) & 0xff
+          off += 10
+          if ((ipacked & 0x80) != 0) off += 3 * (1 << ((ipacked & 0x7) + 1))
+          off += 1 // LZW minimum code size
+          while (off < b.length && b(off) != 0) off += 1 + (b(off) & 0xff)
+          if (off >= b.length) return None
+          off += 1
+          frames += 1
+        case _ => return None
+      }
+    }
+    None // ran off the end before the trailer
+  }
+
+  /** Minimal GIF encoder for spec fixtures: a 2-color global palette
+    * and `frames` copies of a 1×1-pixel image whose LZW stream is the
+    * canonical CLEAR-pixel-EOI triple — tiny, spec-legal, and enough
+    * for [[decodeGif]]'s container walk (which never inflates LZW).
+    */
+  def encodeGif(width: Int, height: Int, frames: Int): Array[Byte] = {
+    require(width > 0 && width < 65536 && height > 0 && height < 65536)
+    require(frames >= 1 && frames <= 1024)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(width); w16(height)
+    out.write(0x80) // global color table, 2 entries
+    out.write(0); out.write(0)
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1)) // black, white
+    (0 until frames).foreach { _ =>
+      out.write(0x2c) // image descriptor: full-frame at (0,0)
+      w16(0); w16(0); w16(width); w16(height)
+      out.write(0) // no local color table
+      out.write(2) // LZW min code size
+      // One sub-block: CLEAR(4), pixel 0, EOI(5) in 3-bit codes.
+      out.write(2); out.write(0x44); out.write(0x01)
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
   }
 
   /** Encode a 24bpp bottom-up BMP from a BGR pixel accessor — used by
@@ -465,6 +607,7 @@ object Multimodal {
   def decode(payload: Array[Byte]): MediaInfo =
     decodeWav(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
       .orElse(decodeJpeg(payload))
+      .orElse(decodeFlac(payload)).orElse(decodeGif(payload))
       .getOrElse {
         val (w, h, f) = decodeStub(payload)
         MediaInfo("unknown", w, h, f, 0, 0L, -1.0)

@@ -281,4 +281,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(info.isDefined && info.get.sampleRate == 16000
       && info.get.frameCount == 160, s"$info")
   }
+
+  test("FLAC metadata arm: STREAMINFO geometry and exact duration, no entropy decode") {
+    val flac = Multimodal.encodeFlacHeader(44100, 2, 441000L)
+    val info = Multimodal.decodeFlac(flac)
+    assert(info.isDefined, "well-formed STREAMINFO rejected")
+    val m = info.get
+    assert(m.format == "flac" && m.sampleRate == 44100
+      && m.frameCount == 441000 && m.durationMs == 10000L
+      && m.meanLevel == -1.0, s"$m")
+    assert(Multimodal.decode(flac).format == "flac")
+    // A 36-bit sample count survives (frameCount saturates at Int.Max).
+    val big = Multimodal.decodeFlac(
+      Multimodal.encodeFlacHeader(48000, 1, (1L << 35) + 7L)).get
+    assert(big.durationMs == ((1L << 35) + 7L) * 1000L / 48000L)
+    // Truncated or wrong-first-block payloads reject cleanly.
+    assert(Multimodal.decodeFlac(flac.take(20)).isEmpty)
+    val wrongType = flac.clone(); wrongType(4) = 0x84.toByte // type 4 ≠ STREAMINFO
+    assert(Multimodal.decodeFlac(wrongType).isEmpty)
+  }
+
+  test("GIF container arm: dims from the screen descriptor, frames from the block walk") {
+    val gif = Multimodal.encodeGif(320, 200, frames = 7)
+    val info = Multimodal.decodeGif(gif)
+    assert(info.isDefined, "well-formed GIF rejected")
+    val m = info.get
+    assert(m.format == "gif" && m.width == 320 && m.height == 200
+      && m.frameCount == 7 && m.meanLevel == -1.0, s"$m")
+    assert(Multimodal.decode(gif).format == "gif")
+    // An extension block between frames is skipped, not counted.
+    val withExt = {
+      val head = gif.take(13 + 6) // header + screen desc + palette
+      val body = gif.slice(13 + 6, gif.length)
+      // Graphic-control extension: 0x21 0xF9, one 4-byte sub-block, 0.
+      val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+      head ++ ext ++ body
+    }
+    assert(Multimodal.decodeGif(withExt).map(_.frameCount).contains(7))
+  }
+
+  test("printable text can never reach the GIF/FLAC arms (q90 stub determinism)") {
+    // "GIF89a" prose: the magic matches and every block-intro byte
+    // (!, comma, semicolon) is printable, but a frame's sub-block walk
+    // can only terminate on a 0x00 byte — absent from ASCII text — and
+    // a trailer with zero frames is rejected, so document prose always
+    // falls to the stub.
+    val prose = "GIF89a is an image format, isn't it; see the spec!"
+      .getBytes("US-ASCII")
+    assert(Multimodal.decodeGif(prose).isEmpty)
+    assert(Multimodal.decode(prose).format == "unknown")
+    val zeroFrames = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](10, 0, 10, 0, 0, 0, 0, 0x3b)
+    assert(Multimodal.decodeGif(zeroFrames).isEmpty,
+      "a trailer with no image descriptor must not count as a GIF")
+    // FLAC's STREAMINFO type byte is 0x00/0x80 — not printable.
+    val flacProse = "fLaC streams are lossless audio".getBytes("US-ASCII")
+    assert(Multimodal.decodeFlac(flacProse).isEmpty)
+    assert(Multimodal.decode(flacProse).format == "unknown")
+  }
 }
