@@ -97,6 +97,11 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
     val indexSec = (System.nanoTime() - idxT0) / 1e9
     val indexFailedJson = indexFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-module prepare seconds (concurrent — not additive): makes a
+    // prepare regression attributable across rounds instead of one
+    // opaque index_build_sec.
+    val indexModulesJson = SparkEntry.lastModuleSeconds.toSeq.sortBy(_._1)
+      .map { case (m, t) => f""""$m":$t%.2f""" }.mkString("{", ",", "}")
     // Deterministic name order so per-query numbers compare across rounds.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Driver-JVM GC time, for stall forensics: if a query's wall time
@@ -213,7 +218,7 @@ object Bench {
     // non-errored queries, so a cross-round diff of `value` alone would
     // silently compare different query sets without them.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"gc_delta_sec_run3":$gc3,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"queries_run3":${qjson(run3.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"gc_delta_sec_run3":$gc3,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"queries_run3":${qjson(run3.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
     // The driver archives a 2000-char TAIL of stdout, which loses the
     // FRONT of the long line above (the r5 artifact ended inside the GC
     // map and the headline total survived only in the file). So main's
@@ -227,7 +232,7 @@ object Bench {
       val (n, v) = results.maxBy(_._2); s"""{"name":"$n","sec":$v}"""
     }
     val tail =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}"""
     Result(indexSec, indexFailed, errors.toSeq, results, json, tail, regressions)
   }
 

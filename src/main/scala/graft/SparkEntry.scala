@@ -93,10 +93,15 @@ object SparkEntry {
     // parks forever. So every Throwable is caught to keep the barrier
     // live, and the first fatal one is rethrown after it.
     val fatal = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val timings = new java.util.concurrent.ConcurrentHashMap[String, Double]
     val failed = Await.result(
       Future.sequence(modules.map { case (name, build) =>
         Future {
-          try { build(); None }
+          val t0 = System.nanoTime()
+          try {
+            try { build(); None }
+            finally timings.put(name, (System.nanoTime() - t0) / 1e9)
+          }
           catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(
@@ -114,6 +119,15 @@ object SparkEntry {
       }),
       Duration.Inf).flatten
     if (fatal.get() != null) throw fatal.get()
+    // Per-module wall seconds (modules overlap — these are NOT
+    // additive), published for the bench JSON so a prepare-phase
+    // regression is attributable to its module across rounds.
+    import scala.jdk.CollectionConverters._
+    lastModuleSeconds = timings.asScala.toMap
     failed
   }
+
+  /** Per-module prepare wall times of the LAST prepareIndexModules
+    * call on this JVM — observability only (see above). */
+  @volatile private[graft] var lastModuleSeconds: Map[String, Double] = Map.empty
 }

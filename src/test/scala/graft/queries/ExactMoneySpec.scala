@@ -121,13 +121,25 @@ class ExactMoneySpec extends SparkTestBase {
     // The regression this round fixed: a product cast to DECIMAL(38,15)
     // in an oracle re-introduces the engine-divergent double→decimal
     // path. Single-column (38,15) casts remain legitimate for
-    // float-embedding means (Similarity), so the guard targets casts
-    // whose body contains a '*'.
-    val productCast = """CAST\([^()]*\*[^()]*AS\s+DECIMAL\(38,\s*15\)""".r
+    // float-embedding means (Similarity), so the guard targets a
+    // spaced binary `*` (the repo's multiplication style — `count(*)`
+    // has no spaces) within reach of an AS DECIMAL(38,15); a bare
+    // character-class regex cannot cross the nested parens of
+    // `price * (1 - discount)`, which is exactly the form to catch.
+    val productCast =
+      """[\w)]\s\*\s[\w(][^;]{0,160}?AS\s+DECIMAL\(38,\s*15\)""".r
     val offenders = graft.SparkEntry.oracleSql.collect {
       case (name, sql) if productCast.findFirstIn(sql).isDefined => name
     }
     assert(offenders.isEmpty,
       s"product-form DECIMAL(38,15) casts found in oracles: ${offenders.mkString(", ")}")
+    // Self-test: the guard must catch both retired shapes.
+    assert(productCast.findFirstIn(
+      "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,15)))").isDefined)
+    assert(productCast.findFirstIn(
+      "sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,15)))").isDefined)
+    // …and ignore count(*) near a legitimate single-column cast.
+    assert(productCast.findFirstIn(
+      "count(*), sum(CAST(val AS DECIMAL(38,15)))").isEmpty)
   }
 }
