@@ -239,7 +239,36 @@ object Profile {
           SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
           println(f"[profile] $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
-        sel.foreach { n => run(n, "cold"); run(n, "warm") }
+        // Planned-vs-total file counts per parquet scan of the final
+        // adaptive plan — the files-pruned evidence the scale curves
+        // cite. Untimed third execution: metrics live on THIS plan
+        // instance, and the timed noop writes above plan their own.
+        def files(name: String): Unit = {
+          import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+          qe.executedPlan.execute().foreachPartition(
+            (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+          def scans(pl: SparkPlan): Seq[FileSourceScanExec] = (pl match {
+            case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+            // Query stages wrap their plan as a member, NOT a child —
+            // a children-only walk stops dead at every stage boundary.
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scans(q.plan)
+            case sc: FileSourceScanExec => Seq(sc)
+            case other => other.children.flatMap(scans)
+          }) ++ pl.subqueries.flatMap(scans)
+          val ss = scans(qe.executedPlan)
+          val planned = ss.flatMap(_.metrics.get("numFiles").map(_.value)).sum
+          val total = ss.map(_.relation.location.inputFiles.length.toLong).sum
+          println(s"[profile] $name files=$planned/$total")
+        }
+        sel.foreach { n =>
+          run(n, "cold"); run(n, "warm")
+          try files(n)
+          catch { case scala.util.control.NonFatal(e) =>
+            println(s"[profile] $n files=? ($e)") }
+        }
     }
     spark.stop()
   }
