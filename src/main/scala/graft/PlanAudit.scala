@@ -111,7 +111,84 @@ object PlanAudit {
       fam("customer", "three set-op branches over narrow key columns")(
         "q36_setops" -> 3) ++
       fam("orders", "three set-op branches over narrow key columns")(
-        "q36_setops" -> 3)).toMap
+        "q36_setops" -> 3) ++
+      // r17: the q101 treatment extended to EVERY remaining sub-gate
+      // dup — zero anonymous multi-scans. Each pin records the design
+      // intent so a regression past the gate cites it.
+      fam("events",
+        "self-join roles: probe/quote (as-of), touch/conversion, band sides " +
+          "of ONE event stream")(
+        "q56_range_join_banded" -> 2, "q109_asof_join_native" -> 2,
+        "q117_asof_forward" -> 2, "q147_multitouch_attribution" -> 2,
+        "q149_scd2_lookup" -> 2) ++
+      fam("customer",
+        "scalar average subquery + the main filtered scan (TPC-H Q22); " +
+          "semi and anti branches (q22)")(
+        "q22_join_semi_anti" -> 2, "q126_tpch_q22" -> 2) ++
+      fam("orders",
+        "semi/anti branches (q22), window-vs-window roles (q33), " +
+          "correlated-scalar + outer scan (q43)")(
+        "q22_join_semi_anti" -> 2, "q33_ranking_functions" -> 2,
+        "q43_correlated_subquery" -> 2) ++
+      fam("nation",
+        "the 25-row dim broadcasts twice: supplier-side and customer-side " +
+          "roles of TPC-H Q7/Q8 (and Q11's filter + output roles)")(
+        "q133_tpch_q7" -> 2, "q134_tpch_q8" -> 2, "q139_tpch_q11" -> 2) ++
+      fam("supplier",
+        "nation-filtered supplier list + supplier output columns (Q11)")(
+        "q139_tpch_q11" -> 2) ++
+      fam("part",
+        "the filtered part list broadcasts to BOTH join sides " +
+          "(fact inner join and partsupp semi join) — Q9/Q20's documented shape")(
+        "q140_tpch_q9" -> 2, "q141_tpch_q20" -> 2) ++
+      fam("bkt-partsupp",
+        "per-part values + the global-total scalar over the SMALL at-rest " +
+          "grain (Q11's two aggregation passes, documented in the query)")(
+        "q139_tpch_q11" -> 2) ++
+      fam("lineitem-sd-log",
+        "TPC-H Q15: the revenue view is referenced twice (probe + max), " +
+          "both reading the quarter slice")(
+        "q129_tpch_q15" -> 2) ++
+      fam("documents",
+        "batch/index, train/bench or score/profile split roles of one corpus")(
+        "q94_ngram_decontam" -> 2, "q98_sequence_packing" -> 2,
+        "q113_model_quality_filter" -> 2, "q116_cluster_profile" -> 2) ++
+      fam("embeddings",
+        "query/corpus (or batch/index) split roles of one vector table")(
+        "q68_knn_bruteforce" -> 2, "q84_ann_lsh_buckets" -> 2,
+        "q114_semantic_decontam" -> 2, "q131_hard_negatives" -> 2,
+        "q132_label_noise_knn" -> 2) ++
+      fam("ivf-assigned-i2",
+        "query-cell slice + corpus-cell slice of the at-rest assignment")(
+        "q69_knn_ivf" -> 2, "q116_cluster_profile" -> 2) ++
+      fam("ivf-half-centroids",
+        "frozen-quantizer assignment of existing + arriving halves")(
+        "q112_incremental_ann_ingest" -> 2) ++
+      fam("context-chunks",
+        "chunk-pair sides of the at-rest chunk artifact")(
+        "q104_chunk_dedup" -> 2) ++
+      fam("span-windows-k12",
+        "span-pair sides of the at-rest window artifact")(
+        "q107_duplicate_spans" -> 2) ++
+      fam("minhash-sigs",
+        "band-bucket candidate sides over the compact signature artifact")(
+        "q65_minhash_lsh" -> 2, "q92_incremental_neardup" -> 2) ++
+      fam("shingles-k4",
+        "train/bench shingle roles of the decontam join")(
+        "q94_ngram_decontam" -> 2) ++
+      fam("term-frequencies",
+        "document-term + vocabulary roles of the tf snapshot")(
+        "q113_model_quality_filter" -> 2) ++
+      fam("bigram-frequencies",
+        "bigram + unigram-margin roles of the collocation score")(
+        "q135_collocations" -> 2) ++
+      fam("scd2-base",
+        "closed rows pass through; open rows replay as pseudo-events — " +
+          "the merge's two documented roles")(
+        "q145_scd2_merge" -> 2) ++
+      fam("linkage-blocks",
+        "candidate sides of the blocked linkage join")(
+        "q146_edit_distance_linkage" -> 2)).toMap
   }
 
   private final case class Audit(
