@@ -194,11 +194,20 @@ object Bench {
           sec > r * RegressionRatio && sec - r > RegressionSlackSec) =>
         (name, sec, ref(name))
     }
-    val regJson = regressions.map { case (n, s, r) =>
+    def regJsonOf(rs: Seq[(String, Double, Double)]) = rs.map { case (n, s, r) =>
       f""""$n":{"sec":$s%.3f,"ref_sec":$r%.3f,"ratio":${s / r}%.2f}"""
     }.mkString("{", ",", "}")
     val regressionJson =
-      s""""n_regressions":${regressions.size},"regression_ref_n":${ref.size},"regressions":$regJson"""
+      s""""n_regressions":${regressions.size},"regression_ref_n":${ref.size},"regressions":${regJsonOf(regressions)}"""
+    // The TAIL line must always fit the driver's 2000-char stdout
+    // capture whole; a noisy box can flag dozens of borderline
+    // queries (55 observed under contention) and a full map would
+    // push the headline metrics out of the window. The tail carries
+    // the worst offenders by ratio; n_regressions states the true
+    // count and the long line + file artifact keep the full map.
+    val worst = regressions.sortBy { case (_, s, r) => -(s / r) }.take(8)
+    val regressionTailJson =
+      s""""n_regressions":${regressions.size},"regression_ref_n":${ref.size},"regressions_worst":${regJsonOf(worst)}"""
     // The driver archives a 2000-char TAIL of stdout, so a capture can
     // start anywhere inside this (long) line. Two consequences: every
     // gc-map entry carries its own ".gc_delta_sec" suffix (a bare
@@ -232,7 +241,7 @@ object Bench {
       val (n, v) = results.maxBy(_._2); s"""{"name":"$n","sec":$v}"""
     }
     val tail =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionTailJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}"""
     Result(indexSec, indexFailed, errors.toSeq, results, json, tail, regressions)
   }
 
