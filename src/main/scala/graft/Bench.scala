@@ -52,19 +52,42 @@ object Bench {
   private[graft] val RegressionRatio = 1.4
   private[graft] val RegressionSlackSec = 0.25
 
+  /** Locale-pinned fixed-point formatting for the JSON fragments: the
+    * f-interpolator formats with the JVM default locale, and a
+    * comma-decimal locale would turn every %.2f into invalid JSON
+    * (r17 advice). The raw-Double fields are unaffected — Double
+    * .toString is locale-free.
+    */
+  private[graft] def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   /** Reference map for the regression gate: a flat name→seconds JSON
-    * (nested under "ref" in the committed file; the parser accepts any
-    * quoted-name:number pair, which strings can't produce). Missing or
-    * unreadable file → empty map → gate reports nothing, never fails
-    * the bench.
+    * nested under "ref" in the committed file. The text is sliced to
+    * the "ref" object BEFORE the pair regex runs (r17 advice: a future
+    * top-level numeric field, or a quoted name:number pair inside the
+    * _comment prose, would otherwise silently become a query's
+    * reference time), and only keys shaped like query ids (`q<digits>_`)
+    * are admitted. Missing or unreadable file → empty map → gate
+    * reports nothing, never fails the bench.
     */
   private[graft] def loadRef(path: String): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
-        .findAllMatchIn(txt)
+      // Slice from the "ref" key's opening brace to its matching close:
+      // the object is flat (no nested braces), so the first '}' after
+      // the key bounds it.
+      val refIdx = txt.indexOf("\"ref\"")
+      val slice =
+        if (refIdx < 0) ""
+        else {
+          val open = txt.indexOf('{', refIdx)
+          val close = if (open < 0) -1 else txt.indexOf('}', open)
+          if (open < 0 || close < 0) "" else txt.substring(open, close + 1)
+        }
+      """"(q[0-9]+_[^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+        .findAllMatchIn(slice)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
@@ -101,7 +124,7 @@ object Bench {
     // prepare regression attributable across rounds instead of one
     // opaque index_build_sec.
     val indexModulesJson = SparkEntry.lastModuleSeconds.toSeq.sortBy(_._1)
-      .map { case (m, t) => f""""$m":$t%.2f""" }.mkString("{", ",", "}")
+      .map { case (m, t) => s""""$m":${fmt(t, 2)}""" }.mkString("{", ",", "}")
     // Deterministic name order so per-query numbers compare across rounds.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Driver-JVM GC time, for stall forensics: if a query's wall time
@@ -195,7 +218,7 @@ object Bench {
         (name, sec, ref(name))
     }
     def regJsonOf(rs: Seq[(String, Double, Double)]) = rs.map { case (n, s, r) =>
-      f""""$n":{"sec":$s%.3f,"ref_sec":$r%.3f,"ratio":${s / r}%.2f}"""
+      s""""$n":{"sec":${fmt(s, 3)},"ref_sec":${fmt(r, 3)},"ratio":${fmt(s / r, 2)}}"""
     }.mkString("{", ",", "}")
     val regressionJson =
       s""""n_regressions":${regressions.size},"regression_ref_n":${ref.size},"regressions":${regJsonOf(regressions)}"""

@@ -473,11 +473,12 @@ object Relational {
     * batch high-water mark equals the sentinel, so a crash after any
     * prefix of the per-year appends leaves a root that the next
     * session deletes and rebuilds instead of silently under-counting
-    * (the pre-r17 check accepted any root with one live file). Year
-    * bounds derive from the corpus min/max ship year — corpus drift
-    * outside a hard-coded window cannot drop rows — and a final
-    * count assert (manifested == source) backstops the partition
-    * predicate itself.
+    * (the pre-r17 check accepted any root with one live file). The
+    * year set derives from the corpus's DISTINCT ship years — corpus
+    * drift outside a hard-coded window cannot drop rows, and a lone
+    * sentinel year (9999-12-31) costs one extra batch instead of
+    * thousands of empty range iterations — and a final count assert
+    * (manifested == source) backstops the partition predicate itself.
     */
   private[graft] val PairLayoutComplete = 1000000L
 
@@ -498,22 +499,30 @@ object Relational {
         .saveAsTable(t)
       val root = graft.util.BucketedManifest.adoptTable(s, t)
       graft.util.BucketedManifest.declareStats(s, root, Seq("l_shipdate"))
-      val yb = li.agg(
-        min(year(col("l_shipdate"))).as("lo"),
-        max(year(col("l_shipdate"))).as("hi")).head()
-      if (yb.isNullAt(0)) {
+      // Iterate the DISTINCT ship years actually present, not the
+      // contiguous min..max range (r17 advice): one outlier/sentinel
+      // date (9999-12-31 is common in SCD-style data) would otherwise
+      // turn the build into thousands of empty bucketed append jobs,
+      // each staging a write and committing a manifest generation.
+      // batchId = year is unchanged, so the idempotent-replay contract
+      // holds; the collect is bounded by the year domain (a fact table
+      // spans decades, not thousands of distinct years).
+      val years = li.select(year(col("l_shipdate")).as("y"))
+        .where(col("y").isNotNull).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (years.isEmpty) {
         // No non-null ship dates: the (possibly empty) null segment is
         // the whole fact.
         graft.util.BucketedManifest.appendBucketedBatch(
           li.where(col("l_shipdate").isNull), root, 0L)
         ()
       } else {
-        (yb.getInt(0) to yb.getInt(1)).foreach { y =>
+        years.foreach { y =>
           val lo = graft.util.Tables.ntzUs(dateUs(s"$y-01-01"))
           val hi = graft.util.Tables.ntzUs(dateUs(s"${y + 1}-01-01"))
           val inYear = col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi)
           val seg = li.where(
-            if (y == yb.getInt(0)) inYear || col("l_shipdate").isNull else inYear)
+            if (y == years.head) inYear || col("l_shipdate").isNull else inYear)
           graft.util.BucketedManifest.appendBucketedBatch(seg, root, y.toLong)
         }
       }
@@ -1975,15 +1984,28 @@ object Relational {
     // bit-identical IEEE double via the engine-identical scale-0
     // round (|v| < 2^52 — see q139). The per-group sum is then an
     // exact integer (Spark sums in DECIMAL(38,0), DuckDB in HUGEINT —
-    // overflow-free at any scale), rounded to cents with the same
-    // scale-0 round (the cents tie x.5 is exactly representable, so
-    // both engines round it away from zero identically).
+    // overflow-free at any scale), and the decimicents→cents rounding
+    // stays in the EXACT INTEGER domain (r17 advice closed): add the
+    // half-unit (±50) on the sign-matched side, then integer-divide by
+    // 100 — the division only ever sees a non-negative operand, where
+    // Spark's `div` (truncating) and DuckDB's `//` agree regardless of
+    // their negative-operand conventions. Both engines then cast the
+    // IDENTICAL exact integer cents to double, so they agree bit-for-
+    // bit at ANY group magnitude; the only residual bounds are
+    // representational, not comparative — above 2^53 cents
+    // (~$9×10^13/group) the double output itself cannot carry cent
+    // resolution, and above Long.Max cents (~$9.2×10^16/group) Spark's
+    // `div` overflows — both far past the old 2^52-DECIMICENT
+    // (~$4.5×10^11) exactness cliff this replaces.
     QueryDef(
       "q140_tpch_q9",
       Some(s"""
         WITH $psCte
         SELECT nation, o_year,
-               round(CAST(sum(amount_dm) AS DOUBLE) / 100) / 100 AS sum_profit
+               CAST(CASE WHEN sum(amount_dm) >= 0
+                         THEN (sum(amount_dm) + 50) // 100
+                         ELSE -((50 - sum(amount_dm)) // 100) END
+                    AS DOUBLE) / 100 AS sum_profit
         FROM (
           SELECT n_name AS nation,
                  year(CAST(o_orderdate AS DATE)) AS o_year,
@@ -2024,13 +2046,19 @@ object Relational {
           year(col("o_orderdate").cast("date")).as("o_year"))
         // Integer-decimicent amount (see the header comment): exact
         // revenue product minus the cent-quantized cost, summed in
-        // DECIMAL(38,0) so the integer sum can never overflow.
-        .agg((round(sum(
+        // DECIMAL(38,0) so the integer sum can never overflow, then
+        // rounded to cents in the exact integer domain (sign-split so
+        // the truncating `div` only sees non-negative operands) before
+        // the one final cast to double.
+        .agg(sum(
           (round(col("l_extendedprice") * lit(100.0)).cast("bigint")
             * round((lit(1) - col("l_discount")) * lit(100.0)).cast("bigint")
             - round(col("ps_supplycost") * col("l_quantity") * lit(10000.0))
-              .cast("bigint")).cast("decimal(38,0)")
-        ).cast("double") / lit(100)) / lit(100)).as("sum_profit"))
+              .cast("bigint")).cast("decimal(38,0)")).as("dm"))
+        .select(col("nation"), col("o_year"),
+          (when(col("dm") >= 0, expr("(dm + 50) div 100"))
+            .otherwise(-expr("(50 - dm) div 100"))
+            .cast("double") / lit(100)).as("sum_profit"))
         .orderBy(asc("nation"), desc("o_year"))
     },
 

@@ -117,6 +117,51 @@ class ExactMoneySpec extends SparkTestBase {
     assert(cents == 501L, s"quantized cents expected 501, got $cents")
   }
 
+  test("decimicents→cents rounding stays exact past the 2^52 double cliff") {
+    // q140's group rounding (r17 advice closed): the retired shape
+    // round(CAST(sum_dm AS DOUBLE)/100)/100 was exact only while the
+    // group's decimicent sum stayed below ~2^52. Planted witness:
+    // dm = 72057594037928042 (> 2^56, double spacing 16) is NOT
+    // representable — the decimal→double cast lands on …048, and the
+    // /100 division then re-rounds …280.48 UP to the representable
+    // …280.5 (double ulp at 7.2e14 is 0.125), so the double path
+    // rounds to 720575940379281 cents — one cent above the true
+    // …280.42 → 720575940379280. The new shape adds the sign-matched
+    // half-unit and integer-divides in the exact decimal domain, so
+    // the division only ever sees the true sum; both engines then cast
+    // the identical integer cents to double (deterministic IEEE
+    // nearest — no engine freedom left at any group magnitude).
+    val df = Seq(72057594037928000L, 42L).toDF("v")
+      .select(col("v").cast("decimal(38,0)").as("v"))
+    val (cents, oldCents) = df.agg(sum(col("v")).as("dm"))
+      .select(
+        when(col("dm") >= 0, expr("(dm + 50) div 100"))
+          .otherwise(-expr("(50 - dm) div 100")).as("cents"),
+        round(col("dm").cast("double") / lit(100)).cast("bigint").as("old_cents"))
+      .as[(Long, Long)].head()
+    assert(cents == 720575940379280L,
+      s"exact-domain rounding must follow the true sum, got $cents")
+    assert(oldCents == 720575940379281L,
+      s"retired double-path witness expected …281 (one-cent drift), got $oldCents")
+    // Negative mirror: half-away-from-zero via the sign-split arm.
+    val neg = Seq(-72057594037928000L, -42L).toDF("v")
+      .select(col("v").cast("decimal(38,0)").as("v"))
+      .agg(sum(col("v")).as("dm"))
+      .select(when(col("dm") >= 0, expr("(dm + 50) div 100"))
+        .otherwise(-expr("(50 - dm) div 100")).as("cents"))
+      .as[Long].head()
+    assert(neg == -720575940379280L, s"negative mirror must match, got $neg")
+    // Small half-ties: the sign-split integer form rounds half AWAY
+    // FROM ZERO on both signs (matching round(double)'s convention on
+    // the magnitudes where the old path was exact).
+    val ties = spark.range(1).select(
+      expr("(CAST(150 AS DECIMAL(38,0)) + 50) div 100"),
+      expr("-((50 - CAST(-150 AS DECIMAL(38,0))) div 100)"),
+      expr("(CAST(149 AS DECIMAL(38,0)) + 50) div 100"))
+      .as[(Long, Long, Long)].head()
+    assert(ties == ((2L, -2L, 1L)), s"integer half-away ties expected, got $ties")
+  }
+
   test("no oracle multiplies inside a DECIMAL(38,15) cast (family guard)") {
     // The regression this round fixed: a product cast to DECIMAL(38,15)
     // in an oracle re-introduces the engine-divergent double→decimal
