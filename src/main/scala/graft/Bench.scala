@@ -26,6 +26,30 @@ object Bench {
     "q64_fingerprint", "q65_minhash_lsh", "q66_simhash", "q67_ngram_jaccard",
     "q68_knn_bruteforce", "q69_knn_ivf", "q70_multimodal_meta")
 
+  /** The x10 heavy-slice roster (r17 verdict item 7): the sf0.1 bench
+    * is overhead-dominated (median 0.52 s) and its baseline ratio
+    * saturated, so a SCALE regression — a plan that degrades when the
+    * data grows — is invisible there until it is enormous. These ~10
+    * queries (the heaviest text/dedup chains, the two exact-money fact
+    * aggregates, and the whole manifested/skipping family) re-run on a
+    * 10× derived corpus when `SPARK_GRAFT_X10_DIR` points at one
+    * (`tools/make_scale_corpus.py`), with their own regression map
+    * against the committed `x10_ref` minima in BENCH_REF.json. Unset
+    * env → no x10 section (the driver's lean bench is unchanged); the
+    * committed BENCH_local_r{N}.json carries it each round.
+    */
+  private[graft] val X10Heavy: Seq[String] = Seq(
+    "q65_minhash_lsh", "q67_ngram_jaccard", "q74_contamination",
+    "q139_tpch_q11", "q140_tpch_q9", "q152_point_lookup",
+    "q153_zslice_2d", "q154_dfp_join", "q156_digest_lookup",
+    "q157_colocated_dfp")
+
+  /** Prepare only the modules the x10 roster reads: a derived scale
+    * corpus has no embeddings table, and the similarity family's
+    * ingest would be wasted build time there anyway. */
+  private[graft] val X10Modules: Set[String] =
+    Set("textops", "relational", "events")
+
   /** One bench execution's outcome: the prepare-phase report, the
     * per-query min-of-3 timings, and the two JSON lines main prints.
     * Exposed (private[graft]) so the chaos spec can run the REAL bench
@@ -70,15 +94,15 @@ object Bench {
     * are admitted. Missing or unreadable file → empty map → gate
     * reports nothing, never fails the bench.
     */
-  private[graft] def loadRef(path: String): Map[String, Double] =
+  private[graft] def loadRef(path: String, key: String = "ref"): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      // Slice from the "ref" key's opening brace to its matching close:
+      // Slice from the key's opening brace to its matching close:
       // the object is flat (no nested braces), so the first '}' after
       // the key bounds it.
-      val refIdx = txt.indexOf("\"ref\"")
+      val refIdx = txt.indexOf("\"" + key + "\"")
       val slice =
         if (refIdx < 0) ""
         else {
@@ -99,6 +123,7 @@ object Bench {
   private[graft] def run(
       spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries,
+      x10Dir: Option[String] = sys.env.get("SPARK_GRAFT_X10_DIR"),
   ): Result = {
     // At-rest index artifacts (shingle/signature/IVF/bucketed layouts)
     // are ingest-time work paid once per corpus — build them before the
@@ -231,6 +256,64 @@ object Bench {
     val worst = regressions.sortBy { case (_, s, r) => -(s / r) }.take(8)
     val regressionTailJson =
       s""""n_regressions":${regressions.size},"regression_ref_n":${ref.size},"regressions_worst":${regJsonOf(worst)}"""
+    // ---- x10 heavy-slice section (see [[X10Heavy]]) ----
+    // Runs AFTER the sf0.1 passes so a slow/failed x10 build can never
+    // perturb the primary timings. min-of-2 (sorted + reversed): the
+    // roster's queries are 1-10 s at x10, where a one-off box stall is
+    // visible against the committed minimum without a third pass.
+    val x10Frags: Option[(String, String)] =
+      x10Dir.map { xdir =>
+        try {
+          val t0 = System.nanoTime()
+          val xFailed =
+            try SparkEntry.prepareIndexes(spark, xdir, X10Modules)
+            catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
+          val xPrepSec = (System.nanoTime() - t0) / 1e9
+          val sel = queries.toSeq.filter(kv => X10Heavy.contains(kv._1)).sortBy(_._1)
+          val xErr = scala.collection.mutable.ArrayBuffer.empty[String]
+          def xPass(ordered: Seq[(String, (SparkSession, String) => DataFrame)]) =
+            ordered.map { case (name, fn) =>
+              val s0 = System.nanoTime()
+              try fn(spark, xdir).write.format("noop").mode("overwrite").save()
+              catch {
+                case e: Throwable =>
+                  if (!xErr.contains(name)) xErr += name
+                  System.err.println(s"[bench] x10 $name FAILED: ${e.getMessage}")
+              }
+              name -> (System.nanoTime() - s0) / 1e9
+            }
+          val xp1 = xPass(sel)
+          val xp2 = xPass(sel.reverse).sortBy(_._1)
+          val xRes = xp1.zip(xp2).collect {
+            case ((n, a), (_, b)) if !xErr.contains(n) => n -> (a min b)
+          }
+          val xRef = loadRef(refPath, "x10_ref")
+          val xRegs = xRes.collect {
+            case (name, sec) if xRef.get(name).exists(r =>
+                sec > r * RegressionRatio && sec - r > RegressionSlackSec) =>
+              (name, sec, xRef(name))
+          }
+          val xTotal = xRes.map(_._2).sum
+          val xErrJson = xErr.map("\"" + _ + "\"").mkString("[", ",", "]")
+          val long =
+            s""""x10":{"dir":"$xdir","index_build_sec":$xPrepSec,""" +
+              s""""index_build_failed":${xFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+              s""""measure":"min_of_2","n_queries":${xRes.size},"total_sec":$xTotal,""" +
+              s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},""" +
+              s""""regressions":${regJsonOf(xRegs)},"errors":$xErrJson,""" +
+              s""""queries_run1":${qjson(xp1)},"queries_run2":${qjson(xp2)},"queries":${qjson(xRes)}}"""
+          val tail =
+            s""""x10":{"n_queries":${xRes.size},"total_sec":${fmt(xTotal, 2)},""" +
+              s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},"errors":$xErrJson}"""
+          (long, tail)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val err = s""""x10":{"err":${graft.util.Json.str(e.toString)}}"""
+            (err, err)
+        }
+      }
+    val x10LongJson = x10Frags.map("," + _._1).getOrElse("")
+    val x10TailJson = x10Frags.map("," + _._2).getOrElse("")
     // The driver archives a 2000-char TAIL of stdout, so a capture can
     // start anywhere inside this (long) line. Two consequences: every
     // gc-map entry carries its own ".gc_delta_sec" suffix (a bare
@@ -250,7 +333,7 @@ object Bench {
     // non-errored queries, so a cross-round diff of `value` alone would
     // silently compare different query sets without them.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"gc_delta_sec_run3":$gc3,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"queries_run3":${qjson(run3.map(r => r._1 -> r._2))},"sf":"$sfDir","errors":$errJson,"queries":${qjson(results)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"gc_delta_sec_run3":$gc3,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"queries_run3":${qjson(run3.map(r => r._1 -> r._2))},"sf":"$sfDir"$x10LongJson,"errors":$errJson,"queries":${qjson(results)}}"""
     // The driver archives a 2000-char TAIL of stdout, which loses the
     // FRONT of the long line above (the r5 artifact ended inside the GC
     // map and the headline total survived only in the file). So main's
@@ -264,7 +347,7 @@ object Bench {
       val (n, v) = results.maxBy(_._2); s"""{"name":"$n","sec":$v}"""
     }
     val tail =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionTailJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir","errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionTailJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir"$x10TailJson,"errors":$errJson}"""
     Result(indexSec, indexFailed, errors.toSeq, results, json, tail, regressions)
   }
 

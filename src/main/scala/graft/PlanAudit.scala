@@ -58,10 +58,13 @@ object PlanAudit {
       // query; q132 additionally explodes both directed-neighbor
       // directions from ONE cellPairs subtree (was 8 via self-union).
       // (q73's former 5× allowance retired in r17: recallAt3 derives
-      // both rankings from ONE corpus pass — see its Scaladoc.)
+      // both rankings from ONE corpus pass — see its Scaladoc. q111's
+      // 2× allowance retired in r18: the pq-codes artifact stores the
+      // cell id — FAISS's inverted-list layout — so the corpus-side
+      // assignment scan is gone and only the query side reads it.)
       "q71_embedding_neardup" -> 2,
       "q88_knn_ivf_multiprobe" -> 2, "q89_embedding_dedup_materialize" -> 3,
-      "q111_ivfpq_ann" -> 2, "q131_hard_negatives" -> 2,
+      "q131_hard_negatives" -> 2,
       "q132_label_noise_knn" -> 2) ++
       fam("ivf-cell-sizes",
         "hot-cell sub-bucketing: one occupancy read per cellPairs side")(
@@ -149,10 +152,14 @@ object PlanAudit {
         "TPC-H Q15: the revenue view is referenced twice (probe + max), " +
           "both reading the quarter slice")(
         "q129_tpch_q15" -> 2) ++
+      // (q116's documents×2 + ivf-assigned×2 retired in r18: the
+      // dominant-language rank and the per-cluster totals are now two
+      // windows over ONE (cluster, lang) aggregate frame — the q73
+      // treatment — so each source scans once.)
       fam("documents",
         "batch/index, train/bench or score/profile split roles of one corpus")(
         "q94_ngram_decontam" -> 2, "q98_sequence_packing" -> 2,
-        "q113_model_quality_filter" -> 2, "q116_cluster_profile" -> 2) ++
+        "q113_model_quality_filter" -> 2) ++
       fam("embeddings",
         "query/corpus (or batch/index) split roles of one vector table")(
         "q68_knn_bruteforce" -> 2, "q84_ann_lsh_buckets" -> 2,
@@ -160,7 +167,7 @@ object PlanAudit {
         "q132_label_noise_knn" -> 2) ++
       fam("ivf-assigned-i2",
         "query-cell slice + corpus-cell slice of the at-rest assignment")(
-        "q69_knn_ivf" -> 2, "q116_cluster_profile" -> 2) ++
+        "q69_knn_ivf" -> 2) ++
       fam("ivf-half-centroids",
         "frozen-quantizer assignment of existing + arriving halves")(
         "q112_incremental_ann_ingest" -> 2) ++

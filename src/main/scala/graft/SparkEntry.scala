@@ -50,13 +50,20 @@ object SparkEntry {
     * and a degraded build then masquerades as a fast one (the r8
     * signature).
     */
-  def prepareIndexes(spark: SparkSession, sfDir: String): Seq[String] =
+  /** `only` non-empty restricts the build to those module names — the
+    * x10 heavy-slice bench prepares just the modules its roster reads
+    * (a derived scale corpus has no embeddings table, and building the
+    * similarity family there would be wasted ingest anyway).
+    */
+  def prepareIndexes(spark: SparkSession, sfDir: String,
+      only: Set[String] = Set.empty): Seq[String] =
     prepareIndexModules(spark, sfDir, Seq(
       "textops" -> (() => _root_.graft.queries.TextOps.prebuildIndexes(spark, sfDir)),
       "similarity" -> (() => _root_.graft.queries.Similarity.prebuildIndexes(spark, sfDir)),
       "relational" -> (() => _root_.graft.queries.Relational.prebuildIndexes(spark, sfDir)),
       "events" -> (() => _root_.graft.queries.Events.prebuildIndexes(spark, sfDir)),
-    ).map { case (name, build) =>
+    ).filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, build) =>
       // Chaos hook: -Dgraft.test.poison-module=<name> makes exactly
       // that module's prebuild throw, so the end-to-end degradation
       // path (fault isolation → index_build_failed in the bench JSON →

@@ -568,17 +568,30 @@ object Relational {
     * the artifact. */
   private[graft] def prebuildIndexes(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    ordersByYear(s, dir)
-    lineitemBucketed(s, dir)
-    ordersBucketed(s, dir)
-    ordersByCustkey(s, dir)
-    customerByCustkey(s, dir)
-    lineitemSdLog(s, dir)
-    lineitemOkLog(s, dir)
-    lineitemPairManifested(s, dir)
-    partsupp(s, dir)
-    psHwm(s, dir)
-    psBase(s, dir)
+    // Independent artifact chains build CONCURRENTLY (the TextOps
+    // pattern): this module was the bench's prepare CRITICAL PATH —
+    // r17 measured index_build_modules.relational ≈ the whole
+    // index_build_sec, because eleven builds (several of them repeated
+    // scans of the same lineitem source) ran back to back while the
+    // other three modules overlapped inside them. Each chain's
+    // snapshots are distinct memo keys (same-key races serialize
+    // inside Snapshots' computeIfAbsent), and dependent artifacts stay
+    // ordered WITHIN their chain (sd-log → hwm → base is the ingest
+    // lineage; the two catalog-table twins of the orderkey pair).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chains: Seq[() => Any] = Seq(
+      () => ordersByYear(s, dir),
+      () => { lineitemBucketed(s, dir); ordersBucketed(s, dir) },
+      () => ordersByCustkey(s, dir),
+      () => customerByCustkey(s, dir),
+      () => { lineitemSdLog(s, dir); psHwm(s, dir); psBase(s, dir) },
+      () => lineitemOkLog(s, dir),
+      () => lineitemPairManifested(s, dir),
+      () => partsupp(s, dir),
+    )
+    Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
     ()
   }
 

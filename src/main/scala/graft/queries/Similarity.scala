@@ -416,7 +416,7 @@ object Similarity {
     graft.util.Snapshots.rebuild(s, dir, "ivf-cell-means")(cellMeans(assigned))
     graft.util.Snapshots.rebuild(s, dir, "ivf-cell-sizes")(cellSizesOf(assigned))
     val cb = graft.util.Snapshots.rebuild(s, dir, "pq-codebooks")(buildPqCodebooks(s, dir))
-    graft.util.Snapshots.rebuild(s, dir, "pq-codes")(buildPqCodes(s, dir, cb))
+    graft.util.Snapshots.rebuild(s, dir, "pq-codes")(buildPqCodes(s, dir, cb, assigned))
     ()
   }
 
@@ -1462,27 +1462,39 @@ object Similarity {
     cb
   }
 
-  /** The at-rest PQ code table (vec_id, codes[PqSubs]) — the artifact
-    * a PQ deployment persists instead of raw vectors (4 small ints vs
-    * 64 floats/row here; bit-packed in production). Search never
-    * touches `embedding` again: ADC reads THIS table plus a per-query
-    * distance table.
+  /** The at-rest PQ code table (vec_id, codes[PqSubs], cluster) — the
+    * artifact a PQ deployment persists instead of raw vectors (4 small
+    * ints vs 64 floats/row here; bit-packed in production). Search
+    * never touches `embedding` again: ADC reads THIS table plus a
+    * per-query distance table. The IVF cell id is stored WITH the
+    * codes (r18): this is FAISS's inverted-list layout — IndexIVFPQ
+    * persists each vector's code inside its cell's posting list — and
+    * it removes q111's query-time codes⋈assignment join entirely: the
+    * corpus side becomes ONE scan of this table with the probe list
+    * and distance tables broadcast onto it, zero shuffles before the
+    * per-query top-k. The join is paid once at ingest instead of per
+    * query — at 100 TB that is the difference between a fact-scale
+    * wire crossing on every search and none.
     */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     graft.util.Snapshots(s, dir, "pq-codes") {
-      buildPqCodes(s, dir, pqCodebooks(s, dir))
+      buildPqCodes(s, dir, pqCodebooks(s, dir), assignedVectors(s, dir))
     }
 
   /** Full-corpus PQ encoding against a given codebook table — factored
-    * so the refresh path encodes against the RE-TRAINED codebooks, not
-    * whatever the memo holds. */
-  private def buildPqCodes(s: SparkSession, dir: String, cb: DataFrame): DataFrame = {
+    * so the refresh path encodes against the RE-TRAINED codebooks and
+    * the RE-TRAINED assignment (the stored cell id must come from the
+    * same quantizer generation as the means the probes rank against),
+    * not from whatever the memo holds. */
+  private def buildPqCodes(s: SparkSession, dir: String, cb: DataFrame,
+      assigned: DataFrame): DataFrame = {
     val v = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     pqAssign(pqSubVectors(v), cb)
       .groupBy("vec_id")
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
   }
 
   /** DuckDB twin of the PQ construction: subvector CTE, L2 Lloyd
@@ -1629,10 +1641,10 @@ object Similarity {
     * (nprobe=2 nearest cells, q88's probe selection) and PQ/ADC decides
     * HOW each candidate is scored (4 array lookups against the query's
     * distance table, q110's scorer). This is THE standard 100 TB
-    * vector-search layout: the corpus-side inputs are two at-rest
-    * artifacts — the (vec_id, cluster) assignment and the (vec_id,
-    * codes) table, both a few bytes per row, joined on vec_id (a
-    * co-bucketed layout elides that exchange at rest) — and the raw
+    * vector-search layout: the corpus-side input is ONE at-rest
+    * artifact — the inverted-list (vec_id, codes, cluster) table, a
+    * few bytes per row with the cell id stored alongside the codes at
+    * ingest ([[pqCodes]], FAISS's posting-list layout) — and the raw
     * float vectors are read ONLY for the 10-row query set. Per query
     * the scored row count is ~2N/nlist ≈ 2√N, each at O(PqSubs) cost,
     * vs q110's full-corpus ADC scan and q68's full-corpus float scan.
@@ -1696,12 +1708,15 @@ object Similarity {
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= 2)
       .select("query_id", "cid")
-    // Corpus side reads the two at-rest artifacts only: code table ⋈
-    // cluster map on vec_id (co-keyed — bucketed at rest this is
-    // exchange-free), then the tiny probe list and distance tables
-    // broadcast onto it; raw embeddings never appear on this side.
+    // Corpus side reads ONE at-rest artifact: the inverted-list code
+    // table already carries each vector's cell id (see [[pqCodes]] —
+    // the codes⋈assignment join is paid once at ingest, FAISS's
+    // IndexIVFPQ layout), so the only work here is the tiny broadcast
+    // probe list and distance tables mapped onto that single scan;
+    // raw embeddings never appear on this side, and no exchange runs
+    // before the per-query top-k window.
     val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
-    codes.join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    codes
       .join(broadcast(probes),
         col("cluster") === col("cid") && col("query_id") =!= col("vec_id"))
       .join(broadcast(dtab), "query_id")
@@ -1817,22 +1832,27 @@ object Similarity {
     val cl = a.join(d, col("doc_id") === col("vec_id"))
       .groupBy("cluster", "lang")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    // ONE frame, two windows (the q73 r17 treatment): the dominant-
+    // language rank and the per-cluster totals are both windows over
+    // the same (cluster, lang) aggregate — one row per language per
+    // cluster, bounded by the lang domain — so the plan holds a single
+    // scan of each source and a single shuffle to cluster, instead of
+    // duplicating the join+aggregate subtree into a self-join of
+    // derived frames (pre-r18: documents×2 + ivf-assigned×2, because
+    // the two consumers' exchanges never canonicalize equal).
     val byCluster = Window.partitionBy("cluster").orderBy(desc("n"), asc("lang"))
-    val top = cl
+    val perCluster = Window.partitionBy("cluster")
+    cl
       .withColumn("rk", row_number().over(byCluster))
+      .withColumn("n_docs", sum("n").over(perCluster))
+      .withColumn("n_langs", count(lit(1)).over(perCluster))
+      .withColumn("chars_t", sum("chars").over(perCluster))
       .filter(col("rk") === 1)
-      .select(col("cluster"), col("lang").as("top_lang"), col("n").as("top_n"))
-    val tot = cl.groupBy("cluster")
-      .agg(
-        sum("n").as("n_docs"),
-        count(lit(1)).as("n_langs"),
-        sum("chars").as("chars"),
-      )
-    tot.join(top, "cluster")
       .select(
-        col("cluster"), col("n_docs"), col("n_langs"), col("top_lang"),
-        round(col("top_n") * 1.0 / col("n_docs"), 4).as("top_lang_frac"),
-        round(col("chars").cast("double") / col("n_docs"), 2).as("avg_chars"),
+        col("cluster"), col("n_docs"), col("n_langs"),
+        col("lang").as("top_lang"),
+        round(col("n") * 1.0 / col("n_docs"), 4).as("top_lang_frac"),
+        round(col("chars_t").cast("double") / col("n_docs"), 2).as("avg_chars"),
       )
       .orderBy("cluster")
   }

@@ -31,6 +31,21 @@ object Tables {
     // Engine extensions: registers native expressions (graft_dot_f)
     // with the SQL function registry via SparkSessionExtensions.
     "spark.sql.extensions" -> "graft.plans.GraftSparkExtensions",
+    // Whole-stage-codegen class cache (STATIC conf — must be set at
+    // session build). The default is 100 entries, sized for a handful
+    // of hot queries; a session running this library's 144-query
+    // surface holds far more distinct codegen stages, so at 100 the
+    // cache THRASHES and every query re-compiles (Janino) every stage
+    // on every execution. Measured r18 on the full roster at sf0.1:
+    // per-query min-of-3 sum 97.8 s → 58.1 s with the cache at 10k;
+    // q49_bucketed_agg alone 0.94 s → 0.45 s — the "persistent
+    // elevation" two rounds of quiet-box bisection chased was exactly
+    // this recompilation, which is why it showed on every box and grew
+    // with the roster. A long-lived analytics session (the 100 TB
+    // deployment shape: one driver serving many repeated query shapes)
+    // wants the same headroom; ~10k compiled stages is tens of MB of
+    // class metadata — negligible against an 8 GiB driver.
+    "spark.sql.codegen.cache.maxEntries" -> "10000",
   )
 
   /** Fold [[sessionConf]] into a session builder. */

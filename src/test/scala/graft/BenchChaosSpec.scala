@@ -121,4 +121,49 @@ class BenchChaosSpec extends SparkTestBase
     assert(r.json.contains("\"regressions\":"), r.json.take(300))
     assert(r.tail.contains("\"regressions_worst\":"), r.tail.take(300))
   }
+
+  test("the x10 heavy-slice section rides both lines when a scale dir is set") {
+    // The corpus doubles as its own "x10" dir here: the section's
+    // contract is structural (prepare the roster's modules there, time
+    // the roster's intersection with the query map min-of-2, compare
+    // against BENCH_REF's x10_ref object), not about actual scale.
+    val sample = Set("q154_dfp_join", "q20_join_broadcast")
+    val r = Bench.run(spark, sf,
+      SparkEntry.queries.view.filterKeys(sample.contains).toMap,
+      x10Dir = Some(sf))
+    val xIdx = r.json.indexOf("\"x10\":{")
+    assert(xIdx >= 0, s"long line must carry the x10 object: ${r.json.take(300)}")
+    val xObj = r.json.substring(xIdx, r.json.indexOf("}}", xIdx) + 2)
+    // Only the roster ∩ query-map runs at x10: q154 yes, q20 no.
+    assert(xObj.contains("\"n_queries\":1"), xObj)
+    assert(xObj.contains("\"q154_dfp_join\":"), xObj)
+    assert(!xObj.contains("\"q20_join_broadcast\""), xObj)
+    assert(xObj.contains("\"measure\":\"min_of_2\""), xObj)
+    assert(xObj.contains("\"n_regressions\":"), xObj)
+    assert(r.tail.contains("\"x10\":{"), r.tail.take(400))
+    // Unset env/param → no section at all (the driver's lean bench).
+    val r2 = Bench.run(spark, sf,
+      SparkEntry.queries.view.filterKeys(Set("q20_join_broadcast")).toMap,
+      x10Dir = None)
+    assert(!r2.json.contains("\"x10\""), r2.json.take(300))
+    assert(!r2.tail.contains("\"x10\""), r2.tail.take(300))
+  }
+
+  test("loadRef scopes to the named object and rejects non-query keys") {
+    // r17 advice: a top-level numeric field or a "name":number pair in
+    // the _comment prose must not become a reference time; the x10_ref
+    // object must load independently of ref.
+    val f = java.nio.file.Files.createTempFile("benchref", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"_comment":"q99_fake:1.5 and \"q98_fake\":2.5 in prose",
+        |"total_sec":12.5,
+        |"ref":{"q01_a":0.5,"q02_b":1.25,"not_a_query":3.0},
+        |"x10_ref":{"q67_ngram_jaccard":4.5}}""".stripMargin)
+    val ref = Bench.loadRef(f.toString)
+    assert(ref == Map("q01_a" -> 0.5, "q02_b" -> 1.25), ref)
+    val x = Bench.loadRef(f.toString, "x10_ref")
+    assert(x == Map("q67_ngram_jaccard" -> 4.5), x)
+    assert(Bench.loadRef(f.toString, "absent_key").isEmpty)
+    java.nio.file.Files.delete(f)
+  }
 }

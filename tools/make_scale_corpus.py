@@ -22,8 +22,21 @@ import duckdb
 SF = "/root/testdata/sf0.1"
 
 
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
 def main(out, k, tables):
     con = duckdb.connect()
+    # Dims are never replicated (FK values stay valid against sf0.1),
+    # but queries resolve them from the SAME corpus dir — copy them
+    # through so a derived corpus is self-contained (r18: the x10
+    # heavy-slice bench runs dim-joining queries like q139/q140).
+    import shutil
+    for d in DIMS:
+        src = f"{SF}/{d}.parquet"
+        dst = f"{out}/{d}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copyfile(src, dst)
     for t in tables:
         os.makedirs(f"{out}/{t}.parquet", exist_ok=True)
         for i in range(k):
