@@ -32,6 +32,7 @@ def main(out, k, tables):
     # through so a derived corpus is self-contained (r18: the x10
     # heavy-slice bench runs dim-joining queries like q139/q140).
     import shutil
+    os.makedirs(out, exist_ok=True)
     for d in DIMS:
         src = f"{SF}/{d}.parquet"
         dst = f"{out}/{d}.parquet"
