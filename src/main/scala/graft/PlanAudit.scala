@@ -160,6 +160,9 @@ object PlanAudit {
         "batch/index, train/bench or score/profile split roles of one corpus")(
         "q94_ngram_decontam" -> 2, "q98_sequence_packing" -> 2,
         "q113_model_quality_filter" -> 2) ++
+      fam("documents",
+        "q158: split-accounting + leakage-proof branches of one digest frame")(
+        "q158_digest_split" -> 2) ++
       fam("embeddings",
         "query/corpus (or batch/index) split roles of one vector table")(
         "q68_knn_bruteforce" -> 2, "q84_ann_lsh_buckets" -> 2,

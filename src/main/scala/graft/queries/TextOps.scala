@@ -875,7 +875,7 @@ object TextOps {
     contextChunksDef :+ chunkDedupDef :+ curationFunnelDef :+
     duplicateSpansDef :+ unigramRarityDef :+ modelQualityDef :+
     collocationsDef :+ vocabGrowthDef :+ thresholdSweepDef :+ editLinkageDef :+
-    digestLookupDef
+    digestLookupDef :+ digestSplitDef
 
   /** q135 — collocation extraction (phrase mining): top bigrams by
     * PMI-style lift, the standard first step of building a phrase
@@ -3387,5 +3387,80 @@ object TextOps {
     ManifestLog.readKeyed(s, root, "digest", digests)
       .select(col("doc_id"), col("digest"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** q158 — digest-keyed train/val/test split: the leakage-safe
+    * version of q86. q86 buckets by doc_id, so two EXACT-DUPLICATE
+    * documents (different ids, same text) can land on opposite sides
+    * of the split — the classic train/test contamination bug a dedup
+    * pass upstream doesn't fully prevent (dedup thresholds drift;
+    * re-crawls reintroduce copies). Hashing the content digest instead
+    * makes every copy of a text land in the SAME split by
+    * construction: split = f(md5(text)), salted so the assignment is
+    * independent of every other hash use in the repo. The output
+    * carries the proof, not just the claim: `leaked_digests` counts
+    * this split's digests that also appear in another split — an
+    * aggregate over the 16-byte (digest, split) pairs — and must be 0.
+    * Scale shape: the split label is map-side per row; the accounting
+    * aggregate shuffles 3 groups; the leakage proof shuffles distinct
+    * digests (16 bytes/row). Two documents scans by design (accounting
+    * branch + leakage branch of one digest frame — pinned in
+    * PlanAudit.DocumentedReuse like q94/q98's split roles).
+    */
+  private lazy val digestSplitDef: QueryDef = QueryDef(
+    "q158_digest_split",
+    Some(s"""
+      WITH d AS (
+        SELECT n_chars, md5(text) AS h,
+               CASE WHEN ${duckHash("concat('split-v1:', md5(text))")} % 100 < 80
+                    THEN 'train'
+                    WHEN ${duckHash("concat('split-v1:', md5(text))")} % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents),
+      agg AS (
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT h) AS n_digests,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM d GROUP BY split),
+      leak AS (
+        SELECT count(*) AS leaked_digests FROM (
+          SELECT h FROM d GROUP BY h HAVING count(DISTINCT split) > 1))
+      SELECT split, n_docs, n_digests, total_chars,
+             round(n_docs * 1.0 / sum(n_docs) OVER (), 4) AS frac,
+             leaked_digests
+      FROM agg, leak
+      ORDER BY split
+    """),
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    def withSplit(df: DataFrame): DataFrame = {
+      val bucket =
+        stringHash60(concat(lit("split-v1:"), md5(col("text")))) % 100
+      df.select(
+        col("n_chars"), md5(col("text")).as("h"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    }
+    val d = withSplit(tbl(s, dir, "documents"))
+    val agg = d.groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_digests"),
+        sum("n_chars").as("total_chars"),
+      )
+    // The leakage proof: a digest assigned to >1 split would be a bug
+    // in the very property this query exists for — count them (0 by
+    // construction) and ride the scalar onto every row as a broadcast
+    // 1-row frame (the q139 threshold pattern).
+    val leaked = d.groupBy("h")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("leaked_digests"))
+    agg.crossJoin(broadcast(leaked))
+      .withColumn("frac",
+        round(col("n_docs") * 1.0 / sum("n_docs").over(Window.partitionBy()), 4))
+      .select(col("split"), col("n_docs"), col("n_digests"),
+        col("total_chars"), col("frac"), col("leaked_digests"))
+      .orderBy("split")
   }
 }

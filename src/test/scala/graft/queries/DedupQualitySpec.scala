@@ -266,4 +266,23 @@ class DedupQualitySpec extends SparkTestBase {
     assert(rows(0L) == ((3L, 14L, math.rint(14.0 / 54 * 10000) / 10000)), s"doc 0: ${rows(0L)}")
     assert(rows(1L) == ((3L, 14L, math.rint(14.0 / 49 * 10000) / 10000)), s"doc 1: ${rows(1L)}")
   }
+
+  test("q158: every exact copy lands in ONE split; the leakage column proves it") {
+    // Cluster A is 25 byte-identical docs under 25 DIFFERENT doc_ids —
+    // exactly the corpus where q86's doc_id-keyed split leaks
+    // (25 independent 90/10 draws straddle train/val with
+    // probability 1 - 0.9^25 - 0.1^25 ≈ 93 %). The digest-keyed split
+    // must put all 25 in one split, and its leaked_digests column —
+    // digests assigned to more than one split — must be zero.
+    val rows = SparkEntry.queries("q158_digest_split")(spark, corpusDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("leaked_digests") == 0L,
+      s"digest-keyed split leaked a digest across splits: ${r.mkString(",")}"))
+    // Accounting coherence: docs sum to the corpus, digests to the
+    // distinct-text count, and cluster A's 25 copies inflate exactly
+    // one split's n_docs - n_digests gap by 24.
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 69L)
+    assert(rows.map(_.getAs[Long]("n_digests")).sum == 45L)
+    assert(rows.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_digests")).max == 24L)
+  }
 }
