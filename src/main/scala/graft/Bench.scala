@@ -99,10 +99,18 @@ object Bench {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      // Slice from the key's opening brace to its matching close:
-      // the object is flat (no nested braces), so the first '}' after
-      // the key bounds it.
-      val refIdx = txt.indexOf("\"" + key + "\"")
+      // Anchor at a TOP-LEVEL key: the committed formatting puts every
+      // top-level key at the start of its own line, and a JSON string
+      // cannot contain a raw newline — so a quoted key (or stray '{')
+      // inside the _comment prose can never match this anchor and
+      // silently shift the slice (r18 advice). Then slice from the
+      // key's opening brace to its matching close: the object is flat
+      // (no nested braces), so the first '}' after the key bounds it.
+      val anchored = txt.indexOf("\n\"" + key + "\":")
+      val refIdx =
+        if (anchored >= 0) anchored + 1
+        else if (txt.startsWith("\"" + key + "\":")) 0
+        else -1
       val slice =
         if (refIdx < 0) ""
         else {
@@ -296,7 +304,7 @@ object Bench {
           val xTotal = xRes.map(_._2).sum
           val xErrJson = xErr.map("\"" + _ + "\"").mkString("[", ",", "]")
           val long =
-            s""""x10":{"dir":"$xdir","index_build_sec":$xPrepSec,""" +
+            s""""x10":{"dir":${graft.util.Json.str(xdir)},"index_build_sec":$xPrepSec,""" +
               s""""index_build_failed":${xFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
               s""""measure":"min_of_2","n_queries":${xRes.size},"total_sec":$xTotal,""" +
               s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},""" +

@@ -346,6 +346,19 @@ object Relational {
   private def dateUs(d: String): Long =
     java.time.LocalDate.parse(d).toEpochDay * 86400000000L
 
+  /** Exact micros of Jan 1 of `year`, computed NUMERICALLY — the pair
+    * layout's per-year segment boundaries. Not via [[dateUs]]'s string
+    * parse: `LocalDate.parse("10000-01-01")` throws (ISO-8601 demands
+    * a leading '+' on 5-digit years), so the y+1 boundary of a
+    * 9999-12-31 SCD-style sentinel ship date — exactly the outlier the
+    * distinct-year iteration exists to absorb cheaply — would crash
+    * the build instead of costing one extra batch (r18 advice).
+    * `LocalDate.of` is valid to year 999999999; the micros stay far
+    * inside Long. Sentinel-year drill: RelationalLayoutSpec.
+    */
+  private[queries] def yearStartUs(year: Int): Long =
+    java.time.LocalDate.of(year, 1, 1).toEpochDay * 86400000000L
+
   /** At-rest ship-date-clustered lineitem: the full fact table
     * materialized once per corpus snapshot, globally SORTED by
     * `l_shipdate_us` (BIGINT micros replacing the NTZ `l_shipdate`;
@@ -518,8 +531,8 @@ object Relational {
         ()
       } else {
         years.foreach { y =>
-          val lo = graft.util.Tables.ntzUs(dateUs(s"$y-01-01"))
-          val hi = graft.util.Tables.ntzUs(dateUs(s"${y + 1}-01-01"))
+          val lo = graft.util.Tables.ntzUs(yearStartUs(y))
+          val hi = graft.util.Tables.ntzUs(yearStartUs(y + 1))
           val inYear = col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi)
           val seg = li.where(
             if (y == years.head) inYear || col("l_shipdate").isNull else inYear)
@@ -578,9 +591,9 @@ object Relational {
     // inside Snapshots' computeIfAbsent), and dependent artifacts stay
     // ordered WITHIN their chain (sd-log → hwm → base is the ingest
     // lineage; the two catalog-table twins of the orderkey pair).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // The barrier is [[graft.util.Chains.runAll]]: it waits for EVERY
+    // chain (no detached orphan builds on a failure) and rethrows
+    // fatals instead of hanging (r18 advice).
     val chains: Seq[() => Any] = Seq(
       () => ordersByYear(s, dir),
       () => { lineitemBucketed(s, dir); ordersBucketed(s, dir) },
@@ -591,8 +604,7 @@ object Relational {
       () => lineitemPairManifested(s, dir),
       () => partsupp(s, dir),
     )
-    Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
-    ()
+    graft.util.Chains.runAll(chains)
   }
 
   val defs: Seq[QueryDef] = Seq(

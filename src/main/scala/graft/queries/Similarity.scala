@@ -448,20 +448,26 @@ object Similarity {
     * reported, so q69 doesn't absorb the build it shares with
     * q71/q73/q88/q89. */
   private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
-    // Three independent training chains, built concurrently (same
-    // rationale as TextOps.prebuildIndexes — the Lloyd jobs are small
-    // and underfill the scheduler).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // Independent training chains, built concurrently (same rationale
+    // as TextOps.prebuildIndexes — the Lloyd jobs are small serial
+    // iterations that underfill the scheduler). r19 splits the fan-out
+    // finer: this module became the prepare CRITICAL PATH after r18
+    // parallelized relational (9.7 s, ≈ the whole index_build_sec),
+    // because means → sizes → pq-encode all queued behind one chain.
+    // Cross-chain dependencies synchronize through the Snapshots memo:
+    // pqCodes' build forces pq-codebooks (its own chain work) and then
+    // BLOCKS on the ivf-assignment cell until the first two chains'
+    // shared head finishes — dependent work still runs exactly once,
+    // but the three Lloyd trainings (IVF, PQ, frozen-half) now overlap
+    // instead of serializing. Barrier: [[graft.util.Chains.runAll]]
+    // (fatal-safe, no detached orphans — r18 advice).
     val chains: Seq[() => Any] = Seq(
-      // means + occupancy depend on the assignment, so they chain.
-      () => { assignedVectors(s, dir); cellMeansAtRest(s, dir); cellSizesAtRest(s, dir) },
-      () => pqCodes(s, dir), // forces the pq-codebooks snapshot too
+      () => { assignedVectors(s, dir); cellMeansAtRest(s, dir) },
+      () => { assignedVectors(s, dir); cellSizesAtRest(s, dir) },
+      () => pqCodes(s, dir), // forces pq-codebooks, then joins assigned
       () => halfIndexAssigned(s, dir), // q112's frozen index (forces centroids too)
     )
-    Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
-    ()
+    graft.util.Chains.runAll(chains)
   }
 
   /** Frozen IVF quantizer for q112's incremental-ingest scenario:

@@ -392,10 +392,8 @@ object TextOps {
     // jobs that underfill local[32] — overlapping them cuts the
     // ingest-phase wall clock roughly in half. Dependent artifacts
     // stay ordered WITHIN a chain (shingles k3 → minhash sigs → label
-    // fixpoint; shingles k4 → shingle df).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // fixpoint; shingles k4 → shingle df). The barrier is
+    // [[graft.util.Chains.runAll]] — fatal-safe, no detached orphans.
     val chains: Seq[() => Any] = Seq(
       () => { shingleHashes(s, dir, 3); minhashBands(s, dir); lshClusterLabels(s, dir) },
       () => { shingleHashes(s, dir, 4); shingleDf(s, dir, 4) },
@@ -410,8 +408,7 @@ object TextOps {
       () => linkageBlocks(s, dir),
       () => docsDigestLog(s, dir),
     )
-    Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
-    ()
+    graft.util.Chains.runAll(chains)
   }
 
   /** Positioned span-window table (doc_id, n_tokens, p, h): the 60-bit

@@ -1,0 +1,52 @@
+package graft.util
+
+/** Concurrent-build barrier for a module's independent artifact
+  * chains — the one place the prepare fan-outs ([[graft.queries]]'
+  * `prebuildIndexes`) wait on their futures.
+  *
+  * A bare `Await.result(Future.sequence(...))` has two failure modes
+  * this helper exists to close (r18 advice):
+  *
+  *  - A FATAL throwable (OOM-class) escaping a `Future` body never
+  *    completes its promise in Scala 2.13 — the executor thread dies
+  *    and the barrier parks forever. [[SparkEntry.prepareIndexModules]]
+  *    guards exactly this at the module level; the per-module chain
+  *    barriers must too, or a fatal inside one chain hangs the bench
+  *    instead of aborting it.
+  *  - On a NonFatal chain failure `Future.sequence` fails FAST while
+  *    the remaining chains keep running detached — the caller starts
+  *    timing run-1 queries with orphan index builds still consuming
+  *    the box.
+  *
+  * So every chain body catches `Throwable` (the barrier always
+  * completes, and completes only after EVERY chain has finished —
+  * success or failure, no detached work), and the recorded errors are
+  * rethrown after it: a fatal error takes precedence as the primary
+  * (the process must abort, exactly as prepareIndexModules documents),
+  * with every other failure attached as suppressed so none vanishes.
+  */
+object Chains {
+
+  /** Run the chains concurrently; return only when ALL have finished.
+    * Throws the first fatal error if any chain died fatally, else the
+    * first NonFatal failure; other failures ride along as suppressed.
+    */
+  def runAll(chains: Seq[() => Any]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    Await.result(
+      Future.sequence(chains.map(c => Future {
+        try { c(); () } catch { case t: Throwable => errs.add(t); () }
+      })),
+      Duration.Inf)
+    import scala.jdk.CollectionConverters._
+    val all = errs.asScala.toSeq
+    if (all.nonEmpty) {
+      val primary = all.find(t => !scala.util.control.NonFatal(t)).getOrElse(all.head)
+      all.foreach(t => if (t ne primary) primary.addSuppressed(t))
+      throw primary
+    }
+  }
+}

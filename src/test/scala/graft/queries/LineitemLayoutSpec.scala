@@ -194,4 +194,31 @@ class LineitemLayoutSpec extends SparkTestBase with graft.TempCorpusDirs {
         == Relational.PairLayoutComplete,
       "completion sentinel missing — a torn build would be reused as complete")
   }
+
+  test("a 9999-12-31 sentinel ship date costs one extra batch, not a crash") {
+    // r18 advice: the distinct-year iteration exists precisely to make
+    // an SCD-style open-ended sentinel date cheap (one extra batch
+    // instead of thousands of empty year segments) — but its y+1
+    // boundary went through a string parse, and ISO-8601 rejects
+    // "10000-01-01" without a leading '+', so the very sentinel the
+    // design advertises crashed the build. Boundaries are numeric now
+    // ([[Relational.yearStartUs]]); this drill plants the sentinel.
+    assert(Relational.yearStartUs(10000) > Relational.yearStartUs(9999),
+      "year-10000 boundary must compute numerically, not parse")
+    val dir = tempCorpusDir("graft_li_pair_sentinel")
+    import sqlImplicits._
+    Seq(
+      (1L, 101.01, 0.05, "N", "1997-06-01"),
+      (2L, 202.02, 0.00, "R", "9999-12-31"), // SCD open-ended sentinel
+      (3L, 303.03, 0.10, "A", "1997-07-04"),
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag", "d")
+      .withColumn("l_shipdate", to_timestamp(col("d")).cast("timestamp_ntz"))
+      .drop("d").coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val root = Relational.lineitemPairManifested(spark, dir)
+    val got = graft.util.BucketedManifest.read(spark, root)
+    assert(got.count() == 3, "sentinel-dated row lost from the pair layout")
+    assert(got.filter(year(col("l_shipdate")) === 9999).count() == 1)
+    assert(graft.util.ManifestLog.batchHwm(spark, root)
+      == Relational.PairLayoutComplete)
+  }
 }
