@@ -160,9 +160,9 @@ object PlanAudit {
         "batch/index, train/bench or score/profile split roles of one corpus")(
         "q94_ngram_decontam" -> 2, "q98_sequence_packing" -> 2,
         "q113_model_quality_filter" -> 2) ++
-      fam("documents",
-        "q158: split-accounting + leakage-proof branches of one digest frame")(
-        "q158_digest_split" -> 2) ++
+      // (q158's documents×2 retired in r19: both the accounting and
+      // leakage branches now derive from ONE (digest, split)-grain
+      // aggregate whose exchange AQE reuses — the q116 treatment.)
       fam("embeddings",
         "query/corpus (or batch/index) split roles of one vector table")(
         "q68_knn_bruteforce" -> 2, "q84_ann_lsh_buckets" -> 2,
@@ -200,6 +200,28 @@ object PlanAudit {
         "candidate sides of the blocked linkage join")(
         "q146_edit_distance_linkage" -> 2)).toMap
   }
+
+  /** Scan-anatomy notes for the widest plans whose scans are all
+    * DISTINCT sources — [[DocumentedReuse]] documents same-source
+    * dups, this documents what each single scan IS, so the artifact
+    * answers "why is this plan 5 scans wide" without a source dive
+    * (the q101 precedent: pin WITH mechanism). Emitted verbatim as
+    * `anatomy` in the per-query JSON.
+    */
+  val ScanAnatomy: Map[String, String] = Map(
+    "q111_ivfpq_ann" -> ("5 scans = 1 corpus-scale + 4 tiny, all distinct sources: " +
+      "pq-codes is the ONLY corpus-scale side (the inverted-list code table, " +
+      "a few bytes/row, with probe lists and ADC distance tables broadcast " +
+      "onto its single scan); ivf-assigned is the 10-row query fetch " +
+      "(embedding+norm) ranking IVF cells; ivf-cell-means is the nlist-row " +
+      "centroid table (broadcast); pq-codebooks is the 64-row codebook " +
+      "(broadcast) and embeddings the 10-row query fetch, both feeding the " +
+      "per-query ADC distance tables. The four query-side scans are " +
+      "per-request work by design — folding any of them into ingest would " +
+      "bake the query set into the at-rest artifacts; swapping the raw " +
+      "embeddings fetch to a second ivf-assigned read trades a distinct " +
+      "tiny scan for a same-source dup, not a narrower plan."),
+  )
 
   private final case class Audit(
       scans: Int, exchanges: Int, reused: Int,
@@ -305,6 +327,7 @@ object PlanAudit {
       s"${jstr(name)}:{" +
         s"\"scans\":${a.scans},\"exchanges\":${a.exchanges}," +
         s"\"reused\":${a.reused},\"dup\":$dup" +
+        ScanAnatomy.get(name).map(s => s",\"anatomy\":${jstr(s)}").getOrElse("") +
         a.err.map(e => s",\"err\":${jstr(e)}").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val json =

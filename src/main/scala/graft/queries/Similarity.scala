@@ -1657,6 +1657,12 @@ object Similarity {
     * Both engines run the identical derived-nlist IVF training, PQ
     * training/encoding, probe selection, and ADC summation tree, so
     * ranks and rounded distances hash-match.
+    *
+    * Plan width: 5 scans, all distinct sources — one corpus-scale
+    * (pq-codes) plus four query-side fetches that are per-request work
+    * by design; the full anatomy is recorded in
+    * [[graft.PlanAudit.ScanAnatomy]] and emitted into the per-round
+    * audit artifact.
     */
   private lazy val ivfPqDef: QueryDef = QueryDef(
     "q111_ivfpq_ann",

@@ -3398,11 +3398,20 @@ object TextOps {
     * carries the proof, not just the claim: `leaked_digests` counts
     * this split's digests that also appear in another split — an
     * aggregate over the 16-byte (digest, split) pairs — and must be 0.
-    * Scale shape: the split label is map-side per row; the accounting
-    * aggregate shuffles 3 groups; the leakage proof shuffles distinct
-    * digests (16 bytes/row). Two documents scans by design (accounting
-    * branch + leakage branch of one digest frame — pinned in
-    * PlanAudit.DocumentedReuse like q94/q98's split roles).
+    * Scale shape (r19, one corpus scan, LINEAR plan): everything
+    * derives from ONE (digest, split)-grain aggregate in a single
+    * unbranched flow — a digest's pair rows ARE its distinct splits,
+    * so an h-partitioned window counts them (`ns`) and ranks them
+    * (`rn`), the per-split aggregate counts each leaked digest exactly
+    * once (in its first split), and the global proof scalar is a sum
+    * over the 3-row result. The r18 version re-scanned the corpus and
+    * re-shuffled every distinct digest for the proof branch alone
+    * (and a branched one-aggregate rewrite still double-scans:
+    * column pruning gives the two consumers different aggregate
+    * shapes, so the exchange never canonicalizes for reuse). Shuffles
+    * past the corpus scan move digest-grain rows only: the (h, split)
+    * partial-agg exchange, the h-window exchange, the 3-group split
+    * aggregate. No documents branch, no crossJoin.
     */
   private lazy val digestSplitDef: QueryDef = QueryDef(
     "q158_digest_split",
@@ -3438,24 +3447,33 @@ object TextOps {
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))
     }
-    val d = withSplit(tbl(s, dir, "documents"))
-    val agg = d.groupBy("split")
+    // ONE (digest, split)-grain aggregate feeds the whole query — the
+    // only corpus-width exchange is its partial-agg shuffle.
+    val pairs = withSplit(tbl(s, dir, "documents"))
+      .groupBy("h", "split")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    // The leakage proof, linearized: a digest assigned to >1 split
+    // would be a bug in the very property this query exists for. Its
+    // pair rows ARE its distinct splits, so the h-window's row count
+    // is its split count, and first-split ranking makes each leaked
+    // digest count exactly ONCE when the per-split aggregate sums the
+    // flags — the global scalar is then a 3-row window, not a second
+    // corpus branch.
+    val leakFlagged = pairs
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("h").orderBy("split")))
+    val whole = Window.partitionBy()
+    leakFlagged.groupBy("split")
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("h")).as("n_digests"),
-        sum("n_chars").as("total_chars"),
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_digests"), // pair rows per split = distinct h
+        sum("chars").as("total_chars"),
+        sum(when(col("ns") > 1 && col("rn") === 1, 1L).otherwise(0L)).as("lk"),
       )
-    // The leakage proof: a digest assigned to >1 split would be a bug
-    // in the very property this query exists for — count them (0 by
-    // construction) and ride the scalar onto every row as a broadcast
-    // 1-row frame (the q139 threshold pattern).
-    val leaked = d.groupBy("h")
-      .agg(countDistinct(col("split")).as("ns"))
-      .filter(col("ns") > 1)
-      .agg(count(lit(1)).as("leaked_digests"))
-    agg.crossJoin(broadcast(leaked))
       .withColumn("frac",
-        round(col("n_docs") * 1.0 / sum("n_docs").over(Window.partitionBy()), 4))
+        round(col("n_docs") * 1.0 / sum("n_docs").over(whole), 4))
+      .withColumn("leaked_digests", sum("lk").over(whole))
       .select(col("split"), col("n_docs"), col("n_digests"),
         col("total_chars"), col("frac"), col("leaked_digests"))
       .orderBy("split")
