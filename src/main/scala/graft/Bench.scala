@@ -50,6 +50,20 @@ object Bench {
   private[graft] val X10Modules: Set[String] =
     Set("textops", "relational", "events")
 
+  /** The ×100 roster: the manifested/skipping family whose BASELINE.md
+    * files-planned claims (O(1)/ratio-improving admission as the file
+    * population grows two decades) were hand-measured until r18 — the
+    * gated section re-runs them against `SPARK_GRAFT_X100_DIR` with
+    * their own `x100_ref` minima, so a pruning regression at 10³–10⁴
+    * files is machine-caught each round instead of re-measured by
+    * hand. Kept to the 4 skipping queries: the ×100 corpus costs
+    * minutes to prepare, and the non-skipping heavy chains already
+    * gate at ×10.
+    */
+  private[graft] val X100Skipping: Seq[String] = Seq(
+    "q152_point_lookup", "q153_zslice_2d", "q156_digest_lookup",
+    "q157_colocated_dfp")
+
   /** One bench execution's outcome: the prepare-phase report, the
     * per-query min-of-3 timings, and the two JSON lines main prints.
     * Exposed (private[graft]) so the chaos spec can run the REAL bench
@@ -132,6 +146,7 @@ object Bench {
       spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries,
       x10Dir: Option[String] = sys.env.get("SPARK_GRAFT_X10_DIR"),
+      x100Dir: Option[String] = sys.env.get("SPARK_GRAFT_X100_DIR"),
   ): Result = {
     // At-rest index artifacts (shingle/signature/IVF/bucketed layouts)
     // are ingest-time work paid once per corpus — build them before the
@@ -264,64 +279,71 @@ object Bench {
     val worst = regressions.sortBy { case (_, s, r) => -(s / r) }.take(8)
     val regressionTailJson =
       s""""n_regressions":${regressions.size},"regression_ref_n":${ref.size},"regressions_worst":${regJsonOf(worst)}"""
-    // ---- x10 heavy-slice section (see [[X10Heavy]]) ----
-    // Runs AFTER the sf0.1 passes so a slow/failed x10 build can never
-    // perturb the primary timings. min-of-2 (sorted + reversed): the
-    // roster's queries are 1-10 s at x10, where a one-off box stall is
-    // visible against the committed minimum without a third pass.
-    val x10Frags: Option[(String, String)] =
-      x10Dir.map { xdir =>
-        try {
-          val t0 = System.nanoTime()
-          val xFailed =
-            try SparkEntry.prepareIndexes(spark, xdir, X10Modules)
-            catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
-          val xPrepSec = (System.nanoTime() - t0) / 1e9
-          val sel = queries.toSeq.filter(kv => X10Heavy.contains(kv._1)).sortBy(_._1)
-          val xErr = scala.collection.mutable.ArrayBuffer.empty[String]
-          def xPass(ordered: Seq[(String, (SparkSession, String) => DataFrame)]) =
-            ordered.map { case (name, fn) =>
-              val s0 = System.nanoTime()
-              try fn(spark, xdir).write.format("noop").mode("overwrite").save()
-              catch {
-                case e: Throwable =>
-                  if (!xErr.contains(name)) xErr += name
-                  System.err.println(s"[bench] x10 $name FAILED: ${e.getMessage}")
-              }
-              name -> (System.nanoTime() - s0) / 1e9
+    // ---- derived-corpus scale sections (x10 / x100) ----
+    // One parameterized block serves both opt-in corpora. Runs AFTER
+    // the sf0.1 passes so a slow/failed scale build can never perturb
+    // the primary timings. min-of-2 (sorted + reversed): the rosters'
+    // queries are 1-10 s there, where a one-off box stall is visible
+    // against the committed minimum without a third pass.
+    def scaleFrags(tag: String, xdir: String, roster: Seq[String],
+        refKey: String): (String, String) =
+      try {
+        val t0 = System.nanoTime()
+        val xFailed =
+          try SparkEntry.prepareIndexes(spark, xdir, X10Modules)
+          catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
+        val xPrepSec = (System.nanoTime() - t0) / 1e9
+        val sel = queries.toSeq.filter(kv => roster.contains(kv._1)).sortBy(_._1)
+        val xErr = scala.collection.mutable.ArrayBuffer.empty[String]
+        def xPass(ordered: Seq[(String, (SparkSession, String) => DataFrame)]) =
+          ordered.map { case (name, fn) =>
+            val s0 = System.nanoTime()
+            try fn(spark, xdir).write.format("noop").mode("overwrite").save()
+            catch {
+              case e: Throwable =>
+                if (!xErr.contains(name)) xErr += name
+                System.err.println(s"[bench] $tag $name FAILED: ${e.getMessage}")
             }
-          val xp1 = xPass(sel)
-          val xp2 = xPass(sel.reverse).sortBy(_._1)
-          val xRes = xp1.zip(xp2).collect {
-            case ((n, a), (_, b)) if !xErr.contains(n) => n -> (a min b)
+            name -> (System.nanoTime() - s0) / 1e9
           }
-          val xRef = loadRef(refPath, "x10_ref")
-          val xRegs = xRes.collect {
-            case (name, sec) if xRef.get(name).exists(r =>
-                sec > r * RegressionRatio && sec - r > RegressionSlackSec) =>
-              (name, sec, xRef(name))
-          }
-          val xTotal = xRes.map(_._2).sum
-          val xErrJson = xErr.map("\"" + _ + "\"").mkString("[", ",", "]")
-          val long =
-            s""""x10":{"dir":${graft.util.Json.str(xdir)},"index_build_sec":$xPrepSec,""" +
-              s""""index_build_failed":${xFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-              s""""measure":"min_of_2","n_queries":${xRes.size},"total_sec":$xTotal,""" +
-              s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},""" +
-              s""""regressions":${regJsonOf(xRegs)},"errors":$xErrJson,""" +
-              s""""queries_run1":${qjson(xp1)},"queries_run2":${qjson(xp2)},"queries":${qjson(xRes)}}"""
-          val tail =
-            s""""x10":{"n_queries":${xRes.size},"total_sec":${fmt(xTotal, 2)},""" +
-              s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},"errors":$xErrJson}"""
-          (long, tail)
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            val err = s""""x10":{"err":${graft.util.Json.str(e.toString)}}"""
-            (err, err)
+        val xp1 = xPass(sel)
+        val xp2 = xPass(sel.reverse).sortBy(_._1)
+        val xRes = xp1.zip(xp2).collect {
+          case ((n, a), (_, b)) if !xErr.contains(n) => n -> (a min b)
         }
+        val xRef = loadRef(refPath, refKey)
+        val xRegs = xRes.collect {
+          case (name, sec) if xRef.get(name).exists(r =>
+              sec > r * RegressionRatio && sec - r > RegressionSlackSec) =>
+            (name, sec, xRef(name))
+        }
+        val xTotal = xRes.map(_._2).sum
+        val xErrJson = xErr.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val long =
+          s""""$tag":{"dir":${graft.util.Json.str(xdir)},"index_build_sec":$xPrepSec,""" +
+            s""""index_build_failed":${xFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""measure":"min_of_2","n_queries":${xRes.size},"total_sec":$xTotal,""" +
+            s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},""" +
+            s""""regressions":${regJsonOf(xRegs)},"errors":$xErrJson,""" +
+            s""""queries_run1":${qjson(xp1)},"queries_run2":${qjson(xp2)},"queries":${qjson(xRes)}}"""
+        val tail =
+          s""""$tag":{"n_queries":${xRes.size},"total_sec":${fmt(xTotal, 2)},""" +
+            s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},"errors":$xErrJson}"""
+        (long, tail)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val err = s""""$tag":{"err":${graft.util.Json.str(e.toString)}}"""
+          (err, err)
       }
-    val x10LongJson = x10Frags.map("," + _._1).getOrElse("")
-    val x10TailJson = x10Frags.map("," + _._2).getOrElse("")
+    val x10Frags = x10Dir.map(scaleFrags("x10", _, X10Heavy, "x10_ref"))
+    // x100: the files-planned claims of BASELINE.md's hand-run ×100
+    // curve, machine-checked each round (r18 verdict ask) — the
+    // skipping family only, against its own committed x100_ref minima.
+    val x100Frags = x100Dir.map(scaleFrags("x100", _, X100Skipping, "x100_ref"))
+    val x10LongJson = x10Frags.map("," + _._1).getOrElse("") +
+      x100Frags.map("," + _._1).getOrElse("")
+    val x10TailJson = x10Frags.map("," + _._2).getOrElse("") +
+      x100Frags.map("," + _._2).getOrElse("")
     // The driver archives a 2000-char TAIL of stdout, so a capture can
     // start anywhere inside this (long) line. Two consequences: every
     // gc-map entry carries its own ".gc_delta_sec" suffix (a bare

@@ -3,21 +3,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: the maintenance-tick cost of the Z-clustered events log
-  * at a given corpus size — the `maintainClustered` half of the scale
-  * curve (BASELINE.md round-17 section). Appends a ~1 % synthetic
-  * batch (the log's own rows, time-shifted past the high-water mark)
-  * and times the newcomers-only re-cluster tick.
+/** Dev probe: the maintenance-tick cost of the events log's at-rest
+  * layouts at a given corpus size. Two sections:
   *
-  * Runs against a THROWAWAY COPY of the at-rest z-log root: the
-  * memoized artifact is shared by every later session on the same
-  * corpus fingerprint, so mutating it here would poison q153's
-  * correctness gate with synthetic rows. The copy is deleted on exit.
+  *  - Z-clustered log: appends a ~1 % synthetic batch (the log's own
+  *    rows, time-shifted past the high-water mark) and times the
+  *    newcomers-only `maintainClustered` tick (the round-17 curve).
+  *  - By-user replica (r19, q152's layout): appends a ~1 % batch as
+  *    one user-sorted segment and times the depth-triggered
+  *    `maintainEventsByUser` tick — a manifest parse while read
+  *    amplification is bounded — PLUS the forced whole-layout fold
+  *    (`maxDepth=1`), reported separately so the every-16-batches
+  *    amortized rewrite cannot hide behind the cheap steady-state
+  *    tick.
+  *
+  * Runs against THROWAWAY COPIES of the at-rest roots: the memoized
+  * artifacts are shared by every later session on the same corpus
+  * fingerprint, so mutating them here would poison q152/q153's
+  * correctness gates with synthetic rows. Copies are deleted on exit.
   *
   * Usage: runMain graft.TickBench [sfDir]
   * Prints one line:
   *   {"metric":"tick","sf":…,"batch_rows":…,"append_sec":…,
-  *    "tick_sec":…,"files_before":…,"files_after":…}
+  *    "tick_sec":…,"files_before":…,"files_after":…,
+  *    "byuser_batch_rows":…,"byuser_append_sec":…,"byuser_tick_sec":…,
+  *    "byuser_fold_sec":…,"byuser_files_before":…,"byuser_files_after":…}
   */
 object TickBench {
   def main(args: Array[String]): Unit = {
@@ -60,10 +70,48 @@ object TickBench {
       val tickSec = (System.nanoTime() - tT) / 1e9
       require(ticked, "tick found no newcomers — probe batch never landed")
       val after = graft.util.ManifestLog.liveFileCount(spark, root)
+
+      // ---- by-user replica section (same throwaway-copy protocol) ----
+      val uSrc = graft.queries.Events.eventsByUserLog(spark, sfDir)
+      val uRoot = uSrc + "-tickprobe"
+      fs.delete(new org.apache.hadoop.fs.Path(uRoot), true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(uSrc),
+        fs, new org.apache.hadoop.fs.Path(uRoot), false, conf)
+      val uLog = graft.util.ManifestLog.read(spark, uRoot)
+      val uMaxId = uLog.agg(max("event_id")).head().getLong(0)
+      // ~1 % of the corpus arriving for the SAME user domain (the
+      // key-replica's hard case: every batch overlaps all of history).
+      val uBatch = uLog.where(col("event_id") % 97 === 0)
+        .withColumn("event_id", col("event_id") + lit(uMaxId + 1L))
+        .withColumn("ts_us", col("ts_us") + lit(1000000L))
+      val uN = uBatch.count()
+      val uBefore = graft.util.ManifestLog.liveFileCount(spark, uRoot)
+      val tUA = System.nanoTime()
+      graft.queries.Events.appendEventsByUserSegment(spark, uRoot, uBatch)
+      val uAppendSec = (System.nanoTime() - tUA) / 1e9
+      // Steady-state tick: depth 2 ≤ bound → a manifest parse, no IO.
+      val tUT = System.nanoTime()
+      val folded = graft.queries.Events.maintainEventsByUser(spark, uRoot)
+      val uTickSec = (System.nanoTime() - tUT) / 1e9
+      require(!folded,
+        "steady-state tick folded at depth 2 — the amplification bound broke")
+      // Forced fold: the amortized every-16-batches rewrite, measured.
+      val tUF = System.nanoTime()
+      val didFold = graft.queries.Events.maintainEventsByUser(
+        spark, uRoot, maxDepth = 1)
+      val uFoldSec = (System.nanoTime() - tUF) / 1e9
+      require(didFold, "forced fold found nothing to fold")
+      val uAfter = graft.util.ManifestLog.liveFileCount(spark, uRoot)
+      fs.delete(new org.apache.hadoop.fs.Path(uRoot), true)
+
       println(
         f"""{"metric":"tick","sf":"$sfDir","batch_rows":$nBatch,""" +
           f""""append_sec":$appendSec%.2f,"tick_sec":$tickSec%.2f,""" +
-          s""""files_before":$before,"files_after":$after}""")
+          s""""files_before":$before,"files_after":$after,""" +
+          f""""byuser_batch_rows":$uN,"byuser_append_sec":$uAppendSec%.2f,""" +
+          f""""byuser_tick_sec":$uTickSec%.2f,"byuser_fold_sec":$uFoldSec%.2f,""" +
+          s""""byuser_files_before":$uBefore,"byuser_files_after":$uAfter}""")
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       spark.stop()

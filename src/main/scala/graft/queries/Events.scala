@@ -176,22 +176,91 @@ object Events {
     */
   private[graft] val LookupUserIds: Seq[Long] = Seq(3L, 7L, 11L)
 
-  /** Manifested KEYED twin of the µs log: the same ts-sorted recipe,
-    * built through [[graft.util.Snapshots.manifestedLog]] so the
-    * user_id bloom columns are declared BEFORE the first append —
-    * every data file carries ts_us range stats in the manifest (the
-    * boundary paths) and a user_id split-block bloom filter in its
-    * footer (the keyed paths). On a 100 TB time-sorted log this is
-    * what makes "fetch this user's events" / "forget this user" cost
-    * O(files actually holding the user) instead of a history scan:
-    * stats cannot prune a key the log is not sorted by, footer blooms
-    * can ([[graft.util.ParquetBlooms]]).
+  /** USER-key-clustered manifested replica of the event log — the
+    * point-lookup twin of the ts-sorted [[eventsUsLog]], closing the
+    * r18-measured honest negative: a TIME-sorted log probed on user
+    * ids that span all of time admits every file at every corpus size
+    * (31/31 at ×1/×10/×100, e=0.51, 7.43 s at ×100 — even footer
+    * blooms only cut row groups, not the file population), while the
+    * key-clustered layouts (q156's digest log, q157's bucket pair)
+    * plan O(1) files flat. Same recipe applied to the probe key:
+    * sorted by (user_id, ts_us) — ts second, so one user's history
+    * reads in time order — with per-file user_id range stats in the
+    * manifest; [[graft.util.ManifestLog.readKeyed]] then admits only
+    * the file(s) whose user range can hold a probed id. The
+    * repartition ranges over BOTH columns: a whale user larger than
+    * one file splits across neighbors instead of skewing a task,
+    * costing that one key an extra admitted file and nothing else.
+    *
+    * The time-sliced consumers keep the ts-sorted log; this replica
+    * serves the keyed ones (fetch-a-user, forget-a-user). Appends:
+    * [[appendEventsByUserSegment]] — a batch lands as ONE user-sorted
+    * file whose keyed reads stay O(segments); the
+    * [[graft.util.Segments.maintainSorted]] tick re-compacts a grain
+    * only when >16 segments overlap it (tiered-compaction
+    * amortization, drilled in EventsQualitySpec and TickBench).
     */
-  private[graft] def eventsKeyedLog(s: SparkSession, dir: String): String = {
+  private[graft] def eventsByUserLog(s: SparkSession, dir: String): String = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    graft.util.Snapshots.manifestedLog(s, dir, s"events-keyed-n$n",
-      "ts_us", Seq("user_id")) {
-      usLogFrame(eventsUs(s, dir), n)
+    graft.util.Snapshots.manifestedLog(s, dir, s"events-byuser-n$n",
+      "user_id", Nil) {
+      byUserFrame(eventsUs(s, dir), n)
+    }
+  }
+
+  /** The user-clustering recipe — shared by the one-shot replica build
+    * and the segment-append maintenance path, like [[usLogFrame]] for
+    * the ts-sorted log: range-partitioned and sorted on (user_id,
+    * ts_us), so every file carries a tight user_id range.
+    */
+  private[graft] def byUserFrame(e: DataFrame, n: Int): DataFrame =
+    e.repartitionByRange(n, col("user_id"), col("ts_us"))
+      .sortWithinPartitions("user_id", "ts_us")
+
+  /** Segment-append for the by-user replica: the arriving batch lands
+    * as ONE user-sorted file (a key-clustered replica's batches span
+    * the whole key domain by nature — unlike the ts log's naturally
+    * disjoint time segments — so appending it range-partitioned would
+    * scatter N domain-overlapping files per tick). Keyed reads then
+    * admit O(1) files per at-rest segment; once >16 segments overlap
+    * a grain, the [[graft.util.Segments.maintainSorted]] tick folds
+    * them back into the sorted history — O(grain) every 16 batches,
+    * O(batch) otherwise, the standard tiered-compaction trade.
+    */
+  private[graft] def appendEventsByUserSegment(
+      s: SparkSession, root: String, batchEventsUs: DataFrame): Unit =
+    graft.util.Segments.appendSorted(
+      byUserFrame(batchEventsUs, 1), root, boundCol = Some("user_id"))
+
+  /** Maintenance tick for the by-user replica. [[graft.util.Segments
+    * .maintainSorted]]'s overlap-component policy fits the TS logs
+    * (each batch lands in a fresh disjoint time grain) but not a
+    * KEY-clustered replica, whose every segment spans the whole key
+    * domain: one appended segment chains all history files into a
+    * single component, so the component-size trigger would full-
+    * rewrite on the first tick. The right trigger here is overlap
+    * DEPTH — the max number of files stacked over any single key,
+    * which is exactly a point lookup's worst-case file admission.
+    * Depth comes from a driver-side sweep of the manifest's per-file
+    * user_id ranges (no data IO); while depth ≤ maxDepth the tick is
+    * a manifest parse and nothing else. Past it, the overlapped
+    * history folds back into `n` range-disjoint target files
+    * ([[graft.util.ManifestLog.compactRange]] with nOut) — O(layout)
+    * every maxDepth batches, O(batch) otherwise: the standard tiered-
+    * compaction amortization, with read amplification bounded at
+    * maxDepth files per probed key in between. Returns whether a fold
+    * committed.
+    */
+  private[graft] def maintainEventsByUser(s: SparkSession, root: String,
+      maxDepth: Int = graft.util.Segments.CompactAfterSegments): Boolean = {
+    require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
+    if (graft.util.ManifestLog.overlapDepth(s, root, "user_id") <= maxDepth)
+      false
+    else {
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      graft.util.ManifestLog.compactRange(
+        s, root, "", "user_id", Long.MinValue, Long.MaxValue, nOut = n)
+      true
     }
   }
 
@@ -286,7 +355,7 @@ object Events {
     eventsUsLog(s, dir)
     scd2Hwm(s, dir)
     scd2Base(s, dir)
-    eventsKeyedLog(s, dir)
+    eventsByUserLog(s, dir)
     eventsZLog(s, dir)
     eventsTsSpan(s, dir)
     ()
@@ -1183,11 +1252,14 @@ object Events {
     },
 
     // ------------------------------------------------------------------
-    // Keyed point lookup over the manifested µs log: fetch a handful of
-    // users' events from a log sorted by TIME. File admission is
-    // manifest stats (useless here — every file spans the user domain)
-    // plus per-file footer bloom probes on the declared user_id filter
-    // (ParquetBlooms), then the isin predicate pushes into the scan.
+    // Keyed point lookup over the USER-clustered replica: fetch a
+    // handful of users' events, planning only the file(s) whose
+    // manifest-recorded user_id range can hold a probed id — O(1)
+    // files at every corpus size (the q156/q157 layout answer to the
+    // r18-measured honest negative: the same probe against the
+    // ts-sorted log admitted 31/31 files at ×1/×10/×100 because
+    // time-sorted files all span the user domain). The isin predicate
+    // still pushes into the admitted scan for row-group pruning.
     // The oracle is the plain filter over the raw table — proving the
     // pruned read returns exactly the unpruned answer.
     QueryDef(
@@ -1200,7 +1272,7 @@ object Events {
       """),
     ) { (s, dir) =>
       graft.util.ManifestLog.readKeyed(
-          s, eventsKeyedLog(s, dir), "user_id", LookupUserIds)
+          s, eventsByUserLog(s, dir), "user_id", LookupUserIds)
         .select("user_id", "ts_us", "event_id", "event_type")
         .orderBy("user_id", "ts_us", "event_id")
     },

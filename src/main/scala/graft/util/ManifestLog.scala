@@ -632,6 +632,29 @@ object ManifestLog {
   def liveFileCount(spark: SparkSession, root: String): Int =
     currentEntries(spark, root).length
 
+  /** Max number of live files whose recorded `col` ranges stack over
+    * any single key — a keyed read's worst-case file admission, and
+    * therefore THE maintenance trigger for a key-clustered replica
+    * (whose appended segments overlap all of history by nature, so
+    * [[Segments.maintainSorted]]'s component-size trigger would fold
+    * on every tick). Driver-side sweep of the manifest's per-file
+    * stats: +1 at each min, −1 past each max, openings before closings
+    * at equal coordinates (inclusive intervals); no data or footer IO.
+    * Files without stats for `col` admit everywhere and add to the
+    * depth at every point.
+    */
+  def overlapDepth(spark: SparkSession, root: String, col: String): Int = {
+    val entries = currentEntries(spark, root)
+    val ranges = entries.flatMap(_.statFor(col))
+    val statless = entries.length - ranges.length
+    val marks = ranges.flatMap { case (mn, mx) => Seq((mn, 1), (mx, -1)) }
+      .sortBy { case (c, d) => (c, -d) }
+    var depth = 0
+    var worst = 0
+    marks.foreach { case (_, d) => depth += d; worst = math.max(worst, depth) }
+    worst + statless
+  }
+
   /** Metadata-only batch acknowledgement: advance the batch high-water
     * mark to `batchId` WITHOUT adding files — the commit for a batch
     * whose processed output is empty (every row deduplicated away,
@@ -685,7 +708,8 @@ object ManifestLog {
     * directory of the year-partitioned layout ("" for flat logs).
     */
   def compactRange(spark: SparkSession, root: String, relDir: String,
-      boundCol: String, loIncl: Long, hiExcl: Long): Unit = {
+      boundCol: String, loIncl: Long, hiExcl: Long, nOut: Int = 1): Unit = {
+    require(nOut >= 1, s"nOut must be positive, got $nOut")
     val (p, fs) = hadoop(spark, root)
     val conf = spark.sessionState.newHadoopConf()
     val v = currentVersion(spark, root)
@@ -697,10 +721,15 @@ object ManifestLog {
           Segments.Containment.Contained
     }
     if (grain.length <= 1) return // already compact
+    // nOut > 1 is the whole-domain fold of a KEY-clustered replica
+    // (its segments overlap all of history, so the grain can be the
+    // entire layout): the replacement must come back as target-sized
+    // range-disjoint files, not one monolith — at 100 TB a 1-file
+    // rewrite of a domain-wide grain would also serialize the write.
     val replacement = stageIntoRoot(spark, p, fs, relDir,
       spark.read.parquet(
           grain.map(e => new org.apache.hadoop.fs.Path(p, e.path).toString): _*)
-        .repartitionByRange(1, org.apache.spark.sql.functions.col(boundCol))
+        .repartitionByRange(nOut, org.apache.spark.sql.functions.col(boundCol))
         .sortWithinPartitions(boundCol))
     failpoint("written:compact")
     commit(fs, p, v + 1,
