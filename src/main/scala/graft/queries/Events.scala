@@ -347,18 +347,24 @@ object Events {
       .select(base.columns.map(col).toIndexedSeq: _*)
   }
 
-  /** Force the events at-rest artifacts — the sorted µs log, then the
-    * hwm and SCD2 dimension derived from it (called from
-    * SparkEntry.prepareIndexes with the other module chains).
+  /** Force the events at-rest artifacts (called from
+    * SparkEntry.prepareIndexes with the other module chains). Four
+    * independent chains build concurrently through the fatal-safe
+    * barrier; the SCD2 lineage (log → hwm → base) stays ordered within
+    * its chain, and the three log layouts (ts-sorted, by-user, Z) are
+    * independent whole-corpus rewrites that underfill the scheduler
+    * individually.
     */
   private[graft] def prebuildIndexes(s: SparkSession, dir: String): Unit = {
-    eventsUsLog(s, dir)
-    scd2Hwm(s, dir)
-    scd2Base(s, dir)
-    eventsByUserLog(s, dir)
-    eventsZLog(s, dir)
-    eventsTsSpan(s, dir)
-    ()
+    val chains: Seq[(String, () => Any)] = Seq(
+      "scd2-chain" -> (() => {
+        eventsUsLog(s, dir); scd2Hwm(s, dir); scd2Base(s, dir)
+      }),
+      "byuser-log" -> (() => eventsByUserLog(s, dir)),
+      "z-log" -> (() => eventsZLog(s, dir)),
+      "ts-span" -> (() => eventsTsSpan(s, dir)),
+    )
+    graft.util.Chains.runLabeled("events", chains)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -594,17 +594,17 @@ object Relational {
     // The barrier is [[graft.util.Chains.runAll]]: it waits for EVERY
     // chain (no detached orphan builds on a failure) and rethrows
     // fatals instead of hanging (r18 advice).
-    val chains: Seq[() => Any] = Seq(
-      () => ordersByYear(s, dir),
-      () => { lineitemBucketed(s, dir); ordersBucketed(s, dir) },
-      () => ordersByCustkey(s, dir),
-      () => customerByCustkey(s, dir),
-      () => { lineitemSdLog(s, dir); psHwm(s, dir); psBase(s, dir) },
-      () => lineitemOkLog(s, dir),
-      () => lineitemPairManifested(s, dir),
-      () => partsupp(s, dir),
+    val chains: Seq[(String, () => Any)] = Seq(
+      "orders-by-year" -> (() => ordersByYear(s, dir)),
+      "bucketed-pair" -> (() => { lineitemBucketed(s, dir); ordersBucketed(s, dir) }),
+      "orders-by-custkey" -> (() => ordersByCustkey(s, dir)),
+      "customer-by-custkey" -> (() => customerByCustkey(s, dir)),
+      "sd-log-chain" -> (() => { lineitemSdLog(s, dir); psHwm(s, dir); psBase(s, dir) }),
+      "ok-log" -> (() => lineitemOkLog(s, dir)),
+      "ok-pair" -> (() => lineitemPairManifested(s, dir)),
+      "partsupp" -> (() => partsupp(s, dir)),
     )
-    graft.util.Chains.runAll(chains)
+    graft.util.Chains.runLabeled("relational", chains)
   }
 
   val defs: Seq[QueryDef] = Seq(

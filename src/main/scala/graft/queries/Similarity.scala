@@ -461,13 +461,17 @@ object Similarity {
     // but the three Lloyd trainings (IVF, PQ, frozen-half) now overlap
     // instead of serializing. Barrier: [[graft.util.Chains.runAll]]
     // (fatal-safe, no detached orphans — r18 advice).
-    val chains: Seq[() => Any] = Seq(
-      () => { assignedVectors(s, dir); cellMeansAtRest(s, dir) },
-      () => { assignedVectors(s, dir); cellSizesAtRest(s, dir) },
-      () => pqCodes(s, dir), // forces pq-codebooks, then joins assigned
-      () => halfIndexAssigned(s, dir), // q112's frozen index (forces centroids too)
+    val chains: Seq[(String, () => Any)] = Seq(
+      // The shared head gets its OWN chain so its wall time is
+      // attributable: every other IVF consumer blocks on this cell.
+      "assigned" -> (() => assignedVectors(s, dir)),
+      "ivf-means" -> (() => { assignedVectors(s, dir); cellMeansAtRest(s, dir) }),
+      "ivf-sizes" -> (() => { assignedVectors(s, dir); cellSizesAtRest(s, dir) }),
+      "pq-codebooks" -> (() => pqCodebooks(s, dir)),
+      "pq-codes" -> (() => pqCodes(s, dir)), // blocks on codebooks + assigned
+      "half-index" -> (() => halfIndexAssigned(s, dir)), // q112's frozen index
     )
-    graft.util.Chains.runAll(chains)
+    graft.util.Chains.runLabeled("similarity", chains)
   }
 
   /** Frozen IVF quantizer for q112's incremental-ingest scenario:

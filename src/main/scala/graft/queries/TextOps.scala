@@ -394,21 +394,23 @@ object TextOps {
     // stay ordered WITHIN a chain (shingles k3 → minhash sigs → label
     // fixpoint; shingles k4 → shingle df). The barrier is
     // [[graft.util.Chains.runAll]] — fatal-safe, no detached orphans.
-    val chains: Seq[() => Any] = Seq(
-      () => { shingleHashes(s, dir, 3); minhashBands(s, dir); lshClusterLabels(s, dir) },
-      () => { shingleHashes(s, dir, 4); shingleDf(s, dir, 4) },
-      () => docShingleSets(s, dir, 3),
-      () => docShingleSets(s, dir, 4),
-      () => simhash60Sigs(s, dir),
-      () => digestIndex(s, dir),
-      () => { termFrequencies(s, dir); termStats(s, dir) }, // stats chain on tf
-      () => bigramFrequencies(s, dir),
-      () => chunkTable(s, dir),
-      () => spanWindows(s, dir),
-      () => linkageBlocks(s, dir),
-      () => docsDigestLog(s, dir),
+    val chains: Seq[(String, () => Any)] = Seq(
+      "lsh-labels" -> (() => {
+        shingleHashes(s, dir, 3); minhashBands(s, dir); lshClusterLabels(s, dir)
+      }),
+      "shingle-df" -> (() => { shingleHashes(s, dir, 4); shingleDf(s, dir, 4) }),
+      "doc-sets-k3" -> (() => docShingleSets(s, dir, 3)),
+      "doc-sets-k4" -> (() => docShingleSets(s, dir, 4)),
+      "simhash" -> (() => simhash60Sigs(s, dir)),
+      "digest-index" -> (() => digestIndex(s, dir)),
+      "term-stats" -> (() => { termFrequencies(s, dir); termStats(s, dir) }),
+      "bigrams" -> (() => bigramFrequencies(s, dir)),
+      "chunks" -> (() => chunkTable(s, dir)),
+      "span-windows" -> (() => spanWindows(s, dir)),
+      "linkage-blocks" -> (() => linkageBlocks(s, dir)),
+      "digest-log" -> (() => docsDigestLog(s, dir)),
     )
-    graft.util.Chains.runAll(chains)
+    graft.util.Chains.runLabeled("textops", chains)
   }
 
   /** Positioned span-window table (doc_id, n_tokens, p, h): the 60-bit

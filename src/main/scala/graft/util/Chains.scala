@@ -31,15 +31,31 @@ object Chains {
     * Throws the first fatal error if any chain died fatally, else the
     * first NonFatal failure; other failures ride along as suppressed.
     */
-  def runAll(chains: Seq[() => Any]): Unit = {
+  def runAll(chains: Seq[() => Any]): Unit =
+    runLabeled("", chains.zipWithIndex.map { case (c, i) => (s"chain-$i", c) })
+
+  /** [[runAll]] with per-chain wall-time observability: each chain's
+    * seconds go to stderr under `module/label`, so a prepare-phase
+    * critical path is attributable to its CHAIN from any bench log
+    * (the bench's index_build_modules stops at module granularity —
+    * exactly the blind spot that made r18's similarity wall time a
+    * round-long mystery). Chains overlap; the timings are not
+    * additive, and the max names the critical chain.
+    */
+  def runLabeled(module: String, chains: Seq[(String, () => Any)]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     Await.result(
-      Future.sequence(chains.map(c => Future {
-        try { c(); () } catch { case t: Throwable => errs.add(t); () }
-      })),
+      Future.sequence(chains.map { case (label, c) =>
+        Future {
+          val t0 = System.nanoTime()
+          try { c(); () } catch { case t: Throwable => errs.add(t); () }
+          finally if (module.nonEmpty) System.err.println(
+            f"[graft] prepare $module/$label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }),
       Duration.Inf)
     import scala.jdk.CollectionConverters._
     val all = errs.asScala.toSeq
