@@ -319,12 +319,26 @@ object Bench {
         }
         val xTotal = xRes.map(_._2).sum
         val xErrJson = xErr.map("\"" + _ + "\"").mkString("[", ",", "]")
+        // Files-planned evidence, machine-recorded (r18 verdict: the
+        // BASELINE claims should not need hand re-measurement): one
+        // untimed third execution per roster query, planned/scanned
+        // from the executed plan's own metrics.
+        val xFiles = sel.collect {
+          case (name, fn) if !xErr.contains(name) =>
+            val s = scala.util.Try(
+              graft.util.PlanFiles.filesPlanned(fn(spark, xdir))) match {
+              case scala.util.Success((p, t)) => s""""$p/$t""""
+              case scala.util.Failure(e) => graft.util.Json.str(s"? ($e)")
+            }
+            s"${graft.util.Json.str(name)}:$s"
+        }.mkString("{", ",", "}")
         val long =
           s""""$tag":{"dir":${graft.util.Json.str(xdir)},"index_build_sec":$xPrepSec,""" +
             s""""index_build_failed":${xFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""measure":"min_of_2","n_queries":${xRes.size},"total_sec":$xTotal,""" +
             s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},""" +
             s""""regressions":${regJsonOf(xRegs)},"errors":$xErrJson,""" +
+            s""""files_planned":$xFiles,""" +
             s""""queries_run1":${qjson(xp1)},"queries_run2":${qjson(xp2)},"queries":${qjson(xRes)}}"""
         val tail =
           s""""$tag":{"n_queries":${xRes.size},"total_sec":${fmt(xTotal, 2)},""" +

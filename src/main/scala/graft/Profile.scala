@@ -244,23 +244,8 @@ object Profile {
         // cite. Untimed third execution: metrics live on THIS plan
         // instance, and the timed noop writes above plan their own.
         def files(name: String): Unit = {
-          import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-          val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
-          qe.executedPlan.execute().foreachPartition(
-            (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
-          def scans(pl: SparkPlan): Seq[FileSourceScanExec] = (pl match {
-            case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-            // Query stages wrap their plan as a member, NOT a child —
-            // a children-only walk stops dead at every stage boundary.
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              scans(q.plan)
-            case sc: FileSourceScanExec => Seq(sc)
-            case other => other.children.flatMap(scans)
-          }) ++ pl.subqueries.flatMap(scans)
-          val ss = scans(qe.executedPlan)
-          val planned = ss.flatMap(_.metrics.get("numFiles").map(_.value)).sum
-          val total = ss.map(_.relation.location.inputFiles.length.toLong).sum
+          val (planned, total) = graft.util.PlanFiles.filesPlanned(
+            SparkEntry.queries(name)(spark, sfDir))
           println(s"[profile] $name files=$planned/$total")
         }
         sel.foreach { n =>

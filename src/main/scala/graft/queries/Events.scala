@@ -232,37 +232,17 @@ object Events {
     graft.util.Segments.appendSorted(
       byUserFrame(batchEventsUs, 1), root, boundCol = Some("user_id"))
 
-  /** Maintenance tick for the by-user replica. [[graft.util.Segments
-    * .maintainSorted]]'s overlap-component policy fits the TS logs
-    * (each batch lands in a fresh disjoint time grain) but not a
-    * KEY-clustered replica, whose every segment spans the whole key
-    * domain: one appended segment chains all history files into a
-    * single component, so the component-size trigger would full-
-    * rewrite on the first tick. The right trigger here is overlap
-    * DEPTH — the max number of files stacked over any single key,
-    * which is exactly a point lookup's worst-case file admission.
-    * Depth comes from a driver-side sweep of the manifest's per-file
-    * user_id ranges (no data IO); while depth ≤ maxDepth the tick is
-    * a manifest parse and nothing else. Past it, the overlapped
-    * history folds back into `n` range-disjoint target files
-    * ([[graft.util.ManifestLog.compactRange]] with nOut) — O(layout)
-    * every maxDepth batches, O(batch) otherwise: the standard tiered-
-    * compaction amortization, with read amplification bounded at
-    * maxDepth files per probed key in between. Returns whether a fold
-    * committed.
+  /** Maintenance tick for the by-user replica — the depth-triggered
+    * fold, [[graft.util.ManifestLog.maintainKeyed]] (see there for the
+    * why: a key-replica's every segment spans the whole key domain, so
+    * `maintainSorted`'s component-size trigger would full-rewrite on
+    * the first tick; the honest trigger is the read amplification
+    * itself, and the steady-state tick is a driver-side manifest
+    * sweep). Returns whether a fold committed.
     */
   private[graft] def maintainEventsByUser(s: SparkSession, root: String,
-      maxDepth: Int = graft.util.Segments.CompactAfterSegments): Boolean = {
-    require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
-    if (graft.util.ManifestLog.overlapDepth(s, root, "user_id") <= maxDepth)
-      false
-    else {
-      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-      graft.util.ManifestLog.compactRange(
-        s, root, "", "user_id", Long.MinValue, Long.MaxValue, nOut = n)
-      true
-    }
-  }
+      maxDepth: Int = graft.util.Segments.CompactAfterSegments): Boolean =
+    graft.util.ManifestLog.maintainKeyed(s, root, "user_id", maxDepth)
 
   /** Z-clustered manifested twin of the events log, ordered by the
     * bit-interleaving of (ts_us, user_id) with BOTH columns'

@@ -73,14 +73,18 @@ object LogStream {
   /** [[runLogStream]]'s maintenance cadence: after every
     * `maintainEveryBatches` committed batches the sink runs the
     * self-driving tick on its own log — [[Segments.maintainSorted]]
-    * for a plain sorted log, or [[ManifestLog.maintainClustered]] when
+    * for a plain sorted log, [[ManifestLog.maintainClustered]] when
     * `clusterCols` declares a Z-layout (new batches land boundCol-
     * sorted with single-column stats; the tick z-rewrites ONLY the
     * accumulated newcomers, so multi-dimension pruning catches up with
-    * ingest at O(new data), history untouched). foreachBatch is
-    * sequential, so the tick never races the writer, and the tick's
-    * commits are manifest-atomic, so pinned readers and the batch
-    * high-water mark are untouched. 0 disables (an external
+    * ingest at O(new data), history untouched), or
+    * [[ManifestLog.maintainKeyed]] when `keyedDepth` is set (a
+    * KEY-clustered replica: every batch spans the whole key domain, so
+    * the tick is the depth-triggered fold — `maintainMaxFiles` then
+    * bounds the read amplification rather than a grain's file count).
+    * foreachBatch is sequential, so the tick never races the writer,
+    * and the tick's commits are manifest-atomic, so pinned readers and
+    * the batch high-water mark are untouched. 0 disables (an external
     * maintenance owner).
     */
   def runLogStream(spark: SparkSession, srcDir: String, root: String,
@@ -90,10 +94,13 @@ object LogStream {
       maintainEveryBatches: Int = 0,
       maintainMaxFiles: Int = Segments.CompactAfterSegments,
       clusterCols: Seq[String] = Nil,
-      clusterTargetRows: Long = 1L << 20): StreamingQuery = {
+      clusterTargetRows: Long = 1L << 20,
+      keyedDepth: Boolean = false): StreamingQuery = {
     require(clusterCols.isEmpty || clusterCols.contains(boundCol),
       s"clusterCols $clusterCols must include the boundary column " +
         s"'$boundCol' — the since/slice paths prune on it")
+    require(!keyedDepth || clusterCols.isEmpty,
+      "keyedDepth and clusterCols are different layouts — pick one tick")
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -104,6 +111,8 @@ object LogStream {
           if (clusterCols.nonEmpty)
             ManifestLog.maintainClustered(spark, root, clusterCols,
               clusterTargetRows, minNewFiles = maintainMaxFiles)
+          else if (keyedDepth)
+            ManifestLog.maintainKeyed(spark, root, boundCol, maintainMaxFiles)
           else
             Segments.maintainSorted(spark, root, boundCol, maintainMaxFiles)
           ()

@@ -655,6 +655,32 @@ object ManifestLog {
     worst + statless
   }
 
+  /** Maintenance tick for a KEY-clustered layout — the depth-triggered
+    * fold ([[overlapDepth]]'s rationale: every appended segment of a
+    * key-sorted replica spans the whole key domain, so component-size
+    * triggers would full-rewrite on the first tick; the honest trigger
+    * is the read amplification itself). While depth ≤ `maxDepth` the
+    * tick is a manifest parse and commits nothing; past it the whole
+    * stack folds back into `nOut` range-disjoint target files
+    * (defaults to the session's shuffle-partition count) — O(layout)
+    * every maxDepth batches, O(batch) otherwise, with keyed reads
+    * admitting ≤ maxDepth files per probed key in between. Returns
+    * whether a fold committed.
+    */
+  def maintainKeyed(spark: SparkSession, root: String, keyCol: String,
+      maxDepth: Int = Segments.CompactAfterSegments, nOut: Int = -1): Boolean = {
+    require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
+    if (overlapDepth(spark, root, keyCol) <= maxDepth) false
+    else {
+      val n =
+        if (nOut > 0) nOut
+        else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      compactRange(spark, root, "", keyCol, Long.MinValue, Long.MaxValue,
+        nOut = n)
+      true
+    }
+  }
+
   /** Metadata-only batch acknowledgement: advance the batch high-water
     * mark to `batchId` WITHOUT adding files — the commit for a batch
     * whose processed output is empty (every row deduplicated away,

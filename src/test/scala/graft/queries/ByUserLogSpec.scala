@@ -111,4 +111,32 @@ class ByUserLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(got.inputFiles.length <= 2,
       s"post-fold lookup should be O(1) files, planned ${got.inputFiles.length}")
   }
+
+  test("forget-a-user rewrites only the files that can hold the user") {
+    // The replica's second motivating operation (the first is the
+    // point fetch): a right-to-be-forgotten order against a key-
+    // clustered layout must cost O(files whose user range can hold the
+    // keys) — deleteKeys' stats-exact candidate pruning — never a
+    // layout rewrite.
+    val dir = tempCorpusDir("graft_byuser_forget")
+    writeCorpus(dir)
+    val root = Events.eventsByUserLog(spark, dir)
+    val totalFiles = ManifestLog.liveFileCount(spark, root)
+    val before = ManifestLog.read(spark, root).count()
+    val victims = Seq(3L, 7L).toDF("user_id")
+    val res = ManifestLog.deleteKeys(spark, root, "user_id", victims,
+      boundCol = Some("user_id"))
+    assert(res.filesRewritten + res.filesRetired <= 2
+        && res.filesRewritten + res.filesRetired < totalFiles,
+      s"forget touched ${res.filesRewritten + res.filesRetired} of $totalFiles files")
+    assert(res.rowsDeleted == 80L, // 20k rows / 500 users = 40 each
+      s"expected the two users' 80 rows gone, got ${res.rowsDeleted}")
+    val after = ManifestLog.read(spark, root)
+    assert(after.count() == before - 80L)
+    assert(after.filter(col("user_id").isin(3L, 7L)).count() == 0L)
+    // The lookup path agrees: probed-and-forgotten keys answer zero
+    // rows, a surviving neighbor still answers in full.
+    assert(ManifestLog.readKeyed(spark, root, "user_id", Seq(3L, 7L)).count() == 0L)
+    assert(ManifestLog.readKeyed(spark, root, "user_id", Seq(11L)).count() == 40L)
+  }
 }

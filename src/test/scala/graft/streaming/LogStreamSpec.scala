@@ -190,6 +190,41 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(sliced.where(col("uid") < 8L).count() == 6 * 512L / 8L)
   }
 
+  test("a KEY-clustered streamed replica: keyed reads exact, depth-tick folds in-sink") {
+    val dir = tempCorpusDir("graft_logstream_keyed")
+    val (src, root, ckpt) = (s"$dir/src", s"$dir/log", s"$dir/ckpt")
+    // Every drop spans the WHOLE key domain (the key-replica's hard
+    // case — a time-ordered producer's batch touches all users), so a
+    // component-size tick would full-rewrite on the first drop; the
+    // depth tick must stay a no-op until the stack exceeds the bound,
+    // then fold.
+    def drop(i: Int) = (0 until 256)
+      .map(j => (j.toLong, (i * 256 + j).toLong)).toDF("uid", "seq")
+    drop(0).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = LogStream.runLogStream(spark, src, root, ckpt, schema, "uid",
+      maintainEveryBatches = 2, maintainMaxFiles = 2, keyedDepth = true)
+    try (1 until 6).foreach { i =>
+      q.processAllAvailable()
+      drop(i).write.mode("append").parquet(src)
+    } finally { q.processAllAvailable(); q.stop() }
+    // Rows exact through every fold; the in-sink tick really folded
+    // (depth capped at 2 ⇒ some compact generation committed) and the
+    // replay guard survived it.
+    assert(ManifestLog.read(spark, root).count() == 6 * 256L)
+    assert(ManifestLog.describe(spark, root).map(_._2).contains("compact"),
+      "the in-sink depth tick never folded")
+    assert(ManifestLog.batchHwm(spark, root) >= 5L)
+    assert(ManifestLog.overlapDepth(spark, root, "uid") <= 3,
+      "read amplification left unbounded under streaming ingest")
+    // The keyed read answers exactly across at-rest + unfolded
+    // segments: every drop contributed one row for uid 7.
+    val got = ManifestLog.readKeyed(spark, root, "uid", Seq(7L))
+    assert(got.select("seq").as[Long].collect().toSet ==
+      (0 until 6).map(i => i * 256L + 7L).toSet,
+      "keyed read lost or duplicated rows across folds")
+  }
+
   test("a partitioned streamed log keeps partition pruning, stats slicing, and tailing") {
     val dir = tempCorpusDir("graft_logstream_part")
     val root = s"$dir/log"
