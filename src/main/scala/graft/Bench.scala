@@ -286,11 +286,11 @@ object Bench {
     // queries are 1-10 s there, where a one-off box stall is visible
     // against the committed minimum without a third pass.
     def scaleFrags(tag: String, xdir: String, roster: Seq[String],
-        refKey: String): (String, String) =
+        refKey: String, modules: Set[String]): (String, String) =
       try {
         val t0 = System.nanoTime()
         val xFailed =
-          try SparkEntry.prepareIndexes(spark, xdir, X10Modules)
+          try SparkEntry.prepareIndexes(spark, xdir, modules)
           catch { case scala.util.control.NonFatal(_) => Seq("prepare-indexes-crashed") }
         val xPrepSec = (System.nanoTime() - t0) / 1e9
         val sel = queries.toSeq.filter(kv => roster.contains(kv._1)).sortBy(_._1)
@@ -349,11 +349,16 @@ object Bench {
           val err = s""""$tag":{"err":${graft.util.Json.str(e.toString)}}"""
           (err, err)
       }
-    val x10Frags = x10Dir.map(scaleFrags("x10", _, X10Heavy, "x10_ref"))
+    val x10Frags = x10Dir.map(scaleFrags("x10", _, X10Heavy, "x10_ref", X10Modules))
     // x100: the files-planned claims of BASELINE.md's hand-run ×100
     // curve, machine-checked each round (r18 verdict ask) — the
     // skipping family only, against its own committed x100_ref minima.
-    val x100Frags = x100Dir.map(scaleFrags("x100", _, X100Skipping, "x100_ref"))
+    // A roster's MODULES must cover its queries: an unprepared module's
+    // artifacts would build lazily inside timed run 1 and trip the
+    // regression gate with a phantom flag (min-of-2 mostly absorbs it,
+    // but the floor would ratchet off the contaminated pair).
+    val x100Frags =
+      x100Dir.map(scaleFrags("x100", _, X100Skipping, "x100_ref", X10Modules))
     val x10LongJson = x10Frags.map("," + _._1).getOrElse("") +
       x100Frags.map("," + _._1).getOrElse("")
     val x10TailJson = x10Frags.map("," + _._2).getOrElse("") +

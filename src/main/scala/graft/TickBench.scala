@@ -45,6 +45,7 @@ object TickBench {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
     val root = src + "-tickprobe"
+    val cleanup = scala.collection.mutable.ArrayBuffer(root)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     org.apache.hadoop.fs.FileUtil.copy(
       fs, new org.apache.hadoop.fs.Path(src),
@@ -71,9 +72,12 @@ object TickBench {
       require(ticked, "tick found no newcomers — probe batch never landed")
       val after = graft.util.ManifestLog.liveFileCount(spark, root)
 
-      // ---- by-user replica section (same throwaway-copy protocol) ----
+      // ---- by-user replica section (same throwaway-copy protocol;
+      // uRoot is registered for the outer finally BEFORE the copy, so
+      // a failing probe cannot leak a corpus-scale replica copy) ----
       val uSrc = graft.queries.Events.eventsByUserLog(spark, sfDir)
       val uRoot = uSrc + "-tickprobe"
+      cleanup += uRoot
       fs.delete(new org.apache.hadoop.fs.Path(uRoot), true)
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new org.apache.hadoop.fs.Path(uSrc),
@@ -113,7 +117,8 @@ object TickBench {
           f""""byuser_tick_sec":$uTickSec%.2f,"byuser_fold_sec":$uFoldSec%.2f,""" +
           s""""byuser_files_before":$uBefore,"byuser_files_after":$uAfter}""")
     } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      cleanup.foreach(r =>
+        scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(r), true)))
       spark.stop()
     }
   }

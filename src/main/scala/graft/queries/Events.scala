@@ -242,7 +242,8 @@ object Events {
     */
   private[graft] def maintainEventsByUser(s: SparkSession, root: String,
       maxDepth: Int = graft.util.Segments.CompactAfterSegments): Boolean =
-    graft.util.ManifestLog.maintainKeyed(s, root, "user_id", maxDepth)
+    graft.util.ManifestLog.maintainKeyed(s, root, "user_id", maxDepth,
+      secondarySort = Seq("ts_us")) // the layout's documented within-user order
 
   /** Z-clustered manifested twin of the events log, ordered by the
     * bit-interleaving of (ts_us, user_id) with BOTH columns'

@@ -353,11 +353,22 @@ object Relational {
     * 9999-12-31 SCD-style sentinel ship date — exactly the outlier the
     * distinct-year iteration exists to absorb cheaply — would crash
     * the build instead of costing one extra batch (r18 advice).
-    * `LocalDate.of` is valid to year 999999999; the micros stay far
-    * inside Long. Sentinel-year drill: RelationalLayoutSpec.
+    * `LocalDate.of` is valid to year 999999999, but the MICROS wrap
+    * Long past year ~292,278 — and Spark's own TimestampNTZ max sits
+    * at year 294,247 (Long.MaxValue micros), so the y+1 boundary of a
+    * max-year sentinel date would silently wrap negative and drop the
+    * row from every segment. A boundary past the representable range
+    * clamps to the open end instead: NTZ values below the absolute
+    * maximum stay inside their year's segment, and the one
+    * unrepresentable edge (a timestamp at exactly Long.MaxValue
+    * micros, which `< hi` cannot include) trips the build's
+    * manifested==source count check LOUDLY instead of losing rows
+    * silently. Sentinel-year drill: LineitemLayoutSpec.
     */
   private[queries] def yearStartUs(year: Int): Long =
-    java.time.LocalDate.of(year, 1, 1).toEpochDay * 86400000000L
+    try Math.multiplyExact(java.time.LocalDate.of(year, 1, 1).toEpochDay,
+      86400000000L)
+    catch { case _: ArithmeticException => Long.MaxValue }
 
   /** At-rest ship-date-clustered lineitem: the full fact table
     * materialized once per corpus snapshot, globally SORTED by

@@ -101,6 +101,11 @@ object LogStream {
         s"'$boundCol' — the since/slice paths prune on it")
     require(!keyedDepth || clusterCols.isEmpty,
       "keyedDepth and clusterCols are different layouts — pick one tick")
+    require(!keyedDepth || partitionDirs.isEmpty,
+      "keyedDepth folds a FLAT key-clustered replica; a partitioned " +
+        "log's files live under partition dirs where the fold cannot " +
+        "see them (maintainKeyed would also refuse) — drop " +
+        "partitionDirs or use the per-directory ticks")
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -664,19 +664,53 @@ object ManifestLog {
     * stack folds back into `nOut` range-disjoint target files
     * (defaults to the session's shuffle-partition count) — O(layout)
     * every maxDepth batches, O(batch) otherwise, with keyed reads
-    * admitting ≤ maxDepth files per probed key in between. Returns
-    * whether a fold committed.
+    * admitting ≤ maxDepth files per probed key in between.
+    * `secondarySort` threads the layout's within-key order through the
+    * fold (the by-user replica's (user_id, ts_us)): without it a fold
+    * would silently drop the documented read-in-time-order property
+    * AND the two-column range partitioning that splits a whale key
+    * across files instead of into one oversized task. Returns whether
+    * a fold committed.
+    *
+    * The trigger counts only FOLDABLE files — those [[compactRange]]
+    * can actually rewrite. A stat-less file (nulls in the key column)
+    * or one whose max is Long.MaxValue is permanently un-containable:
+    * counting it would arm the trigger forever once such files exceed
+    * the bound, and every tick would then full-rewrite the foldable
+    * set without ever reducing the measured depth — an unbounded
+    * rewrite livelock. Such files still admit on every keyed read
+    * ([[overlapDepth]] reports them honestly); keep key columns
+    * non-null by construction, as [[maintainClustered]]'s contract
+    * already demands.
+    *
+    * Flat layouts only: entries under partition directories would be
+    * invisible to the relDir="" fold while still arming the trigger —
+    * refused loudly rather than ticking forever.
     */
   def maintainKeyed(spark: SparkSession, root: String, keyCol: String,
-      maxDepth: Int = Segments.CompactAfterSegments, nOut: Int = -1): Boolean = {
+      maxDepth: Int = Segments.CompactAfterSegments, nOut: Int = -1,
+      secondarySort: Seq[String] = Nil): Boolean = {
     require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
-    if (overlapDepth(spark, root, keyCol) <= maxDepth) false
+    val entries = currentEntries(spark, root)
+    require(entries.forall(!_.path.contains("/")),
+      s"$root holds partition-dir entries — maintainKeyed folds flat " +
+        "key-clustered layouts; partitioned logs take maintainSorted/" +
+        "maintainClustered per directory")
+    val foldable = entries
+      .flatMap(_.statFor(keyCol))
+      .filter { case (_, mx) => mx < Long.MaxValue }
+    val marks = foldable.flatMap { case (mn, mx) => Seq((mn, 1), (mx, -1)) }
+      .sortBy { case (c, d) => (c, -d) }
+    var depth = 0
+    var worst = 0
+    marks.foreach { case (_, d) => depth += d; worst = math.max(worst, depth) }
+    if (worst <= maxDepth) false
     else {
       val n =
         if (nOut > 0) nOut
         else spark.conf.get("spark.sql.shuffle.partitions").toInt
       compactRange(spark, root, "", keyCol, Long.MinValue, Long.MaxValue,
-        nOut = n)
+        nOut = n, secondarySort = secondarySort)
       true
     }
   }
@@ -734,7 +768,8 @@ object ManifestLog {
     * directory of the year-partitioned layout ("" for flat logs).
     */
   def compactRange(spark: SparkSession, root: String, relDir: String,
-      boundCol: String, loIncl: Long, hiExcl: Long, nOut: Int = 1): Unit = {
+      boundCol: String, loIncl: Long, hiExcl: Long, nOut: Int = 1,
+      secondarySort: Seq[String] = Nil): Unit = {
     require(nOut >= 1, s"nOut must be positive, got $nOut")
     val (p, fs) = hadoop(spark, root)
     val conf = spark.sessionState.newHadoopConf()
@@ -752,11 +787,15 @@ object ManifestLog {
     // entire layout): the replacement must come back as target-sized
     // range-disjoint files, not one monolith — at 100 TB a 1-file
     // rewrite of a domain-wide grain would also serialize the write.
+    // secondarySort preserves a layout's within-key order and its
+    // whale-splitting range partitioning (see [[maintainKeyed]]).
+    val sortCols = (boundCol +: secondarySort)
+      .map(org.apache.spark.sql.functions.col)
     val replacement = stageIntoRoot(spark, p, fs, relDir,
       spark.read.parquet(
           grain.map(e => new org.apache.hadoop.fs.Path(p, e.path).toString): _*)
-        .repartitionByRange(nOut, org.apache.spark.sql.functions.col(boundCol))
-        .sortWithinPartitions(boundCol))
+        .repartitionByRange(nOut, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*))
     failpoint("written:compact")
     commit(fs, p, v + 1,
       live.diff(grain) ++ entriesFor(spark, p, replacement, Seq(boundCol)),

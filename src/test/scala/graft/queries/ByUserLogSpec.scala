@@ -110,6 +110,12 @@ class ByUserLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     val got = ManifestLog.readKeyed(spark, root, "user_id", Seq(0L))
     assert(got.inputFiles.length <= 2,
       s"post-fold lookup should be O(1) files, planned ${got.inputFiles.length}")
+    // The fold preserved the layout's documented within-user time
+    // order (secondarySort threads (user_id, ts_us) through the
+    // rewrite): the admitted file reads user 0's history in ts order.
+    val ts = got.select("ts_us").as[Long].collect().toSeq
+    assert(ts == ts.sorted,
+      "fold dropped the within-user time order the layout documents")
   }
 
   test("forget-a-user rewrites only the files that can hold the user") {

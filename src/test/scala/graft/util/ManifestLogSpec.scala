@@ -231,6 +231,47 @@ class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(Segments.maintainSorted(spark, root, "ts", maxFiles = 1).isEmpty)
   }
 
+  test("maintainKeyed: unfoldable files never arm the trigger (no rewrite livelock)") {
+    // A file with NULLS in the key column is permanently
+    // un-containable — compactRange can never fold it. If such files
+    // counted toward the depth trigger, a layout holding maxDepth+1 of
+    // them would full-rewrite its foldable files on EVERY tick without
+    // the measured depth ever dropping: an unbounded rewrite livelock.
+    val root = s"${tempCorpusDir("graft_mkeyed")}/log"
+    // Three overlapping stat-ful segments + three null-key files.
+    (0 until 3).foreach { _ =>
+      (0 until 100).map(i => (Some(i.toLong), s"v$i")).toDF("k", "v")
+        .coalesce(1).sortWithinPartitions("k").write.mode("append").parquet(root)
+    }
+    (0 until 3).foreach { j =>
+      Seq((Option.empty[Long], s"null$j")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(root)
+    }
+    ManifestLog.adopt(spark, root, Some("k"))
+    assert(ManifestLog.liveFileCount(spark, root) == 6)
+    // overlapDepth reports admission honestly (3 stacked + 3 statless)…
+    assert(ManifestLog.overlapDepth(spark, root, "k") == 6)
+    // …but the tick triggers on the FOLDABLE depth (3): bound 4 → no-op.
+    assert(!ManifestLog.maintainKeyed(spark, root, "k", maxDepth = 4))
+    // Bound 2 → one fold of the 3 stat-ful files; the null files pass
+    // through untouched and the NEXT tick is a no-op, not a re-fold.
+    assert(ManifestLog.maintainKeyed(spark, root, "k", maxDepth = 2, nOut = 2))
+    val after = ManifestLog.liveFileCount(spark, root)
+    assert(after == 5, s"expected 2 folded + 3 null files, got $after")
+    assert(!ManifestLog.maintainKeyed(spark, root, "k", maxDepth = 2, nOut = 2),
+      "tick re-folded an already-folded layout — livelock")
+    assert(ManifestLog.read(spark, root).count() == 303)
+    // Partition-dir layouts are refused loudly, never silently un-folded.
+    val pRoot = s"${tempCorpusDir("graft_mkeyed_part")}/log"
+    (0 until 10).map(i => (i.toLong, i % 2)).toDF("k", "p")
+      .write.partitionBy("p").mode("append").parquet(pRoot)
+    ManifestLog.adopt(spark, pRoot, Some("k"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestLog.maintainKeyed(spark, pRoot, "k")
+    }
+    assert(e.getMessage.contains("flat"))
+  }
+
   test("a stats-less manifest slices conservatively: every file is selected") {
     val (root, rows) = freshLog() // adopted WITHOUT a bound column
     val slice = ManifestLog.readSlice(spark, root, "ts", 1500000L, 1600000L)
