@@ -199,9 +199,22 @@ object Events {
     * [[graft.util.Segments.maintainSorted]] tick re-compacts a grain
     * only when >16 segments overlap it (tiered-compaction
     * amortization, drilled in EventsQualitySpec and TickBench).
+    *
+    * File count is DERIVED from the source's mass
+    * ([[graft.util.ManifestLog.sourceFanout]] over the raw events
+    * parquet — bytes from file statuses, rows from footers), not
+    * pinned to the partition count: a pinned denominator keeps the
+    * count at 32 while bytes grow 100×, so the one file a point
+    * lookup admits inherits all the growth (the r19 ×100 residual).
+    * Mass-derived counts keep the admitted file bounded by the
+    * bytes/rows targets instead; the snapshot name carries the
+    * derived n, so a corpus whose mass crosses a target boundary
+    * builds fresh rather than reusing a stale-shaped layout.
     */
-  private[graft] def eventsByUserLog(s: SparkSession, dir: String): String = {
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+  private[graft] def eventsByUserLog(s: SparkSession, dir: String,
+      targetFileBytes: Long = -1L, targetFileRows: Long = -1L): String = {
+    val n = graft.util.ManifestLog.sourceFanout(
+      s, s"$dir/events.parquet", targetFileBytes, targetFileRows)
     graft.util.Snapshots.manifestedLog(s, dir, s"events-byuser-n$n",
       "user_id", Nil) {
       byUserFrame(eventsUs(s, dir), n)
@@ -233,17 +246,20 @@ object Events {
       byUserFrame(batchEventsUs, 1), root, boundCol = Some("user_id"))
 
   /** Maintenance tick for the by-user replica — the depth-triggered
-    * fold, [[graft.util.ManifestLog.maintainKeyed]] (see there for the
-    * why: a key-replica's every segment spans the whole key domain, so
-    * `maintainSorted`'s component-size trigger would full-rewrite on
-    * the first tick; the honest trigger is the read amplification
-    * itself, and the steady-state tick is a driver-side manifest
-    * sweep). Returns whether a fold committed.
+    * RANGE-SHARDED fold, [[graft.util.ManifestLog.maintainKeyed]] (see
+    * there for the why: a key-replica's every segment spans the whole
+    * key domain, so `maintainSorted`'s component-size trigger would
+    * full-rewrite on the first tick; the honest trigger is the read
+    * amplification itself, the steady-state tick is a driver-side
+    * manifest sweep, and a fold touches only the over-depth key
+    * ranges). Returns whether a fold committed.
     */
   private[graft] def maintainEventsByUser(s: SparkSession, root: String,
-      maxDepth: Int = graft.util.Segments.CompactAfterSegments): Boolean =
+      maxDepth: Int = graft.util.Segments.CompactAfterSegments,
+      targetFileBytes: Long = -1L, targetFileRows: Long = -1L): Boolean =
     graft.util.ManifestLog.maintainKeyed(s, root, "user_id", maxDepth,
-      secondarySort = Seq("ts_us")) // the layout's documented within-user order
+      secondarySort = Seq("ts_us"), // the layout's documented within-user order
+      targetFileBytes = targetFileBytes, targetFileRows = targetFileRows)
 
   /** Z-clustered manifested twin of the events log, ordered by the
     * bit-interleaving of (ts_us, user_id) with BOTH columns'

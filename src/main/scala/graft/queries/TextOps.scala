@@ -3348,7 +3348,13 @@ object TextOps {
     * documents carry these digests" costs O(files that may hold them).
     */
   private[graft] def docsDigestLog(s: SparkSession, dir: String): String = {
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Mass-derived file count (ManifestLog.sourceFanout, r20): the
+    // text-heavy documents table is where the BYTES target binds
+    // (unlike the RLE-packed events table, where rows bind) — either
+    // way the file a keyed probe admits stays bounded as the corpus
+    // grows, instead of inheriting the growth under a partition-count
+    // pin. The derived n keys the snapshot name.
+    val n = graft.util.ManifestLog.sourceFanout(s, s"$dir/documents.parquet")
     graft.util.Snapshots.manifestedLog(s, dir, s"docs-digest-n$n",
       "doc_id", Seq("digest")) {
       tbl(s, dir, "documents")

@@ -86,6 +86,23 @@ object LogStream {
     * and the tick's commits are manifest-atomic, so pinned readers and
     * the batch high-water mark are untouched. 0 disables (an external
     * maintenance owner).
+    *
+    * LATENCY BOUND of the in-sink keyed fold: foreachBatch is
+    * sequential, so a fold stalls exactly the micro-batch that runs
+    * it. The bound is (a) CADENCE — at most one fold per
+    * `maintainEveryBatches × maxDepth`-ish committed batches, since
+    * between folds the depth tick is a driver-side manifest parse that
+    * commits nothing (LogStreamSpec asserts folds ≤ ticks); and
+    * (b) PER-FOLD COST — O(the over-depth fold sets' mass)
+    * ([[ManifestLog.maintainKeyed]]'s range sharding), which
+    * degenerates to O(layout) only when every batch spans the whole
+    * key domain (TickBench's byuser_fold_sec measures that worst case;
+    * ~2.4 s at the ×100 corpus). A pipeline that cannot absorb that
+    * stall in-line sets `maintainEveryBatches = 0` and runs the tick
+    * from an external maintenance owner — the manifest's commit
+    * protocol makes that safe next to a live writer only for APPENDS,
+    * so the external owner must be the sole grain-mutator, exactly as
+    * [[graft.util.ManifestLog]]'s concurrency contract spells out.
     */
   def runLogStream(spark: SparkSession, srcDir: String, root: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
@@ -101,6 +118,14 @@ object LogStream {
         s"'$boundCol' — the since/slice paths prune on it")
     require(!keyedDepth || clusterCols.isEmpty,
       "keyedDepth and clusterCols are different layouts — pick one tick")
+    require(!keyedDepth || filesPerBatch == 1,
+      s"keyedDepth with filesPerBatch=$filesPerBatch: a key-clustered " +
+        "replica's every batch spans the whole key domain, so N files " +
+        "per batch raise the measured overlap depth by N per batch — " +
+        "the O(layout) fold would fire every ~maxDepth/N batches " +
+        "instead of every maxDepth, silently degrading the " +
+        "amortization (Events.appendEventsByUserSegment forces one " +
+        "file per batch for the same reason)")
     require(!keyedDepth || partitionDirs.isEmpty,
       "keyedDepth folds a FLAT key-clustered replica; a partitioned " +
         "log's files live under partition dirs where the fold cannot " +

@@ -51,7 +51,17 @@ object Chains {
       Future.sequence(chains.map { case (label, c) =>
         Future {
           val t0 = System.nanoTime()
-          try { c(); () } catch { case t: Throwable => errs.add(t); () }
+          try { c(); () } catch {
+            case t: InterruptedException =>
+              // Queue it like any failure (the barrier still completes),
+              // but RESTORE the interrupt status first: swallowing it
+              // would let the remaining chains run to completion while
+              // the caller's cancellation is absorbed — the pool thread
+              // must see the flag so in-chain blocking calls fail fast.
+              Thread.currentThread().interrupt()
+              errs.add(t); ()
+            case t: Throwable => errs.add(t); ()
+          }
           finally if (module.nonEmpty) System.err.println(
             f"[graft] prepare $module/$label ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }

@@ -655,22 +655,209 @@ object ManifestLog {
     worst + statless
   }
 
+  /** Per-file mass targets for a DERIVED fold fan-out (see
+    * [[foldFanout]]). Two caps because they bound different costs:
+    * bytes bound a scan task's input (the 128–256 MB table-format
+    * convention); rows bound a POINT LOOKUP's decode — the admitted
+    * file is read whole, so on a heavily RLE/dictionary-compressed
+    * corpus (the synthetic events table packs ~12 bytes/row) a
+    * bytes-only target would let one "small" file hold tens of
+    * millions of rows and the probe latency would grow with the
+    * layout anyway. Both overridable per session
+    * (`spark.graft.fold.targetFileBytes` / `.targetFileRows`) and per
+    * call.
+    */
+  val TargetFoldBytes: Long = 256L << 20
+  val TargetFoldRows: Long = 256L << 10
+
+  private def confLong(spark: SparkSession, key: String, dflt: Long): Long =
+    scala.util.Try(spark.conf.get(key).toLong).getOrElse(dflt)
+
+  private[util] def targetFoldBytes(spark: SparkSession, explicit: Long): Long =
+    if (explicit > 0) explicit
+    else confLong(spark, "spark.graft.fold.targetFileBytes", TargetFoldBytes)
+
+  private[util] def targetFoldRows(spark: SparkSession, explicit: Long): Long =
+    if (explicit > 0) explicit
+    else confLong(spark, "spark.graft.fold.targetFileRows", TargetFoldRows)
+
+  /** Output file count for a fold over `bytes`/`rows` of input: enough
+    * files that no output file exceeds EITHER mass target — the
+    * finer-grained of the two constraints wins. This is what replaces
+    * the r19 layout's partition-count pin (nOut = 32 at every corpus
+    * size): a pinned denominator keeps file COUNT constant while bytes
+    * grow 100×, so the single file a point lookup admits carries the
+    * growth — at 100 TB that is a 3 TB file. Deriving from mass keeps
+    * the admitted file bounded instead, and the file count grows with
+    * the layout (file-level admission stays a driver-side manifest
+    * sweep; at real scale the metadata itself shards — manifest trees
+    * — which is out of scope here).
+    */
+  private[util] def foldFanout(bytes: Long, rows: Long,
+      targetBytes: Long, targetRows: Long): Int = {
+    def ceilDiv(a: Long, b: Long): Long = if (b <= 0L) 1L else (a + b - 1L) / b
+    math.min(1L << 20, math.max(1L,
+      math.max(ceilDiv(bytes, targetBytes), ceilDiv(rows, targetRows)))).toInt
+  }
+
+  /** Footer-recorded row count — one metadata read, no data pages. */
+  private def fileRows(file: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
+  /** [[foldFanout]] for a ONE-SHOT build, derived from the SOURCE
+    * parquet's file statuses and footer record counts (driver-side
+    * metadata only — the build reads the data anyway). The re-sorted
+    * layout's bytes differ from the source's, but only by a
+    * compression-ratio factor; rows are exact, and on the corpora
+    * where the distinction matters the rows cap is the binding one.
+    */
+  def sourceFanout(spark: SparkSession, srcPath: String,
+      targetBytes: Long = -1L, targetRows: Long = -1L): Int = {
+    val (p, fs) = hadoop(spark, srcPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val rows = files.map(s => fileRows(s.getPath, conf)).sum
+    foldFanout(bytes, rows,
+      targetFoldBytes(spark, targetBytes), targetFoldRows(spark, targetRows))
+  }
+
+  /** One fold set of a sharded keyed fold: the files to rewrite, the
+    * hull [lo, hi] of their key ranges, the worst pre-fold stack over
+    * any over-depth point inside it, and the set's total mass.
+    */
+  private[util] final case class KeyComponent(
+      entries: Seq[Entry], lo: Long, hi: Long, depth: Int,
+      bytes: Long, rows: Long)
+
+  /** The minimal fold sets that restore `depth ≤ maxDepth` everywhere —
+    * [[Segments.maintainSorted]]'s component idea transposed to key
+    * space, but seeded from the OVER-DEPTH points rather than from
+    * range connectivity: two-column range partitioning deliberately
+    * splits a whale key across neighboring files, so adjacent settled
+    * files share one boundary key and a connectivity merge would chain
+    * the whole layout into one component, defeating the sharding.
+    *
+    * Construction (driver-side manifest sweep, no IO until mass):
+    *  1. sweep the foldable ranges for the maximal intervals where the
+    *     stack exceeds `maxDepth`;
+    *  2. seed each fold set with every file overlapping such an
+    *     interval (all of an over-depth point's stack folds, so that
+    *     point drops to depth 1);
+    *  3. close over the seeds' hull: any foldable file fully CONTAINED
+    *     in it joins (the [[compactRange]] grain would sweep it in
+    *     anyway — containment cannot extend the hull, so this
+    *     terminates in one pass); files merely STRADDLING the hull
+    *     stay out and keep their boundary overlap of ≤ maxDepth;
+    *  4. merge fold sets whose hulls intersect (their grains would
+    *     collide).
+    *
+    * Post-fold depth at any key k: if k was over-depth, its whole
+    * stack was seeded, so only the (range-disjoint) replacement covers
+    * it; otherwise the replacement's 1 replaces ≥ 1 folded file, so
+    * the stack never grows. Settled ranges outside every hull pass to
+    * the new generation BY REFERENCE. Mass (bytes from file status,
+    * rows from footers) is collected only for the returned fold sets —
+    * the steady-state tick stays a pure manifest parse.
+    */
+  private[util] def overDepthFoldSets(spark: SparkSession, root: String,
+      keyCol: String, maxDepth: Int): Seq[KeyComponent] = {
+    val entries = currentEntries(spark, root)
+    require(entries.forall(!_.path.contains("/")),
+      s"$root holds partition-dir entries — maintainKeyed folds flat " +
+        "key-clustered layouts; partitioned logs take maintainSorted/" +
+        "maintainClustered per directory")
+    val foldable = entries
+      .flatMap(e => e.statFor(keyCol).map { case (mn, mx) => (mn, mx, e) })
+      .filter { case (_, mx, _) => mx < Long.MaxValue }
+    if (foldable.isEmpty) return Nil
+    // 1. Maximal over-depth intervals: openings before closings at
+    // equal coordinates (inclusive ranges), interval open while the
+    // stack exceeds the bound.
+    val marks = foldable.flatMap { case (mn, mx, _) => Seq((mn, 1), (mx, -1)) }
+      .sortBy { case (c, d) => (c, -d) }
+    val over = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var depth = 0
+    var start = 0L
+    var inOver = false
+    marks.foreach { case (c, d) =>
+      val nd = depth + d
+      if (!inOver && nd > maxDepth) { inOver = true; start = c }
+      else if (inOver && d < 0 && nd <= maxDepth) {
+        inOver = false; over += ((start, c))
+      }
+      depth = nd
+    }
+    if (over.isEmpty) return Nil
+    // 2-4. Seed, close over containment, merge colliding hulls.
+    final case class Set0(files: Seq[(Long, Long, Entry)], lo: Long, hi: Long)
+    val seeded = over.toSeq.map { case (lo, hi) =>
+      val seeds = foldable.filter { case (mn, mx, _) => mx >= lo && mn <= hi }
+      Set0(seeds, seeds.map(_._1).min, seeds.map(_._2).max)
+    }
+    val merged = scala.collection.mutable.ArrayBuffer.empty[Set0]
+    seeded.sortBy(_.lo).foreach { s =>
+      if (merged.nonEmpty && s.lo <= merged.last.hi) {
+        val prev = merged.remove(merged.length - 1)
+        val files = (prev.files ++ s.files).distinctBy(_._3.path)
+        merged += Set0(files, math.min(prev.lo, s.lo), math.max(prev.hi, s.hi))
+      } else merged += s
+    }
+    val (p, fs) = hadoop(spark, root)
+    val conf = spark.sessionState.newHadoopConf()
+    merged.toSeq.map { s =>
+      val inSet = s.files.map(_._3.path).toSet
+      val all = s.files ++ foldable.filter { case (mn, mx, e) =>
+        !inSet(e.path) && mn >= s.lo && mx <= s.hi
+      }
+      // Worst stack inside the hull, for telemetry and the spec.
+      val ms = all.flatMap { case (mn, mx, _) => Seq((mn, 1), (mx, -1)) }
+        .sortBy { case (c, d) => (c, -d) }
+      var d = 0; var worst = 0
+      ms.foreach { case (_, dd) => d += dd; worst = math.max(worst, d) }
+      val paths = all.map(t => new org.apache.hadoop.fs.Path(p, t._3.path))
+      KeyComponent(all.map(_._3), s.lo, s.hi, worst,
+        paths.map(fs.getFileStatus(_).getLen).sum,
+        paths.map(fileRows(_, conf)).sum)
+    }
+  }
+
   /** Maintenance tick for a KEY-clustered layout — the depth-triggered
-    * fold ([[overlapDepth]]'s rationale: every appended segment of a
-    * key-sorted replica spans the whole key domain, so component-size
-    * triggers would full-rewrite on the first tick; the honest trigger
-    * is the read amplification itself). While depth ≤ `maxDepth` the
-    * tick is a manifest parse and commits nothing; past it the whole
-    * stack folds back into `nOut` range-disjoint target files
-    * (defaults to the session's shuffle-partition count) — O(layout)
-    * every maxDepth batches, O(batch) otherwise, with keyed reads
-    * admitting ≤ maxDepth files per probed key in between.
-    * `secondarySort` threads the layout's within-key order through the
-    * fold (the by-user replica's (user_id, ts_us)): without it a fold
-    * would silently drop the documented read-in-time-order property
-    * AND the two-column range partitioning that splits a whale key
-    * across files instead of into one oversized task. Returns whether
-    * a fold committed.
+    * RANGE-SHARDED fold ([[overlapDepth]]'s rationale: every appended
+    * segment of a key-sorted replica spans the whole key domain, so
+    * component-size triggers would full-rewrite on the first tick; the
+    * honest trigger is the read amplification itself). While no key
+    * range stacks more than `maxDepth` files the tick is a manifest
+    * parse and commits nothing. Past it, the fold is sharded by key
+    * range: the foldable files group into maximal overlap-connected
+    * components of key space ([[keyComponents]]), and ONLY the
+    * components whose own depth exceeds the bound are rewritten —
+    * settled ranges pass to the new generation by reference, untouched
+    * on disk. When appends are domain-spanning (the by-user replica's
+    * steady state) every file is one component and the fold is the
+    * whole layout — the honest tiered-compaction amortization, O(layout)
+    * every maxDepth batches; when they are NARROW (a hot key slice, a
+    * backfill, post-[[deleteKeys]] churn) the fold touches only the
+    * over-depth slice and its cost tracks that slice's mass, not the
+    * layout's (TickBench's byuser_shard section measures exactly this).
+    *
+    * Each folded component comes back as range-disjoint files sized by
+    * [[foldFanout]] — per-file mass bounded by the bytes/rows targets
+    * (session confs `spark.graft.fold.targetFileBytes` / `.targetFileRows`
+    * or the call's overrides), so the file a point lookup admits stays
+    * bounded as the layout grows instead of inheriting the growth
+    * (`nOut > 0` forces a fixed per-component count — a test hook and
+    * an escape hatch). `secondarySort` threads the layout's within-key
+    * order through the fold (the by-user replica's (user_id, ts_us)):
+    * without it a fold would silently drop the documented
+    * read-in-time-order property AND the two-column range partitioning
+    * that splits a whale key across files instead of into one
+    * oversized task. Returns whether any fold committed.
     *
     * The trigger counts only FOLDABLE files — those [[compactRange]]
     * can actually rewrite. A stat-less file (nulls in the key column)
@@ -689,30 +876,23 @@ object ManifestLog {
     */
   def maintainKeyed(spark: SparkSession, root: String, keyCol: String,
       maxDepth: Int = Segments.CompactAfterSegments, nOut: Int = -1,
-      secondarySort: Seq[String] = Nil): Boolean = {
+      secondarySort: Seq[String] = Nil,
+      targetFileBytes: Long = -1L, targetFileRows: Long = -1L): Boolean = {
     require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
-    val entries = currentEntries(spark, root)
-    require(entries.forall(!_.path.contains("/")),
-      s"$root holds partition-dir entries — maintainKeyed folds flat " +
-        "key-clustered layouts; partitioned logs take maintainSorted/" +
-        "maintainClustered per directory")
-    val foldable = entries
-      .flatMap(_.statFor(keyCol))
-      .filter { case (_, mx) => mx < Long.MaxValue }
-    val marks = foldable.flatMap { case (mn, mx) => Seq((mn, 1), (mx, -1)) }
-      .sortBy { case (c, d) => (c, -d) }
-    var depth = 0
-    var worst = 0
-    marks.foreach { case (_, d) => depth += d; worst = math.max(worst, depth) }
-    if (worst <= maxDepth) false
-    else {
-      val n =
-        if (nOut > 0) nOut
-        else spark.conf.get("spark.sql.shuffle.partitions").toInt
-      compactRange(spark, root, "", keyCol, Long.MinValue, Long.MaxValue,
+    val tb = targetFoldBytes(spark, targetFileBytes)
+    val tr = targetFoldRows(spark, targetFileRows)
+    val over = overDepthFoldSets(spark, root, keyCol, maxDepth)
+    over.foreach { c =>
+      val n = if (nOut > 0) nOut else foldFanout(c.bytes, c.rows, tb, tr)
+      // The hull captures exactly the fold set (containment-closed in
+      // overDepthFoldSets; hulls of distinct sets are disjoint, so no
+      // other foldable file is contained in [lo, hi]; hi <
+      // Long.MaxValue by the foldable filter, so the exclusive bound
+      // never overflows). Straddlers stay, by compactRange's contract.
+      compactRange(spark, root, "", keyCol, c.lo, c.hi + 1L,
         nOut = n, secondarySort = secondarySort)
-      true
     }
+    over.nonEmpty
   }
 
   /** Metadata-only batch acknowledgement: advance the batch high-water

@@ -58,9 +58,15 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
 
     // The lifecycle reads off the manifest: bootstrap + one commit per
     // NON-EMPTY batch (a restart's no-data batch commits nothing), the
-    // high-water mark at the last data-bearing batch id.
+    // high-water mark at the last data-bearing batch id. How many
+    // micro-batches the file source cuts the three drops into is ITS
+    // business (under load it occasionally splits one drop's part
+    // files across two triggers) — the contract is the op shapes, at
+    // least one commit per drop, and no replay (row-exactness above).
     val trail = ManifestLog.describe(spark, root)
-    assert(trail.map(_._2) == Seq("create", "append-batch", "append-batch", "append-batch"),
+    val ops = trail.map(_._2)
+    assert(ops.head == "create" && ops.tail.nonEmpty &&
+        ops.tail.forall(_ == "append-batch") && ops.tail.length >= 3,
       s"unexpected audit trail: $trail")
     assert(ManifestLog.batchHwm(spark, root) >= 2L)
 
@@ -212,8 +218,21 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     // (depth capped at 2 ⇒ some compact generation committed) and the
     // replay guard survived it.
     assert(ManifestLog.read(spark, root).count() == 6 * 256L)
-    assert(ManifestLog.describe(spark, root).map(_._2).contains("compact"),
-      "the in-sink depth tick never folded")
+    val ops = ManifestLog.describe(spark, root).map(_._2)
+    assert(ops.contains("compact"), "the in-sink depth tick never folded")
+    // The fold's micro-batch latency bound (r19 verdict item 6),
+    // asserted structurally: foreachBatch is sequential, so a fold
+    // stalls exactly the batch that runs it — the contract is that
+    // folds are AMORTIZED, at most one per maintainEveryBatches
+    // committed batches (6 batches / every 2 = ≤ 3 here, and only the
+    // over-depth ticks among those commit), never per-batch. The
+    // per-fold stall itself is bounded by the over-depth fold sets'
+    // mass, not the layout (maintainKeyed's sharding) — O(layout) only
+    // in the domain-spanning worst case TickBench measures.
+    val folds = ops.count(_ == "compact")
+    assert(folds >= 1 && folds <= 3,
+      s"fold cadence broke the amortization bound: $folds folds over 6 " +
+        "batches with maintainEveryBatches=2")
     assert(ManifestLog.batchHwm(spark, root) >= 5L)
     assert(ManifestLog.overlapDepth(spark, root, "uid") <= 3,
       "read amplification left unbounded under streaming ingest")

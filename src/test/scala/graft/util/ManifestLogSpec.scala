@@ -272,6 +272,36 @@ class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(e.getMessage.contains("flat"))
   }
 
+  test("maintainKeyed folds each over-depth key slice independently; settled slices pass by reference") {
+    // Two hot key slices stack 3 files each; a settled file sits
+    // between them. One tick at bound 2 must fold BOTH slices (each to
+    // one mass-derived file) while the settled file passes to the new
+    // generation by reference — the fold sets are seeded from the
+    // over-depth points, so neither slice's rewrite touches the other.
+    val root = s"${tempCorpusDir("graft_mkeyed_shard")}/log"
+    def seg(lo: Int, n: Int, tag: String): Unit =
+      (0 until n).map(i => (lo + i.toLong, s"$tag$i")).toDF("k", "v")
+        .coalesce(1).sortWithinPartitions("k").write.mode("append").parquet(root)
+    (0 until 3).foreach(j => seg(0, 10, s"a$j"))   // slice A: [0,9] ×3
+    seg(20, 10, "mid")                             // settled: [20,29] ×1
+    (0 until 3).foreach(j => seg(40, 10, s"b$j"))  // slice B: [40,49] ×3
+    ManifestLog.adopt(spark, root, Some("k"))
+    assert(ManifestLog.liveFileCount(spark, root) == 7)
+    val settled = ManifestLog.readKeyed(spark, root, "k", Seq(25L)).inputFiles
+    assert(settled.length == 1)
+    assert(ManifestLog.maintainKeyed(spark, root, "k", maxDepth = 2))
+    // 2 folded slices (tiny mass → 1 file each) + the untouched middle.
+    assert(ManifestLog.liveFileCount(spark, root) == 3,
+      s"expected 3 files, got ${ManifestLog.liveFileCount(spark, root)}")
+    assert(ManifestLog.readKeyed(spark, root, "k", Seq(25L)).inputFiles
+        .sameElements(settled),
+      "the settled slice's file must pass by reference, not rewrite")
+    assert(ManifestLog.read(spark, root).count() == 70)
+    assert(ManifestLog.readKeyed(spark, root, "k", Seq(5L)).count() == 3)
+    // Converged: the next tick is a manifest-parse no-op.
+    assert(!ManifestLog.maintainKeyed(spark, root, "k", maxDepth = 2))
+  }
+
   test("a stats-less manifest slices conservatively: every file is selected") {
     val (root, rows) = freshLog() // adopted WITHOUT a bound column
     val slice = ManifestLog.readSlice(spark, root, "ts", 1500000L, 1600000L)
