@@ -56,13 +56,38 @@ object Bench {
     * gated section re-runs them against `SPARK_GRAFT_X100_DIR` with
     * their own `x100_ref` minima, so a pruning regression at 10³–10⁴
     * files is machine-caught each round instead of re-measured by
-    * hand. Kept to the 4 skipping queries: the ×100 corpus costs
-    * minutes to prepare, and the non-skipping heavy chains already
-    * gate at ×10.
+    * hand — plus a 2-query COMPUTE slice (r19 verdict item 5): the
+    * heaviest fact aggregate and the heaviest text chain, whose scale
+    * behavior previously stopped at ×10. Kept deliberately small: the
+    * ×100 corpus costs ~a minute of prepare per module, and the rest
+    * of the heavy chains already gate at ×10.
     */
-  private[graft] val X100Skipping: Seq[String] = Seq(
+  private[graft] val X100Roster: Seq[String] = Seq(
     "q152_point_lookup", "q153_zslice_2d", "q156_digest_lookup",
-    "q157_colocated_dfp")
+    "q157_colocated_dfp",
+    "q140_tpch_q9", "q67_ngram_jaccard")
+
+  /** Layout-wide file populations for the driver-narrowed reads in the
+    * scale rosters (r19 advice): [[graft.util.PlanFiles.filesPlanned]]'s
+    * "total" is the scanned RELATION's own listing, and for a
+    * readKeyed/readForKeys query the admission happened before the
+    * relation existed — the artifact would record "1/1" and a broken
+    * admission would still read as planned==total. These resolve each
+    * query's at-rest layout root and report its LIVE file count as the
+    * honest denominator, emitted as `layout_live_files` next to
+    * `files_planned`.
+    */
+  private[graft] val LayoutPopulation
+      : Map[String, (SparkSession, String) => Int] = Map(
+    "q152_point_lookup" -> ((s, dir) => graft.util.ManifestLog.liveFileCount(
+      s, graft.queries.Events.eventsByUserLog(s, dir))),
+    "q153_zslice_2d" -> ((s, dir) => graft.util.ManifestLog.liveFileCount(
+      s, graft.queries.Events.eventsZLog(s, dir))),
+    "q154_dfp_join" -> ((s, dir) => graft.util.ManifestLog.liveFileCount(
+      s, graft.queries.Relational.lineitemOkLog(s, dir))),
+    "q156_digest_lookup" -> ((s, dir) => graft.util.ManifestLog.liveFileCount(
+      s, graft.queries.TextOps.docsDigestLog(s, dir))),
+  )
 
   /** One bench execution's outcome: the prepare-phase report, the
     * per-query min-of-3 timings, and the two JSON lines main prints.
@@ -108,7 +133,8 @@ object Bench {
     * are admitted. Missing or unreadable file → empty map → gate
     * reports nothing, never fails the bench.
     */
-  private[graft] def loadRef(path: String, key: String = "ref"): Map[String, Double] =
+  private[graft] def loadRef(path: String, key: String = "ref",
+      keyShape: String = """q[0-9]+_[^"]+"""): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -132,7 +158,8 @@ object Bench {
           val close = if (open < 0) -1 else txt.indexOf('}', open)
           if (open < 0 || close < 0) "" else txt.substring(open, close + 1)
         }
-      """"(q[0-9]+_[^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+      (""""(""" + keyShape +
+        """)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""").r
         .findAllMatchIn(slice)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
@@ -171,8 +198,33 @@ object Bench {
     // Per-module prepare seconds (concurrent — not additive): makes a
     // prepare regression attributable across rounds instead of one
     // opaque index_build_sec.
-    val indexModulesJson = SparkEntry.lastModuleSeconds.toSeq.sortBy(_._1)
+    val moduleSecs = SparkEntry.lastModuleSeconds.toSeq.sortBy(_._1)
+    val indexModulesJson = moduleSecs
       .map { case (m, t) => s""""$m":${fmt(t, 2)}""" }.mkString("{", ",", "}")
+    // Prepare-phase regression gate (r19 verdict item 3): prepare is
+    // driver-saturation-bound, so it will not shrink — but it can
+    // silently GROW, and the per-query gates never see it (prepare
+    // runs before the timed loop). Each module's wall time compares
+    // against its committed `prepare_ref` floor under the same
+    // dual-threshold rule as queries. Caveat the floors inherit:
+    // prepare is a SINGLE sample per bench (no min-of-3), so the
+    // ratchet convention — floors refreshed only from round-committed
+    // quiet-box artifacts — is what keeps one box burp from flagging
+    // forever. Module names are not query-shaped, hence the keyShape.
+    val refPathEarly = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+    val prepRef = loadRef(refPathEarly, "prepare_ref",
+      keyShape = """[a-z][a-z0-9_-]*""")
+    val prepRegressions = moduleSecs.collect {
+      case (m, sec) if prepRef.get(m).exists(r =>
+          sec > r * RegressionRatio && sec - r > RegressionSlackSec) =>
+        (m, sec, prepRef(m))
+    }
+    val prepRegJson = prepRegressions.map { case (m, s, r) =>
+      s""""$m":{"sec":${fmt(s, 2)},"ref_sec":${fmt(r, 2)},"ratio":${fmt(s / r, 2)}}"""
+    }.mkString("{", ",", "}")
+    val prepareGateJson =
+      s""""n_prepare_regressions":${prepRegressions.size},""" +
+        s""""prepare_ref_n":${prepRef.size},"prepare_regressions":$prepRegJson"""
     // Deterministic name order so per-query numbers compare across rounds.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Driver-JVM GC time, for stall forensics: if a query's wall time
@@ -258,7 +310,7 @@ object Bench {
     // Per-query regression gate (see RegressionRatio): compare each
     // min-of-3 against the committed reference; queries absent from
     // the reference (new this round) are skipped.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+    val refPath = refPathEarly
     val ref = loadRef(refPath)
     val regressions = results.collect {
       case (name, sec) if ref.get(name).exists(r =>
@@ -332,13 +384,25 @@ object Bench {
             }
             s"${graft.util.Json.str(name)}:$s"
         }.mkString("{", ",", "}")
+        // Layout-wide denominators for the driver-narrowed reads (the
+        // "1/1" trap — see LayoutPopulation): planned-of-POPULATION is
+        // the claim the scale sections exist to evidence.
+        val xLayout = sel.collect {
+          case (name, _) if !xErr.contains(name) &&
+              LayoutPopulation.contains(name) =>
+            val v = scala.util.Try(LayoutPopulation(name)(spark, xdir)) match {
+              case scala.util.Success(n) => n.toString
+              case scala.util.Failure(e) => graft.util.Json.str(s"? ($e)")
+            }
+            s"${graft.util.Json.str(name)}:$v"
+        }.mkString("{", ",", "}")
         val long =
           s""""$tag":{"dir":${graft.util.Json.str(xdir)},"index_build_sec":$xPrepSec,""" +
             s""""index_build_failed":${xFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""measure":"min_of_2","n_queries":${xRes.size},"total_sec":$xTotal,""" +
             s""""n_regressions":${xRegs.size},"regression_ref_n":${xRef.size},""" +
             s""""regressions":${regJsonOf(xRegs)},"errors":$xErrJson,""" +
-            s""""files_planned":$xFiles,""" +
+            s""""files_planned":$xFiles,"layout_live_files":$xLayout,""" +
             s""""queries_run1":${qjson(xp1)},"queries_run2":${qjson(xp2)},"queries":${qjson(xRes)}}"""
         val tail =
           s""""$tag":{"n_queries":${xRes.size},"total_sec":${fmt(xTotal, 2)},""" +
@@ -358,7 +422,7 @@ object Bench {
     // regression gate with a phantom flag (min-of-2 mostly absorbs it,
     // but the floor would ratchet off the contaminated pair).
     val x100Frags =
-      x100Dir.map(scaleFrags("x100", _, X100Skipping, "x100_ref", X10Modules))
+      x100Dir.map(scaleFrags("x100", _, X100Roster, "x100_ref", X10Modules))
     val x10LongJson = x10Frags.map("," + _._1).getOrElse("") +
       x100Frags.map("," + _._1).getOrElse("")
     val x10TailJson = x10Frags.map("," + _._2).getOrElse("") +
@@ -382,7 +446,7 @@ object Bench {
     // non-errored queries, so a cross-round diff of `value` alone would
     // silently compare different query sets without them.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"gc_delta_sec_run3":$gc3,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"queries_run3":${qjson(run3.map(r => r._1 -> r._2))},"sf":"$sfDir"$x10LongJson,"errors":$errJson,"queries":${qjson(results)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionJson,"n_queries":${results.size},"n_errors":${errors.size},"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,$prepareGateJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"gc_delta_sec_run1":$gc1,"gc_delta_sec_run2":$gc2,"gc_delta_sec_run3":$gc3,"queries_run1":${qjson(run1.map(r => r._1 -> r._2))},"queries_run2":${qjson(run2.map(r => r._1 -> r._2))},"queries_run3":${qjson(run3.map(r => r._1 -> r._2))},"sf":"$sfDir"$x10LongJson,"errors":$errJson,"queries":${qjson(results)}}"""
     // The driver archives a 2000-char TAIL of stdout, which loses the
     // FRONT of the long line above (the r5 artifact ended inside the GC
     // map and the headline total survived only in the file). So main's
@@ -396,7 +460,7 @@ object Bench {
       val (n, v) = results.maxBy(_._2); s"""{"name":"$n","sec":$v}"""
     }
     val tail =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionTailJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir"$x10TailJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min_of_3_interleaved",$baseline43Json,$regressionTailJson,"n_queries":${results.size},"median_sec":$median,"max_query":$maxQ,"index_build_sec":$indexSec,"index_build_modules":$indexModulesJson,$prepareGateJson,"index_build_failed":$indexFailedJson,"gate_only_queries":$gateOnly,"sf":"$sfDir"$x10TailJson,"errors":$errJson}"""
     Result(indexSec, indexFailed, errors.toSeq, results, json, tail, regressions)
   }
 
