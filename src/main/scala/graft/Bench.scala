@@ -67,6 +67,18 @@ object Bench {
     "q157_colocated_dfp",
     "q140_tpch_q9", "q67_ngram_jaccard")
 
+  /** The queries whose files-planned ratio IS a claim — the
+    * manifested/skipping family, where planned ≪ population evidences
+    * file-level admission. The scale sections' untimed third execution
+    * (files_planned) runs ONLY for these: for a compute query the plan
+    * reads everything by design, so the ratio says nothing, and at ×100
+    * the third full execution of the two heaviest chains would cost
+    * more than the whole skipping roster it was meant to evidence.
+    */
+  private[graft] val SkippingFamily: Set[String] = Set(
+    "q152_point_lookup", "q153_zslice_2d", "q154_dfp_join",
+    "q156_digest_lookup", "q157_colocated_dfp")
+
   /** Layout-wide file populations for the driver-narrowed reads in the
     * scale rosters (r19 advice): [[graft.util.PlanFiles.filesPlanned]]'s
     * "total" is the scanned RELATION's own listing, and for a
@@ -373,10 +385,11 @@ object Bench {
         val xErrJson = xErr.map("\"" + _ + "\"").mkString("[", ",", "]")
         // Files-planned evidence, machine-recorded (r18 verdict: the
         // BASELINE claims should not need hand re-measurement): one
-        // untimed third execution per roster query, planned/scanned
-        // from the executed plan's own metrics.
+        // untimed third execution per SKIPPING-FAMILY query,
+        // planned/scanned from the executed plan's own metrics.
         val xFiles = sel.collect {
-          case (name, fn) if !xErr.contains(name) =>
+          case (name, fn) if !xErr.contains(name) &&
+              SkippingFamily.contains(name) =>
             val s = scala.util.Try(
               graft.util.PlanFiles.filesPlanned(fn(spark, xdir))) match {
               case scala.util.Success((p, t)) => s""""$p/$t""""

@@ -53,12 +53,15 @@ object Chains {
           val t0 = System.nanoTime()
           try { c(); () } catch {
             case t: InterruptedException =>
-              // Queue it like any failure (the barrier still completes),
-              // but RESTORE the interrupt status first: swallowing it
-              // would let the remaining chains run to completion while
-              // the caller's cancellation is absorbed — the pool thread
-              // must see the flag so in-chain blocking calls fail fast.
-              Thread.currentThread().interrupt()
+              // Cancellation is NOT absorbed: InterruptedException is
+              // fatal under NonFatal, so the queue's primary-error pick
+              // below rethrows it once the barrier completes. The flag
+              // is deliberately NOT restored here — the chain body has
+              // already returned (throwing cleared the flag), so
+              // re-arming it on this SHARED global-pool worker would
+              // only leak a spurious interrupt into whatever unrelated
+              // future the pool schedules next on this thread,
+              // misattributing the cancellation to an innocent chain.
               errs.add(t); ()
             case t: Throwable => errs.add(t); ()
           }

@@ -700,14 +700,6 @@ object ManifestLog {
       math.max(ceilDiv(bytes, targetBytes), ceilDiv(rows, targetRows)))).toInt
   }
 
-  /** Footer-recorded row count — one metadata read, no data pages. */
-  private def fileRows(file: org.apache.hadoop.fs.Path,
-      conf: org.apache.hadoop.conf.Configuration): Long = {
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-    try reader.getRecordCount finally reader.close()
-  }
-
   /** [[foldFanout]] for a ONE-SHOT build, derived from the SOURCE
     * parquet's file statuses and footer record counts (driver-side
     * metadata only — the build reads the data anyway). The re-sorted
@@ -722,10 +714,21 @@ object ManifestLog {
     val files = fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val bytes = files.map(_.getLen).sum
-    val rows = files.map(s => fileRows(s.getPath, conf)).sum
+    // The footer sweep (one serial open per source file) is the only
+    // non-trivial cost here, and the resolvers call this on EVERY keyed
+    // read — including inside timed point-lookup bodies. Memoize the
+    // row total on the listing's (name, len, mtime) signature: repeat
+    // calls cost one listStatus; a rewritten source changes the
+    // signature and recomputes.
+    val sig = (srcPath,
+      files.map(s => (s.getPath.getName, s.getLen, s.getModificationTime)))
+    val rows = fanoutRows.computeIfAbsent(sig,
+      _ => files.map(s => Segments.fileRowCount(s.getPath, conf)).sum)
     foldFanout(bytes, rows,
       targetFoldBytes(spark, targetBytes), targetFoldRows(spark, targetRows))
   }
+  private val fanoutRows = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[(String, Long, Long)]), Long]
 
   /** One fold set of a sharded keyed fold: the files to rewrite, the
     * hull [lo, hi] of their key ranges, the worst pre-fold stack over
@@ -823,7 +826,7 @@ object ManifestLog {
       val paths = all.map(t => new org.apache.hadoop.fs.Path(p, t._3.path))
       KeyComponent(all.map(_._3), s.lo, s.hi, worst,
         paths.map(fs.getFileStatus(_).getLen).sum,
-        paths.map(fileRows(_, conf)).sum)
+        paths.map(Segments.fileRowCount(_, conf)).sum)
     }
   }
 
@@ -834,9 +837,11 @@ object ManifestLog {
     * honest trigger is the read amplification itself). While no key
     * range stacks more than `maxDepth` files the tick is a manifest
     * parse and commits nothing. Past it, the fold is sharded by key
-    * range: the foldable files group into maximal overlap-connected
-    * components of key space ([[keyComponents]]), and ONLY the
-    * components whose own depth exceeds the bound are rewritten —
+    * range: [[overDepthFoldSets]] seeds minimal fold sets from the
+    * over-depth key intervals (NOT range connectivity — adjacent
+    * settled files share a whale key's split boundary, so a
+    * connectivity merge would chain the whole layout), and ONLY those
+    * fold sets are rewritten —
     * settled ranges pass to the new generation by reference, untouched
     * on disk. When appends are domain-spanning (the by-user replica's
     * steady state) every file is one component and the fold is the

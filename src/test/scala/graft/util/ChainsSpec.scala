@@ -46,6 +46,28 @@ class ChainsSpec extends AnyFunSuite {
       "sibling failure vanished instead of riding as suppressed")
   }
 
+  test("an interrupted chain rethrows after the barrier without leaking the flag") {
+    val done = new AtomicInteger(0)
+    val e = intercept[InterruptedException] {
+      Chains.runAll(Seq(
+        () => throw new InterruptedException("cancelled chain"),
+        () => done.incrementAndGet(),
+      ))
+    }
+    assert(e.getMessage == "cancelled chain")
+    assert(done.get() == 1, "cancellation must not strand the sibling")
+    // The old code re-armed the pooled worker's interrupt flag AFTER the
+    // chain body had already returned; the pool then fed that thread to
+    // the next unrelated future, whose first blocking call died with a
+    // spurious InterruptedException. Drill: a follow-up barrier of
+    // blocking chains (wide enough to reuse the poisoned worker) must
+    // complete cleanly.
+    val later = new AtomicInteger(0)
+    Chains.runAll(Seq.fill(32)(() => { Thread.sleep(10); later.incrementAndGet() }))
+    assert(later.get() == 32,
+      "a later barrier saw the interrupt flag leaked by the earlier one")
+  }
+
   test("all-green chains complete silently") {
     val done = new AtomicInteger(0)
     Chains.runAll(Seq.fill(8)(() => done.incrementAndGet()))
