@@ -40,7 +40,8 @@ object LogStream {
     */
   def ingestBatch(batch: DataFrame, batchId: Long, root: String,
       boundCol: String, filesPerBatch: Int = 1,
-      partitionDirs: Seq[String] = Nil): Boolean = {
+      partitionDirs: Seq[String] = Nil,
+      secondarySort: Seq[String] = Nil): Boolean = {
     val spark = batch.sparkSession
     // A no-data micro-batch (a restart's state-reestablishing batch,
     // or an empty trigger) commits nothing: it has no rows to deliver
@@ -55,10 +56,12 @@ object LogStream {
     // file exists.
     if (ManifestLog.versions(spark, root).isEmpty)
       ManifestLog.create(spark, root)
-    // Cluster on (partition dirs, boundary): each partition directory
-    // gets contiguous boundary ranges, so write-time stats stay tight
-    // per file even when one micro-batch spans partition values.
-    val clusterCols = (partitionDirs :+ boundCol).map(col)
+    // Cluster on (partition dirs, boundary[, secondary]): each
+    // partition directory gets contiguous boundary ranges, so
+    // write-time stats stay tight per file even when one micro-batch
+    // spans partition values; a keyed replica's secondary sort (the
+    // within-key order its folds preserve) lands in the batch too.
+    val clusterCols = (partitionDirs ++ (boundCol +: secondarySort)).map(col)
     ManifestLog.appendBatch(
       batch.repartitionByRange(filesPerBatch, clusterCols: _*)
         .sortWithinPartitions(clusterCols: _*),
@@ -112,10 +115,26 @@ object LogStream {
       maintainMaxFiles: Int = Segments.CompactAfterSegments,
       clusterCols: Seq[String] = Nil,
       clusterTargetRows: Long = 1L << 20,
-      keyedDepth: Boolean = false): StreamingQuery = {
+      keyedDepth: Boolean = false,
+      keyedSecondarySort: Seq[String] = Nil): StreamingQuery = {
     require(clusterCols.isEmpty || clusterCols.contains(boundCol),
       s"clusterCols $clusterCols must include the boundary column " +
         s"'$boundCol' — the since/slice paths prune on it")
+    // Validate the Z-layout's arity AT STREAM START, not at the first
+    // tick: clusterCols == Seq(boundCol) passes the include-check
+    // above but is not a Z-layout — every ingested file already
+    // carries boundCol stats, so maintainClustered's stale count stays
+    // 0 forever (unbounded file growth, no warning), and if stats-less
+    // files ever accumulate the 2..4-column require would instead kill
+    // the stream MID-INGEST inside foreachBatch. A single-column log
+    // is the plain sorted layout — drop clusterCols for it.
+    require(clusterCols.isEmpty ||
+        (clusterCols.length >= 2 && clusterCols.length <= 4),
+      s"clusterCols $clusterCols is not a Z-layout (2..4 columns) — a " +
+        "single-column log is the plain sorted layout; drop clusterCols")
+    require(keyedSecondarySort.isEmpty || keyedDepth,
+      "keyedSecondarySort declares a keyed replica's within-key order " +
+        "— it is only meaningful with keyedDepth")
     require(!keyedDepth || clusterCols.isEmpty,
       "keyedDepth and clusterCols are different layouts — pick one tick")
     require(!keyedDepth || filesPerBatch == 1,
@@ -134,15 +153,20 @@ object LogStream {
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val committed =
-          ingestBatch(batch, batchId, root, boundCol, filesPerBatch, partitionDirs)
+        val committed = ingestBatch(batch, batchId, root, boundCol,
+          filesPerBatch, partitionDirs, keyedSecondarySort)
         if (committed && maintainEveryBatches > 0 &&
           (batchId + 1) % maintainEveryBatches == 0) {
           if (clusterCols.nonEmpty)
             ManifestLog.maintainClustered(spark, root, clusterCols,
               clusterTargetRows, minNewFiles = maintainMaxFiles)
           else if (keyedDepth)
-            ManifestLog.maintainKeyed(spark, root, boundCol, maintainMaxFiles)
+            // Without the secondary sort the fold would silently drop
+            // the replica's within-key order AND the two-column range
+            // partitioning that splits a whale key across files
+            // (maintainKeyed's own contract) — thread it through.
+            ManifestLog.maintainKeyed(spark, root, boundCol,
+              maintainMaxFiles, secondarySort = keyedSecondarySort)
           else
             Segments.maintainSorted(spark, root, boundCol, maintainMaxFiles)
           ()

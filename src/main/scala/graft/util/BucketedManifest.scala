@@ -74,6 +74,15 @@ object BucketedManifest {
     require(bs.sortColumnNames == bs.bucketColumnNames,
       s"$table sorts on ${bs.sortColumnNames}, buckets on " +
         s"${bs.bucketColumnNames} — the co-location layouts sort by their key")
+    // The Spec records ONE key; adopting a multi-column bucketing by
+    // its head would claim hash(head) placement over files placed by
+    // hash(all columns) — exchange elision and deleteKeys would then
+    // be silently WRONG (joins co-located on the wrong hash, deletes
+    // probing buckets the rows don't live in). Refuse loudly.
+    require(bs.bucketColumnNames.length == 1,
+      s"$table buckets on ${bs.bucketColumnNames} — the manifested " +
+        "co-location layouts are single-key (hash(key) % n placement); " +
+        "a multi-column spec cannot be adopted")
     val root = meta.location.toString
     ManifestLog.adopt(spark, root)
     val key = bs.bucketColumnNames.head
@@ -546,22 +555,10 @@ object BucketedManifest {
     targets
   }
 
-  /** Spark maps a data file to its bucket by NAME (the trailing
-    * `_NNNNN` before the extensions) — same contract as
-    * [[Segments]]' catalog path.
-    */
-  private val BucketFileName = """.*_(\d+)(?:\..*)?$""".r
-  private def bucketIdOf(name: String): Option[Int] = name match {
-    case BucketFileName(id) => Some(id.toInt)
-    case _ => None
-  }
-
-  /** Splice a bucket id between a plain part name's stem and its
-    * extensions, so the replacement parses to its grain's bucket.
-    */
-  private def bucketNamed(partName: String, bucketId: Int): String = {
-    val dot = partName.indexOf('.')
-    val (stem, ext) = partName.splitAt(if (dot < 0) partName.length else dot)
-    f"$stem%s_$bucketId%05d$ext%s"
-  }
+  // Bucket file-name contract: one copy, shared with Segments'
+  // catalog path ([[BucketNames]]).
+  private def bucketIdOf(name: String): Option[Int] =
+    BucketNames.bucketIdOf(name)
+  private def bucketNamed(partName: String, bucketId: Int): String =
+    BucketNames.bucketNamed(partName, bucketId)
 }

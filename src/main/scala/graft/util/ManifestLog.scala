@@ -117,12 +117,25 @@ object ManifestLog {
   }
 
   private def parseEntry(line: String): Entry = {
+    // No tab = a stats-less entry (Entry.line writes bare paths that
+    // way). A tab-bearing line MUST parse as path + (col, min, max)
+    // triples: treating a garbled one as "the whole line is a path"
+    // would satisfy the entries= count check while dropping the REAL
+    // path from the referenced set — and vacuum would then delete the
+    // live data file a corrupt metadata line pointed at. Corruption
+    // must refuse the read, never convert into data loss.
+    if (!line.contains('\t')) return Entry(line, Nil)
     val parts = line.split('\t')
-    if (parts.length >= 4 && (parts.length - 1) % 3 == 0)
-      Entry(parts.head, parts.tail.grouped(3).map {
-        case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
-      }.toSeq)
-    else Entry(line, Nil)
+    if (parts.length < 4 || (parts.length - 1) % 3 != 0)
+      throw new IllegalStateException(
+        s"corrupt manifest entry (token count ${parts.length}): $line")
+    try Entry(parts.head, parts.tail.grouped(3).map {
+      case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
+    }.toSeq)
+    catch {
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"corrupt manifest entry (non-numeric stat): $line", e)
+    }
   }
 
   /** One committed manifest, parsed: the operation that produced it,
@@ -719,16 +732,18 @@ object ManifestLog {
     // read — including inside timed point-lookup bodies. Memoize the
     // row total on the listing's (name, len, mtime) signature: repeat
     // calls cost one listStatus; a rewritten source changes the
-    // signature and recomputes.
-    val sig = (srcPath,
-      files.map(s => (s.getPath.getName, s.getLen, s.getModificationTime)))
-    val rows = fanoutRows.computeIfAbsent(sig,
-      _ => files.map(s => Segments.fileRowCount(s.getPath, conf)).sum)
+    // signature and recomputes. ONE entry per path (compute replaces a
+    // stale signature's cell) — keying the map BY signature would leak
+    // a full-listing-sized dead entry on every source rewrite.
+    val sig = files.map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+    val rows = fanoutRows.compute(srcPath, (_, old) =>
+      if (old != null && old._1 == sig) old
+      else (sig, files.map(s => Segments.fileRowCount(s.getPath, conf)).sum))._2
     foldFanout(bytes, rows,
       targetFoldBytes(spark, targetBytes), targetFoldRows(spark, targetRows))
   }
   private val fanoutRows = new java.util.concurrent.ConcurrentHashMap[
-    (String, Seq[(String, Long, Long)]), Long]
+    String, (Seq[(String, Long, Long)], Long)]
 
   /** One fold set of a sharded keyed fold: the files to rewrite, the
     * hull [lo, hi] of their key ranges, the worst pre-fold stack over
@@ -778,6 +793,26 @@ object ManifestLog {
     val foldable = entries
       .flatMap(e => e.statFor(keyCol).map { case (mn, mx) => (mn, mx, e) })
       .filter { case (_, mx, _) => mx < Long.MaxValue }
+    val sets = foldSetsOf(foldable, maxDepth)
+    if (sets.isEmpty) return Nil
+    val (p, fs) = hadoop(spark, root)
+    val conf = spark.sessionState.newHadoopConf()
+    sets.map { case (all, lo, hi, worst) =>
+      val paths = all.map(t => new org.apache.hadoop.fs.Path(p, t._3.path))
+      KeyComponent(all.map(_._3), lo, hi, worst,
+        paths.map(fs.getFileStatus(_).getLen).sum,
+        paths.map(Segments.fileRowCount(_, conf)).sum)
+    }
+  }
+
+  /** Pure core of [[overDepthFoldSets]] — the sweep/seed/closure/merge
+    * over (min, max, entry) triples, separated from the manifest read
+    * and the mass collection so FoldSetPropertySpec can fuzz it
+    * against brute-force references. Returns one (files, hullLo,
+    * hullHi, worstPreFoldStack) per fold set.
+    */
+  private[util] def foldSetsOf(foldable: Seq[(Long, Long, Entry)],
+      maxDepth: Int): Seq[(Seq[(Long, Long, Entry)], Long, Long, Int)] = {
     if (foldable.isEmpty) return Nil
     // 1. Maximal over-depth intervals: openings before closings at
     // equal coordinates (inclusive ranges), interval open while the
@@ -797,7 +832,7 @@ object ManifestLog {
       depth = nd
     }
     if (over.isEmpty) return Nil
-    // 2-4. Seed, close over containment, merge colliding hulls.
+    // 2-4. Seed, merge colliding hulls, close over containment.
     final case class Set0(files: Seq[(Long, Long, Entry)], lo: Long, hi: Long)
     val seeded = over.toSeq.map { case (lo, hi) =>
       val seeds = foldable.filter { case (mn, mx, _) => mx >= lo && mn <= hi }
@@ -811,8 +846,6 @@ object ManifestLog {
         merged += Set0(files, math.min(prev.lo, s.lo), math.max(prev.hi, s.hi))
       } else merged += s
     }
-    val (p, fs) = hadoop(spark, root)
-    val conf = spark.sessionState.newHadoopConf()
     merged.toSeq.map { s =>
       val inSet = s.files.map(_._3.path).toSet
       val all = s.files ++ foldable.filter { case (mn, mx, e) =>
@@ -823,10 +856,7 @@ object ManifestLog {
         .sortBy { case (c, d) => (c, -d) }
       var d = 0; var worst = 0
       ms.foreach { case (_, dd) => d += dd; worst = math.max(worst, d) }
-      val paths = all.map(t => new org.apache.hadoop.fs.Path(p, t._3.path))
-      KeyComponent(all.map(_._3), s.lo, s.hi, worst,
-        paths.map(fs.getFileStatus(_).getLen).sum,
-        paths.map(Segments.fileRowCount(_, conf)).sum)
+      (all, s.lo, s.hi, worst)
     }
   }
 
@@ -1560,27 +1590,46 @@ object ManifestLog {
     * replay guard — the guard survives [[vacuum]] of old manifests and
     * any interleaved maintenance commit.
     */
+  /** One commit at a time per root WITHIN this JVM. The exists+rename
+    * conflict check below is atomic only on filesystems whose rename
+    * refuses an existing destination (HDFS and the object-store
+    * committers honor this); POSIX rename(2) — what
+    * RawLocalFileSystem's File.renameTo compiles to — REPLACES an
+    * existing destination, so two unserialized local-FS commits of the
+    * same version could both "win" the race with one manifest silently
+    * overwritten. Every concurrent writer this engine actually runs
+    * (prepare chains, streaming sinks, maintenance ticks) lives in one
+    * driver JVM, so the mutex closes the real race; cross-PROCESS
+    * writers keep the documented filesystem requirement (atomic
+    * no-overwrite rename).
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   private[util] def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long, entries: Seq[Entry],
       op: String, batchHwm: Long): Unit = {
-    val dir = manifestDir(root)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-${manifestName(v)}")
-    val dst = new org.apache.hadoop.fs.Path(dir, manifestName(v))
-    // `entries=<n>` makes truncation detectable: visibility is one
-    // rename, but a filesystem without atomic rename semantics (or
-    // plain bit rot) could surface a partial manifest — and a SHORT
-    // file list silently shrinks the table. Parse verifies the count.
-    val header =
-      s"$Header op=$op entries=${entries.length}" +
-        (if (batchHwm >= 0L) s" batch-hwm=$batchHwm" else "")
-    val out = fs.create(tmp, true)
-    try out.write((header +: entries.sortBy(_.path).map(_.line))
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    failpoint("staged:manifest")
-    if (fs.exists(dst) || !fs.rename(tmp, dst))
-      throw new CommitConflict(
-        s"manifest commit lost the race: v$v already exists ($tmp -> $dst) " +
-          "— a concurrent commit published first")
+    val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
+    lock.synchronized {
+      val dir = manifestDir(root)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-${manifestName(v)}")
+      val dst = new org.apache.hadoop.fs.Path(dir, manifestName(v))
+      // `entries=<n>` makes truncation detectable: visibility is one
+      // rename, but a filesystem without atomic rename semantics (or
+      // plain bit rot) could surface a partial manifest — and a SHORT
+      // file list silently shrinks the table. Parse verifies the count.
+      val header =
+        s"$Header op=$op entries=${entries.length}" +
+          (if (batchHwm >= 0L) s" batch-hwm=$batchHwm" else "")
+      val out = fs.create(tmp, true)
+      try out.write((header +: entries.sortBy(_.path).map(_.line))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      failpoint("staged:manifest")
+      if (fs.exists(dst) || !fs.rename(tmp, dst))
+        throw new CommitConflict(
+          s"manifest commit lost the race: v$v already exists ($tmp -> $dst) " +
+            "— a concurrent commit published first")
+    }
   }
 }

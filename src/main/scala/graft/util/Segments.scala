@@ -86,6 +86,17 @@ object Segments {
     if (ManifestLog.isManifested(segment.sparkSession, root)) {
       ManifestLog.appendSorted(segment, root, partitionDirs, boundCol); return
     }
+    // Same parent guard as the range ops: a bare append into a
+    // partition directory OF a manifested log would write files no
+    // manifest generation lists — invisible to every reader and
+    // deleted as orphans by the next vacuum. Loud, not lost.
+    val parent = new org.apache.hadoop.fs.Path(root).getParent
+    if (parent != null &&
+        ManifestLog.isManifested(segment.sparkSession, parent.toString))
+      throw new IllegalStateException(
+        s"$root is a partition directory of the manifested log $parent — " +
+          "a bare append here is invisible to the manifest and vacuumed " +
+          "as orphans; append at the log root with partitionDirs instead")
     val w = segment.write.mode("append")
     (if (partitionDirs.nonEmpty) w.partitionBy(partitionDirs: _*) else w)
       .parquet(root)
@@ -518,11 +529,8 @@ object Segments {
     * path (bucketBy names its files) and [[compactBucket]]'s
     * replacement file rely on.
     */
-  private val BucketFileName = """.*_(\d+)(?:\..*)?$""".r
-  private def bucketIdOf(name: String): Option[Int] = name match {
-    case BucketFileName(id) => Some(id.toInt)
-    case _ => None
-  }
+  private def bucketIdOf(name: String): Option[Int] =
+    BucketNames.bucketIdOf(name)
 
   /** Compact ONE bucket of a segment-appended bucketed table back to a
     * single file — the per-grain rewrite the
@@ -574,11 +582,8 @@ object Segments {
     * extensions ("part-...-c000" + "_00007" + ".snappy.parquet").
     */
   private def bucketDst(loc: org.apache.hadoop.fs.Path, bucketId: Int,
-      partName: String): org.apache.hadoop.fs.Path = {
-    val dot = partName.indexOf('.')
-    val (stem, ext) = partName.splitAt(if (dot < 0) partName.length else dot)
-    new org.apache.hadoop.fs.Path(loc, f"$stem%s_$bucketId%05d$ext%s")
-  }
+      partName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(loc, BucketNames.bucketNamed(partName, bucketId))
 
   /** Staged bucket-transaction dirs: `.compact-<bucketId>` — one
     * integer; the range transactions' names ([[StagedRangeDir]]) carry
@@ -663,5 +668,33 @@ object Segments {
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
     if (parts.isEmpty) { fs.delete(tmp, true); true } // crash after rename: cleanup only
     else { swapStaged(fs, tmp, grain, dst); true } // crash before/mid swap: finish it
+  }
+}
+
+/** Spark maps a data file to its bucket by NAME — the trailing
+  * `_NNNNN` id before the extensions (BucketingUtils' contract, which
+  * bucketBy's writer follows when naming files). ONE copy of the
+  * parse + splice logic: [[Segments]]' catalog path and
+  * [[BucketedManifest]]'s manifested path must stay byte-identical
+  * here, or a drifted copy silently mis-assigns files to buckets in
+  * whichever path kept the stale rule.
+  */
+private[util] object BucketNames {
+  private val BucketFileName = """.*_(\d+)(?:\..*)?$""".r
+
+  /** The bucket id a data file's name parses to, if any. */
+  def bucketIdOf(name: String): Option[Int] = name match {
+    case BucketFileName(id) => Some(id.toInt)
+    case _ => None
+  }
+
+  /** Splice a bucket id between a plain part name's stem and its
+    * extensions ("part-...-c000" + "_00007" + ".snappy.parquet"), so
+    * a replacement file parses to its grain's bucket.
+    */
+  def bucketNamed(partName: String, bucketId: Int): String = {
+    val dot = partName.indexOf('.')
+    val (stem, ext) = partName.splitAt(if (dot < 0) partName.length else dot)
+    f"$stem%s_$bucketId%05d$ext%s"
   }
 }

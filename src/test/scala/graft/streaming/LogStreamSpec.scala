@@ -215,7 +215,8 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     drop(0).write.mode("append").parquet(src)
     val schema = spark.read.parquet(src).schema
     val q = LogStream.runLogStream(spark, src, root, ckpt, schema, "uid",
-      maintainEveryBatches = 2, maintainMaxFiles = 2, keyedDepth = true)
+      maintainEveryBatches = 2, maintainMaxFiles = 2, keyedDepth = true,
+      keyedSecondarySort = Seq("seq"))
     try (1 until 6).foreach { i =>
       q.processAllAvailable()
       drop(i).write.mode("append").parquet(src)
@@ -253,6 +254,18 @@ class LogStreamSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(got.select("seq").as[Long].collect().toSet ==
       (0 until 6).map(i => i * 256L + 7L).toSet,
       "keyed read lost or duplicated rows across folds")
+    // keyedSecondarySort threads the within-key order through the
+    // in-sink folds (the by-user replica's contract): settle the
+    // layout to depth 1 (a no-op when the last in-sink tick already
+    // folded everything — hence the unchecked return), then the
+    // single admitted file must read uid 7's history in seq order.
+    ManifestLog.maintainKeyed(spark, root, "uid", 1,
+      secondarySort = Seq("seq"))
+    val one = ManifestLog.readKeyed(spark, root, "uid", Seq(7L))
+    assert(one.inputFiles.length == 1)
+    val seqs = one.select("seq").as[Long].collect().toSeq
+    assert(seqs == seqs.sorted,
+      "fold dropped the within-key order keyedSecondarySort declares")
   }
 
   test("a partitioned streamed log keeps partition pruning, stats slicing, and tailing") {

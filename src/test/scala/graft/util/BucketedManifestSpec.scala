@@ -198,6 +198,27 @@ class BucketedManifestSpec extends SparkTestBase with graft.TempCorpusDirs {
     } finally spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
 
+  test("adoptTable refuses a multi-column bucket spec — its head is not the placement hash") {
+    val t = "graft_bman_multicol_refusal"
+    val dir = tempCorpusDir("graft_bman_multicol")
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .repartition(Buckets, col("k"), col("v"))
+      .write.option("path", s"$dir/t")
+      .bucketBy(Buckets, "k", "v").sortBy("k", "v").saveAsTable(t)
+    try {
+      // Files are placed by hash(k, v); a Spec recording key=k would
+      // claim hash(k) placement — exchange elision and deleteKeys
+      // would then be silently WRONG (co-location on the wrong hash,
+      // deletes probing buckets the rows don't live in). Refuse.
+      val e = intercept[IllegalArgumentException] {
+        BucketedManifest.adoptTable(spark, t)
+      }
+      assert(e.getMessage.contains("single-key"), e.getMessage)
+      assert(spark.table(t).count() == 100L, "refusal damaged the table")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   test("mergeSchema widens the bucketed read across schema-drifted appends") {
     val (fact, _) = freshPair("drift")
     // A later producer adds a column; the bucketed append takes the

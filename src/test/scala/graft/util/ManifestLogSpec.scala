@@ -349,6 +349,55 @@ class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(canon(ManifestLog.readAt(spark, root, 1L)) == rows.sorted)
   }
 
+  test("a corrupt manifest entry line is refused, never parsed as a stats-less path") {
+    val (root, rows) = freshLog()
+    // boundCol records ts stats, so the new entry line carries
+    // tab-separated (col, min, max) triples — the shape to garble.
+    Segments.appendSorted(
+      Seq((9999L, 2500000L)).toDF("k", "ts").coalesce(1), root,
+      boundCol = Some("ts"))
+    val f = java.nio.file.Paths.get(root, "_manifests", "v000000002.manifest")
+    val lines = java.nio.file.Files.readAllLines(f)
+    // Garble one ENTRY line to a wrong token count (drop the max
+    // stat): the line count — and so the entries= truncation check —
+    // stays intact. The old lenient parse returned
+    // Entry("<whole tab-bearing line>", Nil): a bogus path in the
+    // referenced set and the REAL data file missing from it — vacuum
+    // would then delete live data. Corruption must refuse the read.
+    val i = (1 until lines.size).find(j => lines.get(j).contains("\t")).get
+    val garbled = lines.get(i).split('\t').dropRight(1).mkString("\t")
+    lines.set(i, garbled)
+    java.nio.file.Files.write(f,
+      (String.join("\n", lines) + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      f.getParent.resolve(s".${f.getFileName}.crc"))
+    val e = intercept[IllegalStateException] {
+      ManifestLog.read(spark, root).count()
+    }
+    assert(e.getMessage.contains("corrupt manifest entry"), e.getMessage)
+    // Prior generation intact — recovery is readAt/restore.
+    assert(canon(ManifestLog.readAt(spark, root, 1L)) == rows.sorted)
+  }
+
+  test("a bare append into a partition directory of a manifested log is refused") {
+    val root = s"${tempCorpusDir("graft_mlog_partguard")}/log"
+    ManifestLog.create(spark, root)
+    Segments.appendSorted(
+      Seq((1L, 1000L, 1990)).toDF("k", "ts", "year")
+        .repartitionByRange(1, col("ts")).sortWithinPartitions("ts"),
+      root, partitionDirs = Seq("year"))
+    // The misuse: appending at the year-dir level writes files no
+    // manifest generation lists — invisible to readers, deleted as
+    // orphans by the next vacuum. Must refuse loudly (the range ops
+    // already do; this pins the append path's guard).
+    val e = intercept[IllegalStateException] {
+      Segments.appendSorted(
+        Seq((2L, 2000L)).toDF("k", "ts").coalesce(1), s"$root/year=1990")
+    }
+    assert(e.getMessage.contains("partition directory"), e.getMessage)
+    assert(ManifestLog.read(spark, root).count() == 1L)
+  }
+
   test("an append retries through a concurrent commit; a grain mutation aborts loudly") {
     val (root, rows) = freshLog()
     val dir = java.nio.file.Paths.get(root, "_manifests")
