@@ -112,15 +112,18 @@ object Events {
     // Explicit partition count: a bare sort()'s range shuffle is
     // AQE-coalescible, so the file layout (and therefore how many
     // row groups a boundary scan can skip) would depend on adaptive
-    // heuristics and box size. With N pinned, the log is N files of
+    // heuristics and box size. With N explicit, the log is N files of
     // disjoint sorted ts ranges on every config — deterministic for
-    // the pruning spec, and at ingest scale N is simply sized to the
-    // target file size. N is part of the artifact NAME: the Snapshots
-    // memo keys on (dir, name, corpus fingerprint) only, so two
-    // sessions with different shuffle-partition settings in one JVM
-    // would otherwise share whichever layout built first — quietly
-    // breaking the deterministic-N-files claim.
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // the pruning spec. N is MASS-DERIVED with the session's
+    // parallelism as a floor ([[graft.util.ManifestLog.layoutFanout]]):
+    // at corpus scale files stay target-sized instead of inheriting
+    // all growth under a pinned count; on a small corpus the floor
+    // keeps a full scan spread across the cores. N is part of the
+    // artifact NAME: the Snapshots memo keys on (dir, name, corpus
+    // fingerprint) only, so two sessions with different settings in
+    // one JVM would otherwise share whichever layout built first —
+    // quietly breaking the deterministic-N-files claim.
+    val n = graft.util.ManifestLog.layoutFanout(s, s"$dir/events.parquet")
     graft.util.Snapshots(s, dir, s"events-us-log-n$n",
       adoptBound = Some("ts_us")) {
       usLogFrame(eventsUs(s, dir), n)
@@ -162,7 +165,8 @@ object Events {
   private[graft] def eventsUsSince(s: SparkSession, dir: String, cutoffUs: Long): DataFrame = {
     // Boundary hint for a manifested log: the batch read plans only
     // the files whose manifest-recorded ts range reaches the cutoff.
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Same n derivation as the build — the two must name ONE layout.
+    val n = graft.util.ManifestLog.layoutFanout(s, s"$dir/events.parquet")
     graft.util.Snapshots.slice(s, dir, s"events-us-log-n$n",
         "ts_us", cutoffUs, Long.MaxValue) {
       usLogFrame(eventsUs(s, dir), n)

@@ -32,7 +32,7 @@ object Relational {
     */
   private def ordersByYear(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = graft.util.ManifestLog.layoutFanout(s, s"$dir/orders.parquet")
     graft.util.Snapshots(s, dir, s"orders-by-year-n$n",
       partitionBy = Seq("order_year"), adoptBound = Some("o_orderdate_us")) {
       ordersYearFrame(tbl(s, dir, "orders"), n)
@@ -79,7 +79,8 @@ object Relational {
     // Boundary hint for a manifested layout: plan only the files whose
     // manifest-recorded date range may overlap the slice (directory
     // and row-group pruning then narrow within them, as always).
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Same n derivation as the build — the two must name ONE layout.
+    val n = graft.util.ManifestLog.layoutFanout(s, s"$dir/orders.parquet")
     val base = graft.util.Snapshots.slice(s, dir, s"orders-by-year-n$n",
         "o_orderdate_us",
         fromIncl.map(dateUs).getOrElse(Long.MinValue),
@@ -392,15 +393,18 @@ object Relational {
     * 100 TB this rewrite is the one-time ingest cost that makes every
     * later date-bounded read skip the history it doesn't want.
     *
-    * The partition count N is pinned (a bare sort's range shuffle is
-    * AQE-coalescible — the layout would depend on box size) and folded
-    * into the artifact name: the Snapshots memo keys on (dir, name,
-    * fingerprint) only, so two sessions with different shuffle settings
-    * must not share a layout.
+    * The partition count N is explicit (a bare sort's range shuffle is
+    * AQE-coalescible — the layout would depend on box size),
+    * mass-derived with a parallelism floor
+    * ([[graft.util.ManifestLog.layoutFanout]] — target-sized files at
+    * corpus scale, core-count spread on a small one), and folded into
+    * the artifact name: the Snapshots memo keys on (dir, name,
+    * fingerprint) only, so two sessions with different settings must
+    * not share a layout.
     */
   private[graft] def lineitemSdLog(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = graft.util.ManifestLog.layoutFanout(s, s"$dir/lineitem.parquet")
     graft.util.Snapshots(s, dir, s"lineitem-sd-log-n$n",
       adoptBound = Some("l_shipdate_us")) {
       sdLogFrame(tbl(s, dir, "lineitem"), n)
@@ -449,7 +453,8 @@ object Relational {
     // recorded stats may hold rows at-or-after the cutoff. Null ship
     // dates ride along regardless — stats are recorded only for
     // null-free files, and stats-less files are never pruned.
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Same n derivation as the build — the two must name ONE layout.
+    val n = graft.util.ManifestLog.layoutFanout(s, s"$dir/lineitem.parquet")
     graft.util.Snapshots.slice(s, dir, s"lineitem-sd-log-n$n",
         "l_shipdate_us", cutoffUs, Long.MaxValue) {
       sdLogFrame(tbl(s, dir, "lineitem"), n)
@@ -467,7 +472,7 @@ object Relational {
     */
   private[graft] def lineitemOkLog(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = graft.util.ManifestLog.layoutFanout(s, s"$dir/lineitem.parquet")
     graft.util.Snapshots.manifestedLog(s, dir, s"lineitem-ok-log-n$n",
       "l_orderkey", Nil) {
       tbl(s, dir, "lineitem")

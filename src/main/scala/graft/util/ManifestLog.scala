@@ -745,6 +745,25 @@ object ManifestLog {
   private val fanoutRows = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(String, Long, Long)], Long)]
 
+  /** [[sourceFanout]] with the session's shuffle parallelism as a
+    * FLOOR — the fan-out for the SCAN-SERVING sorted logs (ship-date /
+    * ts / orders-date clustering), whose consumers full-scan or
+    * range-scan rather than fetch single files. At corpus scale the
+    * mass targets dominate (a 100 TB log gets ~target-sized files, not
+    * 32 × 3 TB — the same critique the keyed layouts' r20 derivation
+    * answers); on a small corpus the floor keeps the layout spread
+    * across the cores so a full scan is not serialized onto a handful
+    * of files (FileSourceScanExec only SPLITS files larger than
+    * maxPartitionBytes — it cannot manufacture parallelism from one
+    * small file). The floor only ever ADDS files, so the per-file mass
+    * bound holds unconditionally. Deterministic for a given (corpus,
+    * session conf) — the derived n stays part of the artifact name.
+    */
+  def layoutFanout(spark: SparkSession, srcPath: String,
+      targetBytes: Long = -1L, targetRows: Long = -1L): Int =
+    math.max(sourceFanout(spark, srcPath, targetBytes, targetRows),
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** One fold set of a sharded keyed fold: the files to rewrite, the
     * hull [lo, hi] of their key ranges, the worst pre-fold stack over
     * any over-depth point inside it, and the set's total mass.

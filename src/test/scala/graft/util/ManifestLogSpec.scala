@@ -349,6 +349,20 @@ class ManifestLogSpec extends SparkTestBase with graft.TempCorpusDirs {
     assert(canon(ManifestLog.readAt(spark, root, 1L)) == rows.sorted)
   }
 
+  test("layoutFanout floors at the session parallelism and grows with mass") {
+    val src = s"${tempCorpusDir("graft_mlog_fanout")}/src.parquet"
+    (0 until 2000).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .coalesce(1).write.parquet(src)
+    // Small corpus: the parallelism floor (test sessions pin
+    // shuffle.partitions=4) dominates the mass-derived 1 — a full
+    // scan still spreads across the cores.
+    assert(ManifestLog.layoutFanout(spark, src) == 4)
+    // Big corpus (simulated by a tiny rows target): mass dominates
+    // the floor — files stay target-sized instead of inheriting all
+    // growth under a pinned count.
+    assert(ManifestLog.layoutFanout(spark, src, targetRows = 100L) == 20)
+  }
+
   test("a corrupt manifest entry line is refused, never parsed as a stats-less path") {
     val (root, rows) = freshLog()
     // boundCol records ts stats, so the new entry line carries
