@@ -371,13 +371,21 @@ object EventStream {
         user: Long, rows: Iterator[StreamEvent],
         state: GroupState[AsOfBuf]): Iterator[AsOfRow] = {
       var st = state.getOption.getOrElse(AsOfBuf(Vector.empty, Vector.empty))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       if (!state.hasTimedOut) rows.foreach { e =>
         val us = micros(e.ts)
-        if (e.event_type == "click") st = st.copy(clicks = st.clicks :+ us)
-        else if (e.event_type == "purchase")
-          st = st.copy(pend = st.pend :+ PendingPurchase(e.event_id, us))
+        // flatMapGroupsWithState does NOT drop beyond-horizon rows for
+        // us ([[scd2WithState]]'s contract note). A late purchase here
+        // would mature INSTANTLY against a click buffer already pruned
+        // of its true predecessors and emit a wrong match; a late click
+        // could likewise resurrect into the buffer after its window.
+        // Enforce the watermark contract explicitly: late rows drop.
+        if (us > wmUs) {
+          if (e.event_type == "click") st = st.copy(clicks = st.clicks :+ us)
+          else if (e.event_type == "purchase")
+            st = st.copy(pend = st.pend :+ PendingPurchase(e.event_id, us))
+        }
       }
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
       // Duplicate click timestamps are indistinguishable downstream
       // (q109 projects the matched TIMESTAMP, not an id) — dedup them.
       val clicks = st.clicks.distinct.sorted
@@ -635,13 +643,19 @@ object EventStream {
         user: Long, rows: Iterator[StreamEvent],
         state: GroupState[AsOfFwdBuf]): Iterator[AsOfFwdRow] = {
       var st = state.getOption.getOrElse(AsOfFwdBuf(Vector.empty, Vector.empty))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       if (!state.hasTimedOut) rows.foreach { e =>
         val us = micros(e.ts)
-        if (e.event_type == "purchase") st = st.copy(purchases = st.purchases :+ us)
-        else if (e.event_type == "click")
-          st = st.copy(clicks = st.clicks :+ PendingClick(e.event_id, us))
+        // Beyond-horizon arrivals dropped explicitly (the backward
+        // operator's note): a late click would otherwise emit a FINAL
+        // NULL against a purchase buffer already pruned of the
+        // purchases that answered its window.
+        if (us > wmUs) {
+          if (e.event_type == "purchase") st = st.copy(purchases = st.purchases :+ us)
+          else if (e.event_type == "click")
+            st = st.copy(clicks = st.clicks :+ PendingClick(e.event_id, us))
+        }
       }
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
       // q117 projects the matched purchase TIMESTAMP, so duplicate
       // purchase instants are indistinguishable — dedup them.
       val purchases = st.purchases.distinct.sorted

@@ -400,6 +400,51 @@ class EventStreamSpec extends SparkTestBase {
     assert(runAsOfFwd(oneByOne, tolUs, "asof_fwd_dribble") == allAtOnce)
   }
 
+  test("as-of joins drop beyond-watermark arrivals instead of emitting wrong rows") {
+    // The watermark contract the operators' correctness rests on —
+    // "once the watermark passes t, every event at-or-before t has
+    // arrived" — is NOT enforced by flatMapGroupsWithState itself. A
+    // purchase arriving AFTER the watermark passed its event time
+    // matures instantly against a click buffer already pruned of its
+    // true predecessors (backward), and a late click finds its
+    // answering purchases already GC'd (forward) — both would emit a
+    // confidently wrong row. The operators drop such rows explicitly
+    // (the scd2/attribution/drift contract); this drill pins it.
+    def tsOf(us: Long) = {
+      val x = new Timestamp(us / 1000L); x.setNanos((us % 1000000L).toInt * 1000); x
+    }
+    val base = 1704067200000000L
+    val min = 60L * 1000000L
+    val tolUs = 10L * min
+
+    // Backward: mature a normal pair, advance the watermark far past
+    // it, then deliver a purchase whose event time is long gone.
+    val bwd = runAsOf(Seq(
+      Seq(StreamEvent(tsOf(base + 1 * min), 5, "click", 1.0, 501),
+        StreamEvent(tsOf(base + 5 * min), 5, "purchase", 9.0, 502)),
+      asOfSentinels.take(1), // watermark jumps ~3 days ahead
+      Seq(StreamEvent(tsOf(base + 6 * min), 5, "purchase", 9.0, 503)), // late
+    ), tolUs, "asof_latedrop")
+    assert(bwd.exists(r => r._2 == 502L && r._4 == Some(base + 1 * min)),
+      s"in-contract purchase must still match: $bwd")
+    assert(!bwd.exists(_._2 == 503L),
+      s"beyond-watermark purchase must be dropped, not emitted: $bwd")
+
+    // Forward: the purchase that would answer the late click is GC'd
+    // once the watermark passes; the late click must drop rather than
+    // emit a final NULL.
+    val fwd = runAsOfFwd(Seq(
+      Seq(StreamEvent(tsOf(base + 1 * min), 6, "click", 1.0, 601),
+        StreamEvent(tsOf(base + 3 * min), 6, "purchase", 9.0, 602)),
+      asOfSentinels.take(1),
+      Seq(StreamEvent(tsOf(base + 2 * min), 6, "click", 1.0, 603)), // late
+    ), tolUs, "asof_fwd_latedrop")
+    assert(fwd.exists(r => r._2 == 601L && r._4 == Some(base + 3 * min)),
+      s"in-contract click must still match: $fwd")
+    assert(!fwd.exists(_._2 == 603L),
+      s"beyond-watermark click must be dropped, not emitted: $fwd")
+  }
+
   // ---- streaming SCD2 twin ------------------------------------------
   // Four users, twelve events each (4-minute cadence, per-user phase:
   // the whole span stays inside the 1h watermark horizon, so NO arrival
