@@ -400,6 +400,65 @@ class EventStreamSpec extends SparkTestBase {
     assert(runAsOfFwd(oneByOne, tolUs, "asof_fwd_dribble") == allAtOnce)
   }
 
+  test("streaming as-of joins over the real corpus match the oracle-checked q109/q117") {
+    // The scd2/attribution/drift operators each carry a real-corpus
+    // stream-vs-batch equality proof; this extends the standard to the
+    // as-of pair. All events land in ONE batch (everything buffers
+    // before any maturation — the corpus's full ts span cannot trip
+    // the watermark-horizon late-drop), then far-future CLICK
+    // sentinels advance the watermark so every purchase/click matures.
+    implicit val sc = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val events = graft.util.Tables.events(spark, sfDir)
+      .select($"ts", $"user_id", $"event_type", $"value", $"event_id")
+      .as[StreamEvent].collect().toSeq
+    val maxTs = events.map(_.ts.getTime).max
+    def sentinel(id: Long, plusH: Long) =
+      StreamEvent(new Timestamp(maxTs + plusH * 3600 * 1000), -1L, "click", 0.0, id)
+
+    def collectRows(table: String) = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .filter(_._1 >= 0) // the sentinel user's own rows are not the corpus's
+      .sortBy(x => (x._1, x._2)).toSeq
+
+    def runReal(name: String,
+        op: org.apache.spark.sql.Dataset[StreamEvent] =>
+          org.apache.spark.sql.Dataset[_]): Seq[(Long, Long, Long, Option[Long], Option[Long])] = {
+      val stream = MemoryStream[StreamEvent]
+      val q = op(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        stream.addData(events: _*); q.processAllAvailable()
+        stream.addData(sentinel(-1, 48)); q.processAllAvailable()
+        stream.addData(sentinel(-2, 96)); q.processAllAvailable()
+      } finally q.stop()
+      collectRows(name)
+    }
+
+    def batchRows(qname: String) =
+      graft.SparkEntry.queries(qname)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .sortBy(x => (x._1, x._2)).toSeq
+
+    val bwd = runReal("real_asof", EventStream.asOfJoinWithState(_))
+    val bwdBatch = batchRows("q109_asof_join_native")
+    assert(bwd.nonEmpty && bwd == bwdBatch,
+      s"backward: streamed ${bwd.size} rows != batch ${bwdBatch.size}")
+
+    val fwd = runReal("real_asof_fwd", EventStream.asOfForwardWithState(_))
+    val fwdBatch = batchRows("q117_asof_forward")
+    assert(fwd.nonEmpty && fwd == fwdBatch,
+      s"forward: streamed ${fwd.size} rows != batch ${fwdBatch.size}")
+    // Both matched and unmatched arms must actually fire on the corpus.
+    assert(bwd.exists(_._4.isDefined) && bwd.exists(_._4.isEmpty))
+    assert(fwd.exists(_._4.isDefined))
+  }
+
   test("as-of joins drop beyond-watermark arrivals instead of emitting wrong rows") {
     // The watermark contract the operators' correctness rests on —
     // "once the watermark passes t, every event at-or-before t has
