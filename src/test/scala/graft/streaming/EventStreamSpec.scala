@@ -236,6 +236,51 @@ class EventStreamSpec extends SparkTestBase {
       "exactly the planted spike must flag")
   }
 
+  test("streaming anomaly monitor over the real corpus matches the oracle-checked q115") {
+    // The real-corpus convergence standard (scd2/attribution/drift/
+    // sessionization/as-of) applied to the monitoring operator: the
+    // full sf0.001 event stream through the stateful z-score monitor
+    // must reproduce the DuckDB-gated batch q115 row-for-row — same
+    // observed-minute baselines, same full-ring and positive-variance
+    // emission rule, same HALF_UP rounding. All events land in one
+    // batch; sentinels (their own event_type — 2 buckets can never
+    // fill a 30-minute ring, so the sentinel type emits nothing)
+    // advance the watermark to close every minute. sf0.01, not the
+    // other real-corpus tests' sf0.001: there every (type, minute)
+    // count is exactly 1, so the positive-variance rule filters every
+    // row and both sides emit an unfalsifiable 0; at sf0.01 the batch
+    // emits ~4.5k z-scored rows.
+    implicit val sc = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.01"
+    val events = graft.util.Tables.events(spark, sfDir)
+      .select($"ts", $"user_id", $"event_type", $"value", $"event_id")
+      .as[StreamEvent].collect().toSeq
+    val maxTs = events.map(_.ts.getTime).max
+    def sentinel(id: Long, plusH: Long) =
+      StreamEvent(new Timestamp(maxTs + plusH * 3600 * 1000), -1L, "sentinel", 0.0, id)
+
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.anomaliesWithState(stream.toDS())
+      .writeStream.format("memory").queryName("real_anomalies")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events: _*); q.processAllAvailable()
+      stream.addData(sentinel(-1, 48)); q.processAllAvailable()
+      stream.addData(sentinel(-2, 96)); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("real_anomalies")
+      .select("event_type", "minute_us", "n", "z", "spike").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val batch = graft.SparkEntry.queries("q115_event_anomaly")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size}")
+  }
+
   // -------------------------------------------------------------------
   // Streaming as-of join.
 
