@@ -243,7 +243,14 @@ object EventStream {
       }
       // Per-key per-batch sort: bounded by one trigger's data for one
       // user, not by history (history lives in the one-row state).
-      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      // Beyond-watermark arrivals dropped explicitly (the operator
+      // family's contract): a late event whose true session was
+      // already flushed by the event-time timeout would otherwise
+      // start a NEW session inside the emitted one's span — an
+      // overlapping duplicate the batch q52 can never produce.
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val sorted = rows.filter(e => micros(e.ts) > wmUs)
+        .toSeq.sortBy(e => (micros(e.ts), e.event_id))
       val closed = Seq.newBuilder[SessionRow]
       var acc = state.getOption
       sorted.foreach { e =>
@@ -296,15 +303,24 @@ object EventStream {
         typ: String, rows: Iterator[StreamEvent],
         state: GroupState[AnomalyState]): Iterator[AnomalyRow] = {
       var st = state.getOption.getOrElse(AnomalyState(Map.empty, Vector.empty))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       rows.foreach { e =>
         val us = micros(e.ts)
-        val m = us - us % minuteUs
-        st = st.copy(open = st.open + (m -> (st.open.getOrElse(m, 0L) + 1L)))
+        // Beyond-watermark arrivals dropped explicitly ([[DriftBuf]]'s
+        // argument REQUIRES this guard: us > wm and us < bucketEnd
+        // force bucketEnd > wm, so an in-horizon event's bucket is
+        // provably still open). Without it a late event re-creates an
+        // already-closed-and-emitted minute with only the late count —
+        // a duplicate (type, minute) row with a wrong n, entering the
+        // ring out of event-time order.
+        if (us > wmUs) {
+          val m = us - us % minuteUs
+          st = st.copy(open = st.open + (m -> (st.open.getOrElse(m, 0L) + 1L)))
+        }
       }
       // Close every open minute whose END the watermark has passed, in
       // event-time order (the ring is an ordered baseline, like the
       // batch query's ROWS frame over observed minutes).
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
       val (closable, stillOpen) = st.open.partition { case (m, _) => m + minuteUs <= wmUs }
       val out = Seq.newBuilder[AnomalyRow]
       var ring = st.ring

@@ -281,6 +281,79 @@ class EventStreamSpec extends SparkTestBase {
       s"streamed ${streamed.size} rows != batch ${batch.size}")
   }
 
+  test("sessionization and anomaly monitor drop beyond-watermark arrivals") {
+    // The operator family's late-drop contract (scd2/attribution/
+    // drift/as-of) applied to the remaining two stateful operators. A
+    // late event would otherwise (a) re-create an already-closed-and-
+    // emitted minute bucket with only the late count — a duplicate
+    // (type, minute) anomaly row with a wrong n — or (b) start a new
+    // session INSIDE an already-flushed session's span.
+    implicit val sc = spark.sqlContext
+    val baseUs = 1704067200000000L
+    val minuteUs = 60L * 1000000L
+    def tsOf(us: Long) = {
+      val x = new Timestamp(us / 1000L); x.setNanos((us % 1000000L).toInt * 1000); x
+    }
+
+    // Anomalies: 41 planted minutes, matured; then one late event into
+    // minute 35 (long closed). Every (type, minute) must appear at most
+    // once and minute 35's count must be the original, not 1.
+    val series = (0 to 40).flatMap { m =>
+      val n = if (m == 40) 100 else 10 + m % 3
+      (0 until n).map { i =>
+        StreamEvent(tsOf(baseUs + m * minuteUs + i * 100000L), m.toLong, "click", 1.0, m * 1000L + i)
+      }
+    }
+    val aStream = MemoryStream[StreamEvent]
+    val aq = EventStream.anomaliesWithState(aStream.toDS())
+      .writeStream.format("memory").queryName("anomalies_latedrop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      aStream.addData(series: _*); aq.processAllAvailable()
+      aStream.addData(StreamEvent(tsOf(baseUs + 3L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -1L))
+      aq.processAllAvailable()
+      // Late: minute 35 closed (and emitted) long ago.
+      aStream.addData(StreamEvent(tsOf(baseUs + 35 * minuteUs), 999L, "click", 1.0, -99L))
+      aq.processAllAvailable()
+      aStream.addData(StreamEvent(tsOf(baseUs + 4L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -2L))
+      aq.processAllAvailable()
+    } finally aq.stop()
+    val aRows = spark.table("anomalies_latedrop")
+      .select("event_type", "minute_us", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(aRows.map(r => (r._1, r._2)).distinct.length == aRows.length,
+      s"duplicate (type, minute) emission from a late arrival: ${aRows.toSeq}")
+    assert(!aRows.exists(r => r._2 == baseUs + 35 * minuteUs && r._3 == 1L),
+      "the late event must not re-emit minute 35 with only its own count")
+
+    // Sessions: one session flushed by timeout; a late event inside
+    // its span must not open an overlapping second session.
+    val sStream = MemoryStream[StreamEvent]
+    val sq = EventStream.sessionizeWithState(sStream.toDS())
+      .writeStream.format("memory").queryName("sessions_latedrop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      sStream.addData(
+        StreamEvent(tsOf(baseUs), 1, "click", 1.0, 1),
+        StreamEvent(tsOf(baseUs + 5 * minuteUs), 1, "click", 2.0, 2))
+      sq.processAllAvailable()
+      // Sentinel advances the watermark; the timeout flushes user 1's
+      // open session [base, base+35min).
+      sStream.addData(StreamEvent(tsOf(baseUs + 3L * 24 * 3600 * 1000000L), -1L, "click", 0.0, -1L))
+      sq.processAllAvailable()
+      // Late: inside the flushed session's span.
+      sStream.addData(StreamEvent(tsOf(baseUs + 2 * minuteUs), 1, "click", 9.0, 3))
+      sq.processAllAvailable()
+      sStream.addData(StreamEvent(tsOf(baseUs + 4L * 24 * 3600 * 1000000L), -1L, "click", 0.0, -2L))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val sRows = spark.table("sessions_latedrop")
+      .filter($"user_id" === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sRows.toSeq == Seq((baseUs, baseUs + 35 * minuteUs, 2L)),
+      s"late arrival must not open an overlapping session: ${sRows.toSeq}")
+  }
+
   // -------------------------------------------------------------------
   // Streaming as-of join.
 
