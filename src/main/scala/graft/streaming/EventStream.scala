@@ -9,8 +9,19 @@ final case class StreamEvent(
     ts: java.sql.Timestamp, user_id: Long, event_type: String,
     value: Double, event_id: Long)
 
-/** Open-session accumulator held in the state store (one per user). */
+/** Open-session accumulator held in the state store (one per user).
+  * n == 0 encodes "no open session" (the Scd2Buf curVersion convention).
+  */
 final case class SessionAcc(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+/** An event buffered until the watermark matures it (sessionization). */
+final case class PendingEv(t: Long, event_id: Long, value: Double)
+
+/** Sessionization state (one per user): immature events within the
+  * watermark horizon plus the open-session accumulator over the
+  * matured prefix.
+  */
+final case class SessionBuf(pending: Vector[PendingEv], open: SessionAcc)
 
 /** Emitted closed session — same fields/semantics as q52's
   * session_window output ([start, last+gap), epoch microseconds).
@@ -213,64 +224,88 @@ object EventStream {
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * escape hatch for session semantics session_window can't express
     * (here it reproduces q52's gap semantics exactly, so the built-in
-    * operator validates it). State per key is ONE open-session
-    * accumulator, closed sessions are emitted as soon as a gap-exceeding
-    * event arrives, and the trailing open session is flushed by an
-    * event-time timeout at lastEvent + gap — so state size is
-    * O(active users within the watermark horizon), never history.
+    * operator validates it).
+    *
+    * The MATURATION-BUFFER design every stateful operator in this file
+    * shares: arriving events buffer until the watermark passes them
+    * (beyond-watermark arrivals drop explicitly — the family
+    * contract), matured events fold into the open-session accumulator
+    * in (ts, event_id) order, and a session closes only when the
+    * watermark passes last + gap — at which point the close is FINAL
+    * (every event at-or-under the watermark has folded, and any future
+    * event arrives strictly past last + gap, necessarily starting a
+    * new session). Folding is provably forward-only: an event accepted
+    * at arrival satisfies t > wm_arrival ≥ wm of every earlier fold ≥
+    * every already-folded t — so out-of-order arrival WITHIN the
+    * horizon converges to the all-at-once result (the pre-r20 eager
+    * form emitted on gap-exceeding ARRIVAL and mis-merged an
+    * in-horizon event older than the open session: no math.min on the
+    * start, and `us - last < gap` is vacuously true for any earlier
+    * event). Wake timestamps are the earliest pending maturation or
+    * the open flush time — both strictly past the current watermark by
+    * construction, so the re-arm can never violate Spark's
+    * timeout-past-watermark requirement (the pre-r20 form re-armed a
+    * stale last + gap, which THROWS once the watermark overtakes it).
+    * State is O(events in the horizon + 1 accumulator) per active user.
     */
   def sessionizeWithState(
       events: Dataset[StreamEvent], gapMinutes: Int = 30): Dataset[SessionRow] = {
     val gapUs = gapMinutes * 60L * 1000000L
-    implicit val accEnc: Encoder[SessionAcc] = Encoders.product[SessionAcc]
+    implicit val bufEnc: Encoder[SessionBuf] = Encoders.product[SessionBuf]
     implicit val rowEnc: Encoder[SessionRow] = Encoders.product[SessionRow]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
 
-    // Full microsecond precision: Timestamp.getTime is MILLIseconds;
-    // the sub-ms part lives in getNanos. Truncating to ms would merge
-    // sessions q52 splits at the exact 30-minute boundary.
+    val NoOpen = SessionAcc(0L, 0L, 0L, 0.0)
+
     def close(user: Long, a: SessionAcc): SessionRow =
       SessionRow(user, a.startUs, a.lastUs + gapUs, a.n,
         math.round(a.sum * 100.0) / 100.0) // 2dp, matching q52's round(sum,2)
 
     def update(
         user: Long, rows: Iterator[StreamEvent],
-        state: GroupState[SessionAcc]): Iterator[SessionRow] = {
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(close(user, _)).iterator
-        state.remove()
-        return out
-      }
-      // Per-key per-batch sort: bounded by one trigger's data for one
-      // user, not by history (history lives in the one-row state).
-      // Beyond-watermark arrivals dropped explicitly (the operator
-      // family's contract): a late event whose true session was
-      // already flushed by the event-time timeout would otherwise
-      // start a NEW session inside the emitted one's span — an
-      // overlapping duplicate the batch q52 can never produce.
+        state: GroupState[SessionBuf]): Iterator[SessionRow] = {
+      var st = state.getOption.getOrElse(SessionBuf(Vector.empty, NoOpen))
       val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val sorted = rows.filter(e => micros(e.ts) > wmUs)
-        .toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      val closed = Seq.newBuilder[SessionRow]
-      var acc = state.getOption
-      sorted.foreach { e =>
+      if (!state.hasTimedOut) rows.foreach { e =>
+        // Full microsecond precision: Timestamp.getTime is
+        // MILLIseconds; the sub-ms part lives in getNanos. Truncating
+        // to ms would merge sessions q52 splits at the exact boundary.
         val us = micros(e.ts)
-        acc match {
-          case Some(a) if us - a.lastUs < gapUs =>
-            acc = Some(SessionAcc(a.startUs, math.max(a.lastUs, us), a.n + 1, a.sum + e.value))
-          case Some(a) =>
-            closed += close(user, a)
-            acc = Some(SessionAcc(us, us, 1, e.value))
-          case None =>
-            acc = Some(SessionAcc(us, us, 1, e.value))
+        if (us > wmUs) // beyond-horizon arrivals dropped explicitly
+          st = st.copy(pending = st.pending :+ PendingEv(us, e.event_id, e.value))
+      }
+      val (matured, stay) = st.pending.partition(_.t <= wmUs)
+      val out = Seq.newBuilder[SessionRow]
+      var acc = st.open
+      matured.sortBy(p => (p.t, p.event_id)).foreach { p =>
+        if (acc.n == 0) acc = SessionAcc(p.t, p.t, 1, p.value)
+        else if (p.t - acc.lastUs < gapUs)
+          acc = SessionAcc(acc.startUs, math.max(acc.lastUs, p.t), acc.n + 1,
+            acc.sum + p.value)
+        else {
+          out += close(user, acc)
+          acc = SessionAcc(p.t, p.t, 1, p.value)
         }
       }
-      acc.foreach { a =>
-        state.update(a)
-        // Flush the open session once event time passes last + gap.
-        state.setTimeoutTimestamp(a.lastUs / 1000L + gapMinutes * 60L * 1000L)
+      // Final close: the watermark passed last + gap, so no event can
+      // ever extend this session again (see the Scaladoc argument).
+      if (acc.n > 0 && acc.lastUs + gapUs <= wmUs) {
+        out += close(user, acc)
+        acc = NoOpen
       }
-      closed.result().iterator
+      st = SessionBuf(stay, acc)
+      if (st.pending.isEmpty && st.open.n == 0) state.remove()
+      else {
+        state.update(st)
+        // Earliest pending maturation or the open flush — both
+        // strictly past the current watermark here (pending t > wm by
+        // the arrival guard; an open flush time at-or-under wm just
+        // closed above).
+        val wakes = st.pending.map(_.t) ++
+          (if (st.open.n > 0) Seq(st.open.lastUs + gapUs) else Nil)
+        state.setTimeoutTimestamp(wakes.min / 1000L + 1L)
+      }
+      out.result().iterator
     }
 
     events
@@ -312,7 +347,12 @@ object EventStream {
         // provably still open). Without it a late event re-creates an
         // already-closed-and-emitted minute with only the late count —
         // a duplicate (type, minute) row with a wrong n, entering the
-        // ring out of event-time order.
+        // ring out of event-time order. Deliberately the FAMILY
+        // condition (us > wm), not the weaker sufficient one (bucket
+        // still open, m + minute > wm): a ≤1-minute-late event whose
+        // bucket hasn't closed is droppable data under Spark's own
+        // watermark semantics for stateful aggregations, and one
+        // uniform contract beats per-operator carve-outs.
         if (us > wmUs) {
           val m = us - us % minuteUs
           st = st.copy(open = st.open + (m -> (st.open.getOrElse(m, 0L) + 1L)))

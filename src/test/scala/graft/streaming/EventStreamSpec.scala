@@ -159,6 +159,69 @@ class EventStreamSpec extends SparkTestBase {
     assert(s2.getAs[Long]("n_events") == 1 && s2.getAs[Double]("sum_value") == 4.0)
   }
 
+  private def runSessionize(batches: Seq[Seq[StreamEvent]],
+      name: String): Seq[(Long, Long, Long, Long, Double)] = {
+    implicit val sc = spark.sqlContext
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    val stream = MemoryStream[StreamEvent]
+    val q = EventStream.sessionizeWithState(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      stream.addData(StreamEvent(new Timestamp(maxTs + 48L * 3600 * 1000), -1L, "s", 0.0, -1L))
+      q.processAllAvailable()
+      stream.addData(StreamEvent(new Timestamp(maxTs + 96L * 3600 * 1000), -1L, "s", 0.0, -2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter($"user_id" >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.sorted
+  }
+
+  test("stateful sessionization over the real corpus matches q52, through torn replays") {
+    // The maturation-buffer rewrite's pin: session emission is a pure
+    // function of the in-contract event set, not of arrival order or
+    // batch placement. The pre-rewrite eager form mis-merged an
+    // in-horizon event OLDER than the open session (no math.min on
+    // the start; `us - last < gap` is vacuously true for any earlier
+    // event) and could re-arm a stale below-watermark timeout that
+    // Spark rejects with IllegalArgumentException — newest-first
+    // cross-batch delivery exercises both.
+    implicit val sc = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val events = graft.util.Tables.events(spark, sfDir)
+      .select($"ts", $"user_id", $"event_type", $"value", $"event_id")
+      .as[StreamEvent].collect().toSeq
+    val batch = graft.SparkEntry.queries("q52_session_window")(spark, sfDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.sorted
+
+    val allAtOnce = runSessionize(Seq(events), "sess_real")
+    assert(allAtOnce.nonEmpty && allAtOnce == batch,
+      s"all-at-once: ${allAtOnce.size} streamed vs ${batch.size} batch")
+    // Newest-first within the horizon: the whole corpus span is under
+    // the 1h watermark horizon per batch boundary only if delivered
+    // before the watermark moves — so replay newest-first in ONE
+    // batch (within-horizon disorder) and per-event oldest-last.
+    val newestFirst = runSessionize(Seq(events.sortBy(e => -e.ts.getTime)), "sess_torn")
+    assert(newestFirst == allAtOnce, "newest-first delivery must converge")
+    // Cross-batch split that stays IN-CONTRACT (the corpus spans many
+    // hours, so an arbitrary split would make half the events late
+    // beyond the 1h horizon): cut at the time midpoint — the second
+    // batch's events are all newer than the first's max, hence above
+    // the watermark it sets — and deliver each half newest-first.
+    val byTime = events.sortBy(e => (e.ts.getTime, e.event_id))
+    val (older, newer) = byTime.splitAt(byTime.length / 2)
+    val twoBatches = runSessionize(
+      Seq(older.reverse, newer.reverse), "sess_torn2")
+    assert(twoBatches == allAtOnce, "batch placement must not change sessions")
+  }
+
   test("file-source incremental pipeline: parquet drops → windowed aggregates → parquet out") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val (src, out, ckpt) = (s"$dir/src", s"$dir/out", s"$dir/ckpt")
@@ -239,7 +302,7 @@ class EventStreamSpec extends SparkTestBase {
   test("streaming anomaly monitor over the real corpus matches the oracle-checked q115") {
     // The real-corpus convergence standard (scd2/attribution/drift/
     // sessionization/as-of) applied to the monitoring operator: the
-    // full sf0.001 event stream through the stateful z-score monitor
+    // full sf0.01 event stream through the stateful z-score monitor
     // must reproduce the DuckDB-gated batch q115 row-for-row — same
     // observed-minute baselines, same full-ring and positive-variance
     // emission rule, same HALF_UP rounding. All events land in one
