@@ -367,27 +367,48 @@ class EventStreamSpec extends SparkTestBase {
         StreamEvent(tsOf(baseUs + m * minuteUs + i * 100000L), m.toLong, "click", 1.0, m * 1000L + i)
       }
     }
-    val aStream = MemoryStream[StreamEvent]
-    val aq = EventStream.anomaliesWithState(aStream.toDS())
-      .writeStream.format("memory").queryName("anomalies_latedrop")
-      .outputMode(OutputMode.Append).start()
-    try {
-      aStream.addData(series: _*); aq.processAllAvailable()
-      aStream.addData(StreamEvent(tsOf(baseUs + 3L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -1L))
-      aq.processAllAvailable()
-      // Late: minute 35 closed (and emitted) long ago.
-      aStream.addData(StreamEvent(tsOf(baseUs + 35 * minuteUs), 999L, "click", 1.0, -99L))
-      aq.processAllAvailable()
-      aStream.addData(StreamEvent(tsOf(baseUs + 4L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -2L))
-      aq.processAllAvailable()
-    } finally aq.stop()
-    val aRows = spark.table("anomalies_latedrop")
-      .select("event_type", "minute_us", "n").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(aRows.map(r => (r._1, r._2)).distinct.length == aRows.length,
-      s"duplicate (type, minute) emission from a late arrival: ${aRows.toSeq}")
-    assert(!aRows.exists(r => r._2 == baseUs + 35 * minuteUs && r._3 == 1L),
-      "the late event must not re-emit minute 35 with only its own count")
+    // Sentinel 1 lands 30 SECONDS past a whole hour so the watermark
+    // it sets is NOT minute-aligned — which makes a genuine
+    // borderline-late case constructible (an event under the watermark
+    // whose own minute bucket is still open; with an aligned watermark
+    // every sub-watermark event's bucket end is ≤ wm, i.e. closed).
+    val sent1Us = baseUs + 3L * 24 * 3600 * 1000000L + 30L * 1000000L
+    val wmAfterSent1 = sent1Us - 3600L * 1000000L
+    def runAnomaly(name: String, lateBatches: Seq[Seq[StreamEvent]]): Seq[(String, Long, Long)] = {
+      val s = MemoryStream[StreamEvent]
+      val q = EventStream.anomaliesWithState(s.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        s.addData(series: _*); q.processAllAvailable()
+        s.addData(StreamEvent(tsOf(sent1Us), -1L, "sentinel", 0.0, -1L))
+        q.processAllAvailable()
+        lateBatches.foreach { b => s.addData(b: _*); q.processAllAvailable() }
+        s.addData(StreamEvent(tsOf(baseUs + 4L * 24 * 3600 * 1000000L), -1L, "sentinel", 0.0, -2L))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select("event_type", "minute_us", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    }
+    val reference = runAnomaly("anomalies_ref", Nil)
+    // Two late deliveries after sentinel 1 (watermark = sentinel − 1h,
+    // far past the whole series): one into long-closed minute 35, and
+    // one BORDERLINE-late event 1s under the watermark whose own
+    // minute bucket is still open (bucket end = wm + 30s) — the family
+    // contract (us > wm, Spark's own stateful-aggregation rule) drops
+    // BOTH; output equality with the no-late reference pins it (a kept
+    // minute-35 event would duplicate that row; a kept borderline
+    // event would emit a fresh far-future bucket into the ring).
+    val withLate = runAnomaly("anomalies_latedrop", Seq(Seq(
+      StreamEvent(tsOf(baseUs + 35 * minuteUs), 999L, "click", 1.0, -99L),
+      StreamEvent(tsOf(wmAfterSent1 - 1000000L), 998L, "click", 1.0, -98L),
+    )))
+    assert(reference.nonEmpty && withLate == reference,
+      s"late arrivals must not change the emitted rows:\nwith=$withLate\nref=$reference")
+    assert(withLate.map(r => (r._1, r._2)).distinct.length == withLate.length,
+      s"duplicate (type, minute) emission from a late arrival: $withLate")
 
     // Sessions: one session flushed by timeout; a late event inside
     // its span must not open an overlapping second session.
