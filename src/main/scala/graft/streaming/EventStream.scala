@@ -257,9 +257,15 @@ object EventStream {
 
     val NoOpen = SessionAcc(0L, 0L, 0L, 0.0)
 
+    // 2dp HALF_UP — the SAME rounding as q52's round(sum, 2), not
+    // math.round: the two agree on positives but math.round is
+    // half-toward-+infinity, so a negative session sum at an exact
+    // midpoint (−0.125 → −0.12 vs q52's −0.13) would diverge from the
+    // batch twin this operator claims to reproduce exactly.
     def close(user: Long, a: SessionAcc): SessionRow =
       SessionRow(user, a.startUs, a.lastUs + gapUs, a.n,
-        math.round(a.sum * 100.0) / 100.0) // 2dp, matching q52's round(sum,2)
+        BigDecimal(a.sum).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
 
     def update(
         user: Long, rows: Iterator[StreamEvent],
@@ -280,8 +286,9 @@ object EventStream {
       matured.sortBy(p => (p.t, p.event_id)).foreach { p =>
         if (acc.n == 0) acc = SessionAcc(p.t, p.t, 1, p.value)
         else if (p.t - acc.lastUs < gapUs)
-          acc = SessionAcc(acc.startUs, math.max(acc.lastUs, p.t), acc.n + 1,
-            acc.sum + p.value)
+          // p.t >= acc.lastUs always: matured events fold sorted, and
+          // cross-batch folds are forward-only (see the Scaladoc).
+          acc = SessionAcc(acc.startUs, p.t, acc.n + 1, acc.sum + p.value)
         else {
           out += close(user, acc)
           acc = SessionAcc(p.t, p.t, 1, p.value)

@@ -16,6 +16,19 @@ class EventStreamSpec extends SparkTestBase {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  /** Canonical session 5-tuple (user, start_us, end_us, n, sum) for
+    * stream-vs-batch comparisons. HALF_UP like Spark's round(), not
+    * math.round (half-toward-+inf) — the two disagree on negative
+    * midpoints. One definition for every comparison site, so a
+    * rounding or shape change cannot leave the sites disagreeing.
+    */
+  private def canonSessions(
+      rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long, Long, Long, Double)] =
+    rows.map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sorted
+
   private val batch1 = Seq(
     Ev(t("2024-01-01 00:05:00"), 1, "click", 1.0, 1),
     Ev(t("2024-01-01 00:45:00"), 1, "click", 2.0, 2),
@@ -71,21 +84,13 @@ class EventStreamSpec extends SparkTestBase {
       .outputMode(OutputMode.Append).start()
     try q.processAllAvailable() finally q.stop()
 
-    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long, Long, Long, Double)] =
-      rows.map { r =>
-        // HALF_UP like Spark's round(), not math.round (half-toward-
-        // +inf) — the two disagree on negative midpoints.
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toSeq.sorted
-
-    val streamed = canon(
+    val streamed = canonSessions(
       spark.table("real_sessions").filter($"user_id" >= 0)
         .selectExpr("user_id", "unix_micros(session_start)", "unix_micros(session_end)",
           "n_events", "sum_value")
         .collect())
     // q52 is the DuckDB-oracle-checked batch twin over the same corpus.
-    val batch = canon(
+    val batch = canonSessions(
       graft.SparkEntry.queries("q52_session_window")(spark, sfDir)
         .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
         .collect())
@@ -174,10 +179,7 @@ class EventStreamSpec extends SparkTestBase {
       stream.addData(StreamEvent(new Timestamp(maxTs + 96L * 3600 * 1000), -1L, "s", 0.0, -2L))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).filter($"user_id" >= 0).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toSeq.sorted
+    canonSessions(spark.table(name).filter($"user_id" >= 0).collect())
   }
 
   test("stateful sessionization over the real corpus matches q52, through torn replays") {
@@ -194,12 +196,10 @@ class EventStreamSpec extends SparkTestBase {
     val events = graft.util.Tables.events(spark, sfDir)
       .select($"ts", $"user_id", $"event_type", $"value", $"event_id")
       .as[StreamEvent].collect().toSeq
-    val batch = graft.SparkEntry.queries("q52_session_window")(spark, sfDir)
-      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toSeq.sorted
+    val batch = canonSessions(
+      graft.SparkEntry.queries("q52_session_window")(spark, sfDir)
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+        .collect())
 
     val allAtOnce = runSessionize(Seq(events), "sess_real")
     assert(allAtOnce.nonEmpty && allAtOnce == batch,
@@ -212,9 +212,11 @@ class EventStreamSpec extends SparkTestBase {
     assert(newestFirst == allAtOnce, "newest-first delivery must converge")
     // Cross-batch split that stays IN-CONTRACT (the corpus spans many
     // hours, so an arbitrary split would make half the events late
-    // beyond the 1h horizon): cut at the time midpoint — the second
-    // batch's events are all newer than the first's max, hence above
-    // the watermark it sets — and deliver each half newest-first.
+    // beyond the 1h horizon): cut the time-SORTED list at its count
+    // midpoint — the second batch's events are at-or-after the first
+    // batch's max (a timestamp tie may span the cut), hence strictly
+    // above the watermark it sets (max − 1h) — and deliver each half
+    // newest-first.
     val byTime = events.sortBy(e => (e.ts.getTime, e.event_id))
     val (older, newer) = byTime.splitAt(byTime.length / 2)
     val twoBatches = runSessionize(
