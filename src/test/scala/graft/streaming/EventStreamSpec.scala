@@ -224,6 +224,34 @@ class EventStreamSpec extends SparkTestBase {
     assert(twoBatches == allAtOnce, "batch placement must not change sessions")
   }
 
+  test("torn replay (sessionization): shuffled per-event dribble converges") {
+    // The as-of/scd2/attribution dribble standard on the session
+    // operator: a fixture spanning UNDER the 1h horizon (so no shuffle
+    // can make any delivery late-beyond-watermark), replayed one event
+    // per micro-batch in seeded-shuffled order, must emit exactly the
+    // all-at-once sessions. Two users, two sessions each (the 40-min
+    // gaps split), boundary events at exactly gap−1 and gap.
+    def tsOf(us: Long) = {
+      val x = new Timestamp(us / 1000L); x.setNanos((us % 1000000L).toInt * 1000); x
+    }
+    val base = 1704067200000000L
+    val min = 60L * 1000000L
+    val fixture = Seq(
+      StreamEvent(tsOf(base + 0 * min), 1, "click", 1.0, 1),
+      StreamEvent(tsOf(base + 29 * min), 1, "click", 2.0, 2), // gap−1: same session
+      StreamEvent(tsOf(base + 59 * min), 1, "click", 3.0, 3), // gap 30: NEW session
+      StreamEvent(tsOf(base + 10 * min), 2, "view", 4.0, 4),
+      StreamEvent(tsOf(base + 10 * min), 2, "view", 5.0, 5), // duplicate instant
+      StreamEvent(tsOf(base + 55 * min), 2, "view", 6.0, 6), // 45-min gap: NEW session
+    )
+    val allAtOnce = runSessionize(Seq(fixture), "sess_fix_whole")
+    assert(allAtOnce.map(_._1).distinct == Seq(1L, 2L) && allAtOnce.size == 4,
+      s"fixture must yield two sessions per user: $allAtOnce")
+    val dribble = new scala.util.Random(11).shuffle(fixture).map(Seq(_))
+    assert(runSessionize(dribble, "sess_fix_dribble") == allAtOnce,
+      "per-event shuffled replay must converge to the same sessions")
+  }
+
   test("file-source incremental pipeline: parquet drops → windowed aggregates → parquet out") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val (src, out, ckpt) = (s"$dir/src", s"$dir/out", s"$dir/ckpt")
