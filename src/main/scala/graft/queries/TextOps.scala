@@ -2085,7 +2085,18 @@ object TextOps {
     """),
   ) { (s, dir) =>
     val redacted = regexp_replace(col("text"), lit(ScrubPattern), lit("[X]"))
+    // Sort FIRST, scrub AFTER (r21): with the regex below the global
+    // sort, the range exchange's sampling pass executed the full
+    // regexp pipeline once and the shuffle-map pass again — two
+    // single-threaded regex sweeps of the corpus (the documents file
+    // is one row group, so the scan stage cannot parallelize them).
+    // Ordering by doc_id first ships only (doc_id, text) through the
+    // exchange (sampling now touches the bare scan), and the scrub
+    // projection runs once, on the post-exchange partitions — i.e. in
+    // parallel. Same rows, same order, same oracle.
     tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
@@ -2093,7 +2104,6 @@ object TextOps {
         md5(redacted).as("redacted_md5"),
         length(redacted).cast("bigint").as("n_chars_clean"),
       )
-      .orderBy("doc_id")
   }
 
   /** q99 — near-dup SURVIVOR materialization: the keep-decision a dedup

@@ -46,6 +46,39 @@ object Tables {
     // wants the same headroom; ~10k compiled stages is tens of MB of
     // class metadata — negligible against an 8 GiB driver.
     "spark.sql.codegen.cache.maxEntries" -> "10000",
+    // Scan-split open-cost charge (default 4 MB). The default floors
+    // maxSplitBytes at 4 MB, so a 10 MB fact file scans as 3 tasks no
+    // matter how many cores are idle — measured r21: q20's whole
+    // runtime was one 3-task scan+join+agg stage (721 task-ms, 240 ms
+    // wall each) on a 32-core box. 256 KB keeps the many-small-files
+    // task-explosion guard (a split still absorbs ≤ maxPartitionBytes/
+    // 256 KB files) while letting bytesPerCore set the split size, so
+    // scan parallelism derives from input mass / available cores — the
+    // scale-adaptive rule. At cluster scale splits are
+    // maxPartitionBytes-bound (128 MB files ≫ open cost) and this knob
+    // is inert; it only governs small-input parallelism, where decode
+    // cost dominates file-open cost by orders of magnitude.
+    "spark.sql.files.openCostInBytes" -> (256 * 1024).toString,
+    // AQE post-shuffle coalescing floor (default 1 MB). Coalescing is
+    // BYTE-targeted, but the shuffles feeding this library's heavy
+    // operators carry compact keys/digests with high per-row CPU
+    // downstream (explode+pair-generation, array_intersect
+    // verification, regex): at 1 MB the whole reduce side of q74
+    // coalesces to ONE task (879 ms measured, single-threaded) while
+    // 31 cores idle. 128 KB keeps the parallelism-first contract
+    // meaningful at small shuffle mass: target size stays
+    // max(total/parallelism, 128 KB), so a genuinely tiny shuffle
+    // still collapses to one or two tasks, a CPU-heavy medium one fans
+    // out toward the core count, and at cluster scale (multi-GB
+    // shuffles) the advisory 64 MB target governs exactly as before —
+    // the floor is inert there. 128 KB and not less: an r21 sweep
+    // (16/64/128/256 KB over the eight heaviest shuffle consumers)
+    // showed ~100 ms of fixed per-task cost in these stage shapes, so
+    // fanning a sub-128 KB-per-task shuffle wider pays more overhead
+    // than the row work it spreads (q113 0.93 s at 16 KB vs 0.53 s at
+    // 128 KB), while 256 KB re-serializes the pair-explosion stages
+    // (q67 1.19 → 1.77 s).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "131072",
   )
 
   /** Fold [[sessionConf]] into a session builder. */
