@@ -105,4 +105,18 @@ object TextFunctions {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(SimHash(ColumnBridge.expression(text), bits))
   }
+
+  /** Native sorted-set intersection size ([[SortedIntersectCount]]):
+    * equals `size(array_intersect(a, b))` on asc-sorted distinct
+    * null-free bigint arrays (the doc-shingle-set artifact contract;
+    * equivalence fuzz-asserted in SortedIntersectCountSpec) without
+    * the per-row boxed hash set the built-in allocates — the Jaccard
+    * verification hot path runs one primitive merge walk per
+    * candidate pair.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductFloat, GramStats, RollingMinHash, SimHash}
+import graft.functions.{DotProductFloat, GramStats, RollingMinHash, SimHash, SortedIntersectCount}
 
 /** Session-extension entry point (SparkSessionExtensions): registers
   * the engine's native expressions with the SQL function registry, so
@@ -101,6 +101,25 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(
               "graft_gram_stats(text) takes exactly 1 argument")
           GramStats(children.head)
+        },
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_sorted_intersect_count"),
+        new ExpressionInfo(
+          classOf[SortedIntersectCount].getCanonicalName,
+          null,
+          "graft_sorted_intersect_count",
+          "graft_sorted_intersect_count(a, b) - |A ∩ B| of two asc-sorted " +
+            "distinct bigint arrays (primitive merge walk)",
+          "",
+        ),
+        (children: Seq[Expression]) => {
+          if (children.length != 2)
+            throw new IllegalArgumentException(
+              "graft_sorted_intersect_count(a, b) takes exactly 2 arguments")
+          SortedIntersectCount(children.head, children(1))
         },
       )
     )

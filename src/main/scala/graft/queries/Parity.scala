@@ -97,7 +97,17 @@ object Parity {
         LIMIT 1000
       """),
     ) { (s, dir) =>
+      // Sort+limit FIRST on the raw columns, cast AFTER (r21): with
+      // the lenient-cast projection below the limit, the
+      // TakeOrderedAndProject evaluated four try_cast/date-parse
+      // chains for every orders row and kept 1000; projecting after
+      // the limit parses exactly the surviving 1000. Same rows (the
+      // sort key o_orderkey is untouched), same values, same oracle.
       tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus",
+          "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(1000)
         .select(
           col("o_orderkey"),
           Ops.lenientDouble(substring(col("o_orderpriority"), 1, 1)).as("prio_num"),
@@ -107,8 +117,6 @@ object Parity {
           // floor first so both dialects agree (SURVEY.md §7.4 seams).
           Ops.lenientLong(floor(col("o_totalprice"))).as("total_long"),
         )
-        .orderBy("o_orderkey")
-        .limit(1000)
     },
 
     // ------------------------------------------------------------------

@@ -1063,7 +1063,12 @@ object Similarity {
       """),
     ) { (s, dir) =>
       val bin = col("text").cast("binary")
+      // Sort below, digest above (the q95 recipe): md5 over the full
+      // payload ran in the exchange-sampling pass and again in the map
+      // pass when declared under the sort.
       tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(
           col("doc_id"),
           length(bin).as("n_bytes"),
@@ -1071,7 +1076,6 @@ object Similarity {
           (conv(substring(md5(bin), 1, 8), 16, 10).try_cast("bigint") % 360)
             .as("stub_hue"),
         )
-        .orderBy("doc_id")
     },
   ) :+ clusterSampleDef :+ pqAnnDef :+ ivfPqDef :+ incrementalAnnDef :+
     semanticDecontamDef :+ clusterProfileDef :+ mmrRerankDef :+
